@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access layer.
+  *
+  * The reference (SkyhookDM, see SURVEY.md §1) partitions each logical
+  * table into many self-describing ~10 MB storage objects and fans
+  * queries out object-by-object. Spark's equivalent of that layout is a
+  * partitioned parquet dataset: one input split ≈ one object, the file
+  * footer ≈ the embedded per-object schema, and row-group min/max stats
+  * ≈ the reference's per-object index/stats. We therefore read plain
+  * parquet and let the datasource do split-granular parallelism,
+  * predicate pushdown and column pruning — the Spark-native form of the
+  * reference's in-storage scan (`--use-cls` pushdown).
+  *
+  * Scale note (100 TB posture): nothing here collects to the driver;
+  * a production deployment would point `dir` at an object-store prefix
+  * with thousands of files and the same code holds — parallelism is
+  * `spark.sql.files.maxPartitionBytes`-driven, not table-count-driven.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every fixture table as a temp view (for spark.sql paths). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

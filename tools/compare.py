@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness check.
+
+Usage: python3 tools/compare.py <outDir> <sfDir> [query ...]
+
+Reads <outDir>/<name> parquet (Spark output written by graft.Verify),
+runs the matching SQL from <outDir>/oracle_sql.json in DuckDB against
+views over <sfDir>/*.parquet, canonicalizes both sides (columns sorted
+by name, rows sorted), and reports exact- and tolerant-match status.
+Exact mismatches on floats are reported with the max abs diff so the
+decimal-exactness tricks can be validated.
+"""
+import sys, os, json, math, glob
+
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in idx))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in idx], out
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def approx_eq(a, b):
+    if type(a) is float or type(b) is float:
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return a == b
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-6 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    names = sorted(set(list(oracles.keys()) +
+                       [os.path.basename(d) for d in glob.glob(out_dir + "/*")
+                        if os.path.isdir(d)]))
+    n_pass = n_fail = 0
+    for name in names:
+        if only and name not in only:
+            continue
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"[FAIL] {name}: no spark output")
+            n_fail += 1
+            continue
+        sres = con.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols = [d[0] for d in sres.description]
+        srows = sres.fetchall()
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(srows)} rows "
+                  f"{'OK' if len(srows) > 0 else 'EMPTY!'}")
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = canon(srows, scols)
+        oc, orr = canon(orows, ocols)
+        if sc != oc:
+            print(f"[FAIL] {name}: column mismatch spark={sc} oracle={oc}")
+            n_fail += 1
+            continue
+        if len(sr) != len(orr):
+            print(f"[FAIL] {name}: row count spark={len(sr)} oracle={len(orr)}")
+            n_fail += 1
+            continue
+        exact = sr == orr
+        if exact:
+            print(f"[PASS] {name}: {len(sr)} rows exact")
+            n_pass += 1
+            continue
+        # find worst float diff / first hard mismatch
+        max_diff, bad = 0.0, None
+        for i, (a, b) in enumerate(zip(sr, orr)):
+            for j, (x, y) in enumerate(zip(a, b)):
+                if x == y:
+                    continue
+                if approx_eq(x, y):
+                    try:
+                        max_diff = max(max_diff, abs(float(x) - float(y)))
+                    except (TypeError, ValueError):
+                        pass
+                else:
+                    bad = (i, sc[j], x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, x, y = bad
+            print(f"[FAIL] {name}: row {i} col {c}: spark={x!r} oracle={y!r}")
+            n_fail += 1
+        else:
+            print(f"[WARN] {name}: approx only (max float diff {max_diff:.3g})"
+                  " — driver hash may fail, tighten to exact")
+            n_fail += 1
+    print(f"== {n_pass} exact-pass, {n_fail} fail/warn ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
