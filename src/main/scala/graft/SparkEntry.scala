@@ -12,7 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    graft.operators.Relational)
+    graft.operators.Relational,
+    graft.operators.Predicates,
+    graft.operators.Aggregates,
+    graft.operators.SortLimit,
+    graft.operators.SetOps)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{Ora, Q, QueryModule, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — aggregation surface.
+  *
+  * The reference pushes MIN/MAX/SUM/COUNT partials into the storage node
+  * and merges per-object partials on the client ([pub:
+  * src/cls/tabular/cls_tabular_utils.h — SOT_min/max/sum/cnt], SURVEY
+  * §2.4). Spark's partial→final HashAggregate around one Exchange IS
+  * that architecture natively; everything below compiles to it. GROUP BY
+  * (present in later SkyhookDM processing), DISTINCT, rollup/cube and
+  * runstats-style column statistics extend the surface per §2.4.
+  *
+  * 100 TB posture: grouping keys are low-cardinality, so map-side
+  * partial agg collapses each input split to a few rows before the only
+  * shuffle. Exact count-distinct shuffles the distinct pairs first
+  * (Spark expands to two-phase agg); the approx variant (HLL++ sketch,
+  * `approx_count_distinct`) is the 100 TB-safe form — sketches merge in
+  * the partial/final tree exactly like the reference's object partials.
+  */
+object Aggregates extends QueryModule {
+
+  // Multi-aggregate GROUP BY incl. timestamp min/max + exact distinct.
+  private val groupMulti = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Ora.dsum(Ora.money(col("l_quantity"))).as("sum_qty"),
+        Ora.davg(Ora.money(col("l_extendedprice"))).as("avg_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("cnt"))
+
+  private val groupMultiSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  private val distinctRows = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus").distinct()
+
+  private val distinctRowsSql =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  private val countDistinctGlobal = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .agg(countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("cnt"))
+
+  private val countDistinctGlobalSql =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_part,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS cnt
+      |FROM lineitem""".stripMargin
+
+  // HLL++ sketch — the 100 TB form of count-distinct. Sketch estimates
+  // are engine-specific, so no SQL oracle (driver rows-only check);
+  // AggregatesSpec bounds the error vs the exact count instead.
+  private val approxCd = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_n_part"))
+
+  private val rollupQ = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Ora.dsum(Ora.money(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  private val rollupSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  private val cubeQ = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val cubeSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  // HAVING analog: post-aggregation filter on the aggregate value.
+  private val havingQ = (s: SparkSession, dir: String) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(Ora.davg(Ora.money(col("c_acctbal"))).as("avg_bal"),
+        count(lit(1)).as("n_cust"))
+      .filter(col("avg_bal") > 0 && col("n_cust") >= 2)
+
+  private val havingSql =
+    """SELECT c_nationkey,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
+      |  COUNT(*) AS n_cust
+      |FROM customer GROUP BY c_nationkey
+      |HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal) > 0
+      |  AND COUNT(*) >= 2""".stripMargin
+
+  /** Runstats analog (reference per-object stats, SURVEY §2.4): exact
+    * count / mean / sample variance per column, computed from exact
+    * decimal sums so both engines produce the identical double —
+    * var = (Σx² − (Σx)²/n) / (n−1), all Σ in DECIMAL.
+    */
+  private val statsQ = (s: SparkSession, dir: String) => {
+    val q = Ora.money(col("l_quantity"))
+    val sx = sum(q)
+    val sxx = sum((q * q).cast("decimal(24,4)"))
+    val n = count(col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(n.as("n"),
+        (sx.cast("double") / n).as("mean_qty"),
+        ((sxx.cast("double") - sx.cast("double") * sx.cast("double") / n)
+          / (n - lit(1))).as("var_qty"))
+  }
+
+  private val statsSql =
+    """SELECT l_linestatus, COUNT(l_quantity) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS mean_qty,
+      |  (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity))
+      |  / (COUNT(l_quantity) - 1) AS var_qty
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_agg_group_multi" -> Q(groupMulti, Some(groupMultiSql),
+      "multi-agg GROUP BY incl. timestamp min/max + exact distinct"),
+    "q_agg_distinct" -> Q(distinctRows, Some(distinctRowsSql),
+      "SELECT DISTINCT (dedup by all columns)"),
+    "q_agg_count_distinct" -> Q(countDistinctGlobal, Some(countDistinctGlobalSql),
+      "global exact count-distinct"),
+    "q_agg_approx_cd" -> Q(approxCd, None,
+      "approx_count_distinct HLL++ sketch (rows-only; error bounded in spec)"),
+    "q_agg_rollup" -> Q(rollupQ, Some(rollupSql), "GROUP BY ROLLUP"),
+    "q_agg_cube" -> Q(cubeQ, Some(cubeSql), "GROUP BY CUBE"),
+    "q_agg_having" -> Q(havingQ, Some(havingSql),
+      "post-aggregation filter (HAVING)"),
+    "q_agg_stats" -> Q(statsQ, Some(statsSql),
+      "runstats analog: exact count/mean/variance per column"))
+}
