@@ -16,7 +16,8 @@ object SparkEntry {
     graft.operators.Predicates,
     graft.operators.Aggregates,
     graft.operators.SortLimit,
-    graft.operators.SetOps)
+    graft.operators.SetOps,
+    graft.operators.Joins)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

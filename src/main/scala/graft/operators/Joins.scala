@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{Ora, Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 — joins.
+  *
+  * The reference has NO distributed join execution (pushdown is
+  * single-table select-project-aggregate; SURVEY §2.3, conf. H) — joins
+  * are the PARITY surface a "same capabilities" engine needs over the
+  * star schema, plus the north-star range/as-of shapes for time-series
+  * alignment ([local: PAPERS.md:9]).
+  *
+  * 100 TB posture:
+  * - Dimensions (region/nation/supplier/part/customer at dim scale) are
+  *   broadcast (`broadcast(dim)` hint) — fact-side stays shuffle-free
+  *   for the star joins; only fact⋈fact (lineitem⋈orders) shuffles, on
+  *   the join key both sides, which AQE can further skew-split.
+  * - The as-of join deliberately avoids a per-row range probe: it is a
+  *   single union + one window over (user_id, ts) — one shuffle on
+  *   user_id, linear scan per partition, no O(n·m) blowup. This is the
+  *   scale path for "align each event with the latest earlier state".
+  * - The theta join keeps the small side broadcast (nested-loop with a
+  *   broadcast build is the only sane theta plan; a 100 TB theta join
+  *   with a big build side is a design error upstream, not a plan issue).
+  */
+object Joins extends QueryModule {
+
+  private def revenue = Ora.money(col("l_extendedprice")) *
+    (lit(1) - Ora.rate(col("l_discount"))).cast("decimal(4,2)")
+
+  // TPC-H Q3 skeleton: customer ⋈ orders ⋈ lineitem, top-10 revenue.
+  private val q3 = (s: SparkSession, dir: String) => {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Ora.dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  // TPC-H Q5 skeleton: 6-table star join, local-supplier revenue by nation.
+  private val q5 = (s: SparkSession, dir: String) => {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Ora.dsum(revenue).as("revenue"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  // LEFT OUTER: every customer, count of their big orders (0 for none).
+  private val leftOuter = (s: SparkSession, dir: String) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 250000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"))
+  }
+
+  private val leftOuterSql =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders
+      |FROM customer
+      |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+      |  ON c_custkey = o_custkey
+      |GROUP BY c_custkey""".stripMargin
+
+  // FULL OUTER on per-nation aggregates (nulls on both sides possible).
+  private val fullOuter = (s: SparkSession, dir: String) => {
+    val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9000.0)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich_cust"))
+    val su = Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, c("c_nationkey") === su("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nkey"),
+        col("n_rich_cust"), col("n_supp"))
+  }
+
+  private val fullOuterSql =
+    """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nkey,
+      |  n_rich_cust, n_supp
+      |FROM (SELECT c_nationkey, COUNT(*) AS n_rich_cust FROM customer
+      |      WHERE c_acctbal > 9000.0 GROUP BY c_nationkey) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+      |      GROUP BY s_nationkey) s
+      |ON c.c_nationkey = s.s_nationkey""".stripMargin
+
+  // LEFT SEMI: customers having at least one finished order (EXISTS).
+  private val semi = (s: SparkSession, dir: String) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  private val semiSql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
+
+  // LEFT ANTI: customers with no very-large order (NOT EXISTS).
+  private val anti = (s: SparkSession, dir: String) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+  }
+
+  private val antiSql =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin
+
+  // Theta (non-equi) self-join: supplier pairs ordered by acctbal.
+  private val theta = (s: SparkSession, dir: String) => {
+    val s1 = Tables.supplier(s, dir).select(col("s_suppkey").as("k1"),
+      col("s_acctbal").as("b1"))
+    val s2 = Tables.supplier(s, dir).select(col("s_suppkey").as("k2"),
+      col("s_acctbal").as("b2"))
+    s1.join(broadcast(s2), col("b1") > col("b2"))
+      .groupBy(col("k1")).agg(count(lit(1)).as("n_poorer"))
+  }
+
+  private val thetaSql =
+    """SELECT s1.s_suppkey AS k1, COUNT(*) AS n_poorer
+      |FROM supplier s1 JOIN supplier s2 ON s1.s_acctbal > s2.s_acctbal
+      |GROUP BY s1.s_suppkey""".stripMargin
+
+  // CROSS join (small × small only — a 100 TB cross join is upstream error).
+  private val cross = (s: SparkSession, dir: String) =>
+    Tables.region(s, dir).crossJoin(Tables.supplier(s, dir))
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n_pairs"))
+
+  private val crossSql =
+    """SELECT r_name, COUNT(*) AS n_pairs
+      |FROM region CROSS JOIN supplier GROUP BY r_name""".stripMargin
+
+  // Range join: lineitems shipped within 60 days of their order date.
+  private val range = (s: SparkSession, dir: String) => {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast"),
+        Ora.dsum(Ora.money(col("l_extendedprice"))).as("sum_price"))
+  }
+
+  private val rangeSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_fast,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate
+      |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** As-of join, shuffle-once formulation: for each purchase event, the
+    * most recent click at-or-before it by the same user. Union both
+    * sides with a type tag, one window over (user_id, ts, tag) carrying
+    * `last(click_ts, ignoreNulls)` forward, keep purchases. Clicks sort
+    * before purchases at equal ts (tag 0 < 1) → inclusive as-of, same
+    * as DuckDB's `ASOF JOIN ... ON p.ts >= c.ts`.
+    */
+  private val asof = (s: SparkSession, dir: String) => {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("ts").as("click_ts"), lit(null).cast("long").as("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("timestamp").as("click_ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("prior_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("prior_click_ts"))
+  }
+
+  private val asofSql =
+    """SELECT p.event_id, p.user_id, p.ts, c.ts AS prior_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_join_q3" -> Q(q3, Some(q3Sql),
+      "TPC-H Q3 skeleton: 3-table join, grouped revenue, top-10"),
+    "q_join_q5" -> Q(q5, Some(q5Sql),
+      "TPC-H Q5 skeleton: 6-table star join, broadcast dims"),
+    "q_join_left_outer" -> Q(leftOuter, Some(leftOuterSql),
+      "left outer join preserving unmatched left rows"),
+    "q_join_full_outer" -> Q(fullOuter, Some(fullOuterSql),
+      "full outer join on per-nation aggregates"),
+    "q_join_semi" -> Q(semi, Some(semiSql), "left semi (EXISTS)"),
+    "q_join_anti" -> Q(anti, Some(antiSql), "left anti (NOT EXISTS)"),
+    "q_join_theta" -> Q(theta, Some(thetaSql),
+      "non-equi theta join (broadcast nested loop)"),
+    "q_join_cross" -> Q(cross, Some(crossSql), "cross join"),
+    "q_join_range" -> Q(range, Some(rangeSql),
+      "range join: equi key + time interval condition"),
+    "q_join_asof" -> Q(asof, Some(asofSql),
+      "as-of join via union + window (single shuffle; oracle: DuckDB ASOF)"))
+}
