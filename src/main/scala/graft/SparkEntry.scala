@@ -17,7 +17,9 @@ object SparkEntry {
     graft.operators.Aggregates,
     graft.operators.SortLimit,
     graft.operators.SetOps,
-    graft.operators.Joins)
+    graft.operators.Joins,
+    graft.operators.Windows,
+    graft.operators.Scalars)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{Ora, Q, QueryModule, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 — window/analytic functions (absent in the reference;
+  * PARITY/NS surface — top-k-per-group is the output shape of the
+  * north-star similarity search).
+  *
+  * Every window is ordered by a unique key suffix so ranks and frames
+  * are deterministic — a window over a non-total order is not
+  * reproducible on any engine.
+  *
+  * 100 TB posture: each query shuffles exactly once on its partition
+  * key (user_id / segment / brand), then sorts within partitions;
+  * cardinality of the partition key is high (users, brands), so
+  * partitions stay small and skew-free. No window here is global —
+  * a `Window.orderBy` without partitionBy funnels 100 TB through one
+  * task and is banned in this codebase.
+  */
+object Windows extends QueryModule {
+
+  // Ranking trio + top-k per group (row_number filter).
+  private val rankQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter(col("rn") <= 5)
+  }
+
+  private val rankSql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal, rn, rk, drk FROM (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |    row_number() OVER w AS rn, rank() OVER w AS rk,
+      |    dense_rank() OVER w AS drk
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment
+      |               ORDER BY c_acctbal DESC, c_custkey ASC)
+      |) WHERE rn <= 5""".stripMargin
+
+  // lag/lead over per-user event streams.
+  private val lagLead = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+  }
+
+  private val lagLeadSql =
+    """SELECT event_id, user_id, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+
+  // Running total (ROWS frame) in exact decimal.
+  private val runningSum = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(Ora.money(col("o_totalprice"))).over(w).cast("double")
+          .as("running_total"))
+  }
+
+  private val runningSumSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  AS running_total
+      |FROM orders""".stripMargin
+
+  // RANGE frame over a numeric order key: peers within 10k below.
+  private val rangeFrame = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc)
+      .rangeBetween(-10000L, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_within_10k"))
+  }
+
+  private val rangeFrameSql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC
+      |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k
+      |FROM orders""".stripMargin
+
+  // ntile + first/last over the full-partition frame.
+  private val ntileFirstLast = (s: SparkSession, dir: String) => {
+    val ord = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(ord).as("quartile"),
+        first(col("c_acctbal")).over(full).as("seg_min_bal"),
+        last(col("c_acctbal")).over(full).as("seg_max_bal"))
+  }
+
+  private val ntileFirstLastSql =
+    """SELECT c_custkey, c_mktsegment,
+      |  ntile(4) OVER w AS quartile,
+      |  first_value(c_acctbal) OVER wf AS seg_min_bal,
+      |  last_value(c_acctbal) OVER wf AS seg_max_bal
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC),
+      |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  // Top-k per group — the similarity-search output shape (§2.10).
+  private val topkPerGroup = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+  }
+
+  private val topkPerGroupSql =
+    """SELECT p_partkey, p_brand, p_retailprice FROM (
+      |  SELECT p_partkey, p_brand, p_retailprice,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      |  FROM part) WHERE rn <= 3""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_win_rank" -> Q(rankQ, Some(rankSql),
+      "row_number/rank/dense_rank + top-5 per segment"),
+    "q_win_lag_lead" -> Q(lagLead, Some(lagLeadSql),
+      "lag/lead over per-user event streams"),
+    "q_win_running_sum" -> Q(runningSum, Some(runningSumSql),
+      "ROWS-frame running total (exact decimal)"),
+    "q_win_range_frame" -> Q(rangeFrame, Some(rangeFrameSql),
+      "RANGE frame over numeric order key"),
+    "q_win_ntile_first_last" -> Q(ntileFirstLast, Some(ntileFirstLastSql),
+      "ntile + first/last over full-partition frame"),
+    "q_win_topk_per_group" -> Q(topkPerGroup, Some(topkPerGroupSql),
+      "top-k per group via row_number filter"))
+}

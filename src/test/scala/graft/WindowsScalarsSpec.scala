@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class WindowsScalarsSpec extends SparkSpec {
+
+  test("rank window: rn dense within each segment, rn<=5, rk>=rn consistency") {
+    val rows = run("q_win_rank").collect()
+    assert(rows.nonEmpty)
+    val bySeg = rows.groupBy(_.getString(1))
+    bySeg.foreach { case (_, rs) =>
+      val rns = rs.map(_.getInt(3)).sorted
+      assert(rns.sameElements(1 to rns.length))
+    }
+    rows.foreach(r => assert(r.getInt(4) <= r.getInt(3))) // rk <= rn
+  }
+
+  test("lag/lead: every event present; prev/next null only at partition edges") {
+    val df = run("q_win_lag_lead")
+    assert(df.count() == Tables.events(spark, sf).count())
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    // exactly one null prev (first event) and one null lead per user
+    assert(df.filter(col("prev_value").isNull).count() == users)
+    assert(df.filter(col("next_value").isNull).count() == users)
+  }
+
+  test("running sum is monotone per customer (positive totals)") {
+    val rows = run("q_win_running_sum")
+      .orderBy("o_custkey", "o_orderkey").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getDouble(2)).forall(_ > 0))
+    }
+  }
+
+  test("topk per group: <=3 rows per brand, each is a brand maximum prefix") {
+    val rows = run("q_win_topk_per_group").collect()
+    val byBrand = rows.groupBy(_.getString(1))
+    byBrand.foreach { case (b, rs) => assert(rs.length <= 3, b) }
+  }
+
+  test("scalar strings: derived cols consistent with inputs") {
+    val rows = run("q_scalar_strings").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(r.fieldIndex("up_name")) ==
+        r.getString(r.fieldIndex("up_name")).toUpperCase)
+      assert(r.getString(r.fieldIndex("key_padded")).length == 8)
+    }
+  }
+
+  test("scalar json: typed and path extraction agree") {
+    val rows = run("q_scalar_json").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2))
+      assert(r.getInt(2) > 50)
+    }
+  }
+
+  test("no UDFs: scalar plans stay in WholeStageCodegen") {
+    for (q <- Seq("q_scalar_strings", "q_scalar_math", "q_scalar_dates")) {
+      val plan = run(q).queryExecution.executedPlan.toString
+      // "*(n)" prefixes mark WholeStageCodegen stages in the simple plan
+      assert(plan.contains("*(1)"), s"$q plan:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), q)
+    }
+  }
+}
