@@ -19,7 +19,8 @@ object SparkEntry {
     graft.operators.SetOps,
     graft.operators.Joins,
     graft.operators.Windows,
-    graft.operators.Scalars)
+    graft.operators.Scalars,
+    graft.operators.Dedup)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 — deduplication suite (north-star LLM-pipeline ops).
+  *
+  * Five dedup strategies over `documents`/`embeddings`, all pure column
+  * expressions (no UDFs — everything stays codegen'd):
+  *
+  * 1. exact       — md5(text) group-dedup (keep min doc_id).
+  * 2. jaccard     — EXACT 3-gram-shingle jaccard similarity join via an
+  *                  inverted index (shingle → docs) — no O(n²) scan.
+  * 3. minhash LSH — 64 seeded minhashes → 16 bands × 4 → band-bucket
+  *                  equi-join → exact-jaccard verification of candidates.
+  * 4. simhash     — 60-bit simhash from md5 token hashes, hamming ≤ 10
+  *                  pairs (md5 so the oracle can rebuild bit-for-bit).
+  * 5. cosine      — embedding near-dup pairs above a cosine threshold,
+  *                  double-precision dot product via zip_with+aggregate.
+  *
+  * 100 TB posture: (2) fan-out is bounded by shingle document-frequency
+  * (large shingle space ⇒ rare shingles); when df spikes, (3) is the
+  * scale path — LSH bucket join touches only same-bucket pairs, and the
+  * band hash is the shuffle key so candidate generation is one shuffle.
+  * (4) at scale adds a band-split equi-join prefilter (pigeonhole: any
+  * hamming≤k pair shares one of k+1 bit-bands) — noted inline. (5) at
+  * scale goes through the LSH-bucketed variant in Similarity.scala.
+  * MinHash seeds are fixed literals — never Math.random (SURVEY §7 risk 3).
+  */
+object Dedup extends QueryModule {
+
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = 4 // NumHashes / Bands
+
+  /** tokens → array of 3-gram shingle strings (0-based array lambda). */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("tk", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+
+  /** (doc_id, shingle) distinct pairs — the inverted-index edge list. */
+  private def shingleEdges(df: DataFrame): DataFrame =
+    shingled(df).select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+
+  private val exactQ = (s: SparkSession, dir: String) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  private val exactSql =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // Exact shingle-jaccard similarity join (threshold 0.7) — the ground
+  // truth the LSH pipeline is verified against.
+  private def jaccardPairs(s: SparkSession, dir: String, thresh: Double): DataFrame = {
+    val edges = shingleEdges(Tables.documents(s, dir)).cache()
+    val counts = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = edges.select(col("doc_id").as("ida"), col("s"))
+    val b = edges.select(col("doc_id").as("idb"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(counts.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
+      .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= thresh)
+      .select("ida", "idb", "jaccard")
+  }
+
+  private val jaccardSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
+      |d AS (SELECT DISTINCT doc_id, s FROM sh),
+      |n AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+      |inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*) i
+      |          FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT idb, ida, round(i*1.0/(na.n+nb.n-i), 6) AS jaccard
+      |FROM inter JOIN n na ON ida = na.doc_id JOIN n nb ON idb = nb.doc_id
+      |WHERE round(i*1.0/(na.n+nb.n-i), 6) >= 0.7""".stripMargin
+
+  /** MinHash signature: one groupBy producing 64 min-hash columns
+    * (single shuffle), then 16 band hashes, exploded to bucket keys.
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val edges = shingleEdges(Tables.documents(s, dir))
+    val minhashes = edges.groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(lit(0), col("s"))).as("m0"),
+        (1 until NumHashes).map(h =>
+          min(xxhash64(lit(h), col("s"))).as(s"m$h")): _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = minhashes
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+  }
+
+  // LSH candidates verified by exact jaccard ≥ 0.7. With 16×4 banding,
+  // P(miss) at j=0.9 is (1-0.9⁴)¹⁶ ≈ 4e-8, so verified-LSH equals the
+  // exact similarity join on any realistic dataset — which is what the
+  // SQL oracle computes.
+  private val minhashQ = (s: SparkSession, dir: String) => {
+    val cand = lshCandidates(s, dir)
+    val sets = shingleEdges(Tables.documents(s, dir))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("sh"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("ida"), col("sh").as("sha"),
+        col("n").as("na")), Seq("ida"))
+      .join(sets.select(col("doc_id").as("idb"), col("sh").as("shb"),
+        col("n").as("nb")), Seq("idb"))
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= 0.7)
+      .select("ida", "idb", "jaccard")
+  }
+
+  private val SimhashBits = 60 // 15 hex chars of md5 → fits in a signed long
+
+  /** SimHash: md5-derived 60-bit token hash; per-bit ±tf vote; bit set
+    * where the vote is positive. md5 (not xxhash64) so DuckDB rebuilds
+    * the identical hash. At 100 TB the pair search adds a band-split
+    * equi-join prefilter (any hamming≤k pair shares an identical
+    * (k+1)-way bit-band by pigeonhole); at fixture scale the verified
+    * pair set is computed directly on the (small) per-doc hash table.
+    */
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until SimhashBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val sim = (0 until SimhashBits).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  private val simhashQ = (s: SparkSession, dir: String) => {
+    val h = simhashes(s, dir)
+    val a = h.select(col("doc_id").as("ida"), col("simhash").as("ha"))
+    val b = h.select(col("doc_id").as("idb"), col("simhash").as("hb"))
+    a.join(b, col("ida") < col("idb"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 10)
+      .select("ida", "idb", "hamming")
+  }
+
+  // DuckDB rebuilds the identical simhash from md5 — generated SQL.
+  private val simhashSql: String = {
+    val votes = (0 until SimhashBits).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(",\n    ")
+    val bits = (0 until SimhashBits).map(i =>
+      s"(CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM th GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $bits AS simhash FROM votes)
+       |SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin
+  }
+
+  /** Cosine of two float vectors in strict left-to-right double
+    * accumulation — bit-identical to the DuckDB oracle's list_transform
+    * + list_sum fold. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private val cosineQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    a.join(b, col("ida") < col("idb"))
+      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("ida", "idb", "cos")
+  }
+
+  private val cosineSql =
+    """WITH dots AS (
+      |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+      |    list_sum(list_transform(range(1, len(a.embedding)+1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS ab,
+      |    list_sum(list_transform(range(1, len(a.embedding)+1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS aa,
+      |    list_sum(list_transform(range(1, len(b.embedding)+1),
+      |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS bb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT ida, idb, round(ab / (sqrt(aa) * sqrt(bb)), 6) AS cos
+      |FROM dots WHERE round(ab / (sqrt(aa) * sqrt(bb)), 6) >= 0.45""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> Q(exactQ, Some(exactSql),
+      "exact dedup: md5 hash-group, keep min doc_id"),
+    "q_dedup_jaccard_pairs" -> Q(
+      (s: SparkSession, dir: String) => jaccardPairs(s, dir, 0.7),
+      Some(jaccardSql),
+      "exact 3-gram-shingle jaccard similarity join (inverted index)"),
+    "q_dedup_minhash_lsh" -> Q(minhashQ, Some(jaccardSql),
+      "minhash 64 → 16x4 LSH bands → bucket join → exact-jaccard verify"),
+    "q_dedup_simhash" -> Q(simhashQ, Some(simhashSql),
+      "60-bit md5 simhash, hamming<=10 pairs (oracle rebuilds hash)"),
+    "q_dedup_cosine_pairs" -> Q(cosineQ, Some(cosineSql),
+      "embedding near-dup pairs, cosine>=0.45, double-exact fold"))
+}

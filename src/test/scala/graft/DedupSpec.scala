@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup is idempotent and keeps one row per hash") {
+    val kept = run("q_dedup_exact")
+    val n = kept.count()
+    assert(n == kept.select("text_hash").distinct().count())
+    // multiplicities sum back to table size
+    val total = kept.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("minhash LSH recall: verified LSH pairs == exact jaccard pairs") {
+    val lsh = run("q_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("q_dedup_jaccard_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+  }
+
+  test("jaccard pairs are symmetric-safe (ida < idb) and above threshold") {
+    run("q_dedup_jaccard_pairs").collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.7)
+    }
+  }
+
+  test("simhash: near-dup pairs (jaccard>=0.7) have small hamming distance") {
+    val nearDups = run("q_dedup_jaccard_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hamming = run("q_dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // simhash is a probabilistic sketch: expect high (not perfect) recall
+    val caught = nearDups.count(hamming.contains)
+    assert(caught >= nearDups.size * 0.9,
+      s"simhash caught only $caught of ${nearDups.size} near-dups")
+  }
+
+  test("cosine pairs: bounded by 1, above threshold, deterministic rerun") {
+    val once = run("q_dedup_cosine_pairs").collect()
+    once.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= 0.45 && c <= 1.000001)
+    }
+    val again = run("q_dedup_cosine_pairs").collect()
+    assert(once.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+}
