@@ -20,7 +20,8 @@ object SparkEntry {
     graft.operators.Joins,
     graft.operators.Windows,
     graft.operators.Scalars,
-    graft.operators.Dedup)
+    graft.operators.Dedup,
+    graft.operators.Similarity)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

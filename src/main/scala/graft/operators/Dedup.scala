@@ -179,22 +179,12 @@ object Dedup extends QueryModule {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin
   }
 
-  /** Cosine of two float vectors in strict left-to-right double
-    * accumulation — bit-identical to the DuckDB oracle's list_transform
-    * + list_sum fold. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
-
   private val cosineQ = (s: SparkSession, dir: String) => {
     val e = Tables.embeddings(s, dir)
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
     a.join(b, col("ida") < col("idb"))
-      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .withColumn("cos", round(graft.functions.VectorOps.cosine(col("ea"), col("eb")), 6))
       .filter(col("cos") >= 0.45)
       .select("ida", "idb", "cos")
   }

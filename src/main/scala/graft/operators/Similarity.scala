@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 — similarity search over embeddings (north-star).
+  *
+  * Three tiers:
+  * 1. Brute-force top-k for one query vector — the exactness baseline.
+  *    The query row rides along as a broadcast cross join (never a
+  *    driver-side collect), cosine is a codegen'd double fold
+  *    (VectorOps), and top-k compiles to TakeOrderedAndProject —
+  *    per-partition k-heaps merged at the driver (k rows per
+  *    partition cross the wire, not the data). This IS the REPOSE
+  *    local-topk-then-merge pattern [local: PAPERS.md:5], natively.
+  * 2. Batch top-k per query — Q queries × N candidates via broadcast
+  *    of the (small) query side, ranked by a window per query.
+  * 3. LSH-bucketed ANN — random-hyperplane sign buckets (VectorOps
+  *    .rhpBucket); search only candidates whose bucket is within
+  *    hamming ≤ `Probe` of the query's bucket (multiprobe), then exact
+  *    re-rank. At 100 TB the bucket column is precomputed at ingest and
+  *    the bucket equi-join replaces the full scan; the fraction of data
+  *    touched drops to ~C(nBits,≤probe)/2^nBits.
+  */
+object Similarity extends QueryModule {
+
+  private val Dim = 64
+  private val NBits = 16
+  private val Probe = 3 // multiprobe hamming radius over bucket bits
+
+  private def cosRounded(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    round(VectorOps.cosine(a, b), 6)
+
+  // 1. Brute-force cosine top-10 for the vec_id=0 query vector.
+  private val bruteQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), cosRounded(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private val bruteSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id,
+      |    round(
+      |      list_sum(list_transform(range(1, len(embedding)+1),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, len(qe)+1),
+      |           i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS cos
+      |  FROM embeddings, q WHERE vec_id <> 0)
+      |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // 2. Top-3 neighbors for each of the first 5 query vectors.
+  private val perQueryQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = e.filter(col("vec_id") >= 5)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  private val perQuerySql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT qid, e.vec_id,
+      |    round(
+      |      list_sum(list_transform(range(1, len(e.embedding)+1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, len(qe)+1),
+      |           i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id >= 5)
+      |SELECT qid, vec_id, cos, rnk FROM (
+      |  SELECT qid, vec_id, cos, row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      |  FROM scored) WHERE rnk <= 3""".stripMargin
+
+  /** 3. ANN: bucket-pruned search for 20 queries over the full set
+    * (self included — a vector always lands in its own bucket, so
+    * self-retrieval at rank 1 is the invariant the spec checks).
+    * Not SQL-expressible (bucket constants live engine-side) →
+    * driver rows-only; DedupSpec-style recall check in SimilaritySpec.
+    */
+  private val annQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), Dim, NBits))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(queries),
+        bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= Probe)
+      .select(col("qid"), col("vec_id"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
+  override val queries: Map[String, Q] = Map(
+    "q_sim_topk_brute" -> Q(bruteQ, Some(bruteSql),
+      "brute-force cosine top-10 (TakeOrderedAndProject merge)"),
+    "q_sim_topk_per_query" -> Q(perQueryQ, Some(perQuerySql),
+      "batch top-3 per query via broadcast + window rank"),
+    "q_sim_ann_lsh" -> Q(annQ, None,
+      "LSH-bucketed multiprobe ANN top-5 (rows-only; recall in spec)"))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-10: scores descending, none above 1") {
+    val rows = run("q_sim_topk_brute").collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    assert(scores.forall(s => s <= 1.000001 && s >= -1.000001))
+  }
+
+  test("per-query top-3: exactly 3 ranked rows per query") {
+    val rows = run("q_sim_topk_per_query").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.sameElements(Seq(1, 2, 3)))
+    }
+  }
+
+  test("ANN self-retrieval: every query finds itself at rank 1 (cos=1)") {
+    val rows = run("q_sim_ann_lsh").collect()
+    val rank1 = rows.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { q =>
+      assert(rank1.get(q).contains(q), s"query $q rank1=${rank1.get(q)}")
+    }
+  }
+
+  test("ANN bucket pruning touches a fraction of candidate pairs") {
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), 64, 16))
+    val n = e.count()
+    val probed = e.crossJoin(
+        broadcast(e.filter(col("vec_id") < 20)
+          .select(col("bucket").as("qbucket"))))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 3)
+      .count()
+    val full = n * 20
+    assert(probed < full / 2, s"probed=$probed of $full — pruning too weak")
+  }
+
+  test("rhpBucket is deterministic across evaluations") {
+    val e = Tables.embeddings(spark, sf)
+    val b1 = e.select(col("vec_id"), VectorOps.rhpBucket(col("embedding"), 64, 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = e.select(col("vec_id"), VectorOps.rhpBucket(col("embedding"), 64, 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+  }
+}
