@@ -21,7 +21,8 @@ object SparkEntry {
     graft.operators.Windows,
     graft.operators.Scalars,
     graft.operators.Dedup,
-    graft.operators.Similarity)
+    graft.operators.Similarity,
+    graft.operators.TextOps)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

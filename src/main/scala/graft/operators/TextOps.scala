@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 — text analysis (north-star LLM-pipeline layer) +
+  * the reference's text-index analog (SURVEY §2.11: SIT_IDX_TXT built
+  * into the OSD's omap; ours is an inverted-index DataFrame).
+  *
+  * All operators are explode/groupBy/window pipelines over `documents`
+  * — no UDFs. 100 TB posture: every query is one explode (map-side,
+  * linear) plus one or two hash shuffles keyed on token or doc_id;
+  * token-keyed aggregates get map-side partial aggregation for free, so
+  * the shuffle carries |vocab|·partitions rows, not corpus size. The
+  * EDBT 2016 sentiment pattern [local: PAPERS.md:8] — lexicon join +
+  * per-doc score — is the langid/quality shape below.
+  */
+object TextOps extends QueryModule {
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  // Token counting: whitespace tokens + BPE-ish regex word pieces.
+  private val tokensQ = (s: SparkSession, dir: String) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_re_tokens"),
+        length(col("text")).as("n_chars_computed"),
+        col("n_chars"))
+
+  private val tokensSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
+      |  length(text) AS n_chars_computed, n_chars
+      |FROM documents""".stripMargin
+
+  // Global term frequency + document frequency, top-20 terms.
+  private val tfQ = (s: SparkSession, dir: String) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf_global"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf_global").desc, col("term").asc)
+      .limit(20)
+
+  private val tfSql =
+    """SELECT term, COUNT(*) AS tf_global, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term ORDER BY tf_global DESC, term ASC LIMIT 20""".stripMargin
+
+  // TF-IDF: top-3 scored terms per document (docs 0..19).
+  private val tfidfQ = (s: SparkSession, dir: String) => {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count() // corpus size: one metadata-only count
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .filter(col("doc_id") < 20)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tfidf", "rnk")
+  }
+
+  private val tfidfSql =
+    """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.term,
+      |    round(tf * ln(n * 1.0 / df), 6) AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term, n
+      |  WHERE doc_id < 20)
+      |SELECT doc_id, term, tfidf, rnk FROM (
+      |  SELECT doc_id, term, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      |  FROM scored) WHERE rnk <= 3""".stripMargin
+
+  // Language-ID heuristic: stopword-hit ratio (lexicon-join pattern).
+  private val langidQ = (s: SparkSession, dir: String) =>
+    Tables.documents(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_stop", size(expr(
+        s"filter(tk, t -> t IN (${Stopwords.map("'" + _ + "'").mkString(",")}))")))
+      .withColumn("en_score", round(col("n_stop") / size(col("tk")), 6))
+      .select(col("doc_id"), col("en_score"),
+        when(col("en_score") >= 0.05, "en").otherwise("other").as("pred_lang"),
+        col("lang"))
+
+  private val langidSql = {
+    val list = Stopwords.map("'" + _ + "'").mkString(", ")
+    s"""SELECT doc_id,
+       |  round(len(list_filter(string_split(text, ' '),
+       |    t -> t IN ($list))) * 1.0 / len(string_split(text, ' ')), 6) AS en_score,
+       |  CASE WHEN len(list_filter(string_split(text, ' '),
+       |    t -> t IN ($list))) * 1.0 / len(string_split(text, ' ')) >= 0.05
+       |    THEN 'en' ELSE 'other' END AS pred_lang,
+       |  lang
+       |FROM documents""".stripMargin
+  }
+
+  /** Truncate (not round) to 6 decimals: round-half ties resolve
+    * differently across engines (HALF_UP vs half-to-even); floor of the
+    * identical double is tie-free on both. */
+  private def trunc6(c: org.apache.spark.sql.Column) =
+    floor(c * 1000000L) / 1000000L
+
+  // Quality scoring: length/word-shape/stopword-ratio composite.
+  private val qualityQ = (s: SparkSession, dir: String) =>
+    Tables.documents(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("mean_wlen",
+        trunc6((length(col("text")) - col("n_tok") + 1) / col("n_tok")))
+      .withColumn("stop_ratio", trunc6(size(expr(
+        s"filter(tk, t -> t IN (${Stopwords.map("'" + _ + "'").mkString(",")}))"))
+        / col("n_tok")))
+      .withColumn("len_ok",
+        (col("n_tok") >= 20 && col("n_tok") <= 90).cast("int"))
+      .withColumn("quality_score",
+        trunc6(col("len_ok") * 0.5 + col("stop_ratio") * 0.25 +
+          when(col("mean_wlen").between(3, 8), 0.25).otherwise(0.0)))
+      .select("doc_id", "n_tok", "mean_wlen", "stop_ratio", "quality_score")
+
+  private val qualitySql = {
+    val list = Stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+       |m AS (SELECT doc_id, len(tk) AS n_tok,
+       |  floor((length(text) - len(tk) + 1) * 1.0 / len(tk) * 1000000) / 1000000 AS mean_wlen,
+       |  floor(len(list_filter(tk, x -> x IN ($list))) * 1.0 / len(tk) * 1000000) / 1000000 AS stop_ratio
+       |  FROM t)
+       |SELECT doc_id, n_tok, mean_wlen, stop_ratio,
+       |  floor(((CASE WHEN n_tok BETWEEN 20 AND 90 THEN 1 ELSE 0 END) * 0.5
+       |    + stop_ratio * 0.25
+       |    + (CASE WHEN mean_wlen BETWEEN 3 AND 8 THEN 0.25 ELSE 0.0 END)) * 1000000) / 1000000
+       |  AS quality_score
+       |FROM m""".stripMargin
+  }
+
+  // Document fingerprint: min + max + count over md5-hashed 3-token
+  // shingles (winnowing-style sketch; md5 so the oracle rebuilds it).
+  private val fingerprintQ = (s: SparkSession, dir: String) =>
+    Tables.documents(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
+        countDistinct(col("h")).as("n_distinct_shingles"))
+
+  private val fingerprintSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
+      |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh)
+      |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+      |  COUNT(DISTINCT h) AS n_distinct_shingles
+      |FROM h GROUP BY doc_id""".stripMargin
+
+  // Inverted text index (reference SIT_IDX_TXT analog): term → postings.
+  private val invIndexQ = (s: SparkSession, dir: String) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_postings"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  private val invIndexSql =
+    """SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n_postings,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_text_tokens" -> Q(tokensQ, Some(tokensSql),
+      "token counting: whitespace + regex word pieces"),
+    "q_text_tf" -> Q(tfQ, Some(tfSql), "global term/document frequency top-20"),
+    "q_text_tfidf" -> Q(tfidfQ, Some(tfidfSql), "tf-idf top-3 terms per doc"),
+    "q_text_langid" -> Q(langidQ, Some(langidSql),
+      "language-ID heuristic: stopword-hit ratio"),
+    "q_text_quality" -> Q(qualityQ, Some(qualitySql),
+      "quality scoring: length/word-shape/stopword composite"),
+    "q_text_fingerprint" -> Q(fingerprintQ, Some(fingerprintSql),
+      "md5 shingle fingerprint sketch (winnowing-style)"),
+    "q_text_inverted_index" -> Q(invIndexQ, Some(invIndexSql),
+      "inverted text index: term -> df/postings (reference SIT_IDX_TXT)"))
+}
