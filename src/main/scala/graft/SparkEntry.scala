@@ -22,7 +22,8 @@ object SparkEntry {
     graft.operators.Scalars,
     graft.operators.Dedup,
     graft.operators.Similarity,
-    graft.operators.TextOps)
+    graft.operators.TextOps,
+    graft.operators.Multimodal)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

@@ -67,8 +67,13 @@ def main():
             print(f"[FAIL] {name}: no spark output")
             n_fail += 1
             continue
-        sres = con.execute(
-            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        try:
+            sres = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        except Exception as e:
+            print(f"[FAIL] {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
         scols = [d[0] for d in sres.description]
         srows = sres.fetchall()
         if name not in oracles:
