@@ -23,7 +23,8 @@ object SparkEntry {
     graft.operators.Dedup,
     graft.operators.Similarity,
     graft.operators.TextOps,
-    graft.operators.Multimodal)
+    graft.operators.Multimodal,
+    graft.streaming.StreamOps)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,200 @@
+package graft.streaming
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** SURVEY.md §2.9 — Structured Streaming over the `events` table
+  * (absent in the reference — SkyhookDM is batch-only; north-star
+  * scope via [local: PAPERS.md:9]).
+  *
+  * Each operator is a real `readStream → transform → writeStream`
+  * pipeline: file source (the events parquet), AvailableNow trigger,
+  * memory sink; the driver-facing fn runs the stream to completion and
+  * returns the sink table, whose content must equal the equivalent
+  * batch query — that equivalence IS the correctness statement (same
+  * discipline as the reference's pushdown-vs-client comparison), and
+  * the DuckDB oracles encode the batch semantics in SQL.
+  *
+  * Modes: windowed aggregations run in COMPLETE mode (an AvailableNow
+  * run ends before the watermark passes the final windows, so APPEND
+  * would withhold them); dedup+agg also COMPLETE; arbitrary state runs
+  * in UPDATE mode (single input file ⇒ single micro-batch ⇒ one final
+  * update per key).
+  *
+  * 100 TB posture: state is keyed on (window[, type]) / user_id /
+  * event_id — all partitioned by key across executors via the state
+  * store; watermarks bound state growth (declared on every windowed
+  * query even where COMPLETE ignores them, since APPEND production
+  * runs need them); no operator holds unbounded per-key history.
+  */
+object StreamOps extends QueryModule {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** events schema with ts as raw nanos (LongType) — the file source
+    * needs an explicit schema; ts is converted exactly like
+    * Tables.events (floor to micros, = DuckDB's load behavior). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet") // dir scan, one table
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a
+    * memory sink and return the sink table. */
+  private def runToTable(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_sink_${sinkId.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // Tumbling 1-day windows per event type.
+  private val tumbling = (s: SparkSession, dir: String) => {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+    runToTable(s, agg, "complete")
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  private val tumblingSql =
+    """SELECT time_bucket(INTERVAL 1 DAY, ts) AS w_start,
+      |  time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY AS w_end,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  // Sliding 2-day windows advancing 1 day (each event in 2 windows).
+  private val sliding = (s: SparkSession, dir: String) => {
+    val agg = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 days", "1 day"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(s, agg, "complete")
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("n"))
+  }
+
+  private val slidingSql =
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL 1 DAY, ts) - k * INTERVAL 1 DAY AS w_start
+      |  FROM events, (SELECT unnest(range(0, 2)) AS k)
+      |  WHERE event_type = 'purchase')
+      |SELECT w_start, w_start + INTERVAL 2 DAY AS w_end, COUNT(*) AS n
+      |FROM w GROUP BY 1, 2""".stripMargin
+
+  // Session windows: 4-hour inactivity gap per user.
+  private val session = (s: SparkSession, dir: String) => {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(s, agg, "complete")
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+  }
+
+  private val sessionSql =
+    """WITH ordered AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 4 HOUR OR
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |tagged AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM ordered)
+      |SELECT min(ts) AS s_start, max(ts) + INTERVAL 4 HOUR AS s_end,
+      |  user_id, COUNT(*) AS n_events
+      |FROM tagged GROUP BY user_id, sid""".stripMargin
+
+  // Stateful dedup by event_id, then aggregate.
+  private val dedup = (s: SparkSession, dir: String) => {
+    val agg = eventsStream(s, dir)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(s, agg, "complete")
+  }
+
+  private val dedupSql =
+    """SELECT event_type, COUNT(*) AS n FROM (
+      |  SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+      |  ORDER BY event_id) GROUP BY event_type""".stripMargin
+
+  /** Arbitrary state: per-user running totals via
+    * flatMapGroupsWithState (cents as long for cross-engine exactness).
+    */
+  final case class Ev(user_id: Long, cents: Long)
+  final case class UserTotals(user_id: Long, n_events: Long, total_cents: Long)
+
+  private def statefulFn(user: Long, evs: Iterator[Ev],
+      state: GroupState[UserTotals]): Iterator[UserTotals] = {
+    val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L))
+    var n = prev.n_events; var c = prev.total_cents
+    evs.foreach { e => n += 1; c += e.cents }
+    val now = UserTotals(user, n, c)
+    state.update(now)
+    Iterator(now)
+  }
+
+  private val stateful = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val evs: Dataset[Ev] = eventsStream(s, dir)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[Ev]
+    val out = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(statefulFn)
+    runToTable(s, out.toDF(), "update")
+      // one input file = one micro-batch = one final update per user;
+      // keep max(n_events) per user anyway so a multi-batch run (many
+      // input files at scale) still yields the final state
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.total_cents").as("total_cents"))
+  }
+
+  private val statefulSql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+      |FROM events GROUP BY user_id""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> Q(tumbling, Some(tumblingSql),
+      "tumbling 1-day windows per type (readStream->complete->memory)"),
+    "q_stream_sliding" -> Q(sliding, Some(slidingSql),
+      "sliding 2d/1d windows over purchases"),
+    "q_stream_session" -> Q(session, Some(sessionSql),
+      "session windows, 4h gap per user"),
+    "q_stream_dedup" -> Q(dedup, Some(dedupSql),
+      "stateful dropDuplicates(event_id) + aggregate"),
+    "q_stream_stateful" -> Q(stateful, Some(statefulSql),
+      "flatMapGroupsWithState running per-user totals"))
+}
