@@ -24,7 +24,8 @@ object SparkEntry {
     graft.operators.Similarity,
     graft.operators.TextOps,
     graft.operators.Multimodal,
-    graft.streaming.StreamOps)
+    graft.streaming.StreamOps,
+    graft.operators.Sources)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{Ora, Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1/§2.11 — sources, sinks and physical-format ops.
+  *
+  * Reference analogs:
+  * - CSV ingest ≈ `fbwriter` (CSV → self-describing storage objects,
+  *   [pub: src/progly/fbwriter.cc], SURVEY §2.1): here CSV → typed
+  *   DataFrame → parquet, explicit schema (never inference — the
+  *   reference's fixed-schema discipline, SURVEY §1.2).
+  * - JSON roundtrip ≈ SFT_JSON format support (SURVEY §2.1, conf. L).
+  * - RID ≈ the reference's per-row uint64 record id (skyhookv2.fbs
+  *   Record.RID): surfaced as a deterministic dense id via row_number
+  *   over the table key — NOT monotonically_increasing_id(), which is
+  *   partition-layout-dependent and would break reproducibility.
+  * - Physical re-layout ≈ transform_db / object compaction (SURVEY
+  *   §2.11): repartition + sortWithinPartitions + parquet rewrite; the
+  *   content must be bit-identical after the rewrite, which is what
+  *   the oracle checks.
+  *
+  * 100 TB posture: ingest/relayout are full-scan + full-write jobs
+  * whose parallelism is file-granular; RID assignment via a global
+  * row_number IS a global sort — acceptable for ingest-time id-stamping
+  * (one-off), never for query-time; queries should key on natural keys.
+  */
+object Sources extends QueryModule {
+
+  private def tmpDir(dir: String, tag: String): String =
+    s"/tmp/graft_${tag}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private val lineitemSchema = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  // CSV ingest roundtrip: parquet -> csv -> typed read -> aggregate;
+  // must equal the same aggregate over the original table.
+  private val csvRoundtrip = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "csv")
+    // default timestamp format roundtrips losslessly (ISO-8601 millis)
+    Tables.lineitem(s, dir).write.mode("overwrite")
+      .option("header", "true").csv(out)
+    s.read.schema(lineitemSchema).option("header", "true").csv(out)
+      .agg(count(lit(1)).as("cnt"),
+        Ora.dsum(Ora.money(col("l_extendedprice"))).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  private val csvRoundtripSql =
+    """SELECT COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem""".stripMargin
+
+  // JSON roundtrip: rows -> JSON strings -> schema'd parse -> aggregate.
+  private val jsonRoundtrip = (s: SparkSession, dir: String) => {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    Tables.events(s, dir)
+      .select(to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))).as("j"))
+      .select(from_json(col("j"), schema).as("r"))
+      .select(col("r.*"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        max(col("event_id")).as("max_id"))
+  }
+
+  private val jsonRoundtripSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  max(event_id) AS max_id
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // RID surfacing: deterministic dense record ids over the table key.
+  private val rid = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .withColumn("_rid", row_number().over(
+        Window.orderBy(col("l_orderkey").asc, col("l_linenumber").asc)))
+      .filter(col("_rid") % 1000 === 1)
+      .select(col("_rid"), col("l_orderkey"), col("l_linenumber"))
+
+  private val ridSql =
+    """SELECT _rid, l_orderkey, l_linenumber FROM (
+      |  SELECT row_number() OVER (ORDER BY l_orderkey ASC, l_linenumber ASC)
+      |    AS _rid, l_orderkey, l_linenumber
+      |  FROM lineitem) WHERE _rid % 1000 = 1""".stripMargin
+
+  // Physical re-layout (transform/compaction): rewrite as 4 key-sorted
+  // parquet files; the CONTENT must survive the rewrite unchanged.
+  private val relayout = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "relayout")
+    Tables.orders(s, dir)
+      .repartition(4, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  private val relayoutSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_src_csv_roundtrip" -> Q(csvRoundtrip, Some(csvRoundtripSql),
+      "CSV ingest roundtrip with explicit schema (fbwriter analog)"),
+    "q_src_json_roundtrip" -> Q(jsonRoundtrip, Some(jsonRoundtripSql),
+      "JSON encode/parse roundtrip (SFT_JSON analog)"),
+    "q_src_rid" -> Q(rid, Some(ridSql),
+      "deterministic RID surfacing (Record.RID analog)"),
+    "q_src_relayout" -> Q(relayout, Some(relayoutSql),
+      "physical re-layout rewrite (transform_db/compaction analog)"))
+}
