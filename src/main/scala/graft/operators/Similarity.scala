@@ -114,7 +114,25 @@ object Similarity extends QueryModule {
       .filter(col("rnk") <= 5)
   }
 
+  /** Same query through the native codegen Expression (functions/
+    * CosineSimilarity) — the SURVEY §4.2 perf path. Bit-identical to
+    * the HOF fold by construction, so it shares the brute oracle.
+    */
+  private val bruteNativeQ = (s: SparkSession, dir: String) => {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_sim_topk_brute_native" -> Q(bruteNativeQ, Some(bruteSql),
+      "brute-force top-10 via native codegen cosine Expression"),
     "q_sim_topk_brute" -> Q(bruteQ, Some(bruteSql),
       "brute-force cosine top-10 (TakeOrderedAndProject merge)"),
     "q_sim_topk_per_query" -> Q(perQueryQ, Some(perQuerySql),
