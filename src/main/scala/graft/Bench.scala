@@ -1,23 +1,60 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  *
+  * Method: one warmup pass per query (session/codegen/broadcast warmup
+  * — the first query in a fresh JVM otherwise pays ~20-30 s of Spark
+  * startup that says nothing about the plan), then one timed pass.
+  * Timed work is forced through the noop sink so the full pipeline
+  * executes without collect/serialization overhead on the driver.
+  */
 object Bench {
+
+  /** Headline set: the reference's core pushdown shapes + the heaviest
+    * representative of each operator family (join, window, dedup,
+    * similarity, text, streaming). */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_agg_global", "q_scan_project_filter",
+    "q_agg_group_multi", "q_agg_rollup",
+    "q_join_q3", "q_join_q5", "q_join_asof",
+    "q_win_running_sum", "q_win_topk_per_group",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_sim_topk_brute", "q_sim_topk_brute_native",
+    "q_text_tfidf", "q_stream_tumbling")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def force(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    val names = headline.filter(SparkEntry.queries.contains)
+    names.foreach { n => // warmup pass
+      try force(n) catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      try force(n) catch { case _: Throwable => }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

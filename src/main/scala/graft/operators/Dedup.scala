@@ -87,8 +87,7 @@ object Dedup extends QueryModule {
   /** MinHash signature: one groupBy producing 64 min-hash columns
     * (single shuffle), then 16 band hashes, exploded to bucket keys.
     */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val edges = shingleEdges(Tables.documents(s, dir))
+  private def lshCandidates(edges: DataFrame): DataFrame = {
     val minhashes = edges.groupBy(col("doc_id"))
       .agg(
         min(xxhash64(lit(0), col("s"))).as("m0"),
@@ -112,8 +111,10 @@ object Dedup extends QueryModule {
   // exact similarity join on any realistic dataset — which is what the
   // SQL oracle computes.
   private val minhashQ = (s: SparkSession, dir: String) => {
-    val cand = lshCandidates(s, dir)
-    val sets = shingleEdges(Tables.documents(s, dir))
+    // one shingle explosion feeds signature AND verification passes
+    val edges = shingleEdges(Tables.documents(s, dir)).cache()
+    val cand = lshCandidates(edges)
+    val sets = edges
       .groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("sh"), count(lit(1)).as("n"))
     cand

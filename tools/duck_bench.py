@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""DuckDB baseline timings for the headline oracle queries.
+
+Usage: python3 tools/duck_bench.py <sfDir> [oracle_sql.json path]
+Times each headline oracle SQL in DuckDB (1 warmup + 1 timed run) over
+views on <sfDir>/*.parquet. This is the BASELINE.md 'numbers to beat'.
+"""
+import sys, os, json, time
+
+import duckdb
+
+HEADLINE = [
+    "q1_agg", "q_agg_global", "q_scan_project_filter",
+    "q_agg_group_multi", "q_agg_rollup",
+    "q_join_q3", "q_join_q5", "q_join_asof",
+    "q_win_running_sum", "q_win_topk_per_group",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_sim_topk_brute", "q_sim_topk_brute_native",
+    "q_text_tfidf", "q_stream_tumbling",
+]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sf_dir = sys.argv[1]
+    oracle_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
+    with open(oracle_path) as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    out, total = {}, 0.0
+    for name in HEADLINE:
+        if name not in oracles:
+            continue
+        sql = oracles[name]
+        con.execute(sql).fetchall()  # warmup
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        dt = time.time() - t0
+        out[name] = round(dt, 4)
+        total += dt
+    print(json.dumps({"metric": "duckdb_total", "value": round(total, 4),
+                      "unit": "sec", "queries": out, "sf": sf_dir}))
+
+if __name__ == "__main__":
+    main()
