@@ -25,7 +25,8 @@ object SparkEntry {
     graft.operators.TextOps,
     graft.operators.Multimodal,
     graft.streaming.StreamOps,
-    graft.operators.Sources)
+    graft.operators.Sources,
+    graft.operators.Extensions)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

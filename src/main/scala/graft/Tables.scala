@@ -48,7 +48,12 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every fixture table as a temp view (for spark.sql paths). */
+  /** Register every fixture table as a temp view (for spark.sql paths).
+    * Routes through the typed accessors so tables with special physical
+    * types (events: nanos timestamps) load correctly. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
