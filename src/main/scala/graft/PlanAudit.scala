@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Physical-plan audit for the headline queries (SURVEY §4 discipline:
+  * "iterate until it's the plan you'd want, not the first one that
+  * passed"). Prints, per query: shuffle count, broadcast join count,
+  * whether parquet filter pushdown engaged, and whole-stage-codegen
+  * presence. Run: sbt "runMain graft.PlanAudit [sfDir]".
+  */
+object PlanAudit {
+
+  // Descends into finalized AQE stages (QueryStageExec is a leaf whose
+  // real subtree hangs off .plan, not .children).
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: collectAll(a.executedPlan)
+    case q: QueryStageExec => p +: collectAll(q.plan)
+    case _ => p +: p.children.flatMap(collectAll)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    println(f"${"query"}%-28s shuffles broadcasts pushdown codegen")
+    Bench.headline.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect() // execute THIS QueryExecution so AQE finalizes it
+        val plan = df.queryExecution.executedPlan
+        val nodes = collectAll(plan)
+        val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+        val bcasts = nodes.count(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+          n.isInstanceOf[BroadcastNestedLoopJoinExec])
+        val planStr = plan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+          case p => p.toString
+        }
+        val pushed = planStr.contains("PushedFilters: [") &&
+          !planStr.replaceAll("PushedFilters: \\[\\]", "").isEmpty &&
+          planStr.contains("PushedFilters: [I") || planStr.contains("PushedFilters: [G") ||
+          planStr.contains("PushedFilters: [E") || planStr.contains("PushedFilters: [L") ||
+          planStr.contains("PushedFilters: [N")
+        val codegen = planStr.contains("*(")
+        println(f"$name%-28s $shuffles%8d $bcasts%10d ${if (pushed) "yes" else "-"}%8s ${if (codegen) "yes" else "-"}%7s")
+      } catch { case e: Throwable =>
+        println(f"$name%-28s ERROR ${e.getMessage.take(60)}")
+      }
+    }
+    spark.stop()
+  }
+}
