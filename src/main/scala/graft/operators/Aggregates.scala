@@ -130,7 +130,23 @@ object Aggregates extends QueryModule {
       |  / (COUNT(l_quantity) - 1) AS var_qty
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
+  // GROUPING SETS with grouping() markers, via the SQL surface (the
+  // same text runs verbatim on DuckDB).
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+      |  COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  private val groupingSetsQ = (s: SparkSession, dir: String) => {
+    graft.Tables.registerAll(s, dir)
+    s.sql(groupingSetsSql)
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_grouping_sets" -> Q(groupingSetsQ, Some(groupingSetsSql),
+      "GROUPING SETS + grouping() markers (portable SQL text)"),
     "q_agg_group_multi" -> Q(groupMulti, Some(groupMultiSql),
       "multi-agg GROUP BY incl. timestamp min/max + exact distinct"),
     "q_agg_distinct" -> Q(distinctRows, Some(distinctRowsSql),

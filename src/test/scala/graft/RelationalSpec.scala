@@ -32,6 +32,18 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter(col("l_extendedprice") <= 71000.0).count() == 0)
   }
 
+  test("pushdown on/off equivalence (the reference's --use-cls discipline)") {
+    // SkyhookDM's primary correctness signal: the same query with
+    // storage pushdown enabled vs disabled must agree (SURVEY §5.1).
+    def rows() = run("q_scan_project_filter").collect().map(_.toString).sorted
+    val withPushdown = rows()
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    try {
+      val without = rows()
+      assert(withPushdown.sameElements(without))
+    } finally spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+  }
+
   test("filter + projection are pushed into the parquet scan") {
     val df = run("q_scan_project_filter")
     val plan = df.queryExecution.executedPlan.toString
