@@ -84,43 +84,43 @@ object Dedup extends QueryModule {
       |FROM inter JOIN n na ON ida = na.doc_id JOIN n nb ON idb = nb.doc_id
       |WHERE round(i*1.0/(na.n+nb.n-i), 6) >= 0.7""".stripMargin
 
-  /** MinHash signature: one groupBy producing 64 min-hash columns
-    * (single shuffle), then 16 band hashes, exploded to bucket keys.
-    */
-  private def lshCandidates(edges: DataFrame): DataFrame = {
-    val minhashes = edges.groupBy(col("doc_id"))
-      .agg(
-        min(xxhash64(lit(0), col("s"))).as("m0"),
-        (1 until NumHashes).map(h =>
-          min(xxhash64(lit(h), col("s"))).as(s"m$h")): _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val buckets = minhashes
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
-      .distinct()
-  }
-
   // LSH candidates verified by exact jaccard ≥ 0.7. With 16×4 banding,
   // P(miss) at j=0.9 is (1-0.9⁴)¹⁶ ≈ 4e-8, so verified-LSH equals the
   // exact similarity join on any realistic dataset — which is what the
   // SQL oracle computes.
+  //
+  // Plan shape (deliberate): ONE explode + ONE groupBy builds the whole
+  // per-doc profile — 64 signature minima AND the verification shingle
+  // set — because `min` is duplicate-insensitive and `collect_set`
+  // dedups, so no distinct pre-pass and no second aggregation are
+  // needed. Total: 1 shuffle to profile, then bucket/verify joins whose
+  // volume is candidates, not corpus.
   private val minhashQ = (s: SparkSession, dir: String) => {
-    // one shingle explosion feeds signature AND verification passes
-    val edges = shingleEdges(Tables.documents(s, dir)).cache()
-    val cand = lshCandidates(edges)
-    val sets = edges
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("sh"), count(lit(1)).as("n"))
+    val edges = shingled(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val profile = edges.groupBy(col("doc_id"))
+      .agg(
+        collect_set(col("s")).as("shset"),
+        (0 until NumHashes).map(h =>
+          min(xxhash64(lit(h), col("s"))).as(s"m$h")): _*)
+      .withColumn("n", size(col("shset")))
+      .cache()
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = profile
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    val sets = profile.select(col("doc_id"), col("shset"), col("n"))
     cand
-      .join(sets.select(col("doc_id").as("ida"), col("sh").as("sha"),
+      .join(sets.select(col("doc_id").as("ida"), col("shset").as("sha"),
         col("n").as("na")), Seq("ida"))
-      .join(sets.select(col("doc_id").as("idb"), col("sh").as("shb"),
+      .join(sets.select(col("doc_id").as("idb"), col("shset").as("shb"),
         col("n").as("nb")), Seq("idb"))
       .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
