@@ -26,7 +26,8 @@ object SparkEntry {
     graft.operators.Multimodal,
     graft.streaming.StreamOps,
     graft.operators.Sources,
-    graft.operators.Extensions)
+    graft.operators.Extensions,
+    graft.operators.Skew)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** SURVEY §5.2 property-based layer: algebraic invariants that must
+  * hold for ANY predicate/partitioning, checked over generated inputs
+  * (fixed seeds — ScalaCheck default params are deterministic here
+  * because generators derive from the initial seed per run).
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Run a ScalaCheck property with n successful cases (deterministic
+    * initial seed) and assert it passed. */
+  private def holds(n: Int)(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private lazy val li = Tables.lineitem(spark, sf).cache()
+
+  test("filter partition invariant holds for arbitrary quantity thresholds") {
+    holds(10)(Prop.forAll(Gen.choose(0.0, 55.0)) { t =>
+      val p = col("l_quantity") > t
+      val yes = li.filter(p).count()
+      val no = li.filter(!p).count()
+      yes + no == li.count()
+    })
+  }
+
+  test("decimal agg is partitioning-independent for arbitrary partition counts") {
+    holds(5)(Prop.forAll(Gen.choose(1, 16)) { n =>
+      val d = li.select(col("l_extendedprice").cast("decimal(12,2)").as("p"))
+      d.repartition(n).agg(sum("p")).collect()(0).getDecimal(0) ==
+        d.coalesce(1).agg(sum("p")).collect()(0).getDecimal(0)
+    })
+  }
+
+  test("top-k is a prefix: topK ⊆ topK+m for arbitrary k, m") {
+    holds(5)(Prop.forAll(Gen.choose(1, 30), Gen.choose(1, 30)) { (k, m) =>
+      def top(n: Int) = li
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(n)
+        .select("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      top(k).subsetOf(top(k + m))
+    })
+  }
+
+  test("exact dedup is idempotent under self-union multiplicity") {
+    // duplicating the corpus n times never changes the kept set
+    holds(3)(Prop.forAll(Gen.choose(2, 4)) { n =>
+      val docs = Tables.documents(spark, sf)
+      val dup = (1 until n).foldLeft(docs)((acc, _) => acc.unionAll(docs))
+      val keptOnce = docs.groupBy(md5(col("text"))).agg(min("doc_id"))
+        .collect().map(_.getLong(1)).toSet
+      val keptDup = dup.groupBy(md5(col("text"))).agg(min("doc_id"))
+        .collect().map(_.getLong(1)).toSet
+      keptOnce == keptDup
+    })
+  }
+
+  test("union/intersect/except algebra on generated key subsets") {
+    holds(5)(Prop.forAll(Gen.choose(0, 24), Gen.choose(0, 24)) { (a, b) =>
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      val x = Tables.customer(spark, sf)
+        .filter(col("c_nationkey") <= hi).select(col("c_nationkey").as("k")).distinct()
+      val y = Tables.customer(spark, sf)
+        .filter(col("c_nationkey") >= lo).select(col("c_nationkey").as("k")).distinct()
+      val inter = x.intersect(y).count()
+      val exc = x.except(y).count()
+      inter + exc == x.count()
+    })
+  }
+}
