@@ -186,7 +186,30 @@ object TextOps extends QueryModule {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
       |GROUP BY term""".stripMargin
 
+  /** Index-scan analog (reference `--use-index` path, SURVEY §3.3 /
+    * §2.11): answer a term lookup THROUGH the inverted index (posting
+    * join) instead of a full-text scan. The oracle runs the full scan
+    * (LIKE), so hash equality proves index-scan ≡ full-scan — the
+    * reference's indexed-query correctness discipline. At 100 TB the
+    * index path touches |postings("spark")| rows instead of the corpus.
+    */
+  private val searchQ = (s: SparkSession, dir: String) => {
+    val docs = Tables.documents(s, dir)
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") === "spark")
+      .select("doc_id").distinct()
+    docs.join(postings, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  private val searchSql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE ' ' || text || ' ' LIKE '% spark %'""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_index_search" -> Q(searchQ, Some(searchSql),
+      "term lookup via inverted-index semi-join == full LIKE scan"),
     "q_text_tokens" -> Q(tokensQ, Some(tokensSql),
       "token counting: whitespace + regex word pieces"),
     "q_text_tf" -> Q(tfQ, Some(tfSql), "global term/document frequency top-20"),
