@@ -152,11 +152,31 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Pair search with the band-split prefilter (the 100 TB plan made
+    * real, not just documented): 60 bits → 12 bands of 5; any pair
+    * with hamming ≤ 10 has ≤ 10 corrupted bands, so it shares ≥ 2
+    * intact bands (pigeonhole) — the band equi-join therefore loses
+    * NOTHING vs the all-pairs theta join while touching only
+    * same-band-value pairs. Exact hamming verification then filters
+    * candidates. Result-identical by construction; the oracle (which
+    * computes all pairs) proves it.
+    */
   private val simhashQ = (s: SparkSession, dir: String) => {
-    val h = simhashes(s, dir)
-    val a = h.select(col("doc_id").as("ida"), col("simhash").as("ha"))
-    val b = h.select(col("doc_id").as("idb"), col("simhash").as("hb"))
-    a.join(b, col("ida") < col("idb"))
+    val h = simhashes(s, dir).cache()
+    val bandCols = (0 until 12).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 5).bitwiseAND(31L).as("bv"))
+    }
+    val buckets = h.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("idb"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= 10)
       .select("ida", "idb", "hamming")
