@@ -19,7 +19,10 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  private lazy val li = Tables.lineitem(spark, sf).cache()
+  // NOT cached: a cached bare-table scan is substituted (via the shared
+  // CacheManager) into every other suite's lineitem plan, breaking their
+  // PushedFilters/FileScan plan assertions when suites run in parallel.
+  private lazy val li = Tables.lineitem(spark, sf)
 
   test("filter partition invariant holds for arbitrary quantity thresholds") {
     holds(10)(Prop.forAll(Gen.choose(0.0, 55.0)) { t =>
