@@ -223,7 +223,74 @@ object Dedup extends QueryModule {
       |SELECT ida, idb, round(ab / (sqrt(aa) * sqrt(bb)), 6) AS cos
       |FROM dots WHERE round(ab / (sqrt(aa) * sqrt(bb)), 6) >= 0.45""".stripMargin
 
+  /** Near-dup CLUSTERS: connected components over the verified jaccard
+    * pairs, labeling every clustered doc with the min doc_id reachable
+    * in its component — the "keep one representative per duplicate
+    * group" step that turns pairwise dedup output into an actual
+    * training-set filter.
+    *
+    * Algorithm: min-label propagation to fixpoint. Labels start as the
+    * node's own id; each round every node takes the min of its own and
+    * its neighbors' labels; converges in O(component diameter) rounds.
+    * Each round is one shuffle over the EDGE set (candidate pairs, tiny
+    * vs the corpus — near-dup pair density is what made dedup worth
+    * running), never over the corpus; `localCheckpoint` truncates the
+    * per-round lineage so the fixpoint loop doesn't grow the plan. At
+    * 100 TB the same loop holds (edges ≪ corpus); if components ever
+    * get deep, the documented upgrade is the large-star/small-star
+    * alternating rounds, which cut convergence to O(log n) with the
+    * same join/groupBy primitives.
+    *
+    * The oracle rebuilds the identical clustering with a DuckDB
+    * recursive CTE (transitive closure + min over each reach set).
+    */
+  private val clustersQ = (s: SparkSession, dir: String) => {
+    val pairs = jaccardPairs(s, dir, 0.7).select(col("ida"), col("idb"))
+    val edges = pairs
+      .union(pairs.select(col("idb"), col("ida")))
+      .toDF("a", "b")
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("a") === labels("id"))
+        .select(col("b").as("id"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  private val clustersSql =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
+      |d AS (SELECT DISTINCT doc_id, s FROM sh),
+      |n AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+      |inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*) i
+      |          FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT ida, idb
+      |          FROM inter JOIN n na ON ida = na.doc_id
+      |                     JOIN n nb ON idb = nb.doc_id
+      |          WHERE round(i*1.0/(na.n+nb.n-i), 6) >= 0.7),
+      |edges AS (SELECT ida AS a, idb AS b FROM pairs
+      |          UNION SELECT idb, ida FROM pairs),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e ON r.peer = e.a)
+      |SELECT id AS doc_id, least(id, min(peer)) AS cluster_id
+      |FROM reach GROUP BY id""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_dedup_clusters" -> Q(clustersQ, Some(clustersSql),
+      "connected-components cluster ids over verified jaccard pairs"),
     "q_dedup_exact" -> Q(exactQ, Some(exactSql),
       "exact dedup: md5 hash-group, keep min doc_id"),
     "q_dedup_jaccard_pairs" -> Q(

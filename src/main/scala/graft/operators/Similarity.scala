@@ -114,6 +114,78 @@ object Similarity extends QueryModule {
       .filter(col("rnk") <= 5)
   }
 
+  /** 4. IVF (inverted-file) ANN — the second scale path beside LSH.
+    *
+    * Train: pick `NCells` seed centroids deterministically (the vectors
+    * with the smallest xxhash64(vec_id) — a seeded pseudo-random sample
+    * that compiles to TakeOrderedAndProject, never a global sort), then
+    * run `LloydIters` k-means rounds: assign every vector to its
+    * max-cosine centroid (broadcast centroids, `max_by` shuffle agg with
+    * map-side partials — no window over the corpus), recompute each
+    * centroid as the element-wise mean of its cell (posexplode →
+    * groupBy(cell, pos) → avg → re-assemble, all shuffle-bounded by
+    * cells×dim). Search: each query probes its `NProbe` nearest cells;
+    * candidates come from a broadcast equi-join on cell id, so the scan
+    * touches ~NProbe/NCells of the corpus; exact cosine re-ranks.
+    *
+    * 100 TB: centroids are ~sqrt(N) rows — still broadcastable; the
+    * cell id is precomputed at ingest (a single map pass) and the
+    * per-query probe join prunes to the probed cells. Not
+    * SQL-expressible (iterative training) → rows-only; recall and
+    * self-retrieval invariants live in SimilaritySpec.
+    */
+  private val NCells = 16
+  private val NProbe = 4
+  private val LloydIters = 2
+
+  private def assignCells(data: DataFrame, cents: DataFrame): DataFrame =
+    data.crossJoin(broadcast(cents))
+      .withColumn("c", VectorOps.cosine(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("cell"), col("embedding")),
+          struct(col("c"), -col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cell").as("cell"))
+
+  private val ivfQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    // deterministic seed sample → cells 0..NCells-1 (row_number runs on
+    // NCells rows post-limit, not the corpus)
+    val wSeed = Window.orderBy(col("hk"), col("vec_id"))
+    var cents = e.withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id")).limit(NCells)
+      .withColumn("cell", row_number().over(wSeed) - 1)
+      .select(col("cell"), col("embedding").as("centroid"))
+    for (_ <- 0 until LloydIters) {
+      cents = assignCells(e, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).as("centroid"))
+        .localCheckpoint()
+    }
+    val data = assignCells(e, cents)
+    val qcells = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qc").desc, col("cell").asc)))
+      .filter(col("pr") <= NProbe)
+      .select(col("qid"), col("qe"), col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    data.join(broadcast(qcells), Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
   /** Same query through the native codegen Expression (functions/
     * CosineSimilarity) — the SURVEY §4.2 perf path. Bit-identical to
     * the HOF fold by construction, so it shares the brute oracle.
@@ -138,5 +210,7 @@ object Similarity extends QueryModule {
     "q_sim_topk_per_query" -> Q(perQueryQ, Some(perQuerySql),
       "batch top-3 per query via broadcast + window rank"),
     "q_sim_ann_lsh" -> Q(annQ, None,
-      "LSH-bucketed multiprobe ANN top-5 (rows-only; recall in spec)"))
+      "LSH-bucketed multiprobe ANN top-5 (rows-only; recall in spec)"),
+    "q_sim_ann_ivf" -> Q(ivfQ, None,
+      "IVF ANN: k-means cells + nprobe search (rows-only; recall in spec)"))
 }

@@ -52,14 +52,25 @@ object StreamOps extends QueryModule {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Checkpoints live on tmpfs when available: the state-store commit
+    * fsyncs per micro-batch, and for these driver-facing finite runs
+    * (AvailableNow, memory sink) durability across machine restarts
+    * buys nothing. A production writeStream would point this at
+    * durable shared storage. */
+  private def ckptDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, "graft-ckpt").toString
+    else Files.createTempDirectory("graft-ckpt").toString
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the sink table. */
   private def runToTable(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt").toString)
+      .option("checkpointLocation", ckptDir())
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table(name)
@@ -186,7 +197,42 @@ object StreamOps extends QueryModule {
       |  SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Stream-stream inner join: each purchase joined to the same user's
+    * clicks in the preceding day. Both sides carry watermarks and the
+    * join has a time-range condition — the two ingredients that let the
+    * streaming runtime expire join state (a click older than 1 day +
+    * watermark can never match a future purchase and is dropped from
+    * the state store). State is keyed by user_id — partitioned across
+    * executors, bounded by the range condition: the 100 TB posture.
+    * AvailableNow over one input file = one micro-batch, so append mode
+    * emits the complete join = the batch/oracle semantics.
+    */
+  private val streamJoin = (s: SparkSession, dir: String) => {
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= expr("p_ts - INTERVAL 1 DAY") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_ts"), col("c_ts"))
+    runToTable(s, joined, "append")
+  }
+
+  private val streamJoinSql =
+    """SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_stream_join" -> Q(streamJoin, Some(streamJoinSql),
+      "stream-stream inner join (watermarked, time-range state expiry)"),
     "q_stream_tumbling" -> Q(tumbling, Some(tumblingSql),
       "tumbling 1-day windows per type (readStream->complete->memory)"),
     "q_stream_sliding" -> Q(sliding, Some(slidingSql),

@@ -40,6 +40,25 @@ class DedupSpec extends SparkSpec {
       s"simhash caught only $caught of ${nearDups.size} near-dups")
   }
 
+  test("clusters: consistent with pairs, labeled by component-min doc_id") {
+    val pairs = run("q_dedup_jaccard_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val label = run("q_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty && label.nonEmpty)
+    // every pair endpoint is labeled, and both ends share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(label.contains(a) && label.contains(b))
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    // each cluster's id IS its min member (the canonical representative)
+    label.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid min=${members.keys.min}")
+    }
+    // exactly the docs that appear in some pair are clustered
+    assert(label.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("cosine pairs: bounded by 1, above threshold, deterministic rerun") {
     val once = run("q_dedup_cosine_pairs").collect()
     once.foreach { r =>

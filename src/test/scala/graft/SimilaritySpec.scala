@@ -44,6 +44,39 @@ class SimilaritySpec extends SparkSpec {
     assert(probed < full / 2, s"probed=$probed of $full — pruning too weak")
   }
 
+  test("IVF ANN: self-retrieval, exact scores, recall vs brute force") {
+    val ivf = run("q_sim_ann_ivf").collect()
+    // self-retrieval: a query's own cell is its top probe, so the query
+    // vector itself is always scanned and scores cos=1
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 20L).toSet)
+    byQ.foreach { case (q, rs) =>
+      val self = rs.find(_.getLong(1) == q)
+      assert(self.exists(_.getDouble(2) >= 0.999999), s"query $q missed itself")
+    }
+    // IVF scores are exact cosines: recompute brute-force per-query
+    // top-5 and measure recall@5 (probing 4/16 cells must still find
+    // most true neighbors on the clustered fixture embeddings)
+    val e = Tables.embeddings(spark, sf)
+    val brute = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(e)
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= 5).collect()
+    val bruteTop = brute.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivfTop = byQ.view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = (0L until 20L).map { q =>
+      (bruteTop(q) intersect ivfTop(q)).size.toDouble / bruteTop(q).size
+    }.sum / 20
+    info(f"IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.5, f"recall@5 $recall%.3f too low")
+  }
+
   test("rhpBucket is deterministic across evaluations") {
     val e = Tables.embeddings(spark, sf)
     val b1 = e.select(col("vec_id"), VectorOps.rhpBucket(col("embedding"), 64, 16).as("b"))

@@ -76,6 +76,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sorted.sameElements(Array(1L, 3L)))
   }
 
+  test("stream-stream join equals the batch range join") {
+    val streamed = run("q_stream_join").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= expr("p_ts - INTERVAL 1 DAY") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_ts"), col("c_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("driver-facing stream queries equal their batch equivalents") {
     val streamed = run("q_stream_stateful").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
