@@ -27,12 +27,19 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // AQE default OFF at bench scale: its per-shuffle query-stage
+    // materialization costs 30-40% on multi-stage queries when stages
+    // carry megabytes (measured at sf0.1); the runtime re-planning it
+    // buys (coalesce, skew split, runtime broadcast) only pays when
+    // stage stats are meaningful. Production/100 TB runs keep it on —
+    // it's Spark's default and the test suite runs with it on.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

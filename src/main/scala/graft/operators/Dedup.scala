@@ -171,15 +171,15 @@ object Dedup extends QueryModule {
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bv"))
+    // hamming is verified BEFORE the dedup `distinct` — bit_count is
+    // free next to a shuffle, so the only exchange here carries the
+    // (rare) verified matches, not every same-band candidate pair.
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ida"), col("x.simhash").as("ha"),
-        col("y.doc_id").as("idb"), col("y.simhash").as("hb"))
-      .distinct()
-    cand
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= 10)
-      .select("ida", "idb", "hamming")
+      .distinct()
   }
 
   // DuckDB rebuilds the identical simhash from md5 — generated SQL.

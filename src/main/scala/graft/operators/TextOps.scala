@@ -53,20 +53,25 @@ object TextOps extends QueryModule {
       |GROUP BY term ORDER BY tf_global DESC, term ASC LIMIT 20""".stripMargin
 
   // TF-IDF: top-3 scored terms per document (docs 0..19).
+  // df is derived FROM tf (one row per (doc,term) ⇒ rows-per-term =
+  // docs containing the term), so the corpus is exploded and shuffled
+  // once; the two consumers of tf share the identical exchange
+  // (ReuseExchange) instead of re-scanning. df is vocab-sized ⇒
+  // broadcast; at a vocabulary too big to broadcast this becomes a
+  // term-keyed shuffle join, same plan shape.
   private val tfidfQ = (s: SparkSession, dir: String) => {
     val docs = Tables.documents(s, dir)
     val n = docs.count() // corpus size: one metadata-only count
-    val terms = docs
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(df, Seq("term"))
+    tf.filter(col("doc_id") < 20)
+      .join(broadcast(df), Seq("term"))
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
-      .filter(col("doc_id") < 20)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select("doc_id", "term", "tfidf", "rnk")
@@ -207,6 +212,39 @@ object TextOps extends QueryModule {
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE ' ' || text || ' ' LIKE '% spark %'""".stripMargin
 
+  /** Sentiment scoring via lexicon join (the EDBT 2016 Spark-sentiment
+    * pattern [local: PAPERS.md:8]): explode tokens, equi-join a tiny
+    * polarity lexicon (broadcast — lexicons are KBs even in production),
+    * sum polarities per doc, left-join back so unscored docs keep 0.
+    * 100 TB posture: one map-side broadcast join + one doc_id-keyed
+    * shuffle whose input is only the lexicon hits, not the corpus.
+    */
+  private val Lexicon = Seq("fast" -> 1, "big" -> 1, "slow" -> -1, "small" -> -1)
+
+  private val sentimentQ = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val lex = Lexicon.toDF("term", "pol")
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(lex), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pol")).as("s"), count(lit(1)).as("h"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("s"), lit(0L)).as("sentiment"),
+        coalesce(col("h"), lit(0L)).as("lex_hits"))
+  }
+
+  private val sentimentSql =
+    """WITH lex(term, pol) AS (VALUES ('fast',1),('big',1),('slow',-1),('small',-1)),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |sc AS (SELECT doc_id, SUM(pol) AS s, COUNT(*) AS h
+      |       FROM toks JOIN lex USING(term) GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(s, 0) AS BIGINT) AS sentiment,
+      |  CAST(coalesce(h, 0) AS BIGINT) AS lex_hits
+      |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_text_index_search" -> Q(searchQ, Some(searchSql),
       "term lookup via inverted-index semi-join == full LIKE scan"),
@@ -214,6 +252,8 @@ object TextOps extends QueryModule {
       "token counting: whitespace + regex word pieces"),
     "q_text_tf" -> Q(tfQ, Some(tfSql), "global term/document frequency top-20"),
     "q_text_tfidf" -> Q(tfidfQ, Some(tfidfSql), "tf-idf top-3 terms per doc"),
+    "q_text_sentiment" -> Q(sentimentQ, Some(sentimentSql),
+      "lexicon-join sentiment scoring per document"),
     "q_text_langid" -> Q(langidQ, Some(langidSql),
       "language-ID heuristic: stopword-hit ratio"),
     "q_text_quality" -> Q(qualityQ, Some(qualitySql),

@@ -157,6 +157,21 @@ object StreamOps extends QueryModule {
       |  SELECT DISTINCT ON (event_id) event_id, event_type FROM events
       |  ORDER BY event_id) GROUP BY event_type""".stripMargin
 
+  /** Watermark-bounded dedup: `dropDuplicatesWithinWatermark` keeps
+    * dedup state only until the watermark passes each key's event time
+    * + delay — the form whose state does NOT grow with total stream
+    * length (plain dropDuplicates state is forever). Same answer as
+    * exact dedup whenever true duplicates arrive within the delay.
+    */
+  private val dedupWm = (s: SparkSession, dir: String) => {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(s, agg, "complete")
+  }
+
   /** Arbitrary state: per-user running totals via
     * flatMapGroupsWithState (cents as long for cross-engine exactness).
     */
@@ -233,6 +248,8 @@ object StreamOps extends QueryModule {
   override val queries: Map[String, Q] = Map(
     "q_stream_join" -> Q(streamJoin, Some(streamJoinSql),
       "stream-stream inner join (watermarked, time-range state expiry)"),
+    "q_stream_dedup_wm" -> Q(dedupWm, Some(dedupSql),
+      "dropDuplicatesWithinWatermark: state bounded by watermark delay"),
     "q_stream_tumbling" -> Q(tumbling, Some(tumblingSql),
       "tumbling 1-day windows per type (readStream->complete->memory)"),
     "q_stream_sliding" -> Q(sliding, Some(slidingSql),
