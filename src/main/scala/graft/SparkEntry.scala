@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.SortLimit,
     graft.operators.SetOps,
     graft.operators.Joins,
+    graft.operators.Subqueries,
     graft.operators.Windows,
     graft.operators.Scalars,
     graft.operators.Dedup,

@@ -130,6 +130,25 @@ object Aggregates extends QueryModule {
       |  / (COUNT(l_quantity) - 1) AS var_qty
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
+  /** PIVOT: row-values → columns. Spark computes the inner
+    * groupBy(flag, status) aggregate first, then pivots the (few)
+    * status values — so the shuffle is the ordinary two-key agg, never
+    * width-dependent. Explicit pivot values keep the plan static (no
+    * distinct-values pre-query). Missing (flag,status) combos are NULL
+    * (not 0) in both the pivot and the CASE-sum oracle.
+    */
+  private val pivotQ = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+
+  private val pivotSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // GROUPING SETS with grouping() markers, via the SQL surface (the
   // same text runs verbatim on DuckDB).
   private val groupingSetsSql =
@@ -156,6 +175,8 @@ object Aggregates extends QueryModule {
     "q_agg_approx_cd" -> Q(approxCd, None,
       "approx_count_distinct HLL++ sketch (rows-only; error bounded in spec)"),
     "q_agg_rollup" -> Q(rollupQ, Some(rollupSql), "GROUP BY ROLLUP"),
+    "q_agg_pivot" -> Q(pivotQ, Some(pivotSql),
+      "PIVOT status values to columns over a two-key agg"),
     "q_agg_cube" -> Q(cubeQ, Some(cubeSql), "GROUP BY CUBE"),
     "q_agg_having" -> Q(havingQ, Some(havingSql),
       "post-aggregation filter (HAVING)"),

@@ -85,6 +85,31 @@ object Relational extends QueryModule {
       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'""".stripMargin
 
+  // TPC-H Q6 shape: the purest pushdown query — conjunctive range
+  // predicates all pushed to the parquet scan, then a single global
+  // agg partial/final. The reference's query-d/e selectivity family.
+  private val q6Fn = (s: org.apache.spark.sql.SparkSession, dir: String) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(Ora.money(col("l_extendedprice")) * Ora.rate(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q6Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   // Projection + filter scan (the reference's --project-cols +
   // --select-preds path, no aggregation): returns raw matching rows.
   private val qScanFn = (s: org.apache.spark.sql.SparkSession, dir: String) => {
@@ -101,6 +126,8 @@ object Relational extends QueryModule {
   override val queries: Map[String, Q] = Map(
     "q1_agg" -> Q(q1Fn, Some(q1Sql),
       "TPC-H Q1 skeleton == reference query-a/f family (pushdown agg)"),
+    "q6_selective_agg" -> Q(q6Fn, Some(q6Sql),
+      "TPC-H Q6: conjunctive range pushdown + single global agg"),
     "q_agg_global" -> Q(qGlobalFn, Some(qGlobalSql),
       "global min/max/sum/count pushdown (reference SOT_min/max/sum/cnt)"),
     "q_scan_project_filter" -> Q(qScanFn, Some(qScanSql),
