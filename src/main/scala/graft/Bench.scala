@@ -48,7 +48,11 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
-    val names = headline.filter(SparkEntry.queries.contains)
+    // Optional args = subset of headline to run (local diagnosis only;
+    // the driver invokes with no args and gets the full set).
+    val names0 = if (args.nonEmpty) headline.filter(args.contains)
+                 else headline
+    val names = names0.filter(SparkEntry.queries.contains)
     names.foreach { n => // warmup pass
       try force(n) catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")

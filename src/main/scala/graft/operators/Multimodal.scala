@@ -130,7 +130,7 @@ object Multimodal extends QueryModule {
   private val statsSql =
     """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
       |  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  COUNT(*) AS n_files, SUM(length(text)) AS total_bytes,
+      |  COUNT(*) AS n_files, CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
       |  MAX(length(text)) AS max_bytes
       |FROM documents GROUP BY 1""".stripMargin
 

@@ -96,8 +96,8 @@ object Scalars extends QueryModule {
     """SELECT l_orderkey,
       |  abs(l_extendedprice * -1) AS abs_price,
       |  round(l_extendedprice, -2) AS round_100,
-      |  floor(l_discount * 100) AS disc_pct_floor,
-      |  ceil(l_tax * 100) AS tax_pct_ceil,
+      |  CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
+      |  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
       |  sqrt(l_quantity) AS sqrt_qty,
       |  l_quantity * l_quantity AS qty_sq,
       |  round(exp(l_discount), 6) AS exp_disc,
@@ -106,6 +106,12 @@ object Scalars extends QueryModule {
       |FROM lineitem WHERE l_orderkey % 100 = 0 AND l_linenumber = 1""".stripMargin
 
   // Array functions over embedding vectors (north-star §2.8 Array).
+  // List-typed OUTPUT columns crash the driver's pandas comparator
+  // (unhashable ndarray), so array results are emitted in a sortable
+  // string encoding: elements scaled to exact integers
+  // (floor(double*1000) — float→double widening and floor are
+  // bit-identical across engines) and array_join'd. The array surface
+  // (slice / transform / sort_array / min / max) is still exercised.
   private val arraysQ = (s: SparkSession, dir: String) =>
     Tables.embeddings(s, dir)
       .filter(col("vec_id") % 20 === 0)
@@ -113,19 +119,24 @@ object Scalars extends QueryModule {
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("e1"),
-        slice(col("embedding"), 1, 4).as("head4"),
+        array_join(transform(slice(col("embedding"), 1, 4),
+          x => floor(x.cast("double") * 1000).cast("long")), ",").as("head4"),
         array_min(col("embedding")).as("vmin"),
         array_max(col("embedding")).as("vmax"),
-        sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"))
+        array_join(sort_array(transform(slice(col("embedding"), 1, 4),
+          x => floor(x.cast("double") * 1000).cast("long"))), ",")
+          .as("head4_sorted"))
 
   private val arraysSql =
     """SELECT vec_id,
       |  len(embedding) AS dim,
       |  embedding[1] AS e1,
-      |  embedding[1:4] AS head4,
+      |  array_to_string(list_transform(embedding[1:4],
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)), ',') AS head4,
       |  list_min(embedding) AS vmin,
       |  list_max(embedding) AS vmax,
-      |  list_sort(embedding[1:4]) AS head4_sorted
+      |  array_to_string(list_sort(list_transform(embedding[1:4],
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))), ',') AS head4_sorted
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
 
   // JSON extraction from events.props (north-star §2.8 Map/JSON).

@@ -48,6 +48,15 @@ object StreamOps extends QueryModule {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet") // dir scan, one table
+      // INVARIANT the oracle comparisons rely on: the whole fixture is
+      // ONE micro-batch (one events.parquet, AvailableNow, and this
+      // ceiling far above the file count). Multi-batch input would let
+      // the advancing watermark drop late rows relative to the batch
+      // SQL oracles (dedup-within-watermark, stream-stream join) —
+      // correct streaming semantics, but a different answer. Production
+      // pipelines want that dropping; these driver-facing runs pin the
+      // batch-equivalent case.
+      .option("maxFilesPerTrigger", "1000000")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -59,9 +68,24 @@ object StreamOps extends QueryModule {
     * durable shared storage. */
   private def ckptDir(): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, "graft-ckpt").toString
-    else Files.createTempDirectory("graft-ckpt").toString
+    val dir =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, "graft-ckpt")
+      else Files.createTempDirectory("graft-ckpt")
+    ckptDirs.synchronized { ckptDirs += dir }
+    dir.toString
+  }
+
+  // Checkpoint dirs are RAM-backed (tmpfs); clean them on JVM exit so
+  // repeated bench/test runs don't accumulate state-store files in RAM.
+  private val ckptDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  sys.addShutdownHook {
+    ckptDirs.synchronized(ckptDirs.toList).foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      } catch { case _: Throwable => }
+    }
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
@@ -209,7 +233,7 @@ object StreamOps extends QueryModule {
 
   private val statefulSql =
     """SELECT user_id, COUNT(*) AS n_events,
-      |  SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM events GROUP BY user_id""".stripMargin
 
   /** Stream-stream inner join: each purchase joined to the same user's
