@@ -23,8 +23,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: cap at 16g regardless of SPARK_DRIVER_MEM. Nothing here needs
+// more at test scale, and big heaps ONLY hurt: >31g drops compressed
+// oops (every pointer doubles — hash/shuffle-heavy queries slow 2-3×,
+// measured), and G1's young gen scales with the heap, pushing multi-
+// hundred-ms pauses into query timings (the round-1 driver bench ran
+// at ~90g and lost 15 s to exactly this). The pause target keeps young
+// collections short even at 16g.
+val heapCap: String = {
+  val m = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+  "^(\\d+)[gG]$".r.findFirstMatchIn(m) match {
+    case Some(g) if g.group(1).toInt > 16 => "16g"
+    case _ => m
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$heapCap",
+  "-XX:MaxGCPauseMillis=50",
 )

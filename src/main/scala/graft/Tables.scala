@@ -24,8 +24,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Catalog-style relation cache: building a parquet DataFrame pays
+    * file listing + footer schema inference every time; a catalog
+    * resolves a table name to an already-built relation. Fixture paths
+    * are immutable for a session, so memoize per (session, dir, name).
+    * This is metadata caching only — no row data is cached. */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    relCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$key", _ => build)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cached(spark, s"$dir|$name") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -39,12 +53,13 @@ object Tables {
     * and truncate to micros — the same floor DuckDB applies when it
     * loads nanos into its microsecond timestamps, so oracle parity holds.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    cached(s, s"$d|events-typed") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$d/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -46,8 +46,8 @@ object StreamOps extends QueryModule {
 
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet") // dir scan, one table
+    val objDir = s"$dir/events.parquet"
+    val reader = s.readStream.schema(rawSchema)
       // INVARIANT the oracle comparisons rely on: the whole fixture is
       // ONE micro-batch (one events.parquet, AvailableNow, and this
       // ceiling far above the file count). Multi-batch input would let
@@ -57,8 +57,15 @@ object StreamOps extends QueryModule {
       // pipelines want that dropping; these driver-facing runs pin the
       // batch-equivalent case.
       .option("maxFilesPerTrigger", "1000000")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the file source only accepts directories: read the objectified
+    // layout (events.parquet/ of part-files) directly, or glob the
+    // single fixture file out of the sf dir
+    val src =
+      if (Files.isDirectory(java.nio.file.Paths.get(objDir)))
+        reader.parquet(objDir)
+      else
+        reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Checkpoints live on tmpfs when available: the state-store commit

@@ -2,9 +2,11 @@
 """DuckDB baseline timings for the headline oracle queries.
 
 Usage: python3 tools/duck_bench.py <sfDir> [oracle_sql.json path]
-Times each headline oracle SQL in DuckDB (1 warmup + 1 timed run) over
-views on <sfDir>/*.parquet. This is the BASELINE.md 'numbers to beat'.
+Times each headline oracle SQL in DuckDB (1 warmup + 3 timed runs,
+median — same methodology as graft.Bench) over views on
+<sfDir>/*.parquet. This is the BASELINE.md 'numbers to beat'.
 """
+import statistics
 import sys, os, json, time
 
 import duckdb
@@ -37,9 +39,12 @@ def main():
             continue
         sql = oracles[name]
         con.execute(sql).fetchall()  # warmup
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        dt = time.time() - t0
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            runs.append(time.time() - t0)
+        dt = statistics.median(runs)
         out[name] = round(dt, 4)
         total += dt
     print(json.dumps({"metric": "duckdb_total", "value": round(total, 4),

@@ -12,7 +12,12 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# heap handling mirrors build.sbt: cap at 16g, 50ms G1 pause target
+MEM="${SPARK_DRIVER_MEM:-8g}"
+if [[ "$MEM" =~ ^([0-9]+)[gG]$ ]] && [ "${BASH_REMATCH[1]}" -gt 16 ]; then
+  MEM=16g
+fi
+exec java $ADD_OPENS $EXTRA_JAVA_OPTS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xmx"$MEM" -XX:MaxGCPauseMillis=50 \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
