@@ -56,12 +56,13 @@ object BenchLab {
     }
 
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true")) {
-      names.foreach { n =>
+      args.filter(SparkEntry.queries.contains).foreach { n =>
         println(s"========== $n ==========")
         println(SparkEntry.queries(n)(spark, dataDir)
           .queryExecution.executedPlan.toString.linesIterator
           .filter(l => l.contains("Exchange") || l.contains("Join") ||
             l.contains("Scan") || l.contains("Aggregate"))
+          .map(_.trim.take(160))
           .mkString("\n"))
       }
       spark.stop(); return

@@ -92,22 +92,38 @@ object Similarity extends QueryModule {
       |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
       |  FROM scored) WHERE rnk <= 3""".stripMargin
 
-  /** 3. ANN: bucket-pruned search for 20 queries over the full set
-    * (self included — a vector always lands in its own bucket, so
-    * self-retrieval at rank 1 is the invariant the spec checks).
+  /** All bit-masks of popcount ≤ radius over nBits — the multiprobe
+    * offsets. C(16,0..3) = 697 masks; XOR is a bijection per query, so
+    * probe buckets are distinct and no candidate is produced twice. */
+  private def probeMasks(nBits: Int, radius: Int): Seq[Long] =
+    (0 until (1 << nBits))
+      .filter(m => java.lang.Integer.bitCount(m) <= radius)
+      .map(_.toLong)
+
+  /** 3. ANN: multiprobe LSH as a genuine EQUI-join: each query explodes
+    * into its ≤ C(nBits,≤Probe) probe buckets (qbucket XOR mask), and
+    * candidates come from a broadcast hash join on the bucket value —
+    * identical semantics to `hamming(bucket, qbucket) <= Probe`, but
+    * the plan is a hash join keyed on the precomputed bucket column,
+    * NOT a nested-loop scan of the corpus: at 100 TB the scan touches
+    * only the probed buckets' rows (~697/2^16 of the space).
+    * Self included — a vector always lands in its own bucket (mask 0),
+    * so self-retrieval at rank 1 is the invariant the spec checks.
     * Not SQL-expressible (bucket constants live engine-side) →
-    * driver rows-only; DedupSpec-style recall check in SimilaritySpec.
+    * driver rows-only; recall + plan-shape checks in SimilaritySpec.
     */
   private val annQ = (s: SparkSession, dir: String) => {
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), Dim, NBits))
-    val queries = e.filter(col("vec_id") < 20)
+    val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("bucket").as("qbucket"))
+      .withColumn("mask", explode(typedLit(probeMasks(NBits, Probe))))
+      .select(col("qid"), col("qe"),
+        col("qbucket").bitwiseXOR(col("mask")).as("bucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(queries),
-        bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= Probe)
+    e.join(broadcast(probes), Seq("bucket"))
       .select(col("qid"), col("vec_id"),
         cosRounded(col("embedding"), col("qe")).as("cos"))
       .withColumn("rnk", row_number().over(w))
@@ -120,11 +136,12 @@ object Similarity extends QueryModule {
     * with the smallest xxhash64(vec_id) — a seeded pseudo-random sample
     * that compiles to TakeOrderedAndProject, never a global sort), then
     * run `LloydIters` k-means rounds: assign every vector to its
-    * max-cosine centroid (broadcast centroids, `max_by` shuffle agg with
-    * map-side partials — no window over the corpus), recompute each
-    * centroid as the element-wise mean of its cell (posexplode →
-    * groupBy(cell, pos) → avg → re-assemble, all shuffle-bounded by
-    * cells×dim). Search: each query probes its `NProbe` nearest cells;
+    * max-cosine centroid MAP-SIDE (fold over a broadcast centroid
+    * array — see assignCells; the corpus is never shuffled), recompute
+    * each centroid as the element-wise mean of its cell (posexplode →
+    * groupBy(cell, pos) with map-side partials, so the exchange carries
+    * ~tasks × cells×dim partial rows, not the corpus). Search: each
+    * query probes its `NProbe` nearest cells;
     * candidates come from a broadcast equi-join on cell id, so the scan
     * touches ~NProbe/NCells of the corpus; exact cosine re-ranks.
     *
@@ -138,18 +155,36 @@ object Similarity extends QueryModule {
   private val NProbe = 4
   private val LloydIters = 2
 
-  private def assignCells(data: DataFrame, cents: DataFrame): DataFrame =
-    data.crossJoin(broadcast(cents))
-      .withColumn("c", VectorOps.cosine(col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(struct(col("cell"), col("embedding")),
-          struct(col("c"), -col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cell").as("cell"))
+  /** Cell assignment is MAP-SIDE: the (≤ NCells) centroids collapse to
+    * a single array row, broadcast, and each vector computes its
+    * argmax-cosine cell with a fold over that array — no groupBy, no
+    * shuffle of the corpus, ever. (The r1 form crossJoined ×NCells then
+    * groupBy(vec_id)'d the corpus WITH embeddings as payload — at
+    * 100 TB that shuffles the dataset once per Lloyd round.) Ties break
+    * to the smallest cell: the array is sorted by cell and the fold
+    * keeps the first maximum (same rule as the old max_by struct).
+    */
+  private def assignCells(data: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
+        .as("cents"))
+    data.crossJoin(broadcast(centsArr))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(-2.0).as("c"), lit(-1).as("cell")),
+        (acc, ct) => {
+          val c = VectorOps.cosine(col("embedding"), ct.getField("centroid"))
+          when(c > acc.getField("c"),
+            struct(c.as("c"), ct.getField("cell").as("cell")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+  }
 
-  private val ivfQ = (s: SparkSession, dir: String) => {
-    val e = Tables.embeddings(s, dir)
+  /** IVF train+search over an arbitrary corpus; returns the ranked
+    * top-5 (qid, vec_id, cos, rnk) per query. Shared by the standard
+    * query and the planted-duplicate oracle variant. */
+  private def ivfRanked(e: DataFrame, queries: DataFrame): DataFrame = {
     // deterministic seed sample → cells 0..NCells-1 (row_number runs on
     // NCells rows post-limit, not the corpus)
     val wSeed = Window.orderBy(col("hk"), col("vec_id"))
@@ -161,7 +196,12 @@ object Similarity extends QueryModule {
       cents = assignCells(e, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
+        // order-INSENSITIVE mean: float inputs quantized to 1e-6 and
+        // summed as longs (exact, commutative), so centroids — and the
+        // downstream cell assignment — are bit-stable across runs and
+        // partitionings (double-avg accumulation order is not)
+        .agg((sum(round(col("v").cast("double") * 1e6).cast("long"))
+          .cast("double") / 1e6 / count(lit(1))).as("m"))
         .groupBy(col("cell"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -169,8 +209,7 @@ object Similarity extends QueryModule {
         .localCheckpoint()
     }
     val data = assignCells(e, cents)
-    val qcells = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val qcells = queries
       .crossJoin(broadcast(cents))
       .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
       .withColumn("pr", row_number().over(
@@ -184,6 +223,63 @@ object Similarity extends QueryModule {
         cosRounded(col("embedding"), col("qe")).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
+  }
+
+  private val ivfQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    ivfRanked(e, e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+  }
+
+  /** Corpus + an exact clone (vec_id + 10000) of each query vector —
+    * the planted ground truth that makes ANN top-k SQL-expressible:
+    * excluding self, the nearest neighbor of query q IS clone q+10000
+    * (cosine exactly 1), and any correct ANN index must retrieve it
+    * (an identical vector shares the query's bucket / cell by
+    * construction). Promotes both ANN paths from rows-only to
+    * oracle-checked. */
+  private def withClones(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    base.unionByName(base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+  }
+
+  private val plantedSql =
+    """SELECT vec_id AS qid, vec_id + 10000 AS best
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
+
+  private val annLshPlantedQ = (s: SparkSession, dir: String) => {
+    val e0 = Tables.embeddings(s, dir)
+    val e = withClones(e0)
+      .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), Dim, NBits))
+    val probes = e0.filter(col("vec_id") < 20)
+      .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), Dim, NBits))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket").as("qbucket"))
+      .withColumn("mask", explode(typedLit(probeMasks(NBits, Probe))))
+      .select(col("qid"), col("qe"),
+        col("qbucket").bitwiseXOR(col("mask")).as("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid")) // exclude self; clone remains
+      .select(col("qid"), col("vec_id"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("qid"), col("vec_id").as("best"))
+  }
+
+  private val annIvfPlantedQ = (s: SparkSession, dir: String) => {
+    val e0 = Tables.embeddings(s, dir)
+    ivfRanked(withClones(e0), e0.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      .filter(col("vec_id") =!= col("qid"))
+      .filter(col("rnk") <= 2) // self may hold rank 1; clone then rank 2
+      .withColumn("r2", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("rnk").asc)))
+      .filter(col("r2") === 1)
+      .select(col("qid"), col("vec_id").as("best"))
   }
 
   /** Same query through the native codegen Expression (functions/
@@ -210,7 +306,11 @@ object Similarity extends QueryModule {
     "q_sim_topk_per_query" -> Q(perQueryQ, Some(perQuerySql),
       "batch top-3 per query via broadcast + window rank"),
     "q_sim_ann_lsh" -> Q(annQ, None,
-      "LSH-bucketed multiprobe ANN top-5 (rows-only; recall in spec)"),
+      "LSH multiprobe ANN top-5: exploded probe-bucket equi-join"),
     "q_sim_ann_ivf" -> Q(ivfQ, None,
-      "IVF ANN: k-means cells + nprobe search (rows-only; recall in spec)"))
+      "IVF ANN: k-means cells + nprobe search (rows-only; recall in spec)"),
+    "q_sim_ann_lsh_planted" -> Q(annLshPlantedQ, Some(plantedSql),
+      "LSH ANN vs planted exact-duplicate ground truth (oracle-checked)"),
+    "q_sim_ann_ivf_planted" -> Q(annIvfPlantedQ, Some(plantedSql),
+      "IVF ANN vs planted exact-duplicate ground truth (oracle-checked)"))
 }

@@ -85,4 +85,35 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b1 == b2)
   }
+
+  test("LSH ANN plan is a bucket equi-join, not a nested-loop scan") {
+    val plan = SparkEntry.queries("q_sim_ann_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "multiprobe LSH must not scan the full corpus per query")
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected a broadcast hash join on the probe bucket value")
+  }
+
+  test("IVF assignment never shuffles the corpus (no groupBy(vec_id))") {
+    // the only joins touching the corpus must be broadcast (1-row
+    // centroid-array cross for the map-side argmax, cell equi-join for
+    // the probe); an Exchange keyed on vec_id would mean the r1 shape
+    // (crossJoin + groupBy(vec_id) max_by) crept back in
+    val plan = SparkEntry.queries("q_sim_ann_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "map-side argmax assignment must not exchange the corpus by vec_id")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("planted exact-duplicate ground truth: both ANN paths retrieve the clone") {
+    Seq("q_sim_ann_lsh_planted", "q_sim_ann_ivf_planted").foreach { q =>
+      val rows = run(q).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.keySet == (0L until 20L).toSet, s"$q missing queries")
+      (0L until 20L).foreach { k =>
+        assert(rows(k) == k + 10000L, s"$q: query $k retrieved ${rows(k)}")
+      }
+    }
+  }
 }
