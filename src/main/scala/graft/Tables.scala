@@ -36,9 +36,23 @@ object Tables {
     relCache.computeIfAbsent(
       s"${System.identityHashCode(spark)}|$key", _ => build)
 
+  /** When set, `load` reads `<root>/<table>/<table>.<seq>` objects via
+    * the custom DSv2 source (graft.sources.GraftObjectSource) instead
+    * of parquet — the reference's storage path. Populate the root with
+    * ObjectStoreIngest.ingest, then flip this (ObjectStoreSpec drives
+    * the whole query suite through it). */
+  @volatile var objectStoreRoot: Option[String] = None
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cached(spark, s"$dir|$name") {
-      spark.read.parquet(s"$dir/$name.parquet")
+    objectStoreRoot match {
+      case Some(root) =>
+        cached(spark, s"objstore|$root|$name") {
+          spark.read.format("graft-objects").load(s"$root/$name")
+        }
+      case None =>
+        cached(spark, s"$dir|$name") {
+          spark.read.parquet(s"$dir/$name.parquet")
+        }
     }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
@@ -54,11 +68,14 @@ object Tables {
     * loads nanos into its microsecond timestamps, so oracle parity holds.
     */
   def events(s: SparkSession, d: String): DataFrame =
-    cached(s, s"$d|events-typed") {
+    cached(s, s"${objectStoreRoot.getOrElse("pq")}|$d|events-typed") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$d/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = objectStoreRoot match {
+        case Some(root) => s.read.format("graft-objects").load(s"$root/events")
+        case None       => s.read.parquet(s"$d/events.parquet")
+      }
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

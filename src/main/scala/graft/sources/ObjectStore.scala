@@ -1,0 +1,500 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, File, FileOutputStream}
+import java.nio.file.{Files, Paths}
+import java.util
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{DateTimeUtils, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom-storage object layout + DataSource V2 read path (SURVEY §1.1,
+  * §4.2(3) — the reference's data model made real on Spark).
+  *
+  * The reference stores each table as many self-describing storage
+  * objects named `<table>.<seq>`, each carrying its own schema and an
+  * object-local index, and evaluates select/project INSIDE the storage
+  * node so only matching bytes travel to the client. This module is
+  * that architecture as a Spark DSv2 source:
+  *
+  *  - an object = one `<table>.<seq>` file: header (magic + schema DDL),
+  *    row-major encoded rows (the analog of the reference's flatbuffer
+  *    rows), and a footer with row count + per-column min/max stats
+  *    (the analog of the reference's object-level index);
+  *  - `GraftObjectSource` (`format("graft-objects")`) implements
+  *    `TableProvider` → `SupportsRead` → `ScanBuilder` with BOTH
+  *    `SupportsPushDownFilters` and `SupportsPushDownRequiredColumns`:
+  *    accepted predicates are evaluated inside the reader before a row
+  *    is ever surfaced (the `--use-cls` path), and object-level stats
+  *    prune whole objects from `planInputPartitions` (the object
+  *    index); rejected predicates fall back to Spark (the client-side
+  *    path) — the same split the reference makes;
+  *  - one object = one `InputPartition` = one task: fan-out is
+  *    object-granular exactly like the reference's per-object reads.
+  *
+  * 100 TB posture: `planInputPartitions` lists objects and reads ONLY
+  * footers (driver-side metadata, ~bytes per object); all row work is
+  * executor-side, one object per task, embarrassingly parallel. Row
+  * decode is allocation-light (single pass over a byte buffer).
+  * Column pruning here cuts deserialization + downstream width (the
+  * layout is row-major like the reference's fbx rows — the reference
+  * also projects inside the storage server rather than laying data
+  * out columnar).
+  */
+object ObjectFormat {
+  val Magic = 0x474F424A // "GOBJ"
+  val Version = 1
+
+  /** Which types get footer min/max stats (numeric + timestamp). */
+  private def statable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  final case class ColStats(min: Double, max: Double, hasNull: Boolean)
+  final case class Footer(rowCount: Int, stats: Map[String, ColStats])
+
+  /** Encode one partition of external Rows into a `<table>.<seq>` file. */
+  def writeObject(path: String, schema: StructType, rows: Iterator[Row]): Int = {
+    val body = new ByteArrayOutputStream(1 << 20)
+    val out = new DataOutputStream(body)
+    val n = schema.length
+    val mins = Array.fill(n)(Double.PositiveInfinity)
+    val maxs = Array.fill(n)(Double.NegativeInfinity)
+    val nulls = Array.fill(n)(false)
+    var count = 0
+
+    rows.foreach { row =>
+      // presence flags (1 byte/field; a packed bitmap is the obvious
+      // compaction, skipped for codec readability)
+      var i = 0
+      while (i < n) {
+        out.writeBoolean(!row.isNullAt(i))
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        if (!row.isNullAt(i)) {
+          val dt = schema(i).dataType
+          dt match {
+            case LongType =>
+              val v = row.getLong(i); out.writeLong(v)
+              if (v < mins(i)) mins(i) = v.toDouble
+              if (v > maxs(i)) maxs(i) = v.toDouble
+            case IntegerType =>
+              val v = row.getInt(i); out.writeInt(v)
+              if (v < mins(i)) mins(i) = v.toDouble
+              if (v > maxs(i)) maxs(i) = v.toDouble
+            case DoubleType =>
+              val v = row.getDouble(i); out.writeDouble(v)
+              if (v < mins(i)) mins(i) = v
+              if (v > maxs(i)) maxs(i) = v
+            case FloatType =>
+              val v = row.getFloat(i); out.writeFloat(v)
+              if (v < mins(i)) mins(i) = v.toDouble
+              if (v > maxs(i)) maxs(i) = v.toDouble
+            case TimestampNTZType =>
+              val v = DateTimeUtils.localDateTimeToMicros(
+                row.getAs[java.time.LocalDateTime](i))
+              out.writeLong(v)
+              if (v < mins(i)) mins(i) = v.toDouble
+              if (v > maxs(i)) maxs(i) = v.toDouble
+            case TimestampType =>
+              val v = row.getAs[Any](i) match {
+                case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+                case t: java.time.Instant  => DateTimeUtils.instantToMicros(t)
+              }
+              out.writeLong(v)
+              if (v < mins(i)) mins(i) = v.toDouble
+              if (v > maxs(i)) maxs(i) = v.toDouble
+            case StringType =>
+              val b = row.getString(i).getBytes("UTF-8")
+              out.writeInt(b.length); out.write(b)
+            case ArrayType(FloatType, _) =>
+              val a = row.getSeq[Float](i)
+              out.writeInt(a.length); a.foreach(out.writeFloat)
+            case BooleanType => out.writeBoolean(row.getBoolean(i))
+            case other => throw new UnsupportedOperationException(
+              s"graft-objects codec: unsupported type $other")
+          }
+        } else nulls(i) = true
+        i += 1
+      }
+      count += 1
+    }
+    out.flush()
+
+    val file = new DataOutputStream(new FileOutputStream(path))
+    file.writeInt(Magic); file.writeInt(Version)
+    file.writeUTF(schema.toDDL)
+    val bodyBytes = body.toByteArray
+    file.writeInt(bodyBytes.length)
+    file.write(bodyBytes)
+    // footer: rowCount + per-field stats
+    file.writeInt(count)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val has = statable(f.dataType) && mins(i) <= maxs(i)
+      file.writeBoolean(has)
+      if (has) { file.writeDouble(mins(i)); file.writeDouble(maxs(i)) }
+      file.writeBoolean(nulls(i))
+    }
+    file.close()
+    count
+  }
+
+  def readSchema(path: String): StructType = {
+    val in = new DataInputStream(Files.newInputStream(Paths.get(path)))
+    try {
+      require(in.readInt() == Magic, s"$path: not a graft object")
+      require(in.readInt() == Version, s"$path: bad version")
+      StructType.fromDDL(in.readUTF())
+    } finally in.close()
+  }
+
+  /** Footer-only read: header (to size the skip) + trailing stats. */
+  def readFooter(path: String): Footer = {
+    val in = new DataInputStream(Files.newInputStream(Paths.get(path)))
+    try {
+      require(in.readInt() == Magic, s"$path: not a graft object")
+      in.readInt()
+      val schema = StructType.fromDDL(in.readUTF())
+      val bodyLen = in.readInt()
+      in.skipBytes(bodyLen)
+      val count = in.readInt()
+      val stats = schema.fields.map { f =>
+        val has = in.readBoolean()
+        val st =
+          if (has) {
+            val mn = in.readDouble(); val mx = in.readDouble()
+            val hn = in.readBoolean()
+            Some(ColStats(mn, mx, hn))
+          } else { in.readBoolean(); None }
+        f.name -> st
+      }.collect { case (n, Some(s)) => n -> s }.toMap
+      Footer(count, stats)
+    } finally in.close()
+  }
+
+  /** Can `filter` (an accepted pushdown) possibly match an object with
+    * these stats? False ⇒ the whole object is skipped (object index). */
+  def mightMatch(filter: Filter, stats: Map[String, ColStats]): Boolean = {
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    filter match {
+      case EqualTo(a, v) => (stats.get(a), num(v)) match {
+        case (Some(s), Some(d)) => d >= s.min && d <= s.max
+        case _ => true
+      }
+      case GreaterThan(a, v) => (stats.get(a), num(v)) match {
+        case (Some(s), Some(d)) => s.max > d
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, v) => (stats.get(a), num(v)) match {
+        case (Some(s), Some(d)) => s.max >= d
+        case _ => true
+      }
+      case LessThan(a, v) => (stats.get(a), num(v)) match {
+        case (Some(s), Some(d)) => s.min < d
+        case _ => true
+      }
+      case LessThanOrEqual(a, v) => (stats.get(a), num(v)) match {
+        case (Some(s), Some(d)) => s.min <= d
+        case _ => true
+      }
+      case In(a, vs) => stats.get(a) match {
+        case Some(s) =>
+          val ds = vs.flatMap(num)
+          ds.isEmpty || ds.exists(d => d >= s.min && d <= s.max)
+        case _ => true
+      }
+      case IsNull(a) => stats.get(a).forall(_.hasNull)
+      case And(l, r) => mightMatch(l, stats) && mightMatch(r, stats)
+      case _ => true
+    }
+  }
+}
+
+/** Distributed ingest: raw parquet fixtures → the object layout.
+  * One Spark task writes one `<table>.<seq>` object (the reference's
+  * fbwriter, as a Spark job). */
+object ObjectStoreIngest {
+  val defaultObjects: Map[String, Int] = Map(
+    "lineitem" -> 8, "orders" -> 4, "events" -> 4, "documents" -> 4,
+    "embeddings" -> 2, "customer" -> 2, "part" -> 2).withDefaultValue(1)
+
+  def ingest(spark: SparkSession, sfDir: String, outRoot: String,
+      objects: Map[String, Int] = defaultObjects): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.names.foreach { t =>
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      val schema = df.schema
+      val dir = new File(s"$outRoot/$t")
+      dir.mkdirs()
+      val n = objects(t)
+      df.repartition(n).rdd.mapPartitionsWithIndex { (i, rows) =>
+        Iterator.single(
+          ObjectFormat.writeObject(s"$outRoot/$t/$t.$i", schema, rows))
+      }.collect()
+    }
+  }
+}
+
+/** `spark.read.format("graft-objects").load(dir)` — see ObjectFormat. */
+class GraftObjectSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-objects"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft-objects: .load(path) is required")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = pathOf(options)
+    val first = GraftObjectTable.listObjects(dir).headOption
+      .getOrElse(throw new IllegalArgumentException(s"$dir: no objects"))
+    ObjectFormat.readSchema(first)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftObjectTable(schema, properties.get("path"))
+}
+
+object GraftObjectTable {
+  /** `<table>.<seq>` files, seq-sorted — the object naming contract. */
+  def listObjects(dir: String): Seq[String] = {
+    val d = new File(dir)
+    val name = d.getName
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches(
+        java.util.regex.Pattern.quote(name) + "\\.\\d+"))
+      .sortBy(f => f.getName.substring(name.length + 1).toInt)
+      .map(_.getPath).toSeq
+  }
+}
+
+class GraftObjectTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-objects:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tableSchema, path)
+}
+
+class GraftScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  /** A filter is storage-evaluable when it references only codec-typed
+    * columns with comparable values; everything else stays client-side
+    * (Spark re-evaluates exactly the residual set). */
+  private def evaluable(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => ok(a, v)
+    case GreaterThan(a, v) => ok(a, v)
+    case GreaterThanOrEqual(a, v) => ok(a, v)
+    case LessThan(a, v) => ok(a, v)
+    case LessThanOrEqual(a, v) => ok(a, v)
+    case In(a, vs) => vs.forall(ok(a, _))
+    case IsNull(a) => has(a)
+    case IsNotNull(a) => has(a)
+    case And(l, r) => evaluable(l) && evaluable(r)
+    case _ => false
+  }
+  private def has(a: String): Boolean = fullSchema.fieldNames.contains(a)
+  private def ok(a: String, v: Any): Boolean = has(a) && (v match {
+    case _: Number | _: String => fullSchema(a).dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | StringType => true
+      case _ => false
+    }
+    case _ => false
+  })
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, residual) = filters.partition(evaluable)
+    accepted = acc
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftObjectScan(fullSchema, required, accepted, path)
+}
+
+case class GraftObjectPartition(path: String) extends InputPartition
+
+class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
+    pushed: Array[Filter], path: String)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = readSchema_
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftObjectScan path=$path, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${readSchema_.catalogString}"
+
+  /** Object pruning = the reference's object-local index: footers only. */
+  private lazy val selected: Seq[String] =
+    GraftObjectTable.listObjects(path).filter { obj =>
+      val footer = ObjectFormat.readFooter(obj)
+      footer.rowCount > 0 &&
+        pushed.forall(ObjectFormat.mightMatch(_, footer.stats))
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    selected.map(GraftObjectPartition.apply).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(fullSchema, readSchema_, pushed)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = selected.map(p => new File(p).length()).sum
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+}
+
+class GraftReaderFactory(fullSchema: StructType, readSchema: StructType,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftObjectReader(
+      p.asInstanceOf[GraftObjectPartition].path, fullSchema, readSchema, pushed)
+}
+
+/** Streams one object: decode row → evaluate pushed filters → project
+  * required columns. The select+project happens HERE, storage-side —
+  * the reference's in-storage processing. */
+class GraftObjectReader(path: String, fullSchema: StructType,
+    readSchema: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val in = new DataInputStream(
+    new java.io.BufferedInputStream(Files.newInputStream(Paths.get(path)), 1 << 20))
+  require(in.readInt() == ObjectFormat.Magic)
+  in.readInt()
+  in.readUTF()
+  private val bodyLen = in.readInt()
+  private var consumed = 0L
+
+  private val n = fullSchema.length
+  private val fieldIdx = fullSchema.fieldNames.zipWithIndex.toMap
+  private val outIdx = readSchema.fieldNames.map(fieldIdx)
+  private val present = Array.ofDim[Boolean](n)
+  private val values = Array.ofDim[Any](n) // decoded java-level values
+  private var current: InternalRow = _
+
+  private def readRow(): Boolean = {
+    if (consumed >= bodyLen) return false
+    var i = 0
+    while (i < n) { present(i) = in.readBoolean(); consumed += 1; i += 1 }
+    i = 0
+    while (i < n) {
+      if (present(i)) {
+        fullSchema(i).dataType match {
+          case LongType | TimestampNTZType | TimestampType =>
+            values(i) = in.readLong(); consumed += 8
+          case IntegerType => values(i) = in.readInt(); consumed += 4
+          case DoubleType => values(i) = in.readDouble(); consumed += 8
+          case FloatType => values(i) = in.readFloat(); consumed += 4
+          case StringType =>
+            val len = in.readInt(); consumed += 4
+            val b = new Array[Byte](len); in.readFully(b); consumed += len
+            values(i) = b // defer UTF8String until projected
+          case ArrayType(FloatType, _) =>
+            val len = in.readInt(); consumed += 4
+            val a = new Array[Float](len)
+            var k = 0
+            while (k < len) { a(k) = in.readFloat(); k += 1 }
+            consumed += 4L * len
+            values(i) = a
+          case BooleanType => values(i) = in.readBoolean(); consumed += 1
+          case other => throw new UnsupportedOperationException(other.toString)
+        }
+      } else values(i) = null
+      i += 1
+    }
+    true
+  }
+
+  private def fieldVal(a: String): Any = {
+    val i = fieldIdx(a)
+    values(i) match {
+      case b: Array[Byte] => new String(b, "UTF-8")
+      case v => v
+    }
+  }
+
+  private def eval(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => cmp(fieldVal(a), v).contains(0)
+    case GreaterThan(a, v) => cmp(fieldVal(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(fieldVal(a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(fieldVal(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(fieldVal(a), v).exists(_ <= 0)
+    case In(a, vs) => vs.exists(v => cmp(fieldVal(a), v).contains(0))
+    case IsNull(a) => fieldVal(a) == null
+    case IsNotNull(a) => fieldVal(a) != null
+    case And(l, r) => eval(l) && eval(r)
+    case _ => true
+  }
+
+  /** 3VL compare: None when either side is null (predicate is unknown
+    * ⇒ row filtered, matching SQL semantics for pushed conjuncts). */
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (null, _) | (_, null) => None
+    case (a: Number, b: Number) =>
+      Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case _ => None
+  }
+
+  override def next(): Boolean = {
+    while (readRow()) {
+      if (pushed.forall(eval)) {
+        val out = new Array[Any](outIdx.length)
+        var k = 0
+        while (k < outIdx.length) {
+          val i = outIdx(k)
+          out(k) = fullSchema(i).dataType match {
+            case StringType => values(i) match {
+              case b: Array[Byte] => UTF8String.fromBytes(b)
+              case null => null
+            }
+            case ArrayType(FloatType, _) => values(i) match {
+              case a: Array[Float] =>
+                new GenericArrayData(a.map(x => x: Any))
+              case null => null
+            }
+            case _ => values(i)
+          }
+          k += 1
+        }
+        current = new GenericInternalRow(out)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.sources.{ObjectFormat, ObjectStoreIngest}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY §1.1/§4.2(3): the custom-storage DSv2 path. Proves the
+  * object layout is a drop-in storage backend: identical results for
+  * the whole declared query surface, filters/columns pushed into the
+  * reader, and object-level min/max stats pruning whole objects. */
+class ObjectStoreSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-objstore").toString
+    ObjectStoreIngest.ingest(spark, sf, dir)
+    dir
+  }
+
+  private def viaObjects[T](body: => T): T = {
+    Tables.objectStoreRoot = Some(root)
+    try body finally Tables.objectStoreRoot = None
+  }
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col).toIndexedSeq: _*).collect()
+      .map(_.toSeq.map {
+        case d: Double => f"$d%.9f"
+        case f: Float => f"$f%.6f"
+        case s: Seq[_] => s.mkString("[", ",", "]")
+        case v => String.valueOf(v)
+      }.mkString("|")).sorted.toSeq
+  }
+
+  test("codec roundtrip: every table identical through the object path") {
+    Tables.names.foreach { t =>
+      val viaParquet = canon(
+        if (t == "events") Tables.events(spark, sf) else Tables.load(spark, sf, t))
+      val viaObj = viaObjects(canon(
+        if (t == "events") Tables.events(spark, sf) else Tables.load(spark, sf, t)))
+      assert(viaObj == viaParquet, s"table $t differs through graft-objects")
+    }
+  }
+
+  test("filter + column pushdown reach the object reader") {
+    viaObjects {
+      val df = Tables.lineitem(spark, sf)
+        .filter(col("l_extendedprice") > 30000.0 && col("l_discount") >= 0.05)
+        .select("l_orderkey", "l_extendedprice")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftObjectScan"), plan.take(500))
+      assert(plan.contains("PushedFilters: [") &&
+        plan.contains("GreaterThan(l_extendedprice,30000.0)"),
+        "price predicate must be pushed into the object reader")
+      assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"),
+        "projection must prune to the two referenced columns")
+      // and the pushed filters actually filter: same rows as parquet
+      val expect = Tables.load(spark, sf, "lineitem")
+      assert(df.count() ==
+        expect.filter(col("l_extendedprice") > 30000.0 && col("l_discount") >= 0.05).count())
+    }
+  }
+
+  test("object-level min/max stats prune whole objects (object index)") {
+    viaObjects {
+      val li = Tables.lineitem(spark, sf)
+      val all = li.rdd.getNumPartitions // one partition per object
+      assert(all > 1, "expected multiple objects for lineitem")
+      val none = li.filter(col("l_orderkey") > 1000000000L)
+      assert(none.rdd.getNumPartitions == 0,
+        "impossible range must prune every object from the plan")
+      assert(none.count() == 0)
+    }
+  }
+
+  test("footer stats are written and read back") {
+    val objs = graft.sources.GraftObjectTable.listObjects(s"$root/lineitem")
+    assert(objs.nonEmpty)
+    val f = ObjectFormat.readFooter(objs.head)
+    assert(f.rowCount > 0)
+    val s = f.stats("l_orderkey")
+    assert(s.min >= 1 && s.max >= s.min)
+  }
+
+  test("full declared query surface is green through the DSv2 path") {
+    // streaming queries read their own file-source path (not Tables.load)
+    // and are exercised elsewhere; everything else must be bit-identical
+    // through the object store.
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream_")).toSeq.sorted
+    val parquetSide = names.map(n => n -> canon(run(n))).toMap
+    viaObjects {
+      names.foreach { n =>
+        val objSide = canon(SparkEntry.queries(n)(spark, sf))
+        assert(objSide == parquetSide(n), s"$n differs through graft-objects")
+      }
+    }
+  }
+}
