@@ -44,6 +44,21 @@ object Dedup extends QueryModule {
   private def shingleEdges(df: DataFrame): DataFrame =
     shingled(df).select(col("doc_id"), explode(col("sh")).as("s")).distinct()
 
+  /** Cached-intermediate registry: the edge list / minhash profile /
+    * simhash table are each used by several queries (pairs, clusters,
+    * verification); memoizing the CACHED DataFrame per (session, dir)
+    * means one CacheManager entry reused everywhere instead of a fresh
+    * registration per invocation (the cross-suite plan-substitution
+    * hazard PropertySpec documents — and the "already cached" warnings
+    * in bench runs). Entries die with the session. */
+  private val sharedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def shared(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    sharedCache.computeIfAbsent( // key includes the storage route so the
+      // DSv2 path never silently reuses a parquet-built cache entry
+      s"${System.identityHashCode(s)}|${Tables.objectStoreRoot.getOrElse("pq")}|$key",
+      _ => build.cache())
+
   private val exactQ = (s: SparkSession, dir: String) =>
     Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("text_hash"))
@@ -57,7 +72,7 @@ object Dedup extends QueryModule {
   // Exact shingle-jaccard similarity join (threshold 0.7) — the ground
   // truth the LSH pipeline is verified against.
   private def jaccardPairs(s: SparkSession, dir: String, thresh: Double): DataFrame = {
-    val edges = shingleEdges(Tables.documents(s, dir)).cache()
+    val edges = shared(s, s"edges|$dir")(shingleEdges(Tables.documents(s, dir)))
     val counts = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = edges.select(col("doc_id").as("ida"), col("s"))
     val b = edges.select(col("doc_id").as("idb"), col("s"))
@@ -96,15 +111,16 @@ object Dedup extends QueryModule {
   // needed. Total: 1 shuffle to profile, then bucket/verify joins whose
   // volume is candidates, not corpus.
   private val minhashQ = (s: SparkSession, dir: String) => {
-    val edges = shingled(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    val profile = edges.groupBy(col("doc_id"))
-      .agg(
-        collect_set(col("s")).as("shset"),
-        (0 until NumHashes).map(h =>
-          min(xxhash64(lit(h), col("s"))).as(s"m$h")): _*)
-      .withColumn("n", size(col("shset")))
-      .cache()
+    val profile = shared(s, s"minhash-profile|$dir") {
+      shingled(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(
+          collect_set(col("s")).as("shset"),
+          (0 until NumHashes).map(h =>
+            min(xxhash64(lit(h), col("s"))).as(s"m$h")): _*)
+        .withColumn("n", size(col("shset")))
+    }
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
@@ -162,7 +178,7 @@ object Dedup extends QueryModule {
     * computes all pairs) proves it.
     */
   private val simhashQ = (s: SparkSession, dir: String) => {
-    val h = simhashes(s, dir).cache()
+    val h = shared(s, s"simhash|$dir")(simhashes(s, dir))
     val bandCols = (0 until 12).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 5).bitwiseAND(31L).as("bv"))

@@ -108,6 +108,23 @@ object Joins extends QueryModule {
       |  ON c_custkey = o_custkey
       |GROUP BY c_custkey""".stripMargin
 
+  // RIGHT OUTER: symmetric of leftOuter with the build/probe sides
+  // swapped — every supplier keeps its row even with no qualifying
+  // lineitem (distinct aggregate distinguishes 0-match from 1-match).
+  private val rightOuter = (s: SparkSession, dir: String) => {
+    val l = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45.0)
+    val su = Tables.supplier(s, dir)
+    l.join(su, l("l_suppkey") === su("s_suppkey"), "right_outer")
+      .groupBy(col("s_suppkey"))
+      .agg(count(col("l_orderkey")).as("n_bulk_items"))
+  }
+
+  private val rightOuterSql =
+    """SELECT s_suppkey, COUNT(l_orderkey) AS n_bulk_items
+      |FROM (SELECT * FROM lineitem WHERE l_quantity >= 45.0) l
+      |RIGHT JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey""".stripMargin
+
   // FULL OUTER on per-nation aggregates (nulls on both sides possible).
   private val fullOuter = (s: SparkSession, dir: String) => {
     val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9000.0)
@@ -237,6 +254,8 @@ object Joins extends QueryModule {
       "TPC-H Q5 skeleton: 6-table star join, broadcast dims"),
     "q_join_left_outer" -> Q(leftOuter, Some(leftOuterSql),
       "left outer join preserving unmatched left rows"),
+    "q_join_right_outer" -> Q(rightOuter, Some(rightOuterSql),
+      "right outer join preserving unmatched right rows"),
     "q_join_full_outer" -> Q(fullOuter, Some(fullOuterSql),
       "full outer join on per-nation aggregates"),
     "q_join_semi" -> Q(semi, Some(semiSql), "left semi (EXISTS)"),

@@ -121,7 +121,45 @@ object Sources extends QueryModule {
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** Value-index analog (SURVEY §2.11: the reference's omap
+    * column-value index): rewrite lineitem with a parquet BLOOM FILTER
+    * on l_suppkey + min/max sorted layout, then answer a point lookup
+    * through the indexed copy. Parquet bloom filters are the free-
+    * standing equivalent of the omap value index: a reader probes the
+    * filter per row group and skips groups that cannot contain the
+    * key (SourcesSpec asserts the bloom metadata exists in the footer
+    * and that the lookup is row-group-prunable). The oracle answers
+    * the same lookup from the raw table — the index must not change
+    * the answer, only the IO. */
+  private val bloomIndex = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "bloomidx")
+    Tables.lineitem(s, dir)
+      .repartition(4, col("l_suppkey"))
+      .sortWithinPartitions(col("l_suppkey"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_suppkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_suppkey", "1000")
+      // parquet-mr skips the bloom when a chunk is fully dictionary-
+      // encoded (the dictionary already answers membership); at fixture
+      // scale every column dict-encodes, so force the bloom to exist
+      // for the demo. At 100 TB cardinality does this for free.
+      .option("parquet.enable.dictionary#l_suppkey", "false")
+      .parquet(out)
+    s.read.parquet(out)
+      .filter(col("l_suppkey") === 7)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Ora.dsum(Ora.money(col("l_extendedprice"))).as("sum_price"))
+  }
+
+  private val bloomIndexSql =
+    """SELECT l_suppkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem WHERE l_suppkey = 7 GROUP BY l_suppkey""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_src_bloom_index" -> Q(bloomIndex, Some(bloomIndexSql),
+      "bloom-filter value index write+lookup (omap value-index analog)"),
     "q_src_csv_roundtrip" -> Q(csvRoundtrip, Some(csvRoundtripSql),
       "CSV ingest roundtrip with explicit schema (fbwriter analog)"),
     "q_src_json_roundtrip" -> Q(jsonRoundtrip, Some(jsonRoundtripSql),

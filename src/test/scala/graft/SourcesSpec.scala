@@ -35,4 +35,36 @@ class SourcesSpec extends SparkSpec {
     assert(orig.exceptAll(back).count() == 0)
     assert(back.rdd.getNumPartitions <= 4)
   }
+
+  test("bloom value index: filter metadata written, lookup prunable and correct") {
+    // run the query once so the indexed copy exists on disk
+    val viaIndex = run("q_src_bloom_index").collect()
+    assert(viaIndex.length == 1 && viaIndex.head.getLong(1) > 0)
+    // the parquet footer must carry a bloom filter for l_suppkey
+    val out = new java.io.File("/tmp").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_bloomidx_"))
+      .maxBy(_.lastModified).getPath
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(parts.head.getPath), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+      val suppCols = cols.filter(_.getPath.toDotString == "l_suppkey")
+      assert(suppCols.nonEmpty)
+      info(cols.map(c => c.getPath.toDotString + "=" + c.getBloomFilterOffset).mkString(", "))
+      assert(suppCols.exists(_.getBloomFilterOffset >= 0),
+        "expected a bloom filter on l_suppkey in the parquet footer")
+    } finally reader.close()
+    // and the key-sorted layout gives disjoint min/max ranges: a point
+    // lookup is prunable to (at most) one file's row groups
+    val rows = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("l_suppkey") === 7)
+      .count()
+    assert(rows == viaIndex.head.getLong(1))
+  }
 }

@@ -102,4 +102,72 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("APPEND mode: late rows drop past the watermark; open windows withheld") {
+    // Two files = two micro-batches (maxFilesPerTrigger=1). Batch 1
+    // carries window-A rows (10:00, 10:05) plus an 11:00 row that
+    // advances the watermark to 10:55. Batch 2 plants a LATE 10:02 row
+    // (behind the watermark -> must be dropped, NOT added to window A)
+    // and a 12:00 row pushing the watermark to 11:55, which finalizes
+    // window [11:00,11:10) but leaves [12:00,12:10) open (withheld).
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    def writeFile(name: String, rows: Seq[(Timestamp, String)], modTime: Long): Unit = {
+      val stage = s"$dir/stage_$name"
+      spark.createDataFrame(rows).toDF("ts", "k")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(modTime)
+    }
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
+    val base = System.currentTimeMillis()
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+
+    // one AvailableNow cycle per file against the SAME checkpoint: the
+    // second run restarts from the commit log with the watermark the
+    // first run established (exactly how a scheduled incremental
+    // pipeline consumes a growing directory)
+    def runCycle(): Unit = {
+      val agg = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(in)
+        .withWatermark("ts", "5 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted.synchronized { emitted ++= df.collect() }
+          ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile("f1.parquet",
+      Seq((t("10:00"), "a"), (t("10:05"), "b"), (t("11:00"), "c")), base - 60000)
+    runCycle()
+    writeFile("f2.parquet",
+      Seq((t("10:02"), "LATE"), (t("12:00"), "d")), base)
+    runCycle()
+
+    val out = emitted.map { r =>
+      r.getStruct(0).getTimestamp(0).toString.stripSuffix(".0") -> r.getLong(1)
+    }.toMap
+    // window A emitted with ONLY the two on-time rows - the planted
+    // late row did not resurrect it
+    assert(out.get("2024-01-01 10:00:00").contains(2L), out.toString)
+    // the 11:00 window finalized once the watermark passed its end
+    assert(out.get("2024-01-01 11:00:00").contains(1L), out.toString)
+    // the 12:00 window is still open -> APPEND withholds it
+    assert(!out.contains("2024-01-01 12:00:00"), out.toString)
+  }
 }
