@@ -83,8 +83,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * and an idempotent runtime hook for sessions we did not build.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectFunction(GraftFunctions.rhpBucketDescriptor)
+    // SURVEY §4.2(b): conf-gated ANN top-k rewrite (see AnnTopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
+  }
 }
 
 object GraftFunctions {
@@ -96,9 +100,26 @@ object GraftFunctions {
       CosineSimilarity(args.head, args.last)
     })
 
+  /** rhp_bucket(vec, dim, nBits, seed) — the native LSH bucket id
+    * (graft.plans.RhpBucket); dim/nBits/seed must be literals. */
+  val rhpBucketDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rhp_bucket"),
+    new ExpressionInfo("graft.plans.RhpBucket", "rhp_bucket"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "rhp_bucket(vec, dim, nBits, seed) takes exactly 4 arguments")
+      def num(e: Expression): Long = {
+        require(e.foldable, s"rhp_bucket: $e must be a literal")
+        e.eval().asInstanceOf[Number].longValue()
+      }
+      graft.plans.RhpBucket(args.head,
+        num(args(1)).toInt, num(args(2)).toInt, num(args(3)))
+    })
+
   /** Idempotent runtime registration into an existing session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(cosineSimDescriptor, rhpBucketDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

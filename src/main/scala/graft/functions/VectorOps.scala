@@ -28,9 +28,32 @@ object VectorOps {
     * risk 3). Cosine-similar vectors agree on most sign bits, so
     * bucket equality (or small bucket-hamming) prunes the search space.
     */
-  def rhpBucket(v: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+  /** Hyperplane sign matrix for `rhpBucket` — shared with the native
+    * RhpBucket expression and the AnnTopKRewrite rule so every
+    * implementation computes the identical bucket id. */
+  def signsFor(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val signs = Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Driver-side bucket of a concrete vector (used by the optimizer
+    * rule to expand a literal query vector into its probe buckets). */
+  def bucketOfVector(v: Array[Float], nBits: Int, seed: Long = 42L): Long = {
+    val signs = signsFor(v.length, nBits, seed)
+    var bucket = 0L
+    var k = 0
+    while (k < nBits) {
+      var proj = 0.0
+      var i = 0
+      while (i < v.length) { proj += signs(k)(i) * v(i); i += 1 }
+      if (proj > 0) bucket |= 1L << k
+      k += 1
+    }
+    bucket
+  }
+
+  def rhpBucket(v: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val signs = signsFor(dim, nBits, seed)
     val bits = (0 until nBits).map { k =>
       // signed projection: sum_i signs(k)(i) * v[i], computed as a fold
       val proj = aggregate(

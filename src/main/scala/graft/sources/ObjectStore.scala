@@ -8,9 +8,10 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{DateTimeUtils, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,92 +64,114 @@ object ObjectFormat {
   final case class ColStats(min: Double, max: Double, hasNull: Boolean)
   final case class Footer(rowCount: Int, stats: Map[String, ColStats])
 
-  /** Encode one partition of external Rows into a `<table>.<seq>` file. */
-  def writeObject(path: String, schema: StructType, rows: Iterator[Row]): Int = {
-    val body = new ByteArrayOutputStream(1 << 20)
-    val out = new DataOutputStream(body)
-    val n = schema.length
-    val mins = Array.fill(n)(Double.PositiveInfinity)
-    val maxs = Array.fill(n)(Double.NegativeInfinity)
-    val nulls = Array.fill(n)(false)
-    var count = 0
+  /** Streaming encoder: add rows (external Row from ingest, or
+    * InternalRow from the DSv2 writer), then `finish(path)` writes
+    * header + body + stats footer. */
+  final class ObjectEncoder(schema: StructType) {
+    private val body = new ByteArrayOutputStream(1 << 20)
+    private val out = new DataOutputStream(body)
+    private val n = schema.length
+    private val mins = Array.fill(n)(Double.PositiveInfinity)
+    private val maxs = Array.fill(n)(Double.NegativeInfinity)
+    private val nulls = Array.fill(n)(false)
+    private var count = 0
 
-    rows.foreach { row =>
-      // presence flags (1 byte/field; a packed bitmap is the obvious
-      // compaction, skipped for codec readability)
+    private def stat(i: Int, v: Double): Unit = {
+      if (v < mins(i)) mins(i) = v
+      if (v > maxs(i)) maxs(i) = v
+    }
+    private def put(i: Int, dt: DataType, value: Any): Unit = dt match {
+      case LongType | TimestampNTZType | TimestampType =>
+        val v = value.asInstanceOf[Long]
+        out.writeLong(v); stat(i, v.toDouble)
+      case IntegerType =>
+        val v = value.asInstanceOf[Int]
+        out.writeInt(v); stat(i, v.toDouble)
+      case DoubleType =>
+        val v = value.asInstanceOf[Double]
+        out.writeDouble(v); stat(i, v)
+      case FloatType =>
+        val v = value.asInstanceOf[Float]
+        out.writeFloat(v); stat(i, v.toDouble)
+      case StringType =>
+        val b = value.asInstanceOf[Array[Byte]]
+        out.writeInt(b.length); out.write(b)
+      case ArrayType(FloatType, _) =>
+        val a = value.asInstanceOf[Array[Float]]
+        out.writeInt(a.length); a.foreach(out.writeFloat)
+      case BooleanType => out.writeBoolean(value.asInstanceOf[Boolean])
+      case other => throw new UnsupportedOperationException(
+        s"graft-objects codec: unsupported type $other")
+    }
+
+    /** presence flags (1 byte/field; a packed bitmap is the obvious
+      * compaction, skipped for codec readability) */
+    private def addVia(isNull: Int => Boolean, value: Int => Any): Unit = {
       var i = 0
-      while (i < n) {
-        out.writeBoolean(!row.isNullAt(i))
-        i += 1
-      }
+      while (i < n) { out.writeBoolean(!isNull(i)); i += 1 }
       i = 0
       while (i < n) {
-        if (!row.isNullAt(i)) {
-          val dt = schema(i).dataType
-          dt match {
-            case LongType =>
-              val v = row.getLong(i); out.writeLong(v)
-              if (v < mins(i)) mins(i) = v.toDouble
-              if (v > maxs(i)) maxs(i) = v.toDouble
-            case IntegerType =>
-              val v = row.getInt(i); out.writeInt(v)
-              if (v < mins(i)) mins(i) = v.toDouble
-              if (v > maxs(i)) maxs(i) = v.toDouble
-            case DoubleType =>
-              val v = row.getDouble(i); out.writeDouble(v)
-              if (v < mins(i)) mins(i) = v
-              if (v > maxs(i)) maxs(i) = v
-            case FloatType =>
-              val v = row.getFloat(i); out.writeFloat(v)
-              if (v < mins(i)) mins(i) = v.toDouble
-              if (v > maxs(i)) maxs(i) = v.toDouble
-            case TimestampNTZType =>
-              val v = DateTimeUtils.localDateTimeToMicros(
-                row.getAs[java.time.LocalDateTime](i))
-              out.writeLong(v)
-              if (v < mins(i)) mins(i) = v.toDouble
-              if (v > maxs(i)) maxs(i) = v.toDouble
-            case TimestampType =>
-              val v = row.getAs[Any](i) match {
-                case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
-                case t: java.time.Instant  => DateTimeUtils.instantToMicros(t)
-              }
-              out.writeLong(v)
-              if (v < mins(i)) mins(i) = v.toDouble
-              if (v > maxs(i)) maxs(i) = v.toDouble
-            case StringType =>
-              val b = row.getString(i).getBytes("UTF-8")
-              out.writeInt(b.length); out.write(b)
-            case ArrayType(FloatType, _) =>
-              val a = row.getSeq[Float](i)
-              out.writeInt(a.length); a.foreach(out.writeFloat)
-            case BooleanType => out.writeBoolean(row.getBoolean(i))
-            case other => throw new UnsupportedOperationException(
-              s"graft-objects codec: unsupported type $other")
-          }
-        } else nulls(i) = true
+        if (!isNull(i)) put(i, schema(i).dataType, value(i))
+        else nulls(i) = true
         i += 1
       }
       count += 1
     }
-    out.flush()
 
-    val file = new DataOutputStream(new FileOutputStream(path))
-    file.writeInt(Magic); file.writeInt(Version)
-    file.writeUTF(schema.toDDL)
-    val bodyBytes = body.toByteArray
-    file.writeInt(bodyBytes.length)
-    file.write(bodyBytes)
-    // footer: rowCount + per-field stats
-    file.writeInt(count)
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val has = statable(f.dataType) && mins(i) <= maxs(i)
-      file.writeBoolean(has)
-      if (has) { file.writeDouble(mins(i)); file.writeDouble(maxs(i)) }
-      file.writeBoolean(nulls(i))
+    def addExternal(row: Row): Unit =
+      addVia(row.isNullAt, { i =>
+        schema(i).dataType match {
+          case TimestampNTZType => DateTimeUtils.localDateTimeToMicros(
+            row.getAs[java.time.LocalDateTime](i))
+          case TimestampType => row.getAs[Any](i) match {
+            case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+            case t: java.time.Instant  => DateTimeUtils.instantToMicros(t)
+          }
+          case StringType => row.getString(i).getBytes("UTF-8")
+          case ArrayType(FloatType, _) => row.getSeq[Float](i).toArray
+          case _ => row.get(i)
+        }
+      })
+
+    def addInternal(row: InternalRow): Unit =
+      addVia(row.isNullAt, { i =>
+        schema(i).dataType match {
+          case LongType | TimestampNTZType | TimestampType => row.getLong(i)
+          case IntegerType => row.getInt(i)
+          case DoubleType => row.getDouble(i)
+          case FloatType => row.getFloat(i)
+          case StringType => row.getUTF8String(i).getBytes
+          case ArrayType(FloatType, _) => row.getArray(i).toFloatArray()
+          case BooleanType => row.getBoolean(i)
+          case other => throw new UnsupportedOperationException(other.toString)
+        }
+      })
+
+    def finish(path: String): Int = {
+      out.flush()
+      val file = new DataOutputStream(new FileOutputStream(path))
+      file.writeInt(Magic); file.writeInt(Version)
+      file.writeUTF(schema.toDDL)
+      val bodyBytes = body.toByteArray
+      file.writeInt(bodyBytes.length)
+      file.write(bodyBytes)
+      file.writeInt(count)
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val has = statable(f.dataType) && mins(i) <= maxs(i)
+        file.writeBoolean(has)
+        if (has) { file.writeDouble(mins(i)); file.writeDouble(maxs(i)) }
+        file.writeBoolean(nulls(i))
+      }
+      file.close()
+      count
     }
-    file.close()
-    count
+  }
+
+  /** Encode one partition of external Rows into a `<table>.<seq>` file. */
+  def writeObject(path: String, schema: StructType, rows: Iterator[Row]): Int = {
+    val enc = new ObjectEncoder(schema)
+    rows.foreach(enc.addExternal)
+    enc.finish(path)
   }
 
   def readSchema(path: String): StructType = {
@@ -237,15 +260,10 @@ object ObjectStoreIngest {
       objects: Map[String, Int] = defaultObjects): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.Tables.names.foreach { t =>
-      val df = spark.read.parquet(s"$sfDir/$t.parquet")
-      val schema = df.schema
-      val dir = new File(s"$outRoot/$t")
-      dir.mkdirs()
-      val n = objects(t)
-      df.repartition(n).rdd.mapPartitionsWithIndex { (i, rows) =>
-        Iterator.single(
-          ObjectFormat.writeObject(s"$outRoot/$t/$t.$i", schema, rows))
-      }.collect()
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .repartition(objects(t))
+        .write.format("graft-objects").mode("overwrite")
+        .save(s"$outRoot/$t")
     }
   }
 }
@@ -287,13 +305,75 @@ object GraftObjectTable {
 }
 
 class GraftObjectTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-objects:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(info.schema(), path)
+}
+
+/** DSv2 write: each task encodes its partition into a staged object;
+  * commit sequences the staged files into `<table>.<seq>` names
+  * (rename within one directory — atomic on a shared FS/object store
+  * with atomic rename; at 100 TB this is the same one-object-per-task
+  * write fan-out as the reference's loader). `overwrite` (TRUNCATE)
+  * clears the previous generation at commit time, after every staged
+  * object is durable. */
+class GraftWriteBuilder(writeSchema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(writeSchema, path, doTruncate)
+  }
+}
+
+case class GraftStagedObject(stagedPath: String) extends WriterCommitMessage
+
+class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new File(path).mkdirs()
+    new GraftWriterFactory(writeSchema, path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    val table = dir.getName
+    val existing = GraftObjectTable.listObjects(path)
+    if (truncate) existing.foreach(p => new File(p).delete())
+    val base = if (truncate) 0 else existing.size
+    messages.zipWithIndex.foreach { case (GraftStagedObject(staged), i) =>
+      val dst = new File(dir, s"$table.${base + i}")
+      if (!new File(staged).renameTo(dst))
+        throw new java.io.IOException(s"rename $staged -> $dst failed")
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftStagedObject(staged) => new File(staged).delete()
+      case _ =>
+    }
+}
+
+class GraftWriterFactory(writeSchema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val staged = s"$path/_staged_${partitionId}_$taskId"
+      private val enc = new ObjectFormat.ObjectEncoder(writeSchema)
+      override def write(row: InternalRow): Unit = enc.addInternal(row)
+      override def commit(): WriterCommitMessage = {
+        enc.finish(staged)
+        GraftStagedObject(staged)
+      }
+      override def abort(): Unit = new File(staged).delete()
+      override def close(): Unit = ()
+    }
 }
 
 class GraftScanBuilder(fullSchema: StructType, path: String)

@@ -95,4 +95,30 @@ class ObjectStoreSpec extends SparkSpec {
       }
     }
   }
+
+  test("DSv2 write: overwrite + append produce <table>.<seq> objects that read back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-objwrite").toString
+    val tgt = s"$dir/orders"
+    val orders = Tables.load(spark, sf, "orders")
+    // overwrite: 3 partitions -> orders.0..2
+    orders.repartition(3).write.format("graft-objects")
+      .mode("overwrite").save(tgt)
+    val objs1 = graft.sources.GraftObjectTable.listObjects(tgt)
+    assert(objs1.map(new java.io.File(_).getName) ==
+      Seq("orders.0", "orders.1", "orders.2"))
+    val back = spark.read.format("graft-objects").load(tgt)
+    assert(canon(back) == canon(orders))
+    // append: adds the next sequence numbers and doubles the rows
+    orders.repartition(2).write.format("graft-objects")
+      .mode("append").save(tgt)
+    val objs2 = graft.sources.GraftObjectTable.listObjects(tgt)
+    assert(objs2.size == 5 &&
+      objs2.map(new java.io.File(_).getName).contains("orders.4"))
+    assert(spark.read.format("graft-objects").load(tgt).count() == 2 * orders.count())
+    // overwrite again truncates back to a single generation
+    orders.repartition(2).write.format("graft-objects")
+      .mode("overwrite").save(tgt)
+    assert(graft.sources.GraftObjectTable.listObjects(tgt).size == 2)
+    assert(spark.read.format("graft-objects").load(tgt).count() == orders.count())
+  }
 }
