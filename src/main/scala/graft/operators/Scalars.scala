@@ -36,7 +36,8 @@ object Scalars extends QueryModule {
         split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
         levenshtein(col("p_name"), col("p_type")).as("lev_dist"),
         reverse(col("p_type")).as("rev_type"),
-        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"))
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"))
 
   private val stringsSql =
     """SELECT p_partkey,
@@ -48,7 +49,8 @@ object Scalars extends QueryModule {
       |  split_part(p_name, ' ', 1) AS first_word,
       |  levenshtein(p_name, p_type) AS lev_dist,
       |  reverse(p_type) AS rev_type,
-      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+      |  trim('  ' || p_brand || '  ') AS trimmed
       |FROM part WHERE p_partkey % 10 = 0""".stripMargin
 
   // Date/time functions over order dates.
@@ -64,7 +66,9 @@ object Scalars extends QueryModule {
         unix_timestamp(col("o_orderdate")).as("epoch_s"),
         datediff(lit("2002-01-01").cast("timestamp"), col("o_orderdate"))
           .as("days_to_2002"),
-        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"))
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        to_date(col("o_orderdate")).as("odate"),
+        date_add(col("o_orderdate"), 30).as("due_30d"))
 
   private val datesSql =
     """SELECT o_orderkey,
@@ -73,7 +77,9 @@ object Scalars extends QueryModule {
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
       |  CAST(date_part('epoch', o_orderdate) AS BIGINT) AS epoch_s,
       |  date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_2002,
-      |  o_orderdate + INTERVAL 30 DAY AS due_date
+      |  o_orderdate + INTERVAL 30 DAY AS due_date,
+      |  CAST(o_orderdate AS DATE) AS odate,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_30d
       |FROM orders WHERE o_orderkey % 25 = 0""".stripMargin
 
   // Math functions; transcendental ones rounded on both engines.
@@ -90,6 +96,7 @@ object Scalars extends QueryModule {
         (col("l_quantity") * col("l_quantity")).as("qty_sq"),
         round(exp(col("l_discount")), 6).as("exp_disc"),
         round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(pow(col("l_quantity"), 2), 4).as("qty_pow"),
         pmod(col("l_orderkey"), lit(7)).as("okey_mod7"))
 
   private val mathSql =
@@ -102,6 +109,7 @@ object Scalars extends QueryModule {
       |  l_quantity * l_quantity AS qty_sq,
       |  round(exp(l_discount), 6) AS exp_disc,
       |  round(ln(l_extendedprice), 6) AS ln_price,
+      |  round(pow(l_quantity, 2), 4) AS qty_pow,
       |  l_orderkey % 7 AS okey_mod7
       |FROM lineitem WHERE l_orderkey % 100 = 0 AND l_linenumber = 1""".stripMargin
 
@@ -123,6 +131,8 @@ object Scalars extends QueryModule {
           x => floor(x.cast("double") * 1000).cast("long")), ",").as("head4"),
         array_min(col("embedding")).as("vmin"),
         array_max(col("embedding")).as("vmax"),
+        array_contains(col("embedding"), element_at(col("embedding"), 1))
+          .as("has_e1"),
         array_join(sort_array(transform(slice(col("embedding"), 1, 4),
           x => floor(x.cast("double") * 1000).cast("long"))), ",")
           .as("head4_sorted"))
@@ -135,6 +145,7 @@ object Scalars extends QueryModule {
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)), ',') AS head4,
       |  list_min(embedding) AS vmin,
       |  list_max(embedding) AS vmax,
+      |  list_contains(embedding, embedding[1]) AS has_e1,
       |  array_to_string(list_sort(list_transform(embedding[1:4],
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))), ',') AS head4_sorted
       |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
@@ -144,16 +155,26 @@ object Scalars extends QueryModule {
     val kSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", IntegerType)))
     Tables.events(s, dir)
+      // json_tuple is a generator: it must be a top-level select item,
+      // so the cast happens in the following projection
+      .select(col("event_id"), col("props"),
+        json_tuple(col("props"), "k").as("k_jt_s"))
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k_str_path"),
-        from_json(col("props"), kSchema).getField("k").as("k_typed"))
+        from_json(col("props"), kSchema).getField("k").as("k_typed"),
+        col("k_jt_s").cast(IntegerType).as("k_jt"),
+        array_join(sort_array(map_keys(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))),
+          ",").as("keys"))
       .filter(col("k_typed") > 50)
   }
 
   private val jsonSql =
     """SELECT event_id,
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_str_path,
-      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_jt,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS keys
       |FROM events
       |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50""".stripMargin
 

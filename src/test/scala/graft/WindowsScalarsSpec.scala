@@ -65,4 +65,27 @@ class WindowsScalarsSpec extends SparkSpec {
       assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), q)
     }
   }
+
+  test("scalar surface without a DuckDB twin: soundex, months_between, map_values") {
+    import org.apache.spark.sql.functions._
+    // soundex: classic fixed points (no DuckDB equivalent to oracle)
+    val sx = spark.range(1).select(
+      soundex(lit("Robert")).as("r"), soundex(lit("Rupert")).as("r2"),
+      soundex(lit("Ashcraft")).as("a")).head()
+    assert(sx.getString(0) == "R163" && sx.getString(1) == "R163")
+    assert(sx.getString(2) == "A261")
+    // months_between: whole-month and fractional behavior
+    val mb = spark.range(1).select(
+      months_between(lit("1996-03-01").cast("timestamp"),
+        lit("1996-01-01").cast("timestamp")).as("whole"),
+      months_between(lit("1996-01-16").cast("timestamp"),
+        lit("1996-01-01").cast("timestamp")).as("frac")).head()
+    assert(mb.getDouble(0) == 2.0)
+    assert(mb.getDouble(1) > 0.0 && mb.getDouble(1) < 1.0)
+    // map_values over parsed events.props
+    val mv = Tables.events(spark, sf)
+      .select(map_values(from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))).as("vs"))
+      .limit(5).collect()
+    assert(mv.forall(_.getSeq[Int](0).length == 1))
+  }
 }
