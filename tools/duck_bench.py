@@ -3,7 +3,7 @@
 
 Usage: python3 tools/duck_bench.py <sfDir> [oracle_sql.json path]
 Times each headline oracle SQL in DuckDB (1 warmup + 3 timed runs,
-median — same methodology as graft.Bench) over views on
+minimum — same methodology as graft.Bench) over views on
 <sfDir>/*.parquet. This is the BASELINE.md 'numbers to beat'.
 """
 import statistics
@@ -44,7 +44,7 @@ def main():
             t0 = time.time()
             con.execute(sql).fetchall()
             runs.append(time.time() - t0)
-        dt = statistics.median(runs)
+        dt = min(runs)
         out[name] = round(dt, 4)
         total += dt
     print(json.dumps({"metric": "duckdb_total", "value": round(total, 4),
