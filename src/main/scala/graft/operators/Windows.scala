@@ -30,15 +30,19 @@ object Windows extends QueryModule {
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         row_number().over(w).as("rn"),
         rank().over(w).as("rk"),
-        dense_rank().over(w).as("drk"))
+        dense_rank().over(w).as("drk"),
+        // exact small-rational doubles on both engines — hash-safe
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"))
       .filter(col("rn") <= 5)
   }
 
   private val rankSql =
-    """SELECT c_custkey, c_mktsegment, c_acctbal, rn, rk, drk FROM (
+    """SELECT c_custkey, c_mktsegment, c_acctbal, rn, rk, drk, prk, cd FROM (
       |  SELECT c_custkey, c_mktsegment, c_acctbal,
       |    row_number() OVER w AS rn, rank() OVER w AS rk,
-      |    dense_rank() OVER w AS drk
+      |    dense_rank() OVER w AS drk,
+      |    percent_rank() OVER w AS prk, cume_dist() OVER w AS cd
       |  FROM customer
       |  WINDOW w AS (PARTITION BY c_mktsegment
       |               ORDER BY c_acctbal DESC, c_custkey ASC)

@@ -243,6 +243,57 @@ object StreamOps extends QueryModule {
       |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Same running totals via transformWithState (Spark 4 arbitrary-
+    * state v2: StatefulProcessor + typed ValueState, RocksDB-backed).
+    * One class instance per task — a singleton would share one state
+    * handle across partitions in-JVM. Shares the flatMapGroupsWithState
+    * oracle: the two state APIs must agree on the answer.
+    */
+  final class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserTotals] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(user, 0L, 0L)
+      var n = prev.n_events; var c = prev.total_cents
+      rows.foreach { e => n += 1; c += e.cents }
+      val now = UserTotals(user, n, c)
+      totals.update(now)
+      Iterator(now)
+    }
+  }
+
+  private val statefulTws = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs: Dataset[Ev] = eventsStream(s, dir)
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+        .as[Ev]
+      val out = evs.groupByKey(_.user_id)
+        .transformWithState(new TotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      runToTable(s, out.toDF(), "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.total_cents").as("total_cents"))
+    } finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None    => s.conf.unset(confKey)
+    }
+  }
+
   /** Stream-stream inner join: each purchase joined to the same user's
     * clicks in the preceding day. Both sides carry watermarks and the
     * join has a time-range condition — the two ingredients that let the
@@ -290,5 +341,7 @@ object StreamOps extends QueryModule {
     "q_stream_dedup" -> Q(dedup, Some(dedupSql),
       "stateful dropDuplicates(event_id) + aggregate"),
     "q_stream_stateful" -> Q(stateful, Some(statefulSql),
-      "flatMapGroupsWithState running per-user totals"))
+      "flatMapGroupsWithState running per-user totals"),
+    "q_stream_stateful_tws" -> Q(statefulTws, Some(statefulSql),
+      "transformWithState (arbitrary-state v2) per-user totals"))
 }
