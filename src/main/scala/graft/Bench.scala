@@ -183,6 +183,9 @@ object Bench {
       (System.nanoTime() - t) / 1e9
     }
 
+    // back-to-back passes, min: interleaved full sweeps were tried and
+    // measured ~2× slower (per-query locality — JIT paths, page cache,
+    // broadcast-site caches — cools between visits)
     def best3(name: String): Double =
       Seq(timed(name), timed(name), timed(name)).min
 
