@@ -74,9 +74,15 @@ object ObjectFormat {
     private val mins = Array.fill(n)(Double.PositiveInfinity)
     private val maxs = Array.fill(n)(Double.NegativeInfinity)
     private val nulls = Array.fill(n)(false)
+    private val nans = Array.fill(n)(false)
     private var count = 0
 
     private def stat(i: Int, v: Double): Unit = {
+      // NaN never updates < / > comparisons, yet Spark orders NaN above
+      // every double — min/max stats that ignored NaN would let the
+      // object-skip logic wrongly prune objects whose only matches are
+      // NaN rows. A NaN sighting disables stats for the column.
+      if (v.isNaN) nans(i) = true
       if (v < mins(i)) mins(i) = v
       if (v > maxs(i)) maxs(i) = v
     }
@@ -128,7 +134,11 @@ object ObjectFormat {
             case t: java.time.Instant  => DateTimeUtils.instantToMicros(t)
           }
           case StringType => row.getString(i).getBytes("UTF-8")
-          case ArrayType(FloatType, _) => row.getSeq[Float](i).toArray
+          case ArrayType(FloatType, _) => row.get(i) match {
+            case a: Array[Float] => a
+            case s: scala.collection.Seq[_] =>
+              s.map(_.asInstanceOf[Float]).toArray
+          }
           case _ => row.get(i)
         }
       })
@@ -157,7 +167,7 @@ object ObjectFormat {
       file.write(bodyBytes)
       file.writeInt(count)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
-        val has = statable(f.dataType) && mins(i) <= maxs(i)
+        val has = statable(f.dataType) && mins(i) <= maxs(i) && !nans(i)
         file.writeBoolean(has)
         if (has) { file.writeDouble(mins(i)); file.writeDouble(maxs(i)) }
         file.writeBoolean(nulls(i))

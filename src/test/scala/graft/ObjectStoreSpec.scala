@@ -121,4 +121,34 @@ class ObjectStoreSpec extends SparkSpec {
     assert(graft.sources.GraftObjectTable.listObjects(tgt).size == 2)
     assert(spark.read.format("graft-objects").load(tgt).count() == orders.count())
   }
+
+  test("codec edge cases: nulls, unicode, empty strings/arrays, NaN stats") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("d", DoubleType),
+      StructField("s", StringType), StructField("a", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(1L, 1.5, "héllo → 世界", Array(1.0f, -2.5f)),
+      Row(2L, null, "", Array.empty[Float]),
+      Row(3L, Double.NaN, null, null),
+      Row(4L, -0.0, "x", Array(Float.NaN)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge").toString
+    val tgt = s"$dir/edge"; new java.io.File(tgt).mkdirs()
+    graft.sources.ObjectFormat.writeObject(s"$tgt/edge.0", schema, rows.iterator)
+    val back = spark.read.format("graft-objects").load(tgt)
+    assert(back.count() == 4)
+    val byId = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(2) == "héllo → 世界")
+    assert(byId(2L).isNullAt(1) && byId(2L).getString(2) == "" &&
+      byId(2L).getSeq[Float](3).isEmpty)
+    assert(byId(3L).getDouble(1).isNaN && byId(3L).isNullAt(2) && byId(3L).isNullAt(3))
+    // NaN disables stats on d: a range filter must NOT skip the object
+    // (Spark orders NaN above every double, so id=3 matches d > 100)
+    val f = graft.sources.ObjectFormat.readFooter(s"$tgt/edge.0")
+    assert(!f.stats.contains("d"), "NaN column must carry no min/max stats")
+    val matched = back.filter(org.apache.spark.sql.functions.col("d") > 100.0).collect()
+    assert(matched.map(_.getLong(0)).toSeq == Seq(3L),
+      "NaN row must survive object pruning and the pushed range filter")
+  }
 }
