@@ -130,6 +130,63 @@ object Aggregates extends QueryModule {
       |  / (COUNT(l_quantity) - 1) AS var_qty
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
+  /** Percentiles (exact, linear interpolation): Spark `percentile` and
+    * DuckDB `quantile_cont` share the definition (index p·(n−1), linear
+    * interp between neighbors); inputs are 2-decimal money values so
+    * the interpolation arithmetic is exact in double on both engines.
+    * The 100 TB form is `approx_percentile` (t-digest-style sketch,
+    * merge-friendly like the HLL row above); the exact form shown here
+    * is the oracle-checkable one. */
+  private val percentileQ = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+        count(lit(1)).as("cnt"))
+
+  private val percentileSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Covariance/correlation from exact DECIMAL sums (same discipline as
+    * statsQ): cov = (Σxy − ΣxΣy/n)/(n−1), corr = cov/(sx·sy), every Σ
+    * exact, so both engines produce the identical double. */
+  private val covarQ = (s: SparkSession, dir: String) => {
+    val x = Ora.money(col("l_quantity"))
+    val y = Ora.money(col("l_extendedprice"))
+    val sx = sum(x).cast("double")
+    val sy = sum(y).cast("double")
+    val sxx = sum((x * x).cast("decimal(24,4)")).cast("double")
+    val syy = sum((y * y).cast("decimal(24,4)")).cast("double")
+    val sxy = sum((x * y).cast("decimal(24,4)")).cast("double")
+    val n = count(lit(1))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(n.as("n"),
+        ((sxy - sx * sy / n) / (n - lit(1))).as("cov_qty_price"),
+        round(((sxy - sx * sy / n) /
+          (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))), 6)
+          .as("corr_qty_price"))
+  }
+
+  private val covarSql = {
+    val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+    val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+    val sxx = "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE)"
+    val syy = "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE)"
+    val sxy = "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE)"
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ($sxy - $sx * $sy / COUNT(*)) / (COUNT(*) - 1) AS cov_qty_price,
+       |  round(($sxy - $sx * $sy / COUNT(*)) /
+       |    (sqrt($sxx - $sx * $sx / COUNT(*)) * sqrt($syy - $sy * $sy / COUNT(*))), 6)
+       |    AS corr_qty_price
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  }
+
   /** PIVOT: row-values → columns. Spark computes the inner
     * groupBy(flag, status) aggregate first, then pivots the (few)
     * status values — so the shuffle is the ordinary two-key agg, never
@@ -181,5 +238,9 @@ object Aggregates extends QueryModule {
     "q_agg_having" -> Q(havingQ, Some(havingSql),
       "post-aggregation filter (HAVING)"),
     "q_agg_stats" -> Q(statsQ, Some(statsSql),
-      "runstats analog: exact count/mean/variance per column"))
+      "runstats analog: exact count/mean/variance per column"),
+    "q_agg_percentile" -> Q(percentileQ, Some(percentileSql),
+      "exact interpolated percentiles (p50/p90) per group"),
+    "q_agg_covar" -> Q(covarQ, Some(covarSql),
+      "covariance/correlation from exact decimal sums"))
 }
