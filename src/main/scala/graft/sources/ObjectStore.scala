@@ -320,6 +320,7 @@ class GraftObjectTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, path)
@@ -457,11 +458,57 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(fullSchema, readSchema_, pushed)
 
+  /** Streaming read: the object sequence IS the offset log. Objects are
+    * immutable once committed (staged rename) and appended with
+    * monotonically increasing `<seq>`, so a stream offset = "number of
+    * objects consumed" and a micro-batch = the newly appeared objects —
+    * the reference's append-object model feeding Structured Streaming.
+    * Pushed filters and stats pruning apply per batch exactly as in
+    * batch reads. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(fullSchema, readSchema_, pushed, path)
+
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = selected.map(p => new File(p).length()).sum
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
+}
+
+/** Offset = count of `<table>.<seq>` objects consumed so far. */
+case class GraftObjectOffset(objectCount: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = objectCount.toString
+}
+
+class GraftMicroBatchStream(fullSchema: StructType, readSchema: StructType,
+    pushed: Array[Filter], path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftObjectOffset(0)
+  override def latestOffset(): Offset =
+    GraftObjectOffset(GraftObjectTable.listObjects(path).size)
+  override def deserializeOffset(json: String): Offset =
+    GraftObjectOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftObjectOffset].objectCount
+    val e = end.asInstanceOf[GraftObjectOffset].objectCount
+    GraftObjectTable.listObjects(path).slice(s, e)
+      .filter { obj => // same object-index pruning as the batch path
+        val footer = ObjectFormat.readFooter(obj)
+        footer.rowCount > 0 &&
+          pushed.forall(ObjectFormat.mightMatch(_, footer.stats))
+      }
+      .map(GraftObjectPartition.apply).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(fullSchema, readSchema, pushed)
 }
 
 class GraftReaderFactory(fullSchema: StructType, readSchema: StructType,

@@ -151,4 +151,38 @@ class ObjectStoreSpec extends SparkSpec {
     assert(matched.map(_.getLong(0)).toSeq == Seq(3L),
       "NaN row must survive object pruning and the pushed range filter")
   }
+
+  test("streaming read: appended objects arrive as incremental micro-batches") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-objstream").toString
+    val tgt = s"$dir/orders"
+    val orders = Tables.load(spark, sf, "orders")
+    val half = orders.filter(col("o_orderkey") % 2 === 0)
+    val rest = orders.filter(col("o_orderkey") % 2 === 1)
+    half.repartition(2).write.format("graft-objects").mode("overwrite").save(tgt)
+
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def cycle(): Long = {
+      val before = emitted.size
+      val q = spark.readStream.format("graft-objects").load(tgt)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted.synchronized {
+            emitted ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (emitted.size - before).toLong
+    }
+    assert(cycle() == half.count(), "first cycle must read the initial objects")
+    rest.repartition(2).write.format("graft-objects").mode("append").save(tgt)
+    assert(cycle() == rest.count(),
+      "second cycle must read ONLY the appended objects (offset = object count)")
+    assert(emitted.map(_._1).toSet ==
+      orders.select("o_orderkey").collect().map(_.getLong(0)).toSet)
+  }
 }
