@@ -172,6 +172,10 @@ object ObjectFormat {
         if (has) { file.writeDouble(mins(i)); file.writeDouble(maxs(i)) }
         file.writeBoolean(nulls(i))
       }
+      // body CRC32 — verified by verifyObject (scrub), not at planning
+      val crc = new java.util.zip.CRC32()
+      crc.update(bodyBytes)
+      file.writeLong(crc.getValue)
       file.close()
       count
     }
@@ -216,6 +220,31 @@ object ObjectFormat {
       Footer(count, stats)
     } finally in.close()
   }
+
+  /** Integrity scrub (the reference's object-checksum discipline):
+    * recompute the body CRC32 and compare with the footer's. Kept OUT
+    * of planInputPartitions — planning reads footers only; scrubbing
+    * reads bodies and is a maintenance pass. */
+  def verifyObject(path: String): Boolean =
+    try {
+      val in = new DataInputStream(Files.newInputStream(Paths.get(path)))
+      try {
+        if (in.readInt() != Magic || in.readInt() != Version) return false
+        val schema = StructType.fromDDL(in.readUTF())
+        val bodyLen = in.readInt()
+        val body = new Array[Byte](bodyLen)
+        in.readFully(body)
+        in.readInt() // rowCount
+        schema.fields.foreach { f =>
+          if (in.readBoolean()) { in.readDouble(); in.readDouble() }
+          in.readBoolean()
+        }
+        val stored = in.readLong()
+        val crc = new java.util.zip.CRC32()
+        crc.update(body)
+        crc.getValue == stored
+      } finally in.close()
+    } catch { case _: Exception => false }
 
   /** Can `filter` (an accepted pushdown) possibly match an object with
     * these stats? False ⇒ the whole object is skipped (object index). */
@@ -276,6 +305,19 @@ object ObjectStoreIngest {
         .save(s"$outRoot/$t")
     }
   }
+}
+
+/** Object-store maintenance (SURVEY §2.11 compaction/merge): rewrite a
+  * table's many small objects into `target` larger ones — a DSv2 read
+  * (all pushdown machinery available) into a DSv2 truncate-write that
+  * renames the new generation in only after it is fully staged. The
+  * reference runs the same op storage-side to merge small ingest
+  * objects. */
+object ObjectStoreMaintenance {
+  def compact(spark: SparkSession, dir: String, target: Int): Unit =
+    spark.read.format("graft-objects").load(dir)
+      .repartition(target)
+      .write.format("graft-objects").mode("overwrite").save(dir)
 }
 
 /** `spark.read.format("graft-objects").load(dir)` — see ObjectFormat. */

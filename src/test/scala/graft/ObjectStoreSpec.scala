@@ -185,4 +185,34 @@ class ObjectStoreSpec extends SparkSpec {
     assert(emitted.map(_._1).toSet ==
       orders.select("o_orderkey").collect().map(_.getLong(0)).toSet)
   }
+
+  test("compaction merges objects; content and seq-naming preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val tgt = s"$dir/customer"
+    val customer = Tables.load(spark, sf, "customer")
+    customer.repartition(6).write.format("graft-objects")
+      .mode("overwrite").save(tgt)
+    assert(graft.sources.GraftObjectTable.listObjects(tgt).size == 6)
+    graft.sources.ObjectStoreMaintenance.compact(spark, tgt, 2)
+    val objs = graft.sources.GraftObjectTable.listObjects(tgt)
+    assert(objs.size == 2)
+    assert(objs.map(new java.io.File(_).getName) == Seq("customer.0", "customer.1"))
+    assert(canon(spark.read.format("graft-objects").load(tgt)) == canon(customer))
+  }
+
+  test("object scrub: CRC32 detects body corruption") {
+    val objs = graft.sources.GraftObjectTable.listObjects(s"$root/nation")
+    assert(objs.nonEmpty)
+    assert(graft.sources.ObjectFormat.verifyObject(objs.head), "intact object must verify")
+    // flip one byte mid-body in a copy
+    val corrupt = java.nio.file.Files.createTempDirectory("graft-scrub")
+      .resolve("nation.0")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(objs.head), corrupt)
+    val raf = new java.io.RandomAccessFile(corrupt.toFile, "rw")
+    raf.seek(raf.length() / 2)
+    val b = raf.read(); raf.seek(raf.length() / 2); raf.write(b ^ 0xff)
+    raf.close()
+    assert(!graft.sources.ObjectFormat.verifyObject(corrupt.toString),
+      "corrupted body must fail the scrub")
+  }
 }
