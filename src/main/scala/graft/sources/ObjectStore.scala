@@ -392,6 +392,17 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
+    // APPEND must match the table's existing schema: objects are
+    // self-describing, but one table = one schema (readers take the
+    // first object's header as the table contract)
+    if (!truncate) {
+      GraftObjectTable.listObjects(path).headOption.foreach { first =>
+        val existing = ObjectFormat.readSchema(first)
+        require(existing.toDDL == writeSchema.toDDL,
+          s"graft-objects append schema mismatch: table has " +
+            s"[${existing.toDDL}], write has [${writeSchema.toDDL}]")
+      }
+    }
     new GraftWriterFactory(writeSchema, path)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

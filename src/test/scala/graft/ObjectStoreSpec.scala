@@ -215,4 +215,19 @@ class ObjectStoreSpec extends SparkSpec {
     assert(!graft.sources.ObjectFormat.verifyObject(corrupt.toString),
       "corrupted body must fail the scrub")
   }
+
+  test("append with a mismatched schema is rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-schemaguard").toString
+    val tgt = s"$dir/nation"
+    Tables.load(spark, sf, "nation")
+      .write.format("graft-objects").mode("overwrite").save(tgt)
+    val err = intercept[Exception] {
+      Tables.load(spark, sf, "region")
+        .write.format("graft-objects").mode("append").save(tgt)
+    }
+    def chain(e: Throwable): Seq[String] =
+      if (e == null) Nil else e.getMessage +: chain(e.getCause)
+    assert(chain(err).exists(m => m != null && m.contains("schema mismatch")),
+      s"expected schema-mismatch rejection, got: ${chain(err).mkString(" | ")}")
+  }
 }
