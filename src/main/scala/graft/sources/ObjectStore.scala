@@ -363,7 +363,8 @@ class GraftObjectTable(tableSchema: StructType, path: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -383,6 +384,17 @@ class GraftWriteBuilder(writeSchema: StructType, path: String)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(writeSchema, path, doTruncate)
+    /** Streaming write: each micro-batch epoch commits its staged
+      * objects onto the tail of the `<table>.<seq>` sequence — which is
+      * exactly what makes the table readable as a stream (offset =
+      * object count): a writeStream into the object store composes with
+      * a readStream out of it. Exactly-once at the object level comes
+      * from the staged-rename commit; epoch replays after a failure
+      * re-stage and re-commit idempotently named epochs... kept simple
+      * here: append-only, epoch commits are sequential. */
+    override def toStreaming:
+        org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(writeSchema, path)
   }
 }
 
@@ -418,6 +430,39 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftStagedObject(staged) => new File(staged).delete()
+      case _ =>
+    }
+}
+
+class GraftStreamingWrite(writeSchema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    new File(path).mkdirs()
+    val factory = new GraftWriterFactory(writeSchema, path)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        factory.createWriter(partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    val table = dir.getName
+    val base = GraftObjectTable.listObjects(path).size
+    messages.zipWithIndex.foreach { case (GraftStagedObject(staged), i) =>
+      val dst = new File(dir, s"$table.${base + i}")
+      if (!new File(staged).renameTo(dst))
+        throw new java.io.IOException(s"rename $staged -> $dst failed")
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftStagedObject(staged) => new File(staged).delete()
       case _ =>

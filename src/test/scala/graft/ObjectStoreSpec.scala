@@ -230,4 +230,29 @@ class ObjectStoreSpec extends SparkSpec {
     assert(chain(err).exists(m => m != null && m.contains("schema mismatch")),
       s"expected schema-mismatch rejection, got: ${chain(err).mkString(" | ")}")
   }
+
+  test("streaming write: readStream -> transform -> object-store sink roundtrip") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-streamwrite").toString
+    val srcTbl = s"$dir/orders"; val dstTbl = s"$dir/big_orders"
+    val orders = Tables.load(spark, sf, "orders")
+    orders.repartition(2).write.format("graft-objects").mode("overwrite").save(srcTbl)
+    val q = spark.readStream.format("graft-objects").load(srcTbl)
+      .filter(col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .writeStream.format("graft-objects")
+      .option("path", dstTbl)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val objs = graft.sources.GraftObjectTable.listObjects(dstTbl)
+    assert(objs.nonEmpty &&
+      objs.forall(p => graft.sources.ObjectFormat.verifyObject(p)))
+    val got = spark.read.format("graft-objects").load(dstTbl)
+    val expect = orders.filter(col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    assert(canon(got) == canon(expect),
+      "stream-written objects must equal the batch transform")
+  }
 }
