@@ -78,4 +78,45 @@ class PropertySpec extends SparkSpec {
       inter + exc == x.count()
     })
   }
+
+  test("property: object codec roundtrips arbitrary rows bit-for-bit") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType),
+      StructField("s", StringType), StructField("v", ArrayType(FloatType))))
+    val genRow: Gen[Row] = for {
+      id <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      x <- Gen.oneOf(
+        Gen.chooseNum(-1e18, 1e18),
+        Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+          Double.NegativeInfinity, -0.0, Double.MinPositiveValue))
+      xOrNull <- Gen.oneOf(null: java.lang.Double, x: java.lang.Double)
+      s <- Gen.oneOf(Gen.const(null), Gen.const(""),
+        Gen.asciiPrintableStr, Gen.const("unicode-\u00fc\u00f1\u00ef-tab\t-end"))
+      n <- Gen.chooseNum(0, 8)
+      v <- Gen.oneOf(Gen.const(null),
+        Gen.listOfN(n, Gen.chooseNum(-1e6f, 1e6f)).map(_.toArray))
+    } yield Row(id, xOrNull, s, v)
+    val prop = Prop.forAll(Gen.listOfN(20, genRow)) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      val tgt = s"$dir/t"; new java.io.File(tgt).mkdirs()
+      graft.sources.ObjectFormat.writeObject(s"$tgt/t.0", schema, rows.iterator)
+      val back = spark.read.format("graft-objects").load(tgt).collect()
+      def key(r: Row): String = (0 until 4).map { i =>
+        if (r.isNullAt(i)) "NULL"
+        else r.get(i) match {
+          case d: Double => java.lang.Double.doubleToRawLongBits(d).toString
+          case a: Array[Float] => a.map(java.lang.Float.floatToRawIntBits).mkString(",")
+          case sq: scala.collection.Seq[_] =>
+            sq.map(f => java.lang.Float.floatToRawIntBits(f.asInstanceOf[Float])).mkString(",")
+          case other => other.toString
+        }
+      }.mkString("|")
+      back.length == rows.length &&
+        back.map(key).sorted.sameElements(rows.map(key).sorted)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
