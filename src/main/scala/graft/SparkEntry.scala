@@ -28,7 +28,8 @@ object SparkEntry {
     graft.streaming.StreamOps,
     graft.operators.Sources,
     graft.operators.Extensions,
-    graft.operators.Skew)
+    graft.operators.Skew,
+    graft.operators.Sampling)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

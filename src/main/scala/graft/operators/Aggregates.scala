@@ -60,12 +60,42 @@ object Aggregates extends QueryModule {
       |  COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS cnt
       |FROM lineitem""".stripMargin
 
-  // HLL++ sketch — the 100 TB form of count-distinct. Sketch estimates
-  // are engine-specific, so no SQL oracle (driver rows-only check);
-  // AggregatesSpec bounds the error vs the exact count instead.
-  private val approxCd = (s: SparkSession, dir: String) =>
+  // HLL++ sketch — the 100 TB form of count-distinct (sketches merge in
+  // O(sketch), unlike the exact expand). Sketch ESTIMATES are
+  // engine-specific, so the oracle-checked surface is an ENVELOPE: the
+  // exact count plus a boolean asserting the estimate landed within 5%
+  // of it. rsd=0.01 puts the 5% bound at 5 standard errors — the
+  // boolean is deterministically TRUE unless the sketch is broken,
+  // which is exactly what the oracle's literal TRUE checks.
+  private val approxCd = (s: SparkSession, dir: String) => {
+    val exact = countDistinct(col("l_partkey"))
+    val approx = approx_count_distinct(col("l_partkey"), rsd = 0.01)
     Tables.lineitem(s, dir)
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_n_part"))
+      .agg(exact.as("n_part_exact"),
+        (abs(approx - exact) <= exact * lit(0.05)).as("approx_ok"))
+  }
+
+  private val approxCdSql =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_part_exact, TRUE AS approx_ok
+      |FROM lineitem""".stripMargin
+
+  // Approx percentile (Greenwald–Khanna summary) under the same
+  // envelope discipline: accuracy=10000 guarantees rank error ≤ n/10⁴,
+  // so the estimate provably lies within the exact p45..p55 band — the
+  // boolean is TRUE by the algorithm's hard (non-probabilistic) bound.
+  private val approxPctlQ = (s: SparkSession, dir: String) => {
+    val ap = approx_percentile(col("l_quantity"), lit(0.5), lit(10000))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_exact"),
+        (ap >= percentile(col("l_quantity"), lit(0.45)) &&
+          ap <= percentile(col("l_quantity"), lit(0.55))).as("approx_ok"))
+  }
+
+  private val approxPctlSql =
+    """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_exact,
+      |  TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   private val rollupQ = (s: SparkSession, dir: String) =>
     Tables.lineitem(s, dir)
@@ -229,8 +259,10 @@ object Aggregates extends QueryModule {
       "SELECT DISTINCT (dedup by all columns)"),
     "q_agg_count_distinct" -> Q(countDistinctGlobal, Some(countDistinctGlobalSql),
       "global exact count-distinct"),
-    "q_agg_approx_cd" -> Q(approxCd, None,
-      "approx_count_distinct HLL++ sketch (rows-only; error bounded in spec)"),
+    "q_agg_approx_cd" -> Q(approxCd, Some(approxCdSql),
+      "HLL++ count-distinct sketch, oracle-checked via exact-count envelope"),
+    "q_agg_approx_pctl" -> Q(approxPctlQ, Some(approxPctlSql),
+      "GK approx percentile, oracle-checked via exact-band envelope"),
     "q_agg_rollup" -> Q(rollupQ, Some(rollupSql), "GROUP BY ROLLUP"),
     "q_agg_pivot" -> Q(pivotQ, Some(pivotSql),
       "PIVOT status values to columns over a two-key agg"),

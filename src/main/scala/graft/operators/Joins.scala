@@ -247,6 +247,35 @@ object Joins extends QueryModule {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match NULL keys, where plain `=` would silently drop every
+    * NULL-keyed row. The derived key maps bucket 0 to NULL so the
+    * fixture genuinely exercises the NULL-match path. Still hashable —
+    * Spark plans `<=>` as a hash join (NULL is just another key value),
+    * so the 100 TB posture is identical to the plain equi-join. */
+  private val nullSafe = (s: SparkSession, dir: String) => {
+    def grp(c: org.apache.spark.sql.Column) =
+      when(c % 5 === 0, lit(null).cast("long")).otherwise(c % 5)
+    val fact = Tables.events(s, dir)
+      .select(grp(col("user_id")).as("grp"))
+    val dim = Tables.events(s, dir)
+      .groupBy(grp(col("user_id")).as("grp"))
+      .agg(count(lit(1)).as("grp_total"))
+    fact.join(dim, fact("grp") <=> dim("grp"))
+      .groupBy(fact("grp"))
+      .agg(count(lit(1)).as("n"), max(col("grp_total")).as("grp_total"))
+  }
+
+  private val nullSafeSql =
+    """WITH fact AS (
+      |  SELECT NULLIF(user_id % 5, 0) AS grp FROM events),
+      |dim AS (
+      |  SELECT NULLIF(user_id % 5, 0) AS grp, COUNT(*) AS grp_total
+      |  FROM events GROUP BY 1)
+      |SELECT fact.grp, COUNT(*) AS n, MAX(grp_total) AS grp_total
+      |FROM fact JOIN dim ON fact.grp IS NOT DISTINCT FROM dim.grp
+      |GROUP BY fact.grp""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_join_q3" -> Q(q3, Some(q3Sql),
       "TPC-H Q3 skeleton: 3-table join, grouped revenue, top-10"),
@@ -266,5 +295,7 @@ object Joins extends QueryModule {
     "q_join_range" -> Q(range, Some(rangeSql),
       "range join: equi key + time interval condition"),
     "q_join_asof" -> Q(asof, Some(asofSql),
-      "as-of join via union + window (single shuffle; oracle: DuckDB ASOF)"))
+      "as-of join via union + window (single shuffle; oracle: DuckDB ASOF)"),
+    "q_join_null_safe" -> Q(nullSafe, Some(nullSafeSql),
+      "null-safe equi-join (<=> / IS NOT DISTINCT FROM) incl. NULL-match row"))
 }

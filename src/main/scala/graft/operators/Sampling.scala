@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{Ora, Q, QueryModule, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling — the training-data-pipeline operators for
+  * carving reproducible subsets out of a 100 TB corpus (task brief:
+  * dataset curation ops are first-class alongside SURVEY §2).
+  *
+  * All three variants key off a CONTENT hash (md5 of the row's natural
+  * key), never `rand()`: the sample is a pure function of the data, so
+  * it is identical across runs, partitionings, cluster sizes, and
+  * engines — which is also what makes a DuckDB oracle possible (both
+  * engines compute the same md5 hex).
+  *
+  * 100 TB posture, per variant:
+  * 1. Hash-Bernoulli (`q_sample_hash`): keep rows whose hash falls in
+  *    a prefix range — a MAP-ONLY filter, zero shuffles, composes with
+  *    scan pushdown on other predicates. Rate control = hex-prefix
+  *    width (1 char = 1/16 granularity; widen the prefix for finer).
+  *    Samples NEST: the 2/16 sample is a strict subset of the 4/16
+  *    sample (same hash, wider range), so a pipeline can grow its
+  *    sample without recomputing what it already processed (spec'd).
+  * 2. Fixed-N global (`q_sample_fixed_n`): ORDER BY hash LIMIT N
+  *    compiles to TakeOrderedAndProject — per-partition top-N, driver
+  *    merges tasks×N candidate rows, NO global sort ever materializes.
+  *    This is "give me exactly 100k uniform rows from the corpus" at
+  *    scale; N·tasks rows must fit on the driver (N ≪ corpus).
+  * 3. Stratified fixed-N per group (`q_sample_stratified`): row_number
+  *    over (stratum, hash) — exactly N per stratum, one shuffle on the
+  *    stratum key. At extreme scale the window input can be pre-pruned
+  *    per partition (keep local top-N per stratum first — the same
+  *    two-phase trick Spark's TakeOrdered uses) before the exchange.
+  */
+object Sampling extends QueryModule {
+
+  /** Content hash of lineitem's natural key, identical in both engines:
+    * md5 of "orderkey-linenumber" (ints render identically as decimal
+    * strings in Spark and DuckDB varchar casts). */
+  private def hkey = md5(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+
+  private val hkeySql =
+    "md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))"
+
+  // 1. Hash-Bernoulli sample at 2/16 = 12.5%, aggregated per flag so
+  // the declared result is compact; the filter itself is the operator.
+  private val hashSample = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .filter(substring(hkey, 1, 1).isin("0", "1"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        Ora.dsum(Ora.money(col("l_quantity"))).as("sum_qty"))
+
+  private val hashSampleSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n_sampled,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       |FROM lineitem
+       |WHERE substr($hkeySql, 1, 1) IN ('0', '1')
+       |GROUP BY l_returnflag""".stripMargin
+
+  // 2. Fixed-N uniform sample: deterministic "random" 100 rows.
+  private val fixedN = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .withColumn("hk", hkey)
+      .orderBy(col("hk"))
+      .limit(100)
+      .select(col("hk"), col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"))
+
+  private val fixedNSql =
+    s"""SELECT $hkeySql AS hk, l_orderkey, l_linenumber, l_returnflag
+       |FROM lineitem ORDER BY hk LIMIT 100""".stripMargin
+
+  // 3. Stratified: exactly 10 rows per returnflag, hash-ordered.
+  private val stratified = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .withColumn("hk", hkey)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("l_returnflag"), col("rn"), col("hk"),
+        col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val stratifiedSql =
+    s"""WITH k AS (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber, $hkeySql AS hk
+       |  FROM lineitem)
+       |SELECT l_returnflag, rn, hk, l_orderkey, l_linenumber FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY l_returnflag
+       |    ORDER BY hk, l_orderkey, l_linenumber) AS rn
+       |  FROM k)
+       |WHERE rn <= 10""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_sample_hash" -> Q(hashSample, Some(hashSampleSql),
+      "deterministic hash-Bernoulli sample (map-only, nesting rates)"),
+    "q_sample_fixed_n" -> Q(fixedN, Some(fixedNSql),
+      "fixed-size uniform sample via TakeOrderedAndProject on a content hash"),
+    "q_sample_stratified" -> Q(stratified, Some(stratifiedSql),
+      "exact-N-per-stratum sample via window over (stratum, hash)"))
+}

@@ -11,12 +11,18 @@ class AggregatesSpec extends SparkSpec {
     assert(total == Tables.lineitem(spark, sf).count())
   }
 
-  test("approx_count_distinct within 5% of exact") {
-    val approx = run("q_agg_approx_cd").collect()(0).getLong(0)
+  test("approx_count_distinct envelope: exact count + in-bounds flag") {
+    val row = run("q_agg_approx_cd").collect()(0)
     val exact = Tables.lineitem(spark, sf)
       .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
-    assert(math.abs(approx - exact).toDouble / exact < 0.05,
-      s"approx=$approx exact=$exact")
+    assert(row.getLong(row.fieldIndex("n_part_exact")) == exact)
+    assert(row.getBoolean(row.fieldIndex("approx_ok")))
+  }
+
+  test("approx_percentile envelope holds in every group") {
+    val rows = run("q_agg_approx_pctl").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getBoolean(rows.head.fieldIndex("approx_ok"))))
   }
 
   test("rollup adds subtotal + grand-total rows over plain groupBy") {

@@ -63,4 +63,20 @@ class JoinsSpec extends SparkSpec {
       .count()
     assert(n == brute)
   }
+
+  test("null-safe join: NULL keys match and nothing is dropped") {
+    val rows = run("q_join_null_safe").collect()
+    // groups: NULL (user_id%5==0) + 1..4
+    assert(rows.length == 5)
+    val nullRow = rows.filter(_.isNullAt(0))
+    assert(nullRow.length == 1, "NULL group must survive the join")
+    // every event lands in exactly one group: counts sum to table size
+    val total = rows.map(r => r.getLong(r.fieldIndex("n"))).sum
+    assert(total == Tables.events(spark, sf).count())
+    // and within each group, n == grp_total (self-join consistency)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n")) ==
+        r.getLong(r.fieldIndex("grp_total")), r.toString)
+    }
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def liCount = Tables.lineitem(spark, sf).count()
+
+  test("hash sample: deterministic across runs, rate near 2/16") {
+    val a = run("q_sample_hash").collect().sortBy(_.getString(0))
+    val b = run("q_sample_hash").collect().sortBy(_.getString(0))
+    assert(a.toSeq == b.toSeq)
+    val n = a.map(_.getLong(1)).sum
+    val total = liCount
+    // binomial(total, 0.125): mean 750 at sf0.001, sd ~25 — ±6 sd
+    val exp = total * 0.125
+    assert(math.abs(n - exp) < 6 * math.sqrt(exp * 0.875), s"n=$n exp=$exp")
+  }
+
+  test("hash samples nest: 2/16 sample is a subset of the 4/16 sample") {
+    def keysAt(prefixes: Seq[String]) =
+      Tables.lineitem(spark, sf)
+        .withColumn("hk",
+          md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))))
+        .filter(substring(col("hk"), 1, 1).isin(prefixes: _*))
+        .select("l_orderkey", "l_linenumber")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val narrow = keysAt(Seq("0", "1"))
+    val wide = keysAt(Seq("0", "1", "2", "3"))
+    assert(narrow.nonEmpty && narrow.subsetOf(wide))
+    assert(wide.size > narrow.size)
+  }
+
+  test("fixed-N sample: exactly 100 rows, TakeOrdered plan (no global sort)") {
+    val df = run("q_sample_fixed_n")
+    assert(df.count() == 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    // rows are genuine corpus rows
+    val joined = df.join(Tables.lineitem(spark, sf),
+      Seq("l_orderkey", "l_linenumber"), "left_anti")
+    assert(joined.count() == 0)
+  }
+
+  test("stratified sample: exactly 10 per stratum, deterministic") {
+    val rows = run("q_sample_stratified").collect()
+    val perFlag = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perFlag.values.toSet == Set(10), perFlag)
+    val again = run("q_sample_stratified").collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
+  test("hash sample plan: filter is map-side (single agg exchange only)") {
+    val plan = run("q_sample_hash").queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"want <=2 exchange mentions (partial+final agg), got $exchanges\n$plan")
+  }
+}
