@@ -298,7 +298,51 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** int8 scalar quantization — the embedding-compression pass a 100 TB
+    * vector corpus runs before indexing (4× smaller than float32, and
+    * the dequantization error is bounded by scale/2 per element). Pure
+    * per-row map work: min/max over the array, affine code, dequantize,
+    * max abs reconstruction error — zero shuffles, runs at scan speed.
+    * The oracle recomputes the identical double arithmetic in DuckDB
+    * (float→double widening is exact in both engines; round-half-up
+    * agrees on the non-negative code domain). */
+  private val quantQ = (s: SparkSession, dir: String) =>
+    Tables.embeddings(s, dir)
+      .withColumn("mn", array_min(col("embedding")).cast("double"))
+      .withColumn("mx", array_max(col("embedding")).cast("double"))
+      .withColumn("scale",
+        greatest((col("mx") - col("mn")) / lit(255.0), lit(1e-12)))
+      .withColumn("raw_err",
+        array_max(transform(col("embedding"), v =>
+          abs(v.cast("double") - (col("mn") +
+            round((v.cast("double") - col("mn")) / col("scale")) * col("scale"))))))
+      // bound checked on the RAW error — rounding the error for display
+      // can round it up past scale/2
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("n_dims"),
+        round(col("raw_err"), 6).as("max_err"),
+        (col("raw_err") <= col("scale") / 2 + lit(1e-9)).as("within_bound"))
+
+  private val quantSql =
+    """WITH q AS (
+      |  SELECT vec_id, len(embedding) AS n_dims,
+      |    list_min(embedding)::DOUBLE AS mn,
+      |    list_max(embedding)::DOUBLE AS mx, embedding
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT *, greatest((mx - mn) / 255.0, 1e-12) AS scale FROM q),
+      |e AS (
+      |  SELECT vec_id, n_dims, scale,
+      |    list_max(list_transform(embedding, v ->
+      |      abs(v::DOUBLE - (mn + round((v::DOUBLE - mn) / scale) * scale))))
+      |      AS raw_err
+      |  FROM s)
+      |SELECT vec_id, n_dims, round(raw_err, 6) AS max_err,
+      |  raw_err <= scale / 2 + 1e-9 AS within_bound
+      |FROM e""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_vec_quantize" -> Q(quantQ, Some(quantSql),
+      "int8 scalar quantization: codes + bounded reconstruction error"),
     "q_sim_topk_brute_native" -> Q(bruteNativeQ, Some(bruteSql),
       "brute-force top-10 via native codegen cosine Expression"),
     "q_sim_topk_brute" -> Q(bruteQ, Some(bruteSql),

@@ -245,7 +245,121 @@ object TextOps extends QueryModule {
       |  CAST(coalesce(h, 0) AS BIGINT) AS lex_hits
       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Sequence packing — group documents into fixed-token-budget bins
+    * (the batch-construction pass of an LLM training pipeline). Docs
+    * are ordered by content hash WITHIN a hash-prefix shard, a running
+    * token count assigns each doc to the bin where it starts
+    * (streaming-fill packing: a bin may overflow by at most one doc,
+    * the standard trade for a single-pass plan). The shard key keeps
+    * the window PARTITIONED — 16-way parallel here, any width at
+    * 100 TB — so no global sort ever happens; per-shard packing is the
+    * same plan a 1000-executor run uses. */
+  private val packQ = (s: SparkSession, dir: String) => {
+    val budget = 512.0
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("shard", substring(col("hk"), 1, 1))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
+  private val packSql =
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS hk
+      |  FROM documents),
+      |sh AS (SELECT *, substr(hk, 1, 1) AS shard FROM t),
+      |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard
+      |        ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM sh)
+      |SELECT shard, CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** Context-window chunking — split each document into fixed-size
+    * token windows with 50% overlap (the RAG / pretraining chunking
+    * pass). One explode per doc (≤ n/stride chunks), slice per chunk —
+    * all map-side except nothing: zero shuffles, scan-speed. */
+  private val chunkQ = (s: SparkSession, dir: String) => {
+    val ChunkSize = 64
+    val Stride = 32
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("tk")) - 1, lit(Stride))))
+      .withColumn("chunk", slice(col("tk"), col("start") + 1, lit(ChunkSize)))
+      .select(col("doc_id"),
+        (col("start") / Stride).cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        element_at(col("chunk"), 1).as("first_token"))
+  }
+
+  private val chunkSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |c AS (
+      |  SELECT doc_id, tk, unnest(range(0, len(tk), 32)) AS start FROM t)
+      |SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_id,
+      |  CAST(len(list_slice(tk, start + 1, start + 64)) AS BIGINT)
+      |    AS chunk_tokens,
+      |  list_slice(tk, start + 1, start + 64)[1] AS first_token
+      |FROM c""".stripMargin
+
+  /** Vocabulary truncation + OOV rate — build the top-K token
+    * vocabulary (frequency-ranked, ties broken lexically so the cut is
+    * deterministic in both engines), broadcast it back, and score every
+    * document's out-of-vocabulary rate. The tokenizer-prep shape: at
+    * 100 TB the vocab build is partial-agg + TakeOrdered (K rows to the
+    * driver), the scoring join is a broadcast — corpus never shuffles
+    * except the per-doc aggregate. */
+  private val vocabOovQ = (s: SparkSession, dir: String) => {
+    val K = 20
+    val tokens = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = tokens.groupBy(col("tok"))
+      .agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok").asc)
+      .limit(K)
+      .select(col("tok"), lit(1).as("in_v"))
+    tokens.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
+  private val vocabOovSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok
+      |    ORDER BY f DESC, tok ASC LIMIT 20))
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS oov_rate
+      |FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+      |GROUP BY t.doc_id""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_chunk" -> Q(chunkQ, Some(chunkSql),
+      "context-window chunking: 64-token windows, stride 32, map-only"),
+    "q_text_vocab_oov" -> Q(vocabOovQ, Some(vocabOovSql),
+      "top-K vocabulary + per-doc OOV rate (broadcast vocab join)"),
+    "q_text_pack_sequences" -> Q(packQ, Some(packSql),
+      "sequence packing: docs → fixed-token-budget bins, shard-parallel"),
     "q_text_index_search" -> Q(searchQ, Some(searchSql),
       "term lookup via inverted-index semi-join == full LIKE scan"),
     "q_text_tokens" -> Q(tokensQ, Some(tokensSql),

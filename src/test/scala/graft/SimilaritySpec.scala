@@ -116,4 +116,14 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("int8 quantization: error bounded by scale/2 on every vector, no shuffle") {
+    val df = run("q_vec_quantize")
+    val rows = df.collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    assert(rows.forall(_.getBoolean(rows.head.fieldIndex("within_bound"))))
+    // per-row map work only: no Exchange anywhere in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(300))
+  }
 }
