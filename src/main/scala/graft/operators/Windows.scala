@@ -140,7 +140,51 @@ object Windows extends QueryModule {
       |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
       |  FROM part) WHERE rn <= 3""".stripMargin
 
+  /** Batch sessionization — the batch twin of the streaming session
+    * window (q_stream_session): per user, a gap of > 30 minutes starts
+    * a new session (lag + running sum of boundary markers), then one
+    * aggregate per (user, session). Two windows + one agg, all
+    * partitioned by user_id — one shuffle total, skew-free at user
+    * cardinality. Gap arithmetic in unix_millis so both engines compare
+    * the same integers (timestamp-interval arithmetic has per-engine
+    * precision quirks; epoch millis do not). */
+  private val sessionizeQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("gap_ms",
+        unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap_ms") > 30L * 60 * 1000, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+  }
+
+  private val sessionizeSql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_ms
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |sids AS (
+      |  SELECT *, SUM(new_sess) OVER
+      |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM m)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end
+      |FROM sids GROUP BY user_id, session_id""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_sessionize" -> Q(sessionizeQ, Some(sessionizeSql),
+      "batch sessionization: 30-min-gap sessions via lag + running sum"),
     "q_win_rank" -> Q(rankQ, Some(rankSql),
       "row_number/rank/dense_rank + top-5 per segment"),
     "q_win_lag_lead" -> Q(lagLead, Some(lagLeadSql),

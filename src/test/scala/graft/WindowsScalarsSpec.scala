@@ -88,4 +88,19 @@ class WindowsScalarsSpec extends SparkSpec {
       .limit(5).collect()
     assert(mv.forall(_.getSeq[Int](0).length == 1))
   }
+
+  test("sessionize: sessions partition each user's events, ids contiguous") {
+    val rows = run("q_win_sessionize").collect()
+    val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
+    assert(total == Tables.events(spark, sf).count())
+    rows.groupBy(_.getLong(0)).foreach { case (user, rs) =>
+      val ids = rs.map(_.getLong(rs.head.fieldIndex("session_id"))).sorted
+      assert(ids.head == 0L && ids.toSet == (0L to ids.last).toSet,
+        s"user $user: non-contiguous sessions ${ids.mkString(",")}")
+    }
+    rows.foreach { r =>
+      assert(!r.getTimestamp(r.fieldIndex("sess_start"))
+        .after(r.getTimestamp(r.fieldIndex("sess_end"))))
+    }
+  }
 }
