@@ -178,7 +178,40 @@ object Scalars extends QueryModule {
       |FROM events
       |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50""".stripMargin
 
+  /** Map-typed scalar surface (§2.8): construct, look up, concat,
+    * enumerate keys — the one Spark complex-type family not otherwise
+    * oracled (arrays/structs/JSON are). Keys emitted as a sorted joined
+    * string: map iteration order is engine-specific, the sorted
+    * rendering is not. */
+  private val mapsQ = (s: SparkSession, dir: String) => {
+    val m = map_from_arrays(
+      array(lit("nat"), lit("reg")),
+      array(col("n_nationkey"), col("n_regionkey")))
+    val m2 = map_concat(m, org.apache.spark.sql.functions.map(lit("x"), lit(99L)))
+    Tables.nation(s, dir)
+      .select(col("n_name"),
+        element_at(m, "nat").as("nat_v"),
+        element_at(m2, "x").as("x_v"),
+        size(m2).cast("long").as("m_size"),
+        array_join(sort_array(map_keys(m2)), ",").as("m_keys"))
+  }
+
+  private val mapsSql =
+    """WITH b AS (
+      |  SELECT n_name,
+      |    map(['nat', 'reg'], [n_nationkey, n_regionkey]) AS m
+      |  FROM nation),
+      |c AS (SELECT n_name, m, map_concat(m, map(['x'], [99])) AS m2 FROM b)
+      |SELECT n_name,
+      |  map_extract(m, 'nat')[1] AS nat_v,
+      |  map_extract(m2, 'x')[1] AS x_v,
+      |  CAST(cardinality(m2) AS BIGINT) AS m_size,
+      |  array_to_string(list_sort(map_keys(m2)), ',') AS m_keys
+      |FROM c""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_scalar_maps" -> Q(mapsQ, Some(mapsSql),
+      "map surface: construct/lookup/concat/keys (sorted rendering)"),
     "q_scalar_strings" -> Q(stringsQ, Some(stringsSql),
       "string surface: case/substr/concat/regex/levenshtein/pad"),
     "q_scalar_dates" -> Q(datesQ, Some(datesSql),

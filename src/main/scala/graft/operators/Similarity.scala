@@ -340,7 +340,51 @@ object Similarity extends QueryModule {
       |  raw_err <= scale / 2 + 1e-9 AS within_bound
       |FROM e""".stripMargin
 
+  /** Per-label centroid — element-wise mean vector per class (the
+    * class-prototype / centroid-classifier build). Same plan shape as
+    * the IVF Lloyd recompute: posexplode → groupBy(label, pos) with
+    * map-side partials (exchange carries labels×dim partial rows, not
+    * the corpus), means order-insensitive via 1e-6-quantized long sums.
+    * Centroid rendered as a joined milli-scaled int string (the driver
+    * comparator cannot hash list columns). */
+  private val centroidQ = (s: SparkSession, dir: String) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(round(col("v").cast("double") * 1e6).cast("long"))
+        .cast("double") / 1e6 / count(lit(1))).as("m"),
+        count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => round(x.getField("m") * 1000).cast("long").cast("string")),
+          ",").as("centroid_milli"),
+        count(lit(1)).as("n_dims"),
+        max(col("cnt")).as("n_vecs"))
+
+  private val centroidSql =
+    """WITH e AS (
+      |  SELECT label, t.i - 1 AS pos, embedding[t.i] AS v
+      |  FROM embeddings,
+      |    LATERAL unnest(generate_series(1, len(embedding))) AS t(i)),
+      |p AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+      |      AS DOUBLE) / 1000000 / COUNT(*) AS m,
+      |    COUNT(*) AS cnt
+      |  FROM e GROUP BY label, pos)
+      |SELECT label,
+      |  array_to_string(
+      |    list(CAST(CAST(round(m * 1000) AS BIGINT) AS VARCHAR)
+      |      ORDER BY pos), ',') AS centroid_milli,
+      |  COUNT(*) AS n_dims,
+      |  CAST(MAX(cnt) AS BIGINT) AS n_vecs
+      |FROM p GROUP BY label""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_vec_centroid" -> Q(centroidQ, Some(centroidSql),
+      "per-label mean embedding (order-insensitive, partial-agg shuffle)"),
     "q_vec_quantize" -> Q(quantQ, Some(quantSql),
       "int8 scalar quantization: codes + bounded reconstruction error"),
     "q_sim_topk_brute_native" -> Q(bruteNativeQ, Some(bruteSql),

@@ -117,6 +117,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("per-label centroid: dims complete, vectors partitioned") {
+    val rows = run("q_vec_centroid").collect()
+    val nVecs = rows.map(r => r.getLong(r.fieldIndex("n_vecs"))).sum
+    assert(nVecs == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_dims")) == 64L)
+      assert(r.getString(r.fieldIndex("centroid_milli"))
+        .split(",").length == 64)
+    }
+  }
+
   test("int8 quantization: error bounded by scale/2 on every vector, no shuffle") {
     val df = run("q_vec_quantize")
     val rows = df.collect()

@@ -89,6 +89,16 @@ class WindowsScalarsSpec extends SparkSpec {
     assert(mv.forall(_.getSeq[Int](0).length == 1))
   }
 
+  test("map surface: lookup and concat behave, keys render sorted") {
+    val rows = run("q_scalar_maps").collect()
+    assert(rows.length == Tables.nation(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("x_v")) == 99L)
+      assert(r.getLong(r.fieldIndex("m_size")) == 3L)
+      assert(r.getString(r.fieldIndex("m_keys")) == "nat,reg,x")
+    }
+  }
+
   test("sessionize: sessions partition each user's events, ids contiguous") {
     val rows = run("q_win_sessionize").collect()
     val total = rows.map(r => r.getLong(r.fieldIndex("n_events"))).sum
