@@ -96,11 +96,54 @@ object Sampling extends QueryModule {
        |  FROM k)
        |WHERE rn <= 10""".stripMargin
 
+  /** The 100 TB form of the stratified sample: the window above
+    * shuffles the whole table into as many tasks as there are strata —
+    * fine when strata are numerous, a funnel when they are few (3
+    * returnflags). This variant first prunes EACH SCAN PARTITION to its
+    * local top-10 per stratum (a bounded per-partition heap — the same
+    * two-phase trick TakeOrderedAndProject uses, and the one sanctioned
+    * mapPartitions use-case: genuinely imperative per-partition state),
+    * so the exchange and window see ≤ 10·partitions·strata rows instead
+    * of the corpus. Result-identical by construction — the global
+    * top-10 of a stratum is a subset of the union of per-partition
+    * top-10s — and it shares the declarative variant's oracle. */
+  private val stratifiedScalable = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val keyed = Tables.lineitem(s, dir)
+      .withColumn("hk", hkey)
+      .select(col("l_returnflag"), col("hk"),
+        col("l_orderkey"), col("l_linenumber"))
+      .as[(String, String, Long, Int)]
+    val pruned = keyed.mapPartitions { it =>
+      // max-heap per stratum: evict the largest key once size > 10, so
+      // the heap always holds the partition's 10 smallest
+      val keep = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[(String, Long, Int)]]
+      it.foreach { case (flag, hk, ok, ln) =>
+        val pq = keep.getOrElseUpdate(flag,
+          scala.collection.mutable.PriorityQueue.empty[(String, Long, Int)])
+        pq.enqueue((hk, ok, ln))
+        if (pq.size > 10) pq.dequeue()
+      }
+      keep.iterator.flatMap { case (flag, pq) =>
+        pq.iterator.map(t => (flag, t._1, t._2, t._3))
+      }
+    }.toDF("l_returnflag", "hk", "l_orderkey", "l_linenumber")
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber"))
+    pruned.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("l_returnflag"), col("rn"), col("hk"),
+        col("l_orderkey"), col("l_linenumber"))
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_sample_hash" -> Q(hashSample, Some(hashSampleSql),
       "deterministic hash-Bernoulli sample (map-only, nesting rates)"),
     "q_sample_fixed_n" -> Q(fixedN, Some(fixedNSql),
       "fixed-size uniform sample via TakeOrderedAndProject on a content hash"),
     "q_sample_stratified" -> Q(stratified, Some(stratifiedSql),
-      "exact-N-per-stratum sample via window over (stratum, hash)"))
+      "exact-N-per-stratum sample via window over (stratum, hash)"),
+    "q_sample_stratified_scalable" -> Q(stratifiedScalable, Some(stratifiedSql),
+      "same sample via per-partition heap prune + window over survivors"))
 }

@@ -51,6 +51,18 @@ class SamplingSpec extends SparkSpec {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("scalable stratified == declarative stratified, row for row") {
+    def canon(name: String) = run(name).collect()
+      .map(_.toString).sorted.toSeq
+    assert(canon("q_sample_stratified_scalable") ==
+      canon("q_sample_stratified"))
+    // the pruned path still shuffles only once (the window exchange)
+    val plan = run("q_sample_stratified_scalable")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"want 1 hash exchange, got $exchanges")
+  }
+
   test("hash sample plan: filter is map-side (single agg exchange only)") {
     val plan = run("q_sample_hash").queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).length
