@@ -353,6 +353,53 @@ object TextOps extends QueryModule {
       |FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
       |GROUP BY t.doc_id""".stripMargin
 
+  /** C4-style curation gate — the composite keep/drop policy a
+    * pretraining pipeline applies per document: length band, repetition
+    * cap (max single-token frequency), language heuristic. First
+    * failing rule becomes the drop reason (ordered CASE, so the output
+    * is deterministic). Entirely per-row higher-order-function work —
+    * zero shuffles, scan speed; the repetition scan is O(tokens ×
+    * distinct) per doc, bounded by document length. */
+  private val filterPolicyQ = (s: SparkSession, dir: String) => {
+    val stopList = Stopwords.map("'" + _ + "'").mkString(",")
+    Tables.documents(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("rep_ratio", trunc6(expr(
+        "array_max(transform(array_distinct(tk), t -> size(filter(tk, x -> x = t))))")
+        / col("n_tok")))
+      .withColumn("en_score",
+        trunc6(size(expr(s"filter(tk, t -> t IN ($stopList))")) / col("n_tok")))
+      .withColumn("reason",
+        when(col("n_tok") < 20, "too_short")
+          .when(col("n_tok") > 90, "too_long")
+          .when(col("rep_ratio") > 0.2, "repetitive")
+          .when(col("en_score") < 0.05, "non_english")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("n_tok"), col("rep_ratio"),
+        col("en_score"), (col("reason") === "ok").as("keep"), col("reason"))
+  }
+
+  private val filterPolicySql = {
+    val list = Stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |m AS (SELECT doc_id, len(tk) AS n_tok,
+       |  floor(list_max(list_transform(list_distinct(tk),
+       |    t -> len(list_filter(tk, x -> x = t)))) * 1.0 / len(tk) * 1000000)
+       |    / 1000000 AS rep_ratio,
+       |  floor(len(list_filter(tk, x -> x IN ($list))) * 1.0 / len(tk)
+       |    * 1000000) / 1000000 AS en_score
+       |  FROM t),
+       |r AS (SELECT *, CASE WHEN n_tok < 20 THEN 'too_short'
+       |                     WHEN n_tok > 90 THEN 'too_long'
+       |                     WHEN rep_ratio > 0.2 THEN 'repetitive'
+       |                     WHEN en_score < 0.05 THEN 'non_english'
+       |                     ELSE 'ok' END AS reason FROM m)
+       |SELECT doc_id, n_tok, rep_ratio, en_score, reason = 'ok' AS keep,
+       |  reason
+       |FROM r""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_text_chunk" -> Q(chunkQ, Some(chunkSql),
       "context-window chunking: 64-token windows, stride 32, map-only"),
@@ -368,6 +415,8 @@ object TextOps extends QueryModule {
     "q_text_tfidf" -> Q(tfidfQ, Some(tfidfSql), "tf-idf top-3 terms per doc"),
     "q_text_sentiment" -> Q(sentimentQ, Some(sentimentSql),
       "lexicon-join sentiment scoring per document"),
+    "q_text_filter_policy" -> Q(filterPolicyQ, Some(filterPolicySql),
+      "C4-style curation gate: length/repetition/langid rules + reason"),
     "q_text_langid" -> Q(langidQ, Some(langidSql),
       "language-ID heuristic: stopword-hit ratio"),
     "q_text_quality" -> Q(qualityQ, Some(qualitySql),

@@ -89,6 +89,26 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(rows.head.fieldIndex("n_oov")) > 0))
   }
 
+  test("filter policy: every doc judged, reasons consistent with signals") {
+    val df = run("q_text_filter_policy")
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val nTok = r.getLong(r.fieldIndex("n_tok"))
+      val keep = r.getBoolean(r.fieldIndex("keep"))
+      val reason = r.getString(r.fieldIndex("reason"))
+      assert(keep == (reason == "ok"))
+      if (reason == "too_short") assert(nTok < 20)
+      if (reason == "too_long") assert(nTok > 90)
+      if (reason == "ok") assert(nTok >= 20 && nTok <= 90)
+    }
+    // the gate must actually drop something and keep something
+    assert(rows.exists(_.getBoolean(rows.head.fieldIndex("keep"))))
+    assert(rows.exists(!_.getBoolean(rows.head.fieldIndex("keep"))))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "policy gate must be map-only")
+  }
+
   test("sequence packing: bins partition the corpus, budget respected at starts") {
     val rows = run("q_text_pack_sequences").collect()
     val totalDocs = rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
