@@ -400,7 +400,52 @@ object TextOps extends QueryModule {
        |FROM r""".stripMargin
   }
 
+  /** End-to-end curation pipeline — the flagship composition: C4-style
+    * policy gate → exact-dup canonicalization (keep min doc_id per
+    * content hash) → join to the embedding table → per-label corpus
+    * stats. Every stage is an already-oracled operator; the composition
+    * proves they compose (one logical plan, so Catalyst pushes the
+    * policy columns down and plans the doc_id joins as one pipeline).
+    * 100 TB: gate is map-only, dedup is one hash shuffle, the
+    * embeddings join shuffles on the shared key — three exchanges for
+    * the whole pipeline. */
+  private val curateQ = (s: SparkSession, dir: String) => {
+    val kept = filterPolicyQ(s, dir).filter(col("keep")).select("doc_id")
+    val canonical = Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    kept.join(canonical, Seq("doc_id"))
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val curateSql = {
+    val list = Stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |m AS (SELECT doc_id, len(tk) AS n_tok,
+       |  floor(list_max(list_transform(list_distinct(tk),
+       |    t -> len(list_filter(tk, x -> x = t)))) * 1.0 / len(tk) * 1000000)
+       |    / 1000000 AS rep_ratio,
+       |  floor(len(list_filter(tk, x -> x IN ($list))) * 1.0 / len(tk)
+       |    * 1000000) / 1000000 AS en_score
+       |  FROM t),
+       |kept AS (SELECT doc_id FROM m
+       |  WHERE n_tok BETWEEN 20 AND 90 AND rep_ratio <= 0.2
+       |    AND en_score >= 0.05),
+       |canonical AS (SELECT min(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(text))
+       |SELECT label, COUNT(*) AS n_docs
+       |FROM kept
+       |JOIN canonical USING (doc_id)
+       |JOIN embeddings ON doc_id = vec_id
+       |GROUP BY label""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_pipeline_curate" -> Q(curateQ, Some(curateSql),
+      "flagship composition: policy gate → exact dedup → embedding join"),
     "q_text_chunk" -> Q(chunkQ, Some(chunkSql),
       "context-window chunking: 64-token windows, stride 32, map-only"),
     "q_text_vocab_oov" -> Q(vocabOovQ, Some(vocabOovSql),

@@ -89,6 +89,23 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(rows.head.fieldIndex("n_oov")) > 0))
   }
 
+  test("curation pipeline: composition equals stagewise manual result") {
+    val rows = run("q_pipeline_curate").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // recompute stagewise with independent DataFrame code
+    val kept = run("q_text_filter_policy").filter(col("keep"))
+      .select("doc_id")
+    val canon = Tables.documents(spark, sf)
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val expect = kept.join(canon, Seq("doc_id"))
+      .join(Tables.embeddings(spark, sf), col("doc_id") === col("vec_id"))
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows == expect)
+    assert(rows.values.sum > 0)
+  }
+
   test("filter policy: every doc judged, reasons consistent with signals") {
     val df = run("q_text_filter_policy")
     val rows = df.collect()
