@@ -157,7 +157,42 @@ object Sources extends QueryModule {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM lineitem WHERE l_suppkey = 7 GROUP BY l_suppkey""".stripMargin
 
+  /** Storage-side aggregation through the custom DSv2 source — the
+    * reference's defining `--use-cls` behavior for aggregates (SURVEY
+    * §2.4 row 1 / §4.1 row 3: "OSD returns one partial row per
+    * object"): orders is rewritten into the object layout, then a
+    * global MIN/MAX/COUNT is answered ENTIRELY from object footers via
+    * SupportsPushDownAggregates (GraftFooterAggScan — zero rows
+    * decoded; ObjectStoreFeaturesSpec proves the plan shape and that
+    * the answer survives body corruption). The oracle computes the
+    * same aggregate over the raw table: the storage path must change
+    * the IO, never the answer. */
+  private val objstoreAgg = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "objagg") + "/orders"
+    Tables.orders(s, dir)
+      .repartition(4)
+      .write.format("graft-objects").mode("overwrite").save(out)
+    s.read.format("graft-objects").load(out)
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n"),
+        count(col("o_custkey")).as("n_cust"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"))
+  }
+
+  private val objstoreAggSql =
+    """SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+      |FROM orders""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_src_objstore_agg" -> Q(objstoreAgg, Some(objstoreAggSql),
+      "storage-side MIN/MAX/COUNT from object footers (agg pushdown)"),
     "q_src_bloom_index" -> Q(bloomIndex, Some(bloomIndexSql),
       "bloom-filter value index write+lookup (omap value-index analog)"),
     "q_src_csv_roundtrip" -> Q(csvRoundtrip, Some(csvRoundtripSql),

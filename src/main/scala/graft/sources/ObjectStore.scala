@@ -5,13 +5,16 @@ import java.nio.file.{Files, Paths}
 import java.util
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.{DateTimeUtils, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -22,22 +25,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The reference stores each table as many self-describing storage
   * objects named `<table>.<seq>`, each carrying its own schema and an
-  * object-local index, and evaluates select/project INSIDE the storage
-  * node so only matching bytes travel to the client. This module is
-  * that architecture as a Spark DSv2 source:
+  * object-local index, and evaluates select/project/aggregate INSIDE
+  * the storage node so only matching bytes travel to the client. This
+  * module is that architecture as a Spark DSv2 source:
   *
   *  - an object = one `<table>.<seq>` file: header (magic + schema DDL),
   *    row-major encoded rows (the analog of the reference's flatbuffer
-  *    rows), and a footer with row count + per-column min/max stats
-  *    (the analog of the reference's object-level index);
+  *    rows), and a footer with row count + per-column min/max stats and
+  *    null counts (the analog of the reference's object-level index);
   *  - `GraftObjectSource` (`format("graft-objects")`) implements
-  *    `TableProvider` → `SupportsRead` → `ScanBuilder` with BOTH
-  *    `SupportsPushDownFilters` and `SupportsPushDownRequiredColumns`:
-  *    accepted predicates are evaluated inside the reader before a row
-  *    is ever surfaced (the `--use-cls` path), and object-level stats
-  *    prune whole objects from `planInputPartitions` (the object
-  *    index); rejected predicates fall back to Spark (the client-side
-  *    path) — the same split the reference makes;
+  *    `TableProvider` → `SupportsRead` → `ScanBuilder` with
+  *    `SupportsPushDownFilters`, `SupportsPushDownRequiredColumns` AND
+  *    `SupportsPushDownAggregates`: accepted predicates are evaluated
+  *    inside the reader before a row is ever surfaced (the `--use-cls`
+  *    path), object-level stats prune whole objects from
+  *    `planInputPartitions` (the object index), and whole-table
+  *    MIN/MAX/COUNT aggregations are answered from footers alone —
+  *    one partial row per object, NO row ever decoded — the
+  *    reference's defining "OSD returns one partial row per object"
+  *    behavior (SURVEY §2.4). Rejected predicates/aggregates fall back
+  *    to Spark (the client-side path) — the same split the reference
+  *    makes;
   *  - one object = one `InputPartition` = one task: fan-out is
   *    object-granular exactly like the reference's per-object reads.
   *
@@ -52,110 +60,192 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ObjectFormat {
   val Magic = 0x474F424A // "GOBJ"
-  val Version = 1
+  // v2: footer stats in the column's NATIVE width (exact longs for
+  // integral columns — doubles collapse BIGINTs above 2^53 and a
+  // rounded-up min could prune an object that holds the queried key)
+  // + an exact per-column null count (feeds COUNT(col) pushdown and
+  // IsNull/IsNotNull pruning).
+  val Version = 2
 
-  /** Which types get footer min/max stats (numeric + timestamp). */
-  private def statable(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | DoubleType | FloatType |
-         TimestampType | TimestampNTZType => true
-    case _ => false
+  /** Stat kind per type: 1 = integral (footer stores exact longs),
+    * 2 = floating (footer stores doubles), 0 = no min/max stats. */
+  private[sources] def statKind(dt: DataType): Int = dt match {
+    case LongType | IntegerType | DateType |
+         TimestampType | TimestampNTZType => 1
+    case DoubleType | FloatType => 2
+    case _ => 0
   }
 
-  final case class ColStats(min: Double, max: Double, hasNull: Boolean)
+  /** min/max are java.lang.Long (integral cols), java.lang.Double
+    * (floating cols) or null (no stats: non-stat type, all-null column,
+    * or a NaN sighting — see the encoder note). nullCount is exact. */
+  final case class ColStats(min: Any, max: Any, nullCount: Int) {
+    def hasNull: Boolean = nullCount > 0
+  }
   final case class Footer(rowCount: Int, stats: Map[String, ColStats])
+
+  /** Exact 3-valued compare across JVM numeric widths. Integral pairs
+    * compare as longs; an integral×floating pair compares through
+    * BigDecimal (comparing a long above 2^53 via doubleValue collapses
+    * distinct keys — EqualTo(l_orderkey, 2^53+1) must not match 2^53).
+    * NaN/±Inf fall back to Double.compare, whose total order (NaN
+    * greatest) matches Spark's. None when either side is null or the
+    * pair is not comparable (callers treat None as "unknown"). */
+  def cmpExact(x: Any, v: Any): Option[Int] = {
+    def floating(n: Number) =
+      n.isInstanceOf[java.lang.Double] || n.isInstanceOf[java.lang.Float]
+    (x, v) match {
+      case (null, _) | (_, null) => None
+      case (a: Number, b: Number) =>
+        if (!floating(a) && !floating(b))
+          Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+        else {
+          val ad = a.doubleValue(); val bd = b.doubleValue()
+          if (ad.isNaN || bd.isNaN || ad.isInfinite || bd.isInfinite)
+            Some(java.lang.Double.compare(ad, bd))
+          else if (!floating(a))
+            Some(java.math.BigDecimal.valueOf(a.longValue())
+              .compareTo(new java.math.BigDecimal(bd)))
+          else if (!floating(b))
+            Some(new java.math.BigDecimal(ad)
+              .compareTo(java.math.BigDecimal.valueOf(b.longValue())))
+          else Some(java.lang.Double.compare(ad, bd))
+        }
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case _ => None
+    }
+  }
 
   /** Streaming encoder: add rows (external Row from ingest, or
     * InternalRow from the DSv2 writer), then `finish(path)` writes
-    * header + body + stats footer. */
+    * header + body + stats footer. Values are encoded recursively from
+    * their Catalyst representation, so the codec covers the full
+    * fixture surface: atomics, date/timestamp, decimal, string/binary,
+    * arrays of any element, nested structs and maps (SURVEY §1.2's
+    * DATE and BLOB analogs included). */
   final class ObjectEncoder(schema: StructType) {
     private val body = new ByteArrayOutputStream(1 << 20)
     private val out = new DataOutputStream(body)
     private val n = schema.length
-    private val mins = Array.fill(n)(Double.PositiveInfinity)
-    private val maxs = Array.fill(n)(Double.NegativeInfinity)
-    private val nulls = Array.fill(n)(false)
+    private val kinds = schema.fields.map(f => statKind(f.dataType))
+    private val minsL = Array.fill(n)(Long.MaxValue)
+    private val maxsL = Array.fill(n)(Long.MinValue)
+    private val minsD = Array.fill(n)(Double.PositiveInfinity)
+    private val maxsD = Array.fill(n)(Double.NegativeInfinity)
+    private val nullCounts = Array.fill(n)(0)
     private val nans = Array.fill(n)(false)
     private var count = 0
 
-    private def stat(i: Int, v: Double): Unit = {
+    private def statL(i: Int, v: Long): Unit = {
+      if (v < minsL(i)) minsL(i) = v
+      if (v > maxsL(i)) maxsL(i) = v
+    }
+    private def statD(i: Int, v: Double): Unit = {
       // NaN never updates < / > comparisons, yet Spark orders NaN above
       // every double — min/max stats that ignored NaN would let the
       // object-skip logic wrongly prune objects whose only matches are
       // NaN rows. A NaN sighting disables stats for the column.
       if (v.isNaN) nans(i) = true
-      if (v < mins(i)) mins(i) = v
-      if (v > maxs(i)) maxs(i) = v
+      if (v < minsD(i)) minsD(i) = v
+      if (v > maxsD(i)) maxsD(i) = v
     }
-    private def put(i: Int, dt: DataType, value: Any): Unit = dt match {
-      case LongType | TimestampNTZType | TimestampType =>
-        val v = value.asInstanceOf[Long]
-        out.writeLong(v); stat(i, v.toDouble)
-      case IntegerType =>
-        val v = value.asInstanceOf[Int]
-        out.writeInt(v); stat(i, v.toDouble)
-      case DoubleType =>
-        val v = value.asInstanceOf[Double]
-        out.writeDouble(v); stat(i, v)
-      case FloatType =>
-        val v = value.asInstanceOf[Float]
-        out.writeFloat(v); stat(i, v.toDouble)
+
+    /** Recursive value codec (Catalyst-level values). Nested nulls get
+      * a presence byte; map keys are non-null by Spark's contract. */
+    private def writeValue(dt: DataType, value: Any): Unit = dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        out.writeLong(value.asInstanceOf[Long])
+      case IntegerType | DateType => out.writeInt(value.asInstanceOf[Int])
+      case DoubleType => out.writeDouble(value.asInstanceOf[Double])
+      case FloatType => out.writeFloat(value.asInstanceOf[Float])
+      case BooleanType => out.writeBoolean(value.asInstanceOf[Boolean])
       case StringType =>
+        val b = value.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length); out.write(b)
+      case BinaryType =>
         val b = value.asInstanceOf[Array[Byte]]
         out.writeInt(b.length); out.write(b)
-      case ArrayType(FloatType, _) =>
-        val a = value.asInstanceOf[Array[Float]]
-        out.writeInt(a.length); a.foreach(out.writeFloat)
-      case BooleanType => out.writeBoolean(value.asInstanceOf[Boolean])
+      case d: DecimalType =>
+        val un = value.asInstanceOf[Decimal]
+          .toJavaBigDecimal.setScale(d.scale).unscaledValue().toByteArray
+        out.writeInt(un.length); out.write(un)
+      case ArrayType(et, _) =>
+        val a = value.asInstanceOf[ArrayData]
+        val len = a.numElements()
+        out.writeInt(len)
+        var j = 0
+        while (j < len) {
+          val isNull = a.isNullAt(j)
+          out.writeBoolean(!isNull)
+          if (!isNull) writeValue(et, a.get(j, et))
+          j += 1
+        }
+      case st: StructType =>
+        val r = value.asInstanceOf[InternalRow]
+        var j = 0
+        while (j < st.length) { out.writeBoolean(!r.isNullAt(j)); j += 1 }
+        j = 0
+        while (j < st.length) {
+          if (!r.isNullAt(j)) writeValue(st(j).dataType, r.get(j, st(j).dataType))
+          j += 1
+        }
+      case MapType(kt, vt, _) =>
+        val m = value.asInstanceOf[MapData]
+        val len = m.numElements()
+        val ks = m.keyArray(); val vs = m.valueArray()
+        out.writeInt(len)
+        var j = 0
+        while (j < len) { writeValue(kt, ks.get(j, kt)); j += 1 }
+        j = 0
+        while (j < len) {
+          val isNull = vs.isNullAt(j)
+          out.writeBoolean(!isNull)
+          if (!isNull) writeValue(vt, vs.get(j, vt))
+          j += 1
+        }
       case other => throw new UnsupportedOperationException(
         s"graft-objects codec: unsupported type $other")
     }
 
+    private def put(i: Int, dt: DataType, value: Any): Unit = {
+      kinds(i) match {
+        case 1 => statL(i, dt match {
+          case IntegerType | DateType => value.asInstanceOf[Int].toLong
+          case _ => value.asInstanceOf[Long]
+        })
+        case 2 => statD(i, dt match {
+          case FloatType => value.asInstanceOf[Float].toDouble
+          case _ => value.asInstanceOf[Double]
+        })
+        case _ =>
+      }
+      writeValue(dt, value)
+    }
+
     /** presence flags (1 byte/field; a packed bitmap is the obvious
       * compaction, skipped for codec readability) */
-    private def addVia(isNull: Int => Boolean, value: Int => Any): Unit = {
+    def addInternal(row: InternalRow): Unit = {
       var i = 0
-      while (i < n) { out.writeBoolean(!isNull(i)); i += 1 }
+      while (i < n) { out.writeBoolean(!row.isNullAt(i)); i += 1 }
       i = 0
       while (i < n) {
-        if (!isNull(i)) put(i, schema(i).dataType, value(i))
-        else nulls(i) = true
+        val dt = schema(i).dataType
+        if (!row.isNullAt(i)) put(i, dt, row.get(i, dt))
+        else nullCounts(i) += 1
         i += 1
       }
       count += 1
     }
 
+    /** External rows route through the standard Catalyst converter —
+      * one codec path, every external representation Spark accepts
+      * (java.sql.Date/LocalDate, BigDecimal, Seq vs Array, case
+      * classes for structs, …) handled by the same machinery the
+      * DataFrame API uses. */
+    private val toCatalyst =
+      CatalystTypeConverters.createToCatalystConverter(schema)
     def addExternal(row: Row): Unit =
-      addVia(row.isNullAt, { i =>
-        schema(i).dataType match {
-          case TimestampNTZType => DateTimeUtils.localDateTimeToMicros(
-            row.getAs[java.time.LocalDateTime](i))
-          case TimestampType => row.getAs[Any](i) match {
-            case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
-            case t: java.time.Instant  => DateTimeUtils.instantToMicros(t)
-          }
-          case StringType => row.getString(i).getBytes("UTF-8")
-          case ArrayType(FloatType, _) => row.get(i) match {
-            case a: Array[Float] => a
-            case s: scala.collection.Seq[_] =>
-              s.map(_.asInstanceOf[Float]).toArray
-          }
-          case _ => row.get(i)
-        }
-      })
-
-    def addInternal(row: InternalRow): Unit =
-      addVia(row.isNullAt, { i =>
-        schema(i).dataType match {
-          case LongType | TimestampNTZType | TimestampType => row.getLong(i)
-          case IntegerType => row.getInt(i)
-          case DoubleType => row.getDouble(i)
-          case FloatType => row.getFloat(i)
-          case StringType => row.getUTF8String(i).getBytes
-          case ArrayType(FloatType, _) => row.getArray(i).toFloatArray()
-          case BooleanType => row.getBoolean(i)
-          case other => throw new UnsupportedOperationException(other.toString)
-        }
-      })
+      addInternal(toCatalyst(row).asInstanceOf[InternalRow])
 
     def finish(path: String): Int = {
       out.flush()
@@ -167,10 +257,16 @@ object ObjectFormat {
       file.write(bodyBytes)
       file.writeInt(count)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
-        val has = statable(f.dataType) && mins(i) <= maxs(i) && !nans(i)
-        file.writeBoolean(has)
-        if (has) { file.writeDouble(mins(i)); file.writeDouble(maxs(i)) }
-        file.writeBoolean(nulls(i))
+        kinds(i) match {
+          case 1 if minsL(i) <= maxsL(i) =>
+            file.writeBoolean(true)
+            file.writeLong(minsL(i)); file.writeLong(maxsL(i))
+          case 2 if minsD(i) <= maxsD(i) && !nans(i) =>
+            file.writeBoolean(true)
+            file.writeDouble(minsD(i)); file.writeDouble(maxsD(i))
+          case _ => file.writeBoolean(false)
+        }
+        file.writeInt(nullCounts(i))
       }
       // body CRC32 — verified by verifyObject (scrub), not at planning
       val crc = new java.util.zip.CRC32()
@@ -197,7 +293,9 @@ object ObjectFormat {
     } finally in.close()
   }
 
-  /** Footer-only read: header (to size the skip) + trailing stats. */
+  /** Footer-only read: header (to size the skip) + trailing stats.
+    * The body is SKIPPED, never decoded — this is the only read the
+    * planner and the pushed-aggregate path ever do. */
   def readFooter(path: String): Footer = {
     val in = new DataInputStream(Files.newInputStream(Paths.get(path)))
     try {
@@ -205,18 +303,20 @@ object ObjectFormat {
       in.readInt()
       val schema = StructType.fromDDL(in.readUTF())
       val bodyLen = in.readInt()
-      in.skipBytes(bodyLen)
+      var toSkip = bodyLen.toLong
+      while (toSkip > 0) toSkip -= in.skip(toSkip)
       val count = in.readInt()
       val stats = schema.fields.map { f =>
         val has = in.readBoolean()
-        val st =
-          if (has) {
-            val mn = in.readDouble(); val mx = in.readDouble()
-            val hn = in.readBoolean()
-            Some(ColStats(mn, mx, hn))
-          } else { in.readBoolean(); None }
-        f.name -> st
-      }.collect { case (n, Some(s)) => n -> s }.toMap
+        var mn: Any = null
+        var mx: Any = null
+        if (has) statKind(f.dataType) match {
+          case 1 => mn = Long.box(in.readLong()); mx = Long.box(in.readLong())
+          case _ => mn = Double.box(in.readDouble()); mx = Double.box(in.readDouble())
+        }
+        val nulls = in.readInt()
+        f.name -> ColStats(mn, mx, nulls)
+      }.toMap
       Footer(count, stats)
     } finally in.close()
   }
@@ -235,9 +335,9 @@ object ObjectFormat {
         val body = new Array[Byte](bodyLen)
         in.readFully(body)
         in.readInt() // rowCount
-        schema.fields.foreach { f =>
-          if (in.readBoolean()) { in.readDouble(); in.readDouble() }
-          in.readBoolean()
+        schema.fields.foreach { _ =>
+          if (in.readBoolean()) { in.readLong(); in.readLong() } // 16 bytes either kind
+          in.readInt() // nullCount
         }
         val stored = in.readLong()
         val crc = new java.util.zip.CRC32()
@@ -247,41 +347,34 @@ object ObjectFormat {
     } catch { case _: Exception => false }
 
   /** Can `filter` (an accepted pushdown) possibly match an object with
-    * these stats? False ⇒ the whole object is skipped (object index). */
-  def mightMatch(filter: Filter, stats: Map[String, ColStats]): Boolean = {
-    def num(v: Any): Option[Double] = v match {
-      case n: Number => Some(n.doubleValue())
-      case _ => None
-    }
+    * this footer? False ⇒ the whole object is skipped (object index).
+    * All comparisons are EXACT (cmpExact) — integral stats are stored
+    * as longs, so no 2^53 collapse; unknown comparisons keep the
+    * object (conservative). */
+  def mightMatch(filter: Filter, footer: Footer): Boolean = {
+    val stats = footer.stats
+    def rng(a: String): Option[(Any, Any)] =
+      stats.get(a).collect { case ColStats(mn, mx, _) if mn != null => (mn, mx) }
+    def inRange(v: Any, mn: Any, mx: Any): Boolean =
+      (for { c1 <- cmpExact(v, mn); c2 <- cmpExact(v, mx) }
+        yield c1 >= 0 && c2 <= 0).getOrElse(true)
     filter match {
-      case EqualTo(a, v) => (stats.get(a), num(v)) match {
-        case (Some(s), Some(d)) => d >= s.min && d <= s.max
-        case _ => true
-      }
-      case GreaterThan(a, v) => (stats.get(a), num(v)) match {
-        case (Some(s), Some(d)) => s.max > d
-        case _ => true
-      }
-      case GreaterThanOrEqual(a, v) => (stats.get(a), num(v)) match {
-        case (Some(s), Some(d)) => s.max >= d
-        case _ => true
-      }
-      case LessThan(a, v) => (stats.get(a), num(v)) match {
-        case (Some(s), Some(d)) => s.min < d
-        case _ => true
-      }
-      case LessThanOrEqual(a, v) => (stats.get(a), num(v)) match {
-        case (Some(s), Some(d)) => s.min <= d
-        case _ => true
-      }
-      case In(a, vs) => stats.get(a) match {
-        case Some(s) =>
-          val ds = vs.flatMap(num)
-          ds.isEmpty || ds.exists(d => d >= s.min && d <= s.max)
-        case _ => true
-      }
+      case EqualTo(a, v) => rng(a).forall { case (mn, mx) => inRange(v, mn, mx) }
+      case GreaterThan(a, v) =>
+        rng(a).forall { case (_, mx) => cmpExact(mx, v).forall(_ > 0) }
+      case GreaterThanOrEqual(a, v) =>
+        rng(a).forall { case (_, mx) => cmpExact(mx, v).forall(_ >= 0) }
+      case LessThan(a, v) =>
+        rng(a).forall { case (mn, _) => cmpExact(mn, v).forall(_ < 0) }
+      case LessThanOrEqual(a, v) =>
+        rng(a).forall { case (mn, _) => cmpExact(mn, v).forall(_ <= 0) }
+      case In(a, vs) =>
+        rng(a).forall { case (mn, mx) =>
+          vs.isEmpty || vs.exists(v => inRange(v, mn, mx)) }
       case IsNull(a) => stats.get(a).forall(_.hasNull)
-      case And(l, r) => mightMatch(l, stats) && mightMatch(r, stats)
+      case IsNotNull(a) =>
+        stats.get(a).forall(s => footer.rowCount - s.nullCount > 0)
+      case And(l, r) => mightMatch(l, footer) && mightMatch(r, footer)
       case _ => true
     }
   }
@@ -344,7 +437,8 @@ class GraftObjectSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftObjectTable {
-  /** `<table>.<seq>` files, seq-sorted — the object naming contract. */
+  /** `<table>.<seq>` files, seq-sorted — the object naming contract.
+    * Sidecar files (`_staged_*`, `_epoch_*`) never match. */
   def listObjects(dir: String): Seq[String] = {
     val d = new File(dir)
     val name = d.getName
@@ -366,7 +460,7 @@ class GraftObjectTable(tableSchema: StructType, path: String)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableSchema, path)
+    new GraftScanBuilder(tableSchema, path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info.schema(), path)
 }
@@ -388,18 +482,21 @@ class GraftWriteBuilder(writeSchema: StructType, path: String)
       * objects onto the tail of the `<table>.<seq>` sequence — which is
       * exactly what makes the table readable as a stream (offset =
       * object count): a writeStream into the object store composes with
-      * a readStream out of it. Exactly-once at the object level comes
-      * from the staged-rename commit; epoch replays after a failure
-      * re-stage and re-commit idempotently named epochs... kept simple
-      * here: append-only, epoch commits are sequential. */
-    override def toStreaming:
-        org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      * a readStream out of it. Exactly-once at the object level: see
+      * GraftStreamingWrite's epoch-marker commit protocol. */
+    override def toStreaming: StreamingWrite =
       new GraftStreamingWrite(writeSchema, path)
   }
 }
 
-case class GraftStagedObject(stagedPath: String) extends WriterCommitMessage
+case class GraftStagedObject(stagedPath: String, partitionId: Int)
+    extends WriterCommitMessage
 
+/** Batch commit discipline: staged-rename, single-writer. The sequence
+  * base is `existing.size`, which is correct for the one-writer-per-
+  * table contract every call site here honors; concurrent appenders
+  * would need a lock-file or a conditional-put (the reference's
+  * object-store CAS) to serialize the base — documented, not built. */
 class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -415,7 +512,7 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
             s"[${existing.toDDL}], write has [${writeSchema.toDDL}]")
       }
     }
-    new GraftWriterFactory(writeSchema, path)
+    new GraftWriterFactory(writeSchema, path, "b")
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -423,7 +520,7 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
     val existing = GraftObjectTable.listObjects(path)
     if (truncate) existing.foreach(p => new File(p).delete())
     val base = if (truncate) 0 else existing.size
-    messages.zipWithIndex.foreach { case (GraftStagedObject(staged), i) =>
+    messages.zipWithIndex.foreach { case (GraftStagedObject(staged, _), i) =>
       val dst = new File(dir, s"$table.${base + i}")
       if (!new File(staged).renameTo(dst))
         throw new java.io.IOException(s"rename $staged -> $dst failed")
@@ -431,66 +528,118 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftStagedObject(staged) => new File(staged).delete()
+      case GraftStagedObject(staged, _) => new File(staged).delete()
       case _ =>
     }
 }
 
+/** Exactly-once streaming epochs. Spark's sink contract is that
+  * `commit(epochId, …)` may be REPLAYED after a failure (same epochId,
+  * re-staged identical data — micro-batch replay is deterministic by
+  * the offset-log contract). The commit protocol here makes replays
+  * idempotent AND completes half-finished commits:
+  *
+  *  1. first commit of an epoch: compute the target `<table>.<seq>`
+  *     names, write them to a `_epoch_<id>` marker (tmp + atomic
+  *     rename — the commit point), THEN rename staged→target;
+  *  2. replayed commit (marker exists): for every target named in the
+  *     marker that is missing (a crash landed between marker and
+  *     renames), rename the replay's staged object for that partition
+  *     into place; staged files for already-present targets are
+  *     deleted. Either way the epoch's objects appear exactly once.
+  *
+  * Readers only ever list `<table>.<seq>` names, so markers and staged
+  * files are invisible; epochs are serial (single streaming writer per
+  * table — same single-writer contract as batch append). */
 class GraftStreamingWrite(writeSchema: StructType, path: String)
-    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+    extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     new File(path).mkdirs()
-    val factory = new GraftWriterFactory(writeSchema, path)
+    // locals only: the anonymous factory must not capture `this`
+    // (StreamingWrite is not serializable; the factory ships to tasks)
+    val schema = writeSchema
+    val dir = path
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
-        factory.createWriter(partitionId, taskId)
+        new GraftWriterFactory(schema, dir, s"e${epochId}_")
+          .createWriter(partitionId, taskId)
     }
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
     val table = dir.getName
-    val base = GraftObjectTable.listObjects(path).size
-    messages.zipWithIndex.foreach { case (GraftStagedObject(staged), i) =>
-      val dst = new File(dir, s"$table.${base + i}")
-      if (!new File(staged).renameTo(dst))
-        throw new java.io.IOException(s"rename $staged -> $dst failed")
+    val marker = new File(dir, s"_epoch_$epochId")
+    val staged = messages.collect { case m: GraftStagedObject => m }
+    if (marker.exists()) {
+      // replay: complete any rename the crashed attempt didn't finish
+      val targets = // lines: "<partitionId> <objectName>"
+        new String(Files.readAllBytes(marker.toPath), "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+          .map { l => val Array(p, o) = l.split(" ", 2); p.toInt -> o }.toMap
+      staged.foreach { case GraftStagedObject(s, pid) =>
+        val f = new File(s)
+        targets.get(pid) match {
+          case Some(obj) if !new File(dir, obj).exists() =>
+            if (!f.renameTo(new File(dir, obj)))
+              throw new java.io.IOException(s"replay rename $s -> $obj failed")
+          case _ => f.delete()
+        }
+      }
+    } else {
+      val base = GraftObjectTable.listObjects(path).size
+      val targets = staged.zipWithIndex.map { case (m, i) =>
+        m -> s"$table.${base + i}"
+      }
+      val tmp = new File(dir, s"_epoch_$epochId.tmp")
+      Files.write(tmp.toPath, targets
+        .map { case (m, obj) => s"${m.partitionId} $obj" }
+        .mkString("\n").getBytes("UTF-8"))
+      if (!tmp.renameTo(marker)) // atomic commit point
+        throw new java.io.IOException(s"epoch marker $marker failed")
+      targets.foreach { case (GraftStagedObject(s, _), obj) =>
+        if (!new File(s).renameTo(new File(dir, obj)))
+          throw new java.io.IOException(s"rename $s -> $obj failed")
+      }
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftStagedObject(staged) => new File(staged).delete()
+      case GraftStagedObject(staged, _) => new File(staged).delete()
       case _ =>
     }
 }
 
-class GraftWriterFactory(writeSchema: StructType, path: String)
+class GraftWriterFactory(writeSchema: StructType, path: String, tag: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val staged = s"$path/_staged_${partitionId}_$taskId"
+      private val staged = s"$path/_staged_$tag${partitionId}_$taskId"
       private val enc = new ObjectFormat.ObjectEncoder(writeSchema)
       override def write(row: InternalRow): Unit = enc.addInternal(row)
       override def commit(): WriterCommitMessage = {
         enc.finish(staged)
-        GraftStagedObject(staged)
+        GraftStagedObject(staged, partitionId)
       }
       override def abort(): Unit = new File(staged).delete()
       override def close(): Unit = ()
     }
 }
 
-class GraftScanBuilder(fullSchema: StructType, path: String)
+class GraftScanBuilder(fullSchema: StructType, path: String,
+    options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var pushedAggs: Option[Seq[FooterAgg]] = None
+  private var aggFooters: Seq[ObjectFormat.Footer] = Nil
 
   /** A filter is storage-evaluable when it references only codec-typed
     * columns with comparable values; everything else stays client-side
@@ -525,14 +674,151 @@ class GraftScanBuilder(fullSchema: StructType, path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftObjectScan(fullSchema, required, accepted, path)
+  /** Storage-side aggregation — the reference's defining behavior
+    * (SURVEY §2.4 "agg predicates … OSD returns one partial row per
+    * object", §4.1 row 3): a global (no GROUP BY, no pushed filters)
+    * MIN/MAX/COUNT(*)/COUNT(col) is answered ENTIRELY from object
+    * footers — exact longs/doubles for min/max, exact row and null
+    * counts — one partial row per object, zero rows decoded. Spark
+    * applies the final merge (min-of-mins, sum-of-counts), identical
+    * to the reference's client-side partial combine. Anything the
+    * footer can't answer exactly (GROUP BY, SUM/AVG, a column whose
+    * stats were disabled by a NaN sighting, distinct counts) is
+    * refused and falls back to the ordinary scan. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (accepted.nonEmpty || aggregation.groupByExpressions().nonEmpty)
+      return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val c = nr.fieldNames()(0)
+          if (has(c)) Some(c) else None
+        case _ => None
+      }
+    def statable(c: String): Boolean =
+      ObjectFormat.statKind(fullSchema(c).dataType) != 0
+    val translated: Seq[Option[FooterAgg]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case m: Min => colOf(m.column).filter(statable)
+          .map(c => FooterAgg.MinOf(c, fullSchema(c).dataType))
+        case m: Max => colOf(m.column).filter(statable)
+          .map(c => FooterAgg.MaxOf(c, fullSchema(c).dataType))
+        case _: CountStar => Some(FooterAgg.CountStar)
+        case c: Count if !c.isDistinct() =>
+          colOf(c.column).map(FooterAgg.CountOf.apply)
+        case _ => None
+      }
+    if (translated.exists(_.isEmpty)) return false
+    val aggs = translated.flatten
+    // a MIN/MAX column must carry stats in every non-empty object whose
+    // rows aren't all null for it (stats absent + non-null rows present
+    // ⇒ a NaN disabled them ⇒ the footer can't reproduce Spark's
+    // NaN-is-greatest MAX — refuse, don't approximate)
+    val need = aggs.collect {
+      case FooterAgg.MinOf(c, _) => c
+      case FooterAgg.MaxOf(c, _) => c
+    }.distinct
+    val footers = GraftObjectTable.listObjects(path).map(ObjectFormat.readFooter)
+    val answerable = footers.filter(_.rowCount > 0).forall { f =>
+      need.forall(c => f.stats.get(c).exists(s =>
+        s.min != null || s.nullCount == f.rowCount))
+    }
+    if (!answerable) return false
+    pushedAggs = Some(aggs)
+    aggFooters = footers
+    true
+  }
+
+  private def maxObjectsPerTrigger: Option[Int] =
+    Option(options.get("maxObjectsPerTrigger")).map(_.toInt)
+
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => new GraftFooterAggScan(aggs, aggFooters, path)
+    case None => new GraftObjectScan(fullSchema, required, accepted, path,
+      maxObjectsPerTrigger)
+  }
 }
+
+/** Footer-answerable aggregate, tagged with the column's Spark type so
+  * the partial row surfaces values in the column's own width (footer
+  * longs narrow back to int/date, doubles to float — both exact). */
+sealed trait FooterAgg
+object FooterAgg {
+  final case class MinOf(col: String, dt: DataType) extends FooterAgg
+  final case class MaxOf(col: String, dt: DataType) extends FooterAgg
+  case object CountStar extends FooterAgg
+  final case class CountOf(col: String) extends FooterAgg
+}
+
+/** One partial row per object, computed from footers ALREADY read at
+  * planning time — the executor receives literal values and never
+  * opens an object file, let alone decodes a row (ObjectStoreSpec
+  * proves it by corrupting object bodies and aggregating anyway).
+  * All per-object rows ride in a single InputPartition: they are
+  * metadata-sized (objects × aggregates), and Spark's final merge is
+  * the cross-object combine. */
+class GraftFooterAggScan(aggs: Seq[FooterAgg],
+    footers: Seq[ObjectFormat.Footer], path: String)
+    extends Scan with Batch {
+
+  private def narrow(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: java.lang.Long, IntegerType | DateType) => Int.box(l.toInt)
+    case (d: java.lang.Double, FloatType) => Float.box(d.toFloat)
+    case (x, _) => x
+  }
+
+  private def outField(a: FooterAgg): StructField = a match {
+    case FooterAgg.MinOf(c, dt) => StructField(s"min($c)", dt)
+    case FooterAgg.MaxOf(c, dt) => StructField(s"max($c)", dt)
+    case FooterAgg.CountStar => StructField("count(*)", LongType, nullable = false)
+    case FooterAgg.CountOf(c) => StructField(s"count($c)", LongType, nullable = false)
+  }
+
+  private def partialRow(f: ObjectFormat.Footer): Array[Any] = aggs.map {
+    case FooterAgg.MinOf(c, dt) => narrow(f.stats.get(c).map(_.min).orNull, dt)
+    case FooterAgg.MaxOf(c, dt) => narrow(f.stats.get(c).map(_.max).orNull, dt)
+    case FooterAgg.CountStar => Long.box(f.rowCount.toLong)
+    case FooterAgg.CountOf(c) =>
+      Long.box((f.rowCount - f.stats.get(c).map(_.nullCount).getOrElse(0)).toLong)
+  }.toArray
+
+  override def readSchema(): StructType = StructType(aggs.map(outField))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftFooterAggScan path=$path, " +
+      s"PushedAggregates: [${aggs.map(outField(_).name).mkString(", ")}] " +
+      "(footer-only, zero rows decoded)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows = footers.filter(_.rowCount > 0).map(partialRow)
+    // SQL global aggregates over an empty table still yield one row
+    // (COUNT 0, MIN/MAX null) — emit the identity partial
+    val out = if (rows.nonEmpty) rows else Seq(aggs.map[Any] {
+      case FooterAgg.CountStar | FooterAgg.CountOf(_) => Long.box(0L)
+      case _ => null
+    }.toArray)
+    Array(GraftAggRowsPartition(out))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[GraftAggRowsPartition].rows.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = new GenericInternalRow(it.next()); true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+}
+
+case class GraftAggRowsPartition(rows: Seq[Array[Any]]) extends InputPartition
 
 case class GraftObjectPartition(path: String) extends InputPartition
 
 class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
-    pushed: Array[Filter], path: String)
+    pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = readSchema_
@@ -543,15 +829,16 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
       s"ReadSchema: ${readSchema_.catalogString}"
 
   /** Object pruning = the reference's object-local index: footers only. */
-  private lazy val selected: Seq[String] =
-    GraftObjectTable.listObjects(path).filter { obj =>
-      val footer = ObjectFormat.readFooter(obj)
+  private lazy val selected: Seq[(String, ObjectFormat.Footer)] =
+    GraftObjectTable.listObjects(path).map { obj =>
+      obj -> ObjectFormat.readFooter(obj)
+    }.filter { case (_, footer) =>
       footer.rowCount > 0 &&
-        pushed.forall(ObjectFormat.mightMatch(_, footer.stats))
+        pushed.forall(ObjectFormat.mightMatch(_, footer))
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    selected.map(GraftObjectPartition.apply).toArray
+    selected.map { case (p, _) => GraftObjectPartition(p) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(fullSchema, readSchema_, pushed)
@@ -563,27 +850,32 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     * the reference's append-object model feeding Structured Streaming.
     * Pushed filters and stats pruning apply per batch exactly as in
     * batch reads. */
-  override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(fullSchema, readSchema_, pushed, path)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(fullSchema, readSchema_, pushed, path,
+      maxObjectsPerTrigger)
 
+  /** runstats → CBO (SURVEY §4.1): the footer row counts the reference
+    * keeps per object surface here as exact relation statistics, so
+    * Catalyst's size/row-based decisions (auto-broadcast, join
+    * reorder under CBO) see the truth without an ANALYZE pass. With
+    * pushed filters the counts are the selected objects' totals — an
+    * upper bound, same contract as any pre-filter scan estimate. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = selected.map(p => new File(p).length()).sum
+    private val bytes = selected.map { case (p, _) => new File(p).length() }.sum
+    private val rows = selected.map(_._2.rowCount.toLong).sum
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
   }
 }
 
 /** Offset = count of `<table>.<seq>` objects consumed so far. */
-case class GraftObjectOffset(objectCount: Int)
-    extends org.apache.spark.sql.connector.read.streaming.Offset {
+case class GraftObjectOffset(objectCount: Int) extends Offset {
   override def json(): String = objectCount.toString
 }
 
 class GraftMicroBatchStream(fullSchema: StructType, readSchema: StructType,
-    pushed: Array[Filter], path: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = GraftObjectOffset(0)
   override def latestOffset(): Offset =
@@ -593,6 +885,37 @@ class GraftMicroBatchStream(fullSchema: StructType, readSchema: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** Admission control: `.option("maxObjectsPerTrigger", n)` bounds
+    * each micro-batch to n newly appeared objects — the object-store
+    * analog of the file source's maxFilesPerTrigger, and what keeps a
+    * deep backlog (a table that grew while the stream was down) from
+    * becoming one giant catch-up batch. AvailableNow drains the
+    * backlog in successive bounded batches via the same limit (the
+    * SupportsTriggerAvailableNow contract: without it Spark falls
+    * back to one single catch-up batch). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxObjectsPerTrigger.map(m => ReadLimit.maxFiles(m))
+      .getOrElse(ReadLimit.allAvailable())
+
+  // AvailableNow pins the drain target at trigger time: objects
+  // appended after the pin are left for the next run
+  private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GraftObjectTable.listObjects(path).size)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val all = availableNowCap
+      .getOrElse(GraftObjectTable.listObjects(path).size)
+    val s = start.asInstanceOf[GraftObjectOffset].objectCount
+    val end = limit match {
+      case mf: ReadMaxFiles => math.min(all, s + mf.maxFiles())
+      case _ => all
+    }
+    GraftObjectOffset(end)
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftObjectOffset].objectCount
     val e = end.asInstanceOf[GraftObjectOffset].objectCount
@@ -600,7 +923,7 @@ class GraftMicroBatchStream(fullSchema: StructType, readSchema: StructType,
       .filter { obj => // same object-index pruning as the batch path
         val footer = ObjectFormat.readFooter(obj)
         footer.rowCount > 0 &&
-          pushed.forall(ObjectFormat.mightMatch(_, footer.stats))
+          pushed.forall(ObjectFormat.mightMatch(_, footer))
       }
       .map(GraftObjectPartition.apply).toArray
   }
@@ -618,111 +941,134 @@ class GraftReaderFactory(fullSchema: StructType, readSchema: StructType,
 
 /** Streams one object: decode row → evaluate pushed filters → project
   * required columns. The select+project happens HERE, storage-side —
-  * the reference's in-storage processing. */
+  * the reference's in-storage processing. Values decode directly into
+  * their Catalyst representation (nested structs/arrays/maps
+  * included), so projection is a plain array copy. */
 class GraftObjectReader(path: String, fullSchema: StructType,
     readSchema: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private val in = new DataInputStream(
+  /** Byte-position tracking for the recursive decoder (rows end where
+    * the body ends; the codec has no per-row length prefix). */
+  private class CountingInputStream(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    var pos = 0L
+    override def read(): Int = {
+      val r = super.read(); if (r >= 0) pos += 1; r
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val r = super.read(b, off, len); if (r > 0) pos += r; r
+    }
+  }
+
+  private val counting = new CountingInputStream(
     new java.io.BufferedInputStream(Files.newInputStream(Paths.get(path)), 1 << 20))
+  private val in = new DataInputStream(counting)
   require(in.readInt() == ObjectFormat.Magic)
   in.readInt()
   in.readUTF()
   private val bodyLen = in.readInt()
-  private var consumed = 0L
+  private val bodyEnd = counting.pos + bodyLen
 
   private val n = fullSchema.length
   private val fieldIdx = fullSchema.fieldNames.zipWithIndex.toMap
   private val outIdx = readSchema.fieldNames.map(fieldIdx)
   private val present = Array.ofDim[Boolean](n)
-  private val values = Array.ofDim[Any](n) // decoded java-level values
+  private val values = Array.ofDim[Any](n) // Catalyst-level values
   private var current: InternalRow = _
 
+  private def readValue(dt: DataType): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => Long.box(in.readLong())
+    case IntegerType | DateType => Int.box(in.readInt())
+    case DoubleType => Double.box(in.readDouble())
+    case FloatType => Float.box(in.readFloat())
+    case BooleanType => Boolean.box(in.readBoolean())
+    case StringType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      UTF8String.fromBytes(b)
+    case BinaryType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      b
+    case d: DecimalType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      Decimal(new java.math.BigDecimal(
+        new java.math.BigInteger(b), d.scale), d.precision, d.scale)
+    case ArrayType(et, _) =>
+      val len = in.readInt()
+      val a = new Array[Any](len)
+      var j = 0
+      while (j < len) {
+        a(j) = if (in.readBoolean()) readValue(et) else null
+        j += 1
+      }
+      new GenericArrayData(a)
+    case st: StructType =>
+      val flags = Array.ofDim[Boolean](st.length)
+      var j = 0
+      while (j < st.length) { flags(j) = in.readBoolean(); j += 1 }
+      val vals = new Array[Any](st.length)
+      j = 0
+      while (j < st.length) {
+        if (flags(j)) vals(j) = readValue(st(j).dataType)
+        j += 1
+      }
+      new GenericInternalRow(vals)
+    case MapType(kt, vt, _) =>
+      val len = in.readInt()
+      val ks = new Array[Any](len)
+      var j = 0
+      while (j < len) { ks(j) = readValue(kt); j += 1 }
+      val vs = new Array[Any](len)
+      j = 0
+      while (j < len) {
+        vs(j) = if (in.readBoolean()) readValue(vt) else null
+        j += 1
+      }
+      new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+    case other => throw new UnsupportedOperationException(other.toString)
+  }
+
   private def readRow(): Boolean = {
-    if (consumed >= bodyLen) return false
+    if (counting.pos >= bodyEnd) return false
     var i = 0
-    while (i < n) { present(i) = in.readBoolean(); consumed += 1; i += 1 }
+    while (i < n) { present(i) = in.readBoolean(); i += 1 }
     i = 0
     while (i < n) {
-      if (present(i)) {
-        fullSchema(i).dataType match {
-          case LongType | TimestampNTZType | TimestampType =>
-            values(i) = in.readLong(); consumed += 8
-          case IntegerType => values(i) = in.readInt(); consumed += 4
-          case DoubleType => values(i) = in.readDouble(); consumed += 8
-          case FloatType => values(i) = in.readFloat(); consumed += 4
-          case StringType =>
-            val len = in.readInt(); consumed += 4
-            val b = new Array[Byte](len); in.readFully(b); consumed += len
-            values(i) = b // defer UTF8String until projected
-          case ArrayType(FloatType, _) =>
-            val len = in.readInt(); consumed += 4
-            val a = new Array[Float](len)
-            var k = 0
-            while (k < len) { a(k) = in.readFloat(); k += 1 }
-            consumed += 4L * len
-            values(i) = a
-          case BooleanType => values(i) = in.readBoolean(); consumed += 1
-          case other => throw new UnsupportedOperationException(other.toString)
-        }
-      } else values(i) = null
+      values(i) = if (present(i)) readValue(fullSchema(i).dataType) else null
       i += 1
     }
     true
   }
 
-  private def fieldVal(a: String): Any = {
-    val i = fieldIdx(a)
-    values(i) match {
-      case b: Array[Byte] => new String(b, "UTF-8")
-      case v => v
+  private def fieldVal(a: String): Any = values(fieldIdx(a)) match {
+    case s: UTF8String => s.toString // pushed string compares are rare
+    case v => v
+  }
+
+  private def eval(f: Filter): Boolean = {
+    import ObjectFormat.cmpExact
+    f match {
+      case EqualTo(a, v) => cmpExact(fieldVal(a), v).contains(0)
+      case GreaterThan(a, v) => cmpExact(fieldVal(a), v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmpExact(fieldVal(a), v).exists(_ >= 0)
+      case LessThan(a, v) => cmpExact(fieldVal(a), v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmpExact(fieldVal(a), v).exists(_ <= 0)
+      case In(a, vs) => vs.exists(v => cmpExact(fieldVal(a), v).contains(0))
+      case IsNull(a) => fieldVal(a) == null
+      case IsNotNull(a) => fieldVal(a) != null
+      case And(l, r) => eval(l) && eval(r)
+      case _ => true
     }
-  }
-
-  private def eval(f: Filter): Boolean = f match {
-    case EqualTo(a, v) => cmp(fieldVal(a), v).contains(0)
-    case GreaterThan(a, v) => cmp(fieldVal(a), v).exists(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmp(fieldVal(a), v).exists(_ >= 0)
-    case LessThan(a, v) => cmp(fieldVal(a), v).exists(_ < 0)
-    case LessThanOrEqual(a, v) => cmp(fieldVal(a), v).exists(_ <= 0)
-    case In(a, vs) => vs.exists(v => cmp(fieldVal(a), v).contains(0))
-    case IsNull(a) => fieldVal(a) == null
-    case IsNotNull(a) => fieldVal(a) != null
-    case And(l, r) => eval(l) && eval(r)
-    case _ => true
-  }
-
-  /** 3VL compare: None when either side is null (predicate is unknown
-    * ⇒ row filtered, matching SQL semantics for pushed conjuncts). */
-  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
-    case (null, _) | (_, null) => None
-    case (a: Number, b: Number) =>
-      Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
-    case (a: String, b: String) => Some(a.compareTo(b))
-    case _ => None
   }
 
   override def next(): Boolean = {
     while (readRow()) {
+      // 3VL: cmpExact is None on null ⇒ predicate unknown ⇒ row
+      // filtered, matching SQL semantics for pushed conjuncts
       if (pushed.forall(eval)) {
         val out = new Array[Any](outIdx.length)
         var k = 0
-        while (k < outIdx.length) {
-          val i = outIdx(k)
-          out(k) = fullSchema(i).dataType match {
-            case StringType => values(i) match {
-              case b: Array[Byte] => UTF8String.fromBytes(b)
-              case null => null
-            }
-            case ArrayType(FloatType, _) => values(i) match {
-              case a: Array[Float] =>
-                new GenericArrayData(a.map(x => x: Any))
-              case null => null
-            }
-            case _ => values(i)
-          }
-          k += 1
-        }
+        while (k < outIdx.length) { out(k) = values(outIdx(k)); k += 1 }
         current = new GenericInternalRow(out)
         return true
       }

@@ -79,7 +79,10 @@ class ObjectStoreSpec extends SparkSpec {
     val f = ObjectFormat.readFooter(objs.head)
     assert(f.rowCount > 0)
     val s = f.stats("l_orderkey")
-    assert(s.min >= 1 && s.max >= s.min)
+    // integral stats are exact longs in v2 (no double collapse)
+    val (mn, mx) = (s.min.asInstanceOf[Long], s.max.asInstanceOf[Long])
+    assert(mn >= 1 && mx >= mn)
+    assert(s.nullCount == 0)
   }
 
   test("full declared query surface is green through the DSv2 path") {
@@ -146,7 +149,8 @@ class ObjectStoreSpec extends SparkSpec {
     // NaN disables stats on d: a range filter must NOT skip the object
     // (Spark orders NaN above every double, so id=3 matches d > 100)
     val f = graft.sources.ObjectFormat.readFooter(s"$tgt/edge.0")
-    assert(!f.stats.contains("d"), "NaN column must carry no min/max stats")
+    assert(f.stats("d").min == null, "NaN column must carry no min/max stats")
+    assert(f.stats("d").nullCount == 1, "null count is exact per column")
     val matched = back.filter(org.apache.spark.sql.functions.col("d") > 100.0).collect()
     assert(matched.map(_.getLong(0)).toSeq == Seq(3L),
       "NaN row must survive object pruning and the pushed range filter")
