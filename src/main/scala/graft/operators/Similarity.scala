@@ -181,17 +181,17 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
   }
 
-  /** IVF train+search over an arbitrary corpus; returns the ranked
-    * top-5 (qid, vec_id, cos, rnk) per query. Shared by the standard
-    * query and the planted-duplicate oracle variant. */
-  private def ivfRanked(e: DataFrame, queries: DataFrame): DataFrame = {
+  /** Deterministic IVF training: seeded sample → `LloydIters` k-means
+    * rounds; returns the (cell, centroid) table. Exchanges carry only
+    * cells×dim partials — the corpus is never shuffled. */
+  private def trainIvf(e: DataFrame): DataFrame = {
     // deterministic seed sample → cells 0..NCells-1 (row_number runs on
     // NCells rows post-limit, not the corpus)
     val wSeed = Window.orderBy(col("hk"), col("vec_id"))
     var cents = e.withColumn("hk", xxhash64(col("vec_id")))
       .orderBy(col("hk"), col("vec_id")).limit(NCells)
       .withColumn("cell", row_number().over(wSeed) - 1)
-      .select(col("cell"), col("embedding").as("centroid"))
+      .select(col("cell"), col("embedding").cast("array<double>").as("centroid"))
     for (_ <- 0 until LloydIters) {
       cents = assignCells(e, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -208,6 +208,14 @@ object Similarity extends QueryModule {
           x => x("m")).as("centroid"))
         .localCheckpoint()
     }
+    cents
+  }
+
+  /** IVF train+search over an arbitrary corpus; returns the ranked
+    * top-5 (qid, vec_id, cos, rnk) per query. Shared by the standard
+    * query and the planted-duplicate oracle variant. */
+  private def ivfRanked(e: DataFrame, queries: DataFrame): DataFrame = {
+    val cents = trainIvf(e)
     val data = assignCells(e, cents)
     val qcells = queries
       .crossJoin(broadcast(cents))
@@ -274,6 +282,100 @@ object Similarity extends QueryModule {
     val e0 = Tables.embeddings(s, dir)
     ivfRanked(withClones(e0), e0.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      .filter(col("vec_id") =!= col("qid"))
+      .filter(col("rnk") <= 2) // self may hold rank 1; clone then rank 2
+      .withColumn("r2", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("rnk").asc)))
+      .filter(col("r2") === 1)
+      .select(col("qid"), col("vec_id").as("best"))
+  }
+
+  // ------------------------------------------------------------------
+  // Materialized ANN index — the "bucket/cell precomputed at ingest"
+  // claim made real: the corpus is rewritten ONCE into the object
+  // layout with stored `bucket` (LSH) and `cell` (IVF) columns plus a
+  // stored centroid table, and the search queries consume the stored
+  // columns — query plans carry NO rhp_bucket / assignCells recompute
+  // over the corpus (AnnIndexSpec asserts it). The corpus objects are
+  // range-partitioned on `bucket`, so the object-store min/max index
+  // prunes whole objects for bucket-equality probes — the 100 TB path
+  // where a probe touches ~C(nBits,≤probe)/2^nBits of the data and
+  // only the objects that hold those buckets are opened.
+  // ------------------------------------------------------------------
+
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per session × sfDir) the materialized index over the
+    * planted-clone corpus; returns its root. Ingest-time work — the
+    * one-off cost every index pays; queries below read only the
+    * stored layout. */
+  private[graft] def annIndexRoot(s: SparkSession, dir: String): String =
+    indexCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+      val corpus = withClones(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")))
+      val cents = trainIvf(corpus)
+      cents.coalesce(1).write.format("graft-objects")
+        .mode("overwrite").save(s"$root/centroids")
+      val storedCents = s.read.format("graft-objects").load(s"$root/centroids")
+      assignCells(corpus, storedCents)
+        .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), Dim, NBits))
+        .repartitionByRange(8, col("bucket"))
+        .write.format("graft-objects").mode("overwrite").save(s"$root/corpus")
+      root
+    })
+
+  /** LSH search over the STORED index: probes (20 query rows) explode
+    * into their XOR buckets; the corpus side is a plain object-store
+    * scan of the stored `bucket` column — zero per-row hashing at
+    * query time, hash join on the stored key. Planted clones make it
+    * oracle-checkable (clone q+10000 is the exact nearest non-self
+    * neighbor by construction). */
+  private val annLshIndexedQ = (s: SparkSession, dir: String) => {
+    val root = annIndexRoot(s, dir)
+    val corpus = s.read.format("graft-objects").load(s"$root/corpus")
+    val probes = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), Dim, NBits))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket").as("qbucket"))
+      .withColumn("mask", explode(typedLit(probeMasks(NBits, Probe))))
+      .select(col("qid"), col("qe"),
+        col("qbucket").bitwiseXOR(col("mask")).as("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid")) // exclude self; clone remains
+      .select(col("qid"), col("vec_id"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("qid"), col("vec_id").as("best"))
+  }
+
+  /** IVF search over the STORED index: probe cells come from the
+    * stored centroid table (tiny, broadcast); candidates come from an
+    * equi-join on the stored `cell` column — no Lloyd recompute, no
+    * per-row argmax over the corpus at query time. */
+  private val annIvfIndexedQ = (s: SparkSession, dir: String) => {
+    val root = annIndexRoot(s, dir)
+    val corpus = s.read.format("graft-objects").load(s"$root/corpus")
+    val cents = s.read.format("graft-objects").load(s"$root/centroids")
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val qcells = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qc").desc, col("cell").asc)))
+      .filter(col("pr") <= NProbe)
+      .select(col("qid"), col("qe"), col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.join(broadcast(qcells), Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
       .filter(col("vec_id") =!= col("qid"))
       .filter(col("rnk") <= 2) // self may hold rank 1; clone then rank 2
       .withColumn("r2", row_number().over(Window.partitionBy(col("qid"))
@@ -400,5 +502,9 @@ object Similarity extends QueryModule {
     "q_sim_ann_lsh_planted" -> Q(annLshPlantedQ, Some(plantedSql),
       "LSH ANN vs planted exact-duplicate ground truth (oracle-checked)"),
     "q_sim_ann_ivf_planted" -> Q(annIvfPlantedQ, Some(plantedSql),
-      "IVF ANN vs planted exact-duplicate ground truth (oracle-checked)"))
+      "IVF ANN vs planted exact-duplicate ground truth (oracle-checked)"),
+    "q_sim_ann_lsh_indexed" -> Q(annLshIndexedQ, Some(plantedSql),
+      "LSH ANN over the MATERIALIZED bucket index (stored column, oracle-checked)"),
+    "q_sim_ann_ivf_indexed" -> Q(annIvfIndexedQ, Some(plantedSql),
+      "IVF ANN over the MATERIALIZED cell index (stored column + centroids, oracle-checked)"))
 }

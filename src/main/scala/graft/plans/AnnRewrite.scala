@@ -51,18 +51,51 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
       .filter(m => java.lang.Integer.bitCount(m) <= Probe)
       .map(m => (qbucket ^ m.toLong): Any).toSet
 
+  /** Has this subtree already been rewritten? (The inserted filter is
+    * an InSet over either the hash expression or a stored bucket
+    * attribute — matching it makes the rule idempotent across
+    * optimizer fixpoint iterations.) */
+  private def alreadyPruned(p: LogicalPlan): Boolean = p.exists {
+    case Filter(InSet(_: RhpBucket, _), _) => true
+    case Filter(InSet(a: Attribute, _), _) if a.name == "bucket" => true
+    case _ => false
+  }
+
+  /** Insert the probe-bucket filter as deep as a stored `bucket`
+    * column is visible (walking through pruning Projects), falling
+    * back to the per-row hash recompute at the top. MATERIALIZED index
+    * path: when the relation carries a `bucket` column written at
+    * ingest (Similarity.annIndexRoot), the filter lands directly on
+    * the stored attribute; the InSet then translates to an ordinary
+    * source `In` filter, so a DSv2 source with object-level min/max
+    * stats (graft-objects) prunes whole objects at planning time —
+    * the scan-level pruning the reference gets from its object index. */
+  private def insertFilter(node: LogicalPlan, buckets: Set[Any],
+      fallback: => Expression): LogicalPlan = {
+    def descend(n: LogicalPlan): Option[LogicalPlan] =
+      n.output.find(a => a.name == "bucket" && a.dataType == LongType) match {
+        case Some(attr) => Some(Filter(InSet(attr, buckets), n))
+        case None => n match {
+          case p @ Project(_, c) =>
+            descend(c).map(nc => p.copy(child = nc))
+          case _ => None
+        }
+      }
+    descend(node).getOrElse(Filter(InSet(fallback, buckets), node))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
       case gl @ GlobalLimit(_, ll @ LocalLimit(_,
           sort @ Sort(SortOrder(key: Attribute, Descending, _, _) +: _, true,
-            proj @ Project(projectList, child), _))) =>
+            proj @ Project(projectList, child), _))) if !alreadyPruned(child) =>
         val rewritten = projectList.collectFirst {
           case a: Alias if a.exprId == key.exprId => a.child
         }.flatMap(extractCos).map { case (vecExpr, queryVec) =>
           val qb = VectorOps.bucketOfVector(queryVec, NBits, Seed)
-          val bucket = RhpBucket(vecExpr, queryVec.length, NBits, Seed)
-          val pruned = Filter(InSet(bucket, probeBuckets(qb)), child)
+          val pruned = insertFilter(child, probeBuckets(qb),
+            RhpBucket(vecExpr, queryVec.length, NBits, Seed))
           gl.copy(child = ll.copy(child =
             sort.copy(child = proj.copy(child = pruned))))
         }
