@@ -9,52 +9,179 @@ import org.apache.spark.sql.functions._
   * Media (image/audio/video) is modeled the way a 100 TB training
   * pipeline stores it: an opaque `BinaryType` payload column plus a
   * typed metadata struct, decoded lazily by per-partition batch
-  * functions. The image/audio codecs are NOT in this container, so the
-  * decode kernel is a clearly-marked DETERMINISTIC STUB — but everything
-  * Spark-side is real and load-bearing: the binary column, the metadata
-  * struct schema, the `mapPartitions` batch shape (one iterator per
-  * partition — the Scala analog of `mapInPandas` batches: amortize
-  * per-batch setup, never per-row), the frame explosion, and the
-  * partition-preserving execution.
+  * functions (the Scala analog of `mapInPandas` batches: one iterator
+  * per partition, amortize per-batch setup, never per-row).
   *
-  * The fixture carrier is `documents.text` cast to bytes — the
-  * pipeline does not care what the bytes are; that is the point of an
-  * opaque media column.
+  * The decode kernels are REAL pure-JVM codecs over self-describing
+  * formats: 24-bit uncompressed BMP (header parse: magic, pixel-data
+  * offset, dims, bpp; row iteration honors the 4-byte stride padding
+  * and bottom-up row order) and 16-bit PCM mono WAV (RIFF/fmt/data
+  * chunk parse, little-endian sample decode). Because the container
+  * ships no image/audio libraries, the PAYLOADS are synthesized —
+  * planted BMP/WAV bytes whose dimensions and channel statistics are
+  * closed-form functions of `doc_id` — which is exactly what makes the
+  * decode oracle-checkable in DuckDB: the kernel must recover planted
+  * dims and means by actually parsing headers and walking pixel/sample
+  * bytes (stride, padding, endianness, chunk offsets all load-bearing:
+  * any mis-parse skews the means away from the closed form).
   *
-  * 100 TB posture: decode is embarrassingly parallel map-side work;
-  * the only shuffle in this module is the optional per-media-type
-  * aggregate. Frame sampling explodes rows map-side; downstream
-  * consumers should repartition by (doc_id) only if they need
-  * frame-locality, which is a documented choice, not a default.
+  * 100 TB posture: synthesis and decode are embarrassingly parallel
+  * map-side work; the only shuffle in this module is the optional
+  * per-media-type aggregate. Frame sampling explodes rows map-side;
+  * downstream consumers repartition by doc_id only if they need
+  * frame-locality — a documented choice, not a default.
   */
 object Multimodal extends QueryModule {
 
-  /** Typed rows for the Dataset[T] (encoder-checked) decode path. */
-  final case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
-  final case class DecodedRow(doc_id: Long, media_type: String,
-      width: Int, height: Int, channels: Int, feature: Array[Double])
+  /** Typed rows for the Dataset[T] (encoder-checked) decode paths. */
+  final case class MediaBytes(doc_id: Long, media: Array[Byte])
+  final case class BmpRow(doc_id: Long, width: Int, height: Int,
+      channels: Int, mean_b: Double, mean_g: Double, mean_r: Double)
+  final case class WavRow(doc_id: Long, sample_rate: Int, n_channels: Int,
+      bits: Int, n_samples: Int, mean_amp: Double)
 
-  /** ======= STUB ======= deterministic fake decoder.
-    * A real deployment links an image/audio codec here (e.g. JPEG →
-    * WxHxC pixels). This stub derives dims from content so tests are
-    * deterministic and schema/batch plumbing is exercised end-to-end.
-    */
-  private def stubDecode(m: MediaRow): DecodedRow = {
-    val n = m.media.length
-    val width = 16 + (n % 64)
-    val height = 16 + ((n / 64) % 64)
-    val channels = 3
-    // fake "feature": 8 stripe-sums over the byte payload (deterministic)
-    val feature = Array.tabulate(8) { s =>
-      var acc = 0.0
-      var i = s
-      while (i < n) { acc += (m.media(i) & 0xff); i += 8 }
-      acc
+  // ---- little-endian packing shared by synth + parse ----------------
+  private def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+  private def putLeShort(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+  }
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def putTag(b: Array[Byte], off: Int, tag: String): Unit = {
+    var i = 0; while (i < tag.length) { b(off + i) = tag.charAt(i).toByte; i += 1 }
+  }
+  private def hasTag(b: Array[Byte], off: Int, tag: String): Boolean = {
+    var i = 0
+    while (i < tag.length) {
+      if (b(off + i) != tag.charAt(i).toByte) return false; i += 1
     }
-    DecodedRow(m.doc_id, m.media_type, width, height, channels, feature)
+    true
   }
 
-  /** Binary payload + typed metadata struct (schema is the contract). */
+  // ---- planted-payload parameters (the oracle's closed form) --------
+  // BMP: width 4..16, height 3..9; pixel(x,·,c) = base(c) + x where
+  // base(c) = (doc_id*7 + c*50) % 240 (so base+x ≤ 254, never wraps).
+  private def bmpW(id: Long): Int = 4 + (id % 13).toInt
+  private def bmpH(id: Long): Int = 3 + (id % 7).toInt
+  private def bmpBase(id: Long, c: Int): Int = ((id * 7 + c * 50) % 240).toInt
+  // WAV: mono 16-bit PCM; n = 64 + doc_id%100 samples at
+  // 8000 + 100*(doc_id%5) Hz; sample(i) = amp + i%2, amp = doc_id%400 - 200.
+  private def wavN(id: Long): Int = 64 + (id % 100).toInt
+  private def wavRate(id: Long): Int = 8000 + 100 * (id % 5).toInt
+  private def wavAmp(id: Long): Int = (id % 400).toInt - 200
+
+  /** Synthesize a spec-compliant 24bpp bottom-up BMP (54-byte header,
+    * rows padded to 4-byte stride, channels stored B,G,R). */
+  private[graft] def synthBmp(id: Long): Array[Byte] = {
+    val w = bmpW(id); val h = bmpH(id)
+    val stride = (3 * w + 3) & ~3
+    val bytes = new Array[Byte](54 + stride * h)
+    putTag(bytes, 0, "BM")
+    putLeInt(bytes, 2, bytes.length)
+    putLeInt(bytes, 10, 54)          // pixel-data offset
+    putLeInt(bytes, 14, 40)          // BITMAPINFOHEADER size
+    putLeInt(bytes, 18, w)
+    putLeInt(bytes, 22, h)           // positive = bottom-up row order
+    putLeShort(bytes, 26, 1)         // planes
+    putLeShort(bytes, 28, 24)        // bpp
+    putLeInt(bytes, 34, stride * h)  // image size (compression = 0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          bytes(54 + y * stride + x * 3 + c) = (bmpBase(id, c) + x).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1 // padding bytes stay 0 — a decoder that reads them skews the mean
+    }
+    bytes
+  }
+
+  /** Parse a 24bpp BMP: header fields + per-channel pixel means.
+    * Every field is read from the bytes (nothing inferred from doc_id). */
+  private[graft] def parseBmp(id: Long, bytes: Array[Byte]): BmpRow = {
+    require(hasTag(bytes, 0, "BM"), s"doc $id: bad BMP magic")
+    val off = leInt(bytes, 10)
+    val w = leInt(bytes, 18)
+    val h = leInt(bytes, 22)
+    val bpp = leShort(bytes, 28)
+    require(bpp == 24, s"doc $id: unsupported bpp $bpp")
+    require(h > 0, s"doc $id: top-down BMP not expected here")
+    val stride = (3 * w + 3) & ~3
+    require(bytes.length >= off + stride * h, s"doc $id: truncated pixel data")
+    val sums = new Array[Long](3)
+    var y = 0
+    while (y < h) {
+      val row = off + (h - 1 - y) * stride // bottom-up: last row first
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) { sums(c) += bytes(row + x * 3 + c) & 0xff; c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    BmpRow(id, w, h, 3,
+      sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+  }
+
+  /** Synthesize a canonical 44-byte-header RIFF/WAVE, 16-bit PCM mono. */
+  private[graft] def synthWav(id: Long): Array[Byte] = {
+    val n = wavN(id); val rate = wavRate(id); val amp = wavAmp(id)
+    val dataSize = n * 2
+    val bytes = new Array[Byte](44 + dataSize)
+    putTag(bytes, 0, "RIFF"); putLeInt(bytes, 4, 36 + dataSize)
+    putTag(bytes, 8, "WAVE"); putTag(bytes, 12, "fmt ")
+    putLeInt(bytes, 16, 16)          // fmt chunk size
+    putLeShort(bytes, 20, 1)         // PCM
+    putLeShort(bytes, 22, 1)         // mono
+    putLeInt(bytes, 24, rate)
+    putLeInt(bytes, 28, rate * 2)    // byte rate
+    putLeShort(bytes, 32, 2)         // block align
+    putLeShort(bytes, 34, 16)        // bits per sample
+    putTag(bytes, 36, "data"); putLeInt(bytes, 40, dataSize)
+    var i = 0
+    while (i < n) { putLeShort(bytes, 44 + i * 2, amp + (i % 2)); i += 1 }
+    bytes
+  }
+
+  /** Parse RIFF/fmt/data + decode LE int16 samples → count and mean. */
+  private[graft] def parseWav(id: Long, bytes: Array[Byte]): WavRow = {
+    require(hasTag(bytes, 0, "RIFF") && hasTag(bytes, 8, "WAVE"),
+      s"doc $id: bad RIFF header")
+    require(hasTag(bytes, 12, "fmt ") && hasTag(bytes, 36, "data"),
+      s"doc $id: unexpected chunk layout")
+    require(leShort(bytes, 20) == 1, s"doc $id: not PCM")
+    val channels = leShort(bytes, 22)
+    val rate = leInt(bytes, 24)
+    val bits = leShort(bytes, 34)
+    val dataSize = leInt(bytes, 40)
+    require(bits == 16, s"doc $id: unsupported bit depth $bits")
+    require(bytes.length == 44 + dataSize, s"doc $id: truncated data chunk")
+    val n = dataSize / 2 / channels
+    var sum = 0L
+    var i = 0
+    while (i < n * channels) {
+      sum += leShort(bytes, 44 + i * 2).toShort // sign-extend LE int16
+      i += 1
+    }
+    WavRow(id, rate, channels, bits, n, sum.toDouble / (n * channels))
+  }
+
+  /** Binary payload + typed metadata struct (schema is the contract).
+    * Carrier bytes are the document text — meta/frames/stats treat the
+    * payload as opaque, which is the point of a media column. */
   private def mediaTable(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -81,20 +208,65 @@ object Multimodal extends QueryModule {
       |  length(text) AS n_bytes, md5(text) AS checksum
       |FROM documents""".stripMargin
 
-  /** Batch decode via mapPartitions over a typed Dataset — the
-    * mapInPandas-shaped path (iterator-in/iterator-out per partition).
-    * Rows-only for the driver (the stub is engine-side); the spec
-    * checks determinism, schema, and partition preservation.
-    */
-  private val decodeQ = (s: SparkSession, dir: String) => {
+  /** Image decode: synthesize the planted BMP payload into a binary
+    * media column (map-side), then batch-decode it via mapPartitions
+    * over a typed Dataset — the mapInPandas-shaped path (iterator-in /
+    * iterator-out per partition). One plan, zero shuffles; the oracle
+    * checks parsed dims + channel means against the closed form. */
+  private val decodeBmpQ = (s: SparkSession, dir: String) => {
     import s.implicits._
-    val ds = mediaTable(s, dir)
-      .select(col("doc_id"), col("media"), col("meta.media_type").as("media_type"))
-      .as[MediaRow]
-    ds.mapPartitions(_.map(stubDecode)).toDF()
-      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
-        col("channels"), round(element_at(col("feature"), 1), 6).as("f1"))
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBytes(id, synthBmp(id))))
+    media.mapPartitions(_.map(m => parseBmp(m.doc_id, m.media))).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_r"), 6).as("mean_r"))
   }
+
+  // mean of channel c = (h*(w*base + w*(w-1)/2)) / (w*h), all-integer
+  // numerator mirroring the kernel's exact byte sum.
+  private val decodeBmpSql =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    CAST(4 + doc_id % 13 AS INT) AS w,
+      |    CAST(3 + doc_id % 7 AS INT) AS h,
+      |    (doc_id * 7) % 240 AS b0,
+      |    (doc_id * 7 + 50) % 240 AS b1,
+      |    (doc_id * 7 + 100) % 240 AS b2
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id, w AS width, h AS height, 3 AS channels,
+      |  round((h * (w * b0 + (w * (w - 1)) // 2)) * 1.0 / (w * h), 6) AS mean_b,
+      |  round((h * (w * b1 + (w * (w - 1)) // 2)) * 1.0 / (w * h), 6) AS mean_g,
+      |  round((h * (w * b2 + (w * (w - 1)) // 2)) * 1.0 / (w * h), 6) AS mean_r
+      |FROM img""".stripMargin
+
+  /** Audio decode: same shape over planted 16-bit PCM WAV payloads. */
+  private val decodeWavQ = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBytes(id, synthWav(id))))
+    media.mapPartitions(_.map(m => parseWav(m.doc_id, m.media))).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+        col("bits"), col("n_samples"), round(col("mean_amp"), 6).as("mean_amp"))
+  }
+
+  // sum = amp*n + n//2 (the i%2 ramp), mean mirrors the kernel division.
+  private val decodeWavSql =
+    """WITH au AS (
+      |  SELECT doc_id,
+      |    CAST(8000 + 100 * (doc_id % 5) AS INT) AS sample_rate,
+      |    CAST(64 + doc_id % 100 AS INT) AS n,
+      |    (doc_id % 400) - 200 AS amp
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |SELECT doc_id, sample_rate, 1 AS n_channels, 16 AS bits,
+      |  n AS n_samples,
+      |  round((amp * n + n // 2) * 1.0 / n, 6) AS mean_amp
+      |FROM au""".stripMargin
 
   // Frame sampling: every 64-byte block of a "video" payload is a
   // frame; sample every 4th frame. Pure column expressions (posexplode
@@ -137,8 +309,10 @@ object Multimodal extends QueryModule {
   override val queries: Map[String, Q] = Map(
     "q_mm_meta" -> Q(metaQ, Some(metaSql),
       "binary media column + typed metadata struct projection"),
-    "q_mm_decode" -> Q(decodeQ, None,
-      "batch decode via typed mapPartitions (STUB kernel; rows-only)"),
+    "q_mm_decode" -> Q(decodeBmpQ, Some(decodeBmpSql),
+      "real 24bpp BMP decode (header parse + per-channel pixel means) over planted payloads"),
+    "q_mm_decode_wav" -> Q(decodeWavQ, Some(decodeWavSql),
+      "real 16-bit PCM WAV decode (RIFF parse + sample stats) over planted payloads"),
     "q_mm_frames" -> Q(frameQ, Some(frameSql),
       "frame sampling: every 4th 64-byte block of video payloads"),
     "q_mm_stats" -> Q(statsQ, Some(statsSql),

@@ -58,10 +58,12 @@ object TextOps extends QueryModule {
   // once; the two consumers of tf share the identical exchange
   // (ReuseExchange) instead of re-scanning. df is vocab-sized ⇒
   // broadcast; at a vocabulary too big to broadcast this becomes a
-  // term-keyed shuffle join, same plan shape.
+  // term-keyed shuffle join, same plan shape. Corpus size n joins in
+  // as a broadcast single-row aggregate, so the whole query is ONE
+  // QueryExecution — no driver-side count() job.
   private val tfidfQ = (s: SparkSession, dir: String) => {
     val docs = Tables.documents(s, dir)
-    val n = docs.count() // corpus size: one metadata-only count
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -71,7 +73,8 @@ object TextOps extends QueryModule {
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.filter(col("doc_id") < 20)
       .join(broadcast(df), Seq("term"))
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select("doc_id", "term", "tfidf", "rnk")

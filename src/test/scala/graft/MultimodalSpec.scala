@@ -1,31 +1,90 @@
 package graft
 
+import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
-  test("decode: schema is the typed contract; output deterministic") {
+  test("bmp decode: schema is the typed contract; output deterministic") {
     val df = run("q_mm_decode")
     assert(df.columns.toSeq ==
-      Seq("doc_id", "media_type", "width", "height", "channels", "f1"))
+      Seq("doc_id", "width", "height", "channels", "mean_b", "mean_g", "mean_r"))
     val a = df.collect().map(_.toString).sorted
     val b = run("q_mm_decode").collect().map(_.toString).sorted
     assert(a.sameElements(b))
-    assert(a.length == Tables.documents(spark, sf).count())
+    val imageDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(a.length == imageDocs)
   }
 
-  test("decode: one output row per input row, dims in stub range") {
+  test("bmp decode recovers the planted dims and channel means") {
     run("q_mm_decode").collect().foreach { r =>
-      val w = r.getInt(2); val h = r.getInt(3)
-      assert(w >= 16 && w < 80 && h >= 16 && h < 80)
-      assert(r.getInt(4) == 3)
-      assert(r.getDouble(5) > 0) // stripe-sum of nonempty payload
+      val id = r.getLong(0)
+      val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == 3)
+      // mean(c) = base(c) + (w-1)/2 — exact, the pixel ramp is linear in x
+      Seq(4, 5, 6).zipWithIndex.foreach { case (idx, c) =>
+        val expect = ((id * 7 + c * 50) % 240) + (w - 1) / 2.0
+        assert(math.abs(r.getDouble(idx) - expect) < 1e-9,
+          s"doc $id channel $c: ${r.getDouble(idx)} != $expect")
+      }
     }
   }
 
+  test("wav decode recovers planted rate, count, and sample mean") {
+    run("q_mm_decode_wav").collect().foreach { r =>
+      val id = r.getLong(0)
+      val n = 64 + (id % 100).toInt
+      assert(r.getInt(1) == 8000 + 100 * (id % 5).toInt)
+      assert(r.getInt(2) == 1 && r.getInt(3) == 16 && r.getInt(4) == n)
+      val amp = (id % 400).toInt - 200
+      // the query rounds mean_amp to 6 dp (HALF_UP, like the oracle)
+      val expect = BigDecimal((amp.toLong * n + n / 2).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - expect) < 1e-9)
+    }
+  }
+
+  test("kernels parse bytes, not doc ids: corrupt headers are rejected") {
+    val bmp = Multimodal.synthBmp(42)
+    bmp(0) = 'X'.toByte // break the BM magic
+    intercept[IllegalArgumentException](Multimodal.parseBmp(42, bmp))
+    val wav = Multimodal.synthWav(43)
+    wav(9) = 'X'.toByte // break WAVE tag
+    intercept[IllegalArgumentException](Multimodal.parseWav(43, wav))
+  }
+
+  test("bmp stride padding is skipped; pixel bytes are load-bearing") {
+    // id 27: doc_id%3==0 (image), width 4+27%13=5 -> 15 pixel bytes/row,
+    // stride 16: one padding byte per row
+    val id = 27L
+    val clean = Multimodal.parseBmp(id, Multimodal.synthBmp(id))
+    // flipping a PADDING byte must not change any mean
+    val padded = Multimodal.synthBmp(id)
+    val w = clean.width; val stride = (3 * w + 3) & ~3
+    if (stride > 3 * w) {
+      padded(54 + 3 * w) = 0x7f // first row's first padding byte
+      assert(Multimodal.parseBmp(id, padded) == clean)
+    }
+    // flipping a PIXEL byte must change the affected channel's mean
+    val tampered = Multimodal.synthBmp(id)
+    tampered(54) = (tampered(54) + 40).toByte // blue of pixel (0, bottom row)
+    val t = Multimodal.parseBmp(id, tampered)
+    assert(t.mean_b != clean.mean_b && t.mean_g == clean.mean_g)
+  }
+
+  test("wav endianness is load-bearing: byte-swapped samples diverge") {
+    val id = 44L * 3 + 1
+    val clean = Multimodal.parseWav(id, Multimodal.synthWav(id))
+    val swapped = Multimodal.synthWav(id)
+    // swap the two bytes of the first sample
+    val lo = swapped(44); swapped(44) = swapped(45); swapped(45) = lo
+    val s = Multimodal.parseWav(id, swapped)
+    assert(s.mean_amp != clean.mean_amp)
+  }
+
   test("decode preserves input partitioning (no repartition/coalesce)") {
-    // one fixture file = one split; the invariant is that decode adds
-    // no exchange: output partitions == input partitions
+    // synth + decode add no exchange: output partitions == input partitions
     val in = Tables.documents(spark, sf).rdd.getNumPartitions
     val out = run("q_mm_decode").rdd.getNumPartitions
     assert(out == in, s"decode changed partitioning $in -> $out")
