@@ -233,10 +233,48 @@ object Bench {
         f""","pushdown":{"q6_on":$on%.6f,"q6_off":$off%.6f}"""
       } else ""
 
+    // ---- same headline sweep through the custom DSv2 object store ----
+    // (r2 verdict: the graft-objects path was correctness-proven but
+    // never timed). Tables.objectStoreRoot reroutes every Tables.* read
+    // through `format("graft-objects")`; ingest is timed separately,
+    // like the parquet objectify above. The streaming query reads a
+    // parquet file stream (not the object source) and is excluded
+    // rather than reported as a fake pair.
+    val (ingestObjSec, resultsObj) =
+      try {
+        val t = System.nanoTime()
+        val shm = Paths.get("/dev/shm")
+        val base =
+          if (Files.isDirectory(shm) && Files.isWritable(shm))
+            Files.createTempDirectory(shm, "graft-objstore")
+          else Files.createTempDirectory("graft-objstore")
+        cleanupOnExit(base)
+        graft.sources.ObjectStoreIngest.ingest(spark, sfDir, base.toString,
+          objects = layout.map { case (n, k, _) => n -> k }.toMap.withDefaultValue(1),
+          rangeCols = layout.collect { case (n, _, Some(c)) => n -> c }.toMap)
+        val ing = (System.nanoTime() - t) / 1e9
+        val objNames = names.filterNot(_ == "q_stream_tumbling")
+        Tables.objectStoreRoot = Some(base.toString)
+        try {
+          objNames.foreach { n =>
+            try force(n) catch { case e: Throwable =>
+              System.err.println(s"[bench] obj warmup $n failed: ${e.getMessage}")
+            }
+          }
+          System.gc()
+          (ing, objNames.map(n => n -> best3(n)))
+        } finally Tables.objectStoreRoot = None
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] object-store sweep failed: ${e.getMessage}")
+        (0.0, Seq.empty[(String, Double)])
+      }
+    val qsObj = resultsObj.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_sec":$ingestSec,"floor_sec":$floor%.4f$pushdown}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_obj":$qsObj,"ingest_obj_sec":$ingestObjSec,"sf":"$sfDir","ingest_sec":$ingestSec,"floor_sec":$floor%.4f$pushdown}""")
     spark.stop()
   }
 }

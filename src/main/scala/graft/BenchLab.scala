@@ -26,6 +26,14 @@ object BenchLab {
       if (sys.env.get("SPARK_GRAFT_OBJECTIFY").contains("false")) sfDir
       else Bench.objectify(spark, sfDir)
 
+    // SPARK_GRAFT_OBJSTORE=true: route Tables.* through graft-objects
+    // (the Bench queries_obj path) for plan/perf diagnosis.
+    if (sys.env.get("SPARK_GRAFT_OBJSTORE").contains("true")) {
+      val root = java.nio.file.Files.createTempDirectory("graft-lab-objs").toString
+      graft.sources.ObjectStoreIngest.ingest(spark, sfDir, root)
+      Tables.objectStoreRoot = Some(root)
+    }
+
     val names =
       (if (args.nonEmpty) Bench.headline.filter(args.contains) else Bench.headline)
         .filter(SparkEntry.queries.contains)

@@ -388,14 +388,22 @@ object ObjectStoreIngest {
     "lineitem" -> 8, "orders" -> 4, "events" -> 4, "documents" -> 4,
     "embeddings" -> 2, "customer" -> 2, "part" -> 2).withDefaultValue(1)
 
+  /** `rangeCols`: tables to range-partition on their hot predicate
+    * column at ingest, so per-object footer min/max stats prune scans
+    * the way the reference's object-level index does (SURVEY §2.11). */
   def ingest(spark: SparkSession, sfDir: String, outRoot: String,
-      objects: Map[String, Int] = defaultObjects): Unit = {
+      objects: Map[String, Int] = defaultObjects,
+      rangeCols: Map[String, String] = Map.empty): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.Tables.names.foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet")
-        .repartition(objects(t))
-        .write.format("graft-objects").mode("overwrite")
-        .save(s"$outRoot/$t")
+      val src = spark.read.parquet(s"$sfDir/$t.parquet")
+      val n = objects(t)
+      val out = rangeCols.get(t) match {
+        case Some(c) if n > 1 =>
+          src.repartitionByRange(n, org.apache.spark.sql.functions.col(c))
+        case _ => src.repartition(n)
+      }
+      out.write.format("graft-objects").mode("overwrite").save(s"$outRoot/$t")
     }
   }
 }
