@@ -29,7 +29,8 @@ object SparkEntry {
     graft.operators.Sources,
     graft.operators.Extensions,
     graft.operators.Skew,
-    graft.operators.Sampling)
+    graft.operators.Sampling,
+    graft.operators.Curation)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,368 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curation wave 2 — the filters a production training-data pipeline
+  * runs between raw ingest and tokenization, beyond the C4-style gate
+  * in TextOps (q_text_filter_policy):
+  *
+  * 1. repetition    — Gopher-style repetition statistics (duplicate-word
+  *                    fraction, most-common-2-gram fraction, duplicate-
+  *                    3-gram fraction) + a keep verdict.
+  * 2. decontam      — benchmark decontamination: flag documents sharing
+  *                    a word n-gram with a held-out eval set.
+  * 3. pii           — PII detection/redaction: regex count of emails /
+  *                    phone numbers / IPs + redacted length.
+  * 4. canonical     — turn near-dup clusters into a training-set keep
+  *                    list: one representative per cluster (longest doc
+  *                    wins, doc_id breaks ties).
+  * 5. semantic      — SemDeDup-style embedding-space dedup: connected
+  *                    components over cosine>=τ pairs, keep min vec_id.
+  * 6. weighted mix  — domain-mixture construction: per-source target
+  *                    quotas filled deterministically by content hash.
+  *
+  * 100 TB posture: (1) is explode + two hash shuffles keyed
+  * (doc,n,gram)→(doc) with map-side partials — shuffle volume is
+  * per-doc gram profiles, not the corpus reread. (2) broadcasts the
+  * eval-set gram list (eval sets are tiny by construction) so the probe
+  * is a map-side hash semi-join; no corpus shuffle at all. (3) is pure
+  * per-row regex — map-only, zero shuffles, fully codegen'd. (4)/(5)
+  * run CC over the EDGE list only (near-dup pairs ≪ corpus; same
+  * fixpoint loop as q_dedup_clusters), then one window over cluster
+  * members. (6) is the stratified-sample shape: one shuffle on the
+  * domain key; quotas are a broadcast-size literal map. All six are
+  * pure column expressions — no UDFs, nothing leaves whole-stage
+  * codegen except the CC driver loop already audited in Dedup.
+  */
+object Curation extends QueryModule {
+
+  // ---- 1. repetition statistics (Gopher filter analog) ----
+  //
+  // One generator pass emits (doc_id, n, gram) for n=1,2,3 from a
+  // single split — word unigrams, bigrams, trigrams — then two keyed
+  // aggregations build per-(doc,n) profiles and pivot them to one row
+  // per doc. Short docs guard: a CASE arm emits a correctly-typed
+  // empty array when size(tk) < n (array_repeat(..., 0)) instead of
+  // sequence()'s descending-range surprise.
+  private def gramsExpr(n: Int): String =
+    if (n == 1) "transform(tk, t -> named_struct('n', 1, 'gram', t))"
+    else
+      s"""CASE WHEN size(tk) >= $n
+         |  THEN transform(sequence(0, size(tk) - $n),
+         |         i -> named_struct('n', $n, 'gram', concat_ws(' ', slice(tk, i + 1, $n))))
+         |  ELSE array_repeat(named_struct('n', 1, 'gram', ''), 0) END""".stripMargin
+
+  private val repetitionQ = (s: SparkSession, dir: String) => {
+    val grams = Tables.documents(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"flatten(array(${gramsExpr(1)}, ${gramsExpr(2)}, ${gramsExpr(3)}))")).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val perN = grams
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("total"), max(col("c")).as("top"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
+        count(lit(1)).as("dist"))
+    def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
+    perN.groupBy(col("doc_id"))
+      .agg(
+        round(lit(1) - pick(1, "dist") / pick(1, "total"), 6).as("word_rep_frac"),
+        round(pick(2, "top") / pick(2, "total"), 6).as("top2gram_frac"),
+        round(pick(3, "dup") / pick(3, "total"), 6).as("dup3gram_frac"))
+      .withColumn("keep",
+        col("word_rep_frac") <= 0.6 && col("top2gram_frac") <= 0.05)
+  }
+
+  private val repetitionSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |g AS (
+      |  SELECT doc_id, 1 AS n, unnest(tk) AS gram FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 2, unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i+1])) FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 3, unnest(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) FROM toks),
+      |c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY ALL),
+      |p AS (SELECT doc_id, n, SUM(c) AS total, MAX(c) AS top,
+      |        COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup, COUNT(*) AS dist
+      |      FROM c GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  round(1 - MAX(CASE WHEN n=1 THEN dist END) * 1.0
+      |    / MAX(CASE WHEN n=1 THEN total END), 6) AS word_rep_frac,
+      |  round(MAX(CASE WHEN n=2 THEN top END) * 1.0
+      |    / MAX(CASE WHEN n=2 THEN total END), 6) AS top2gram_frac,
+      |  round(MAX(CASE WHEN n=3 THEN dup END) * 1.0
+      |    / MAX(CASE WHEN n=3 THEN total END), 6) AS dup3gram_frac,
+      |  (round(1 - MAX(CASE WHEN n=1 THEN dist END) * 1.0
+      |    / MAX(CASE WHEN n=1 THEN total END), 6) <= 0.6
+      |   AND round(MAX(CASE WHEN n=2 THEN top END) * 1.0
+      |    / MAX(CASE WHEN n=2 THEN total END), 6) <= 0.05) AS keep
+      |FROM p GROUP BY doc_id""".stripMargin
+
+  // ---- 2. benchmark decontamination ----
+  //
+  // Eval set = every 97th doc (stand-in for a held-out benchmark).
+  // Its distinct trigram list is broadcast; every other doc is flagged
+  // with how many distinct trigrams it shares. The probe side is one
+  // explode + a broadcast semi-ish join + one doc-keyed aggregation:
+  // the corpus is never shuffled on the gram key.
+  private val trigramsExpr =
+    """CASE WHEN size(tk) >= 3
+      |  THEN transform(sequence(0, size(tk) - 3),
+      |         i -> concat_ws(' ', slice(tk, i + 1, 3)))
+      |  ELSE array_repeat('', 0) END""".stripMargin
+
+  private val decontamQ = (s: SparkSession, dir: String) => {
+    val g = Tables.documents(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(trigramsExpr)).as("gram"))
+    val bench = g.filter(col("doc_id") % 97 === 0).select(col("gram")).distinct()
+    val hits = g.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hit_grams"))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+
+  private val decontamSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram FROM toks),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |hits AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_hit_grams
+      |         FROM g JOIN bench USING (gram)
+      |         WHERE doc_id % 97 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+      |  COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 97 <> 0""".stripMargin
+
+  // ---- 3. PII detection / redaction ----
+  //
+  // The fixture corpus carries no PII, so the operator PLANTS it
+  // deterministically (same closed forms in both engines — the
+  // multimodal-payload trick): every 7th doc gains an email, every
+  // 11th a phone number, every 13th an IP. The detector then has real
+  // work: regex-count each class and measure the redacted text. Pure
+  // per-row expressions — map-only, zero shuffles.
+  private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val PhoneRe = "555-[0-9]{4}"
+  private val IpRe    = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  private val piiQ = (s: SparkSession, dir: String) => {
+    val id = col("doc_id")
+    val pii = concat(col("text"),
+      when(id % 7 === 0,
+        concat(lit(" reach user"), id.cast("string"), lit("@example.com")))
+        .otherwise(""),
+      when(id % 11 === 0,
+        concat(lit(" call 555-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(""),
+      when(id % 13 === 0,
+        concat(lit(" host 10.0."), (id % 256).cast("string"), lit("."),
+          ((id * 7) % 256).cast("string")))
+        .otherwise(""))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(pii, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all($piiExprSql, '$EmailRe', 0)"))
+        .cast("long").as("n_emails"),
+      size(expr(s"regexp_extract_all($piiExprSql, '$PhoneRe', 0)"))
+        .cast("long").as("n_phones"),
+      size(expr(s"regexp_extract_all($piiExprSql, '$IpRe', 0)"))
+        .cast("long").as("n_ips"),
+      length(redacted).cast("long").as("redacted_len"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") > 0)
+  }
+
+  /** The planted-PII text as a SQL expression (shared by the three
+    * regexp_extract_all calls above — Column-API regexp_extract_all
+    * lands in Spark SQL expr form anyway). */
+  private def piiExprSql: String =
+    """concat(text,
+      |  CASE WHEN doc_id % 7 = 0
+      |    THEN concat(' reach user', CAST(doc_id AS STRING), '@example.com') ELSE '' END,
+      |  CASE WHEN doc_id % 11 = 0
+      |    THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,
+      |  CASE WHEN doc_id % 13 = 0
+      |    THEN concat(' host 10.0.', CAST(doc_id % 256 AS STRING), '.',
+      |                CAST((doc_id * 7) % 256 AS STRING)) ELSE '' END)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  private val piiSql = {
+    val p =
+      """concat(text,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN concat(' reach user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+        |  CASE WHEN doc_id % 11 = 0
+        |    THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+        |  CASE WHEN doc_id % 13 = 0
+        |    THEN concat(' host 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+        |                CAST((doc_id * 7) % 256 AS VARCHAR)) ELSE '' END)"""
+        .stripMargin.replaceAll("\n", " ")
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all($p, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all($p, '$PhoneRe')) AS n_phones,
+       |  len(regexp_extract_all($p, '$IpRe')) AS n_ips,
+       |  length(regexp_replace(regexp_replace(regexp_replace($p,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+       |    '$IpRe', '<IP>', 'g')) AS redacted_len,
+       |  (len(regexp_extract_all($p, '$EmailRe'))
+       |   + len(regexp_extract_all($p, '$PhoneRe'))
+       |   + len(regexp_extract_all($p, '$IpRe'))) > 0 AS has_pii
+       |FROM documents""".stripMargin
+  }
+
+  // ---- 4. canonical representative per near-dup cluster ----
+  //
+  // Composes the verified-jaccard clusters (Dedup.clusters — CC over
+  // the near-dup edge list) with a per-cluster argmax: the longest
+  // member wins, doc_id breaks ties. This is the step that turns
+  // pairwise dedup output into an actual keep list. One extra shuffle
+  // (window over cluster_id) over CLUSTERED docs only.
+  private val canonicalQ = (s: SparkSession, dir: String) => {
+    val members = Dedup.clusters(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    members
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1))
+        .over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc_id"),
+        col("n_chars").as("canonical_n_chars"), col("n_members"))
+  }
+
+  // the clusters oracle's CTE chain verbatim (Dedup.clustersSql), with
+  // the canonical-selection window on top
+  private val canonicalSql =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
+      |d AS (SELECT DISTINCT doc_id, s FROM sh),
+      |n AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+      |inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*) i
+      |          FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT ida, idb
+      |          FROM inter JOIN n na ON ida = na.doc_id
+      |                     JOIN n nb ON idb = nb.doc_id
+      |          WHERE round(i*1.0/(na.n+nb.n-i), 6) >= 0.7),
+      |edges AS (SELECT ida AS a, idb AS b FROM pairs
+      |          UNION SELECT idb, ida FROM pairs),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e ON r.peer = e.a),
+      |cl AS (SELECT id AS doc_id, least(id, min(peer)) AS cluster_id
+      |       FROM reach GROUP BY id),
+      |m AS (SELECT cl.cluster_id, cl.doc_id, doc.n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+      |          ORDER BY doc.n_chars DESC, cl.doc_id ASC) AS rn,
+      |        COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+      |      FROM cl JOIN documents doc ON cl.doc_id = doc.doc_id)
+      |SELECT cluster_id, doc_id AS canonical_doc_id,
+      |  n_chars AS canonical_n_chars, n_members
+      |FROM m WHERE rn = 1""".stripMargin
+
+  // ---- 5. semantic dedup (SemDeDup shape) ----
+  //
+  // Same CC machinery, but the edges live in EMBEDDING space: cosine
+  // >= 0.45 pairs (the all-pairs verification baseline from
+  // q_dedup_cosine_pairs; at scale the edge list comes from the
+  // LSH/IVF bucketed candidates in Similarity.scala — identical
+  // downstream). Keep = min vec_id of each component.
+  private val semanticQ = (s: SparkSession, dir: String) =>
+    Dedup.connectedComponents(
+        Dedup.cosinePairs(s, dir).select(col("ida"), col("idb")))
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("kept", col("vec_id") === col("cluster_id"))
+
+  private val semanticSql =
+    """WITH RECURSIVE dots AS (
+      |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+      |    list_sum(list_transform(range(1, len(a.embedding)+1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS ab,
+      |    list_sum(list_transform(range(1, len(a.embedding)+1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS aa,
+      |    list_sum(list_transform(range(1, len(b.embedding)+1),
+      |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS bb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |pairs AS (SELECT ida, idb FROM dots
+      |          WHERE round(ab / (sqrt(aa) * sqrt(bb)), 6) >= 0.45),
+      |edges AS (SELECT ida AS a, idb AS b FROM pairs
+      |          UNION SELECT idb, ida FROM pairs),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e ON r.peer = e.a)
+      |SELECT id AS vec_id, least(id, min(peer)) AS cluster_id,
+      |  id = least(id, min(peer)) AS kept
+      |FROM reach GROUP BY id""".stripMargin
+
+  // ---- 6. weighted domain mixture ----
+  //
+  // Training-mixture construction: each source domain has a target
+  // quota; fill each quota deterministically by content hash (the
+  // Sampling.scala convention — never rand()), so the mixture is a
+  // pure function of the data. One shuffle on the domain key.
+  private val quotaExpr =
+    when(col("source").isin("src0", "src1", "src2"), 10)
+      .when(col("source").isin("src3", "src4"), 5)
+      .otherwise(2)
+
+  private val quotaSql =
+    """CASE WHEN source IN ('src0','src1','src2') THEN 10
+      |     WHEN source IN ('src3','src4') THEN 5
+      |     ELSE 2 END""".stripMargin
+
+  private val weightedMixQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= quotaExpr)
+      .select(col("source"), col("rn"), col("doc_id"), col("hk"))
+  }
+
+  private val weightedMixSql =
+    s"""WITH k AS (SELECT source, doc_id,
+       |  md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents)
+       |SELECT source, rn, doc_id, hk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY hk, doc_id) AS rn
+       |  FROM k)
+       |WHERE rn <= ($quotaSql)""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_text_repetition" -> Q(repetitionQ, Some(repetitionSql),
+      "Gopher repetition stats: dup-word/top-2gram/dup-3gram fractions + keep"),
+    "q_text_decontam" -> Q(decontamQ, Some(decontamSql),
+      "benchmark decontamination: trigram overlap vs held-out set (broadcast)"),
+    "q_text_pii" -> Q(piiQ, Some(piiSql),
+      "PII detect/redact: planted emails/phones/IPs, regex count + redacted len"),
+    "q_dedup_canonical" -> Q(canonicalQ, Some(canonicalSql),
+      "canonical doc per near-dup cluster: longest member wins"),
+    "q_sim_semantic_dedup" -> Q(semanticQ, Some(semanticSql),
+      "SemDeDup: CC over embedding cosine>=0.45 pairs, keep min vec_id"),
+    "q_sample_weighted_mix" -> Q(weightedMixQ, Some(weightedMixSql),
+      "domain-mixture quotas filled deterministically by content hash"))
+}

@@ -260,8 +260,11 @@ object Dedup extends QueryModule {
     * The oracle rebuilds the identical clustering with a DuckDB
     * recursive CTE (transitive closure + min over each reach set).
     */
-  private val clustersQ = (s: SparkSession, dir: String) => {
-    val pairs = jaccardPairs(s, dir, 0.7).select(col("ida"), col("idb"))
+  /** Min-label propagation to fixpoint over an undirected pair list
+    * (cols ida, idb) — shared by the jaccard clusters below and the
+    * embedding-space semantic dedup in Curation.scala. Returns
+    * (id, label) where label = min id reachable in the component. */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("idb"), col("ida")))
       .toDF("a", "b")
@@ -279,8 +282,21 @@ object Dedup extends QueryModule {
         .filter(col("n.label") =!= col("o.label")).count()
       labels = next
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    labels
   }
+
+  private val clustersQ = (s: SparkSession, dir: String) =>
+    connectedComponents(jaccardPairs(s, dir, 0.7).select(col("ida"), col("idb")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
+  /** The verified-jaccard cluster labeling, for composition (canonical
+    * selection in Curation.scala). */
+  private[operators] def clusters(s: SparkSession, dir: String): DataFrame =
+    clustersQ(s, dir)
+
+  /** The embedding cosine near-dup pair list, for composition. */
+  private[operators] def cosinePairs(s: SparkSession, dir: String): DataFrame =
+    cosineQ(s, dir)
 
   private val clustersSql =
     """WITH RECURSIVE
