@@ -41,5 +41,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$heapCap",
+  // Fixed-size heap: without -Xms, G1 starts at ~2g and grows only
+  // under pressure, so a long multi-query run spends seconds in
+  // young-gen thrash + resize full GCs before the heap reaches its
+  // working size (measured: 53 young pauses / 11 s across one bench
+  // run at the default initial heap; stable with -Xms=-Xmx).
+  s"-Xms$heapCap",
   "-XX:MaxGCPauseMillis=50",
 )

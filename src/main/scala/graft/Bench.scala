@@ -146,6 +146,11 @@ object Bench {
       // a bench JVM lives ~2 min: skip async broadcast/shuffle GC
       // (ContextCleaner RPCs otherwise land inside timed windows)
       .config("spark.cleaner.referenceTracking", "false")
+      // the parquet+object double sweep re-plans ~34 distinct queries
+      // x multiple codegen stages each pass; the default 100-entry
+      // generated-code cache would evict and recompile (single-threaded
+      // janino on the driver) inside timed windows
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
