@@ -327,7 +327,76 @@ object StreamOps extends QueryModule {
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts""".stripMargin
 
+  // ---- streaming curation: the continuous-ingest form of the
+  // curation pipeline (gate → dedup → per-source stats) ----
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val objDir = s"$dir/documents.parquet"
+    val reader = s.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1000000") // single-batch pin, as above
+    if (Files.isDirectory(java.nio.file.Paths.get(objDir)))
+      reader.parquet(objDir) // objectified layout: a dir of part-files
+    else
+      reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** Streaming curation: the C4-style gate (same thresholds as
+    * q_text_filter_policy), exact dedup per (source, content-hash) via
+    * streaming dropDuplicates state, then per-source corpus stats in
+    * COMPLETE mode. Duplicate texts carry identical token counts, so
+    * the aggregate is insensitive to which physical duplicate the
+    * state store keeps — what makes the batch oracle exact. 100 TB
+    * posture: the gate is stateless map work; dedup state is keyed on
+    * the content hash (partitioned across executors — a corpus-wide
+    * dedup's state is inherently proportional to distinct content,
+    * exactly the reference's index discipline); the final agg carries
+    * one row per source. */
+  private val curate = (s: SparkSession, dir: String) => {
+    val stopList = Seq("the", "a", "of", "to", "and", "in", "is")
+      .map("'" + _ + "'").mkString(",")
+    val gated = documentsStream(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("rep_ratio", expr(
+        "array_max(transform(array_distinct(tk), t -> size(filter(tk, x -> x = t))))")
+        / col("n_tok"))
+      .withColumn("en_score",
+        size(expr(s"filter(tk, t -> t IN ($stopList))")) / col("n_tok"))
+      .filter(col("n_tok") >= 20 && col("n_tok") <= 90 &&
+        col("rep_ratio") <= 0.2 && col("en_score") >= 0.05)
+    val agg = gated
+      .select(col("source"), md5(col("text")).as("h"), col("n_tok"))
+      .dropDuplicates("source", "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("total_tokens"))
+    runToTable(s, agg, "complete")
+  }
+
+  private val curateSql = {
+    val list = Seq("the", "a", "of", "to", "and", "in", "is")
+      .map("'" + _ + "'").mkString(",")
+    s"""WITH t AS (SELECT source, text, string_split(text, ' ') AS tk FROM documents),
+       |m AS (SELECT source, text, len(tk) AS n_tok,
+       |  list_max(list_transform(list_distinct(tk),
+       |    x -> len(list_filter(tk, y -> y = x)))) * 1.0 / len(tk) AS rep_ratio,
+       |  len(list_filter(tk, x -> x IN ($list))) * 1.0 / len(tk) AS en_score
+       |  FROM t),
+       |gated AS (SELECT * FROM m
+       |  WHERE n_tok BETWEEN 20 AND 90 AND rep_ratio <= 0.2 AND en_score >= 0.05),
+       |ded AS (SELECT source, md5(text) AS h, MAX(n_tok) AS n_tok
+       |        FROM gated GROUP BY 1, 2)
+       |SELECT source, COUNT(*) AS n_kept, SUM(n_tok) AS total_tokens
+       |FROM ded GROUP BY source""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_stream_curate" -> Q(curate, Some(curateSql),
+      "streaming curation: gate -> stateful dedup -> per-source stats"),
     "q_stream_join" -> Q(streamJoin, Some(streamJoinSql),
       "stream-stream inner join (watermarked, time-range state expiry)"),
     "q_stream_dedup_wm" -> Q(dedupWm, Some(dedupSql),
