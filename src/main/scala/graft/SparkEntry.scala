@@ -30,7 +30,8 @@ object SparkEntry {
     graft.operators.Extensions,
     graft.operators.Skew,
     graft.operators.Sampling,
-    graft.operators.Curation)
+    graft.operators.Curation,
+    graft.operators.TpchMore)
 
   private lazy val all: Map[String, Q] =
     modules.flatMap(_.queries).toMap
