@@ -179,6 +179,43 @@ object Multimodal extends QueryModule {
     WavRow(id, rate, channels, bits, n, sum.toDouble / (n * channels))
   }
 
+  /** Nearest-neighbor resize: parse the source BMP, resample into a
+    * fresh spec-compliant BMP (new stride/padding computed for the
+    * target dims), preserving bottom-up row order. The mapping is the
+    * standard floor(dst·src/dstDim) sample grid. Everything is read
+    * from the BYTES — dims, offset, stride — never from doc_id. */
+  private[graft] def resizeBmp(src: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    require(hasTag(src, 0, "BM"), "bad BMP magic")
+    val off = leInt(src, 10)
+    val w = leInt(src, 18); val h = leInt(src, 22)
+    require(leShort(src, 28) == 24 && h > 0, "unsupported BMP variant")
+    val strideS = (3 * w + 3) & ~3
+    val strideD = (3 * w2 + 3) & ~3
+    val out = new Array[Byte](54 + strideD * h2)
+    putTag(out, 0, "BM")
+    putLeInt(out, 2, out.length)
+    putLeInt(out, 10, 54); putLeInt(out, 14, 40)
+    putLeInt(out, 18, w2); putLeInt(out, 22, h2)
+    putLeShort(out, 26, 1); putLeShort(out, 28, 24)
+    putLeInt(out, 34, strideD * h2)
+    var y2 = 0
+    while (y2 < h2) {
+      val ys = (y2.toLong * h / h2).toInt
+      var x2 = 0
+      while (x2 < w2) {
+        val xs = (x2.toLong * w / w2).toInt
+        var c = 0
+        while (c < 3) {
+          out(54 + y2 * strideD + x2 * 3 + c) = src(off + ys * strideS + xs * 3 + c)
+          c += 1
+        }
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
   /** Binary payload + typed metadata struct (schema is the contract).
     * Carrier bytes are the document text — meta/frames/stats treat the
     * payload as opaque, which is the point of a media column. */
@@ -268,6 +305,50 @@ object Multimodal extends QueryModule {
       |  round((amp * n + n // 2) * 1.0 / n, 6) AS mean_amp
       |FROM au""".stripMargin
 
+  /** Image resize: synth → half-size nearest-neighbor resize (target
+    * dims derived from the PARSED header, min 2) → decode the resized
+    * bytes. The oracle reproduces the sample grid arithmetically:
+    * resized mean_c = (h2·(w2·base_c + Σ⌊x2·w/w2⌋)) / (w2·h2) — the
+    * same single-division integer form the kernel computes, so the
+    * doubles match bit-for-bit. */
+  private val resizeQ = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBytes(id, synthBmp(id))))
+    media.mapPartitions(_.map { m =>
+      val w = leInt(m.media, 18); val h = leInt(m.media, 22)
+      val resized = resizeBmp(m.media, math.max(2, w / 2), math.max(2, h / 2))
+      parseBmp(m.doc_id, resized)
+    }).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_r"), 6).as("mean_r"))
+  }
+
+  private val resizeSql =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    CAST(4 + doc_id % 13 AS INT) AS w,
+      |    CAST(3 + doc_id % 7 AS INT) AS h,
+      |    (doc_id * 7) % 240 AS b0,
+      |    (doc_id * 7 + 50) % 240 AS b1,
+      |    (doc_id * 7 + 100) % 240 AS b2
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |d AS (SELECT *, GREATEST(2, w // 2) AS w2, GREATEST(2, h // 2) AS h2
+      |      FROM img),
+      |g AS (SELECT doc_id, w2, h2, b0, b1, b2,
+      |        list_sum(list_transform(range(0, w2), x -> (x * w) // w2)) AS sx
+      |      FROM d)
+      |SELECT doc_id, CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height,
+      |  3 AS channels,
+      |  round((h2 * (w2 * b0 + sx)) * 1.0 / (w2 * h2), 6) AS mean_b,
+      |  round((h2 * (w2 * b1 + sx)) * 1.0 / (w2 * h2), 6) AS mean_g,
+      |  round((h2 * (w2 * b2 + sx)) * 1.0 / (w2 * h2), 6) AS mean_r
+      |FROM g""".stripMargin
+
   // Frame sampling: every 64-byte block of a "video" payload is a
   // frame; sample every 4th frame. Pure column expressions (posexplode
   // over a computed range) — map-side, no shuffle — and SQL-expressible.
@@ -313,6 +394,8 @@ object Multimodal extends QueryModule {
       "real 24bpp BMP decode (header parse + per-channel pixel means) over planted payloads"),
     "q_mm_decode_wav" -> Q(decodeWavQ, Some(decodeWavSql),
       "real 16-bit PCM WAV decode (RIFF parse + sample stats) over planted payloads"),
+    "q_mm_resize" -> Q(resizeQ, Some(resizeSql),
+      "nearest-neighbor BMP resize (re-encode + re-decode), closed-form oracle"),
     "q_mm_frames" -> Q(frameQ, Some(frameSql),
       "frame sampling: every 4th 64-byte block of video payloads"),
     "q_mm_stats" -> Q(statsQ, Some(statsSql),

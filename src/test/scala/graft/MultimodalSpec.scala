@@ -83,6 +83,39 @@ class MultimodalSpec extends SparkSpec {
     assert(s.mean_amp != clean.mean_amp)
   }
 
+
+  test("resize: samples the source bytes (tampered pixel shifts the resized mean)") {
+    val id = 12L // w=16 -> w2=8, h=furthest from degenerate
+    val src = Multimodal.synthBmp(id)
+    val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
+    val w2 = math.max(2, w / 2); val h2 = math.max(2, h / 2)
+    val clean = Multimodal.parseBmp(id, Multimodal.resizeBmp(src, w2, h2))
+    assert(clean.width == w2 && clean.height == h2)
+    // tamper a pixel the half-size sample grid HITS: (x=0, stored row 0)
+    val tampered = src.clone()
+    tampered(54) = (tampered(54) + 60).toByte
+    val t = Multimodal.parseBmp(id, Multimodal.resizeBmp(tampered, w2, h2))
+    assert(t.mean_b != clean.mean_b,
+      "resize must read sampled source bytes, not closed forms")
+    // tampering a pixel the grid SKIPS leaves the resize unchanged:
+    // with w=16, w2=8 the grid takes even x only - poke odd x=1
+    if (w == 16) {
+      val skipped = src.clone()
+      skipped(54 + 3) = (skipped(54 + 3) + 60).toByte // x=1, blue
+      val sres = Multimodal.parseBmp(id, Multimodal.resizeBmp(skipped, w2, h2))
+      assert(sres == clean, "nearest-neighbor must skip unsampled pixels")
+    }
+  }
+
+  test("resize output is a spec-compliant BMP (round-trips the parser)") {
+    (0L until 45L by 3).foreach { id =>
+      val src = Multimodal.synthBmp(id)
+      val r = Multimodal.resizeBmp(src, 3, 2) // odd target width: stride padding exercised
+      val row = Multimodal.parseBmp(id, r)
+      assert(row.width == 3 && row.height == 2 && row.channels == 3)
+    }
+  }
+
   test("decode preserves input partitioning (no repartition/coalesce)") {
     // synth + decode add no exchange: output partitions == input partitions
     val in = Tables.documents(spark, sf).rdd.getNumPartitions
