@@ -32,8 +32,17 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // headline set + the round-3 additions (auditable batch queries)
+    val extras = Seq(
+      "q_text_repetition", "q_text_decontam", "q_text_pii",
+      "q_dedup_canonical", "q_sim_semantic_dedup", "q_sample_weighted_mix",
+      "q_tpch_q4", "q_tpch_q10", "q_tpch_q12", "q_tpch_q14",
+      "q_win_pct_rank", "q_mm_resize")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else (Bench.headline ++ extras).distinct
     println(f"${"query"}%-28s shuffles broadcasts pushdown codegen")
-    Bench.headline.foreach { name =>
+    names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect() // execute THIS QueryExecution so AQE finalizes it

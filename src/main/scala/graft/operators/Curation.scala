@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,19 +61,22 @@ object Curation extends QueryModule {
       .select(col("doc_id"), explode(expr(
         s"flatten(array(${gramsExpr(1)}, ${gramsExpr(2)}, ${gramsExpr(3)}))")).as("g"))
       .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-    val perN = grams
+    // per-(doc,n) totals fold into the per-doc pivot as CONDITIONAL
+    // aggregates over the (doc,n,gram) counts — two exchanges total,
+    // not three (the (doc,n)-keyed middle agg would re-shuffle rows
+    // already keyed by doc prefix).
+    def overN(n: Int, c: Column) = when(col("n") === n, c)
+    val counts = grams
       .groupBy(col("doc_id"), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(sum(col("c")).as("total"), max(col("c")).as("top"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
-        count(lit(1)).as("dist"))
-    def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
-    perN.groupBy(col("doc_id"))
+    counts.groupBy(col("doc_id"))
       .agg(
-        round(lit(1) - pick(1, "dist") / pick(1, "total"), 6).as("word_rep_frac"),
-        round(pick(2, "top") / pick(2, "total"), 6).as("top2gram_frac"),
-        round(pick(3, "dup") / pick(3, "total"), 6).as("dup3gram_frac"))
+        round(lit(1) - count(overN(1, lit(1))) / sum(overN(1, col("c"))), 6)
+          .as("word_rep_frac"),
+        round(max(overN(2, col("c"))) / sum(overN(2, col("c"))), 6)
+          .as("top2gram_frac"),
+        round(coalesce(sum(overN(3, when(col("c") > 1, col("c")))), lit(0L))
+          / sum(overN(3, col("c"))), 6).as("dup3gram_frac"))
       .withColumn("keep",
         col("word_rep_frac") <= 0.6 && col("top2gram_frac") <= 0.05)
   }
