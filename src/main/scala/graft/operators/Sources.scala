@@ -190,9 +190,48 @@ object Sources extends QueryModule {
       |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
       |FROM orders""".stripMargin
 
+  /** SQL DML through the graft TableCatalog: rebuild the table,
+    * DELETE an l_quantity range (object-level: stats-pruned / whole-
+    * object unlink / staged in-place rewrite), read survivors back via
+    * the catalog. The catalog is registered once per session (catalog
+    * instances are cached by name after first resolution, so the root
+    * conf must precede first use — hence the memoized registration). */
+  private val catalogRegistered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private def graftCatalogRoot(s: SparkSession): String =
+    catalogRegistered.computeIfAbsent(s, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-catalog").toString
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", root)
+      root
+    })
+
+  private val catalogDelete = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    Tables.lineitem(s, dir)
+      .repartitionByRange(4, col("l_orderkey"))
+      .write.format("graft-objects").mode("overwrite")
+      .save(s"$root/main/lineitem")
+    s.sql("DELETE FROM graft.main.lineitem WHERE l_quantity > 30.0")
+    s.sql("""SELECT l_returnflag, COUNT(*) AS n_rows,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            |  max(l_quantity) AS max_qty
+            |FROM graft.main.lineitem GROUP BY l_returnflag""".stripMargin)
+  }
+
+  private val catalogDeleteSql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  max(l_quantity) AS max_qty
+      |FROM lineitem WHERE NOT (l_quantity > 30.0)
+      |GROUP BY l_returnflag""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_src_objstore_agg" -> Q(objstoreAgg, Some(objstoreAggSql),
       "storage-side MIN/MAX/COUNT from object footers (agg pushdown)"),
+    "q_src_catalog_delete" -> Q(catalogDelete, Some(catalogDeleteSql),
+      "SQL DELETE through the graft TableCatalog (object-level delete)"),
     "q_src_bloom_index" -> Q(bloomIndex, Some(bloomIndexSql),
       "bloom-filter value index write+lookup (omap value-index analog)"),
     "q_src_csv_roundtrip" -> Q(csvRoundtrip, Some(csvRoundtripSql),

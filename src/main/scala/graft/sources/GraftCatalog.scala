@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark `TableCatalog` over a root directory of graft object-store
+  * tables — the catalog face of the reference's pool/namespace model
+  * (SURVEY §1.1: a table = a named set of `<table>.<seq>` objects in a
+  * pool; here pool = namespace directory). Registration:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.root", "/data/graft")
+  * spark.sql("SELECT * FROM graft.main.lineitem WHERE l_quantity > 45")
+  * spark.sql("DELETE FROM graft.main.lineitem WHERE l_shipdate < '1996-01-01'")
+  * spark.sql("INSERT INTO graft.main.lineitem SELECT ...")
+  * }}}
+  *
+  * A table lives at `<root>/<namespace…>/<name>/` holding
+  * `<name>.<seq>` objects. Schema resolves from the first object; an
+  * empty (just-created) table keeps a `_schema.ddl` sidecar so CTAS /
+  * create-then-insert works before the first object lands. DELETE is
+  * object-level (SupportsDelete on GraftObjectTable): stats-pruned,
+  * whole-object unlink, or staged in-place rewrite.
+  *
+  * 100 TB posture: the catalog itself is metadata-only (directory
+  * listings + one footer read per schema resolution); all data motion
+  * stays in the DSv2 scan/write/delete paths.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: spark.sql.catalog.$name.root is required"))
+    Files.createDirectories(Paths.get(root))
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): File =
+    new File((root +: ident.namespace() :+ ident.name()).mkString("/"))
+
+  private def schemaSidecar(dir: File): File = new File(dir, "_schema.ddl")
+
+  private def resolveSchema(ident: Identifier, dir: File): StructType = {
+    val fromObjects = GraftObjectTable.listObjects(dir.getPath).headOption
+      .map(ObjectFormat.readSchema)
+    fromObjects.orElse {
+      val sc = schemaSidecar(dir)
+      if (sc.isFile)
+        Some(StructType.fromDDL(
+          new String(Files.readAllBytes(sc.toPath), StandardCharsets.UTF_8)))
+      else None
+    }.getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    tableDir(ident).isDirectory
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!dir.isDirectory) throw new NoSuchTableException(ident)
+    new GraftObjectTable(resolveSchema(ident, dir), dir.getPath)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (dir.isDirectory) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft catalog: partition transforms are not supported " +
+        "(objects are the partitioning unit)")
+    Files.createDirectories(dir.toPath)
+    Files.write(schemaSidecar(dir).toPath,
+      schema.toDDL.getBytes(StandardCharsets.UTF_8))
+    new GraftObjectTable(schema, dir.getPath)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!dir.isDirectory) false
+    else {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  /** Rename moves the directory AND re-prefixes the `<name>.<seq>`
+    * objects (object names embed the table name — the store's naming
+    * contract). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!from.isDirectory) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (to.isDirectory) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.toPath.getParent)
+    require(from.renameTo(to), s"rename: cannot move $from to $to")
+    val oldName = oldIdent.name(); val newName = newIdent.name()
+    Option(to.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches(
+        java.util.regex.Pattern.quote(oldName) + "\\.\\d+"))
+      .foreach { f =>
+        val seq = f.getName.substring(oldName.length + 1)
+        require(f.renameTo(new File(to, s"$newName.$seq")),
+          s"rename: cannot re-prefix ${f.getName}")
+      }
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new File((root +: namespace).mkString("/"))
+    if (!nsDir.isDirectory) throw new NoSuchNamespaceException(namespace)
+    Option(nsDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(d => Identifier.of(namespace, d.getName))
+  }
+}

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
@@ -351,6 +351,34 @@ object ObjectFormat {
     * All comparisons are EXACT (cmpExact) — integral stats are stored
     * as longs, so no 2^53 collapse; unknown comparisons keep the
     * object (conservative). */
+  /** A filter is storage-evaluable when it references only codec-typed
+    * columns with comparable values; everything else stays client-side
+    * (reads: Spark re-evaluates the residual set; deletes: refused
+    * outright). Shared by the scan builder's pushdown partition and
+    * SupportsDelete's acceptance check. */
+  def storageEvaluable(schema: StructType, f: Filter): Boolean = {
+    def has(a: String): Boolean = schema.fieldNames.contains(a)
+    def ok(a: String, v: Any): Boolean = has(a) && (v match {
+      case _: Number | _: String => schema(a).dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | StringType => true
+        case _ => false
+      }
+      case _ => false
+    })
+    f match {
+      case EqualTo(a, v) => ok(a, v)
+      case GreaterThan(a, v) => ok(a, v)
+      case GreaterThanOrEqual(a, v) => ok(a, v)
+      case LessThan(a, v) => ok(a, v)
+      case LessThanOrEqual(a, v) => ok(a, v)
+      case In(a, vs) => vs.forall(ok(a, _))
+      case IsNull(a) => has(a)
+      case IsNotNull(a) => has(a)
+      case And(l, r) => storageEvaluable(schema, l) && storageEvaluable(schema, r)
+      case _ => false
+    }
+  }
+
   def mightMatch(filter: Filter, footer: Footer): Boolean = {
     val stats = footer.stats
     def rng(a: String): Option[(Any, Any)] =
@@ -459,7 +487,7 @@ object GraftObjectTable {
 }
 
 class GraftObjectTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft-objects:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -471,6 +499,52 @@ class GraftObjectTable(tableSchema: StructType, path: String)
     new GraftScanBuilder(tableSchema, path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info.schema(), path)
+
+  /** `DELETE FROM … WHERE p` as an OBJECT-LEVEL operation — the
+    * reference's discipline (storage objects are the unit of work):
+    *
+    *  1. objects whose footer stats prove no row can match `p` are
+    *     never opened (the same `mightMatch` prune as reads);
+    *  2. objects where every row matches are unlinked whole;
+    *  3. partially-matching objects are rewritten in place — survivors
+    *     re-encoded to a staged file, atomically renamed over the
+    *     original `<table>.<seq>` name (sequence numbering, and hence
+    *     streaming offsets, stay intact).
+    *
+    * SQL semantics: a row is deleted only when `p` is TRUE; rows where
+    * `p` is NULL survive (the reader's 3VL conjunction, negated).
+    * Accepted predicates are exactly the storage-evaluable set — when
+    * any conjunct falls outside it, `canDeleteWhere` refuses and Spark
+    * reports the DELETE unsupported rather than half-applying it. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(ObjectFormat.storageEvaluable(tableSchema, _))
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftObjectTable.listObjects(path).foreach { obj =>
+      val footer = ObjectFormat.readFooter(obj)
+      val mayMatch = footer.rowCount > 0 &&
+        filters.forall(ObjectFormat.mightMatch(_, footer))
+      if (mayMatch) {
+        val reader = new GraftObjectReader(obj, tableSchema, tableSchema,
+          filters, negated = true)
+        val enc = new ObjectFormat.ObjectEncoder(tableSchema)
+        var survivors = 0
+        try {
+          while (reader.next()) { enc.addInternal(reader.get()); survivors += 1 }
+        } finally reader.close()
+        val objFile = new File(obj)
+        if (survivors == 0) {
+          require(objFile.delete(), s"delete: cannot unlink $obj")
+        } else if (survivors < footer.rowCount) {
+          val staged = new File(objFile.getParentFile,
+            s"_staged_delete_${objFile.getName}")
+          enc.finish(staged.getPath)
+          Files.move(staged.toPath, objFile.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } // survivors == rowCount: stats were conservative, nothing matched
+      }
+    }
 }
 
 /** DSv2 write: each task encodes its partition into a staged object;
@@ -649,29 +723,11 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
   private var pushedAggs: Option[Seq[FooterAgg]] = None
   private var aggFooters: Seq[ObjectFormat.Footer] = Nil
 
-  /** A filter is storage-evaluable when it references only codec-typed
-    * columns with comparable values; everything else stays client-side
-    * (Spark re-evaluates exactly the residual set). */
-  private def evaluable(f: Filter): Boolean = f match {
-    case EqualTo(a, v) => ok(a, v)
-    case GreaterThan(a, v) => ok(a, v)
-    case GreaterThanOrEqual(a, v) => ok(a, v)
-    case LessThan(a, v) => ok(a, v)
-    case LessThanOrEqual(a, v) => ok(a, v)
-    case In(a, vs) => vs.forall(ok(a, _))
-    case IsNull(a) => has(a)
-    case IsNotNull(a) => has(a)
-    case And(l, r) => evaluable(l) && evaluable(r)
-    case _ => false
-  }
+  /** Storage-evaluable set shared with SupportsDelete — see
+    * ObjectFormat.storageEvaluable. */
+  private def evaluable(f: Filter): Boolean =
+    ObjectFormat.storageEvaluable(fullSchema, f)
   private def has(a: String): Boolean = fullSchema.fieldNames.contains(a)
-  private def ok(a: String, v: Any): Boolean = has(a) && (v match {
-    case _: Number | _: String => fullSchema(a).dataType match {
-      case LongType | IntegerType | DoubleType | FloatType | StringType => true
-      case _ => false
-    }
-    case _ => false
-  })
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (acc, residual) = filters.partition(evaluable)
@@ -953,8 +1009,9 @@ class GraftReaderFactory(fullSchema: StructType, readSchema: StructType,
   * their Catalyst representation (nested structs/arrays/maps
   * included), so projection is a plain array copy. */
 class GraftObjectReader(path: String, fullSchema: StructType,
-    readSchema: StructType, pushed: Array[Filter])
-    extends PartitionReader[InternalRow] {
+    readSchema: StructType, pushed: Array[Filter],
+    negated: Boolean = false) // true: emit rows FAILING the conjunction
+    extends PartitionReader[InternalRow] {         // (DELETE's survivors)
 
   /** Byte-position tracking for the recursive decoder (rows end where
     * the body ends; the codec has no per-row length prefix). */
@@ -1072,8 +1129,9 @@ class GraftObjectReader(path: String, fullSchema: StructType,
   override def next(): Boolean = {
     while (readRow()) {
       // 3VL: cmpExact is None on null ⇒ predicate unknown ⇒ row
-      // filtered, matching SQL semantics for pushed conjuncts
-      if (pushed.forall(eval)) {
+      // filtered, matching SQL semantics for pushed conjuncts (and in
+      // negated/DELETE mode the unknown row correctly SURVIVES)
+      if (pushed.forall(eval) != negated) {
         val out = new Array[Any](outIdx.length)
         var k = 0
         while (k < outIdx.length) { out(k) = values(outIdx(k)); k += 1 }

@@ -1,0 +1,110 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The graft TableCatalog + object-level SQL DELETE. One catalog per
+  * JVM (Spark caches catalog instances by name after first resolution,
+  * so the root conf is set exactly once); each test uses its own
+  * namespace under the shared root.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-catalog-spec").toString
+    spark.conf.set("spark.sql.catalog.gtest", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.root", r)
+    r
+  }
+
+  private def mkTable(ns: String, name: String): String = {
+    val path = s"$root/$ns/$name"
+    Tables.lineitem(spark, sf)
+      .repartitionByRange(4, col("l_orderkey"))
+      .write.format("graft-objects").mode("overwrite").save(path)
+    path
+  }
+
+  test("catalog resolves tables for SELECT with pushdown intact") {
+    mkTable("sel", "lineitem")
+    val n = spark.sql(
+      "SELECT COUNT(*) AS n FROM gtest.sel.lineitem WHERE l_quantity > 45")
+      .collect()(0).getLong(0)
+    val expect = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45).count()
+    assert(n == expect)
+  }
+
+  test("DELETE removes exactly the matching rows; NULL predicates survive") {
+    mkTable("del", "lineitem")
+    val before = Tables.lineitem(spark, sf).count()
+    val matching = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 30).count()
+    spark.sql("DELETE FROM gtest.del.lineitem WHERE l_quantity > 30.0")
+    val after = spark.sql("SELECT COUNT(*) AS n FROM gtest.del.lineitem")
+      .collect()(0).getLong(0)
+    assert(after == before - matching)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM gtest.del.lineitem WHERE l_quantity > 30.0")
+      .collect()(0).getLong(0) == 0)
+  }
+
+  test("DELETE is object-level: pruned objects stay byte-identical, covered objects unlink") {
+    val path = mkTable("objlevel", "lineitem")
+    val objs = graft.sources.GraftObjectTable.listObjects(path)
+    assert(objs.size == 4)
+    // range-partitioned on l_orderkey: delete everything in the first
+    // object's key range -> that object unlinks whole; the last
+    // object's stats prune it from the rewrite entirely
+    val footers = objs.map(o => o -> graft.sources.ObjectFormat.readFooter(o))
+    val lastObj = objs.last
+    val lastBytes = Files.readAllBytes(new File(lastObj).toPath)
+    val firstMax = footers.head._2.stats("l_orderkey")
+      .max.asInstanceOf[Number].longValue()
+    spark.sql(
+      s"DELETE FROM gtest.objlevel.lineitem WHERE l_orderkey <= $firstMax")
+    val remaining = graft.sources.GraftObjectTable.listObjects(path)
+    assert(remaining.size == 3, s"first object must unlink whole: $remaining")
+    assert(Files.readAllBytes(new File(lastObj).toPath).sameElements(lastBytes),
+      "stats-pruned object must not be rewritten")
+    // survivors correct
+    val expect = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") > firstMax).count()
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gtest.objlevel.lineitem")
+      .collect()(0).getLong(0) == expect)
+  }
+
+  test("DELETE with an unsupported predicate is refused, not half-applied") {
+    mkTable("refuse", "lineitem")
+    val before = spark.sql("SELECT COUNT(*) AS n FROM gtest.refuse.lineitem")
+      .collect()(0).getLong(0)
+    intercept[Exception] {
+      spark.sql(
+        "DELETE FROM gtest.refuse.lineitem WHERE length(l_returnflag) > 99")
+    }
+    val after = spark.sql("SELECT COUNT(*) AS n FROM gtest.refuse.lineitem")
+      .collect()(0).getLong(0)
+    assert(after == before)
+  }
+
+  test("create/list/rename/drop lifecycle; schema sidecar serves empty tables") {
+    spark.sql(
+      "CREATE TABLE gtest.life.t1 (k BIGINT, v STRING) USING `graft-objects`")
+    assert(spark.sql("SELECT * FROM gtest.life.t1").count() == 0)
+    spark.sql("INSERT INTO gtest.life.t1 VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT * FROM gtest.life.t1").count() == 2)
+    val listed = spark.sql("SHOW TABLES IN gtest.life").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("t1"))
+    // RENAME TO takes a catalog-relative multipart name
+    spark.sql("ALTER TABLE gtest.life.t1 RENAME TO life.t2")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gtest.life.t2")
+      .collect()(0).getLong(0) == 2)
+    // object files re-prefixed to the new table name
+    val objs = graft.sources.GraftObjectTable.listObjects(s"$root/life/t2")
+    assert(objs.nonEmpty && objs.forall(new File(_).getName.startsWith("t2.")))
+    spark.sql("DROP TABLE gtest.life.t2")
+    assert(!new File(s"$root/life/t2").exists())
+  }
+}
