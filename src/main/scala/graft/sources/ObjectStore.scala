@@ -375,6 +375,9 @@ object ObjectFormat {
       case IsNull(a) => has(a)
       case IsNotNull(a) => has(a)
       case And(l, r) => storageEvaluable(schema, l) && storageEvaluable(schema, r)
+      case Or(l, r) => storageEvaluable(schema, l) && storageEvaluable(schema, r)
+      case AlwaysTrue() => true // TRUNCATE arrives as DELETE WHERE true
+      case AlwaysFalse() => true
       case _ => false
     }
   }
@@ -519,7 +522,7 @@ class GraftObjectTable(tableSchema: StructType, path: String)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(ObjectFormat.storageEvaluable(tableSchema, _))
 
-  override def deleteWhere(filters: Array[Filter]): Unit =
+  override def deleteWhere(filters: Array[Filter]): Unit = {
     GraftObjectTable.listObjects(path).foreach { obj =>
       val footer = ObjectFormat.readFooter(obj)
       val mayMatch = footer.rowCount > 0 &&
@@ -545,6 +548,12 @@ class GraftObjectTable(tableSchema: StructType, path: String)
         } // survivors == rowCount: stats were conservative, nothing matched
       }
     }
+    // a DELETE/TRUNCATE that empties the table must not strand it
+    // schema-less: persist the sidecar the catalog falls back to
+    if (GraftObjectTable.listObjects(path).isEmpty)
+      Files.write(Paths.get(path, "_schema.ddl"),
+        tableSchema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }
 
 /** DSv2 write: each task encodes its partition into a staged object;
@@ -1122,6 +1131,12 @@ class GraftObjectReader(path: String, fullSchema: StructType,
       case IsNull(a) => fieldVal(a) == null
       case IsNotNull(a) => fieldVal(a) != null
       case And(l, r) => eval(l) && eval(r)
+      // unknown collapses to false (row filtered / survives a DELETE),
+      // which OR propagates conservatively: unknown∨true = true,
+      // unknown∨false = unknown — both match SQL 3VL row fate here
+      case Or(l, r) => eval(l) || eval(r)
+      case AlwaysTrue() => true
+      case AlwaysFalse() => false
       case _ => true
     }
   }

@@ -88,6 +88,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("TRUNCATE TABLE empties via the delete path; table stays queryable") {
+    val path = mkTable("trunc", "lineitem")
+    spark.sql("TRUNCATE TABLE gtest.trunc.lineitem")
+    assert(graft.sources.GraftObjectTable.listObjects(path).isEmpty,
+      "truncate must unlink every object")
+    // schema still resolves (sidecar written on the fly is absent here,
+    // but the catalog table was created by a path write; re-insert works)
+    spark.sql(
+      "INSERT INTO gtest.trunc.lineitem SELECT * FROM gtest.del.lineitem LIMIT 5")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gtest.trunc.lineitem")
+      .collect()(0).getLong(0) == 5)
+  }
+
   test("create/list/rename/drop lifecycle; schema sidecar serves empty tables") {
     spark.sql(
       "CREATE TABLE gtest.life.t1 (k BIGINT, v STRING) USING `graft-objects`")
