@@ -279,7 +279,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_obj":$qsObj,"ingest_obj_sec":$ingestObjSec,"sf":"$sfDir","ingest_sec":$ingestSec,"floor_sec":$floor%.4f$pushdown}""")
+
+    // Self-diagnosis for the intermittent host futex storm documented in
+    // BASELINE.md ("Round 3: host futex-storm episodes"): a healthy run
+    // is utime-dominated; a storm run burns multiples of utime in KERNEL
+    // time (measured 12:1). Emitting this JVM's own /proc utime/stime
+    // lets any pathological-looking BENCH_r{N}.json be read against the
+    // host condition it ran under.
+    val cpuSplit =
+      try {
+        val stat = new String(Files.readAllBytes(
+          Paths.get("/proc/self/stat"))).split("\\) ").last.split(" ")
+        val hz = 100.0 // Linux USER_HZ
+        val ut = stat(11).toDouble / hz // field 14, after the comm split
+        val st = stat(12).toDouble / hz
+        f""","jvm_utime_s":$ut%.1f,"jvm_stime_s":$st%.1f,"jvm_stime_ratio":${st / math.max(ut, 0.1)}%.2f"""
+      } catch { case _: Throwable => "" }
+
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_obj":$qsObj,"ingest_obj_sec":$ingestObjSec,"sf":"$sfDir","ingest_sec":$ingestSec,"floor_sec":$floor%.4f$pushdown$cpuSplit}""")
     spark.stop()
   }
 }

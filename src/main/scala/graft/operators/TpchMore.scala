@@ -158,6 +158,337 @@ object TpchMore extends QueryModule {
       |               ORDER BY c_acctbal DESC, c_custkey ASC))
       |WHERE pct_rank <= 0.02""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Round-3 completion wave: the remaining TPC-H shapes expressible
+  // without a partsupp table (the fixture has none, which rules out
+  // Q2/Q9/Q11/Q16/Q20 — documented in SURVEY §3.1 delta). Parameters
+  // are adapted to the fixture's value domains (regions AFRICA..MIDDLE
+  // EAST, Brand#1..25, integral quantities 1..50) and chosen so every
+  // query is non-empty at sf0.001/0.01/0.1.
+  // ---------------------------------------------------------------
+
+  // Q7 analog: shipping volume between two regions (fixture nations are
+  // too sparse at sf0.001 for the canonical nation pair), per ship year.
+  // 100 TB: nation/region/supplier broadcast; one shuffle join each for
+  // orders and customer; decimal partials keep the sums exact.
+  private val q7 = (s: SparkSession, dir: String) => {
+    val n1 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("s_nk"), col("n_regionkey").as("s_rk"))
+    val r1 = Tables.region(s, dir).select(
+      col("r_regionkey").as("s_rk"), col("r_name").as("supp_region"))
+    val n2 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val r2 = Tables.region(s, dir).select(
+      col("r_regionkey").as("c_rk"), col("r_name").as("cust_region"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(r1), "s_rk")
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r2), "c_rk")
+      .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+        (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Ora.dsum(revenue).as("revenue"))
+  }
+
+  private val q7Sql =
+    s"""SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+       |  year(l_shipdate) AS l_year,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+       |    OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+       |GROUP BY r1.r_name, r2.r_name, year(l_shipdate)""".stripMargin
+
+  // Q8 analog: NATION_3 suppliers' market share among EUROPE customers
+  // for ECONOMY parts, per order year — ratio of conditional decimal
+  // sums, one fact scan.
+  private val q8 = (s: SparkSession, dir: String) => {
+    val suppN = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).select(
+        col("n_nationkey"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custEur = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir).select(
+        col("n_nationkey").as("cn_nk"), col("n_regionkey").as("cn_rk")),
+        col("c_nationkey") === col("cn_nk"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+        col("cn_rk") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custEur), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", revenue)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+          / sum(revenue).cast("double"), 6).as("mkt_share"))
+  }
+
+  private val q8Sql =
+    s"""SELECT year(o_orderdate) AS o_year,
+       |  round(
+       |    CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN $revenueSql
+       |             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       |    / CAST(SUM($revenueSql) AS DOUBLE), 6) AS mkt_share
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_type = 'ECONOMY'
+       |  AND EXISTS (
+       |    SELECT 1 FROM customer
+       |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |    JOIN region ON cn.n_regionkey = r_regionkey
+       |    WHERE c_custkey = o_custkey AND r_name = 'EUROPE')
+       |GROUP BY year(o_orderdate)""".stripMargin
+
+  // Q13 analog: customer order-count distribution, excluding
+  // '4-NOT SPECIFIED' orders (the fixture's stand-in for the
+  // '%special%requests%' comment filter) — outer join with the filter
+  // in the join condition, then a histogram over the counts.
+  private val q13 = (s: SparkSession, dir: String) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_orderpriority") =!= "4-NOT SPECIFIED", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  private val q13Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey
+      |       AND o_orderpriority <> '4-NOT SPECIFIED'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  // Q15 analog: top supplier(s) by revenue over a quarter. The
+  // max-equality test runs on the EXACT decimal revenue (double
+  // equality would be engine-order-dependent); only the output casts
+  // to double.
+  private val q15 = (s: SparkSession, dir: String) => {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(revenue).as("rev_dec"))
+    val top = rev.agg(max(col("rev_dec")).as("max_rev"))
+    rev.join(broadcast(top), col("rev_dec") === col("max_rev"))
+      .join(Tables.supplier(s, dir), col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+  }
+
+  private val q15Sql =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no, SUM($revenueSql) AS rev_dec
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)""".stripMargin
+
+  // Q17 analog: revenue lost to small-quantity orders for one brand.
+  // The per-part average is a window over the brand-filtered lines —
+  // one scan + one shuffle instead of the correlated-subquery rescan
+  // (partkey determines brand, so the window average equals the
+  // canonical per-part correlated average). Quantities are integral
+  // doubles, so the average is order-exact on both engines.
+  private val q17 = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#1")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((Ora.dsum(Ora.money(col("l_extendedprice"))) / 7.0).as("avg_yearly"))
+  }
+
+  private val q17Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |       / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // Q18 analog: large-volume orders (sum qty > 250), top 100 by total
+  // price. The HAVING runs on the grouped fact first, so the join
+  // carries only qualifying orderkeys.
+  private val q18 = (s: SparkSession, dir: String) => {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       sum_qty
+      |FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING SUM(l_quantity) > 250)
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  // Q19 analog: discounted revenue under three OR'd brand/size/quantity
+  // bands — the disjunctive-predicate pushdown shape. One broadcast
+  // join, one conditional aggregate.
+  private val q19 = (s: SparkSession, dir: String) => {
+    val band = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(band("Brand#1", 1, 10, 1, 20) ||
+        band("Brand#2", 11, 20, 10, 30) ||
+        band("Brand#3", 21, 30, 20, 40))
+      .agg(Ora.dsum(revenue).as("revenue"))
+  }
+
+  private val q19Sql =
+    s"""SELECT CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 1 AND 20)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20
+       |       AND l_quantity BETWEEN 10 AND 30)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30
+       |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  // Q21 analog: suppliers whose line was the ONLY late one in a
+  // multi-supplier finished order ("late" adapted to shipdate > 60 days
+  // after order date — the fixture has no commit/receipt dates). The
+  // EXISTS is a semi-join on orderkey, the NOT EXISTS an anti-join
+  // against the same late-line set; both carry only (orderkey, suppkey)
+  // pairs.
+  private val q21 = (s: SparkSession, dir: String) => {
+    val fOrders = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val fLines = Tables.lineitem(s, dir)
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("is_late"))
+    val late = fLines.filter(col("is_late"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l1 = late
+    val l2 = fLines.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("k2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey
+      |      AND o2.o_orderstatus = 'F')
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND o3.o_orderstatus = 'F'
+      |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin
+
+  // Q22 analog: well-funded customers (balance above the positive-
+  // balance average) in selected "country codes" (nationkey mod 10 —
+  // the fixture has no phone column) with no orders since 2000. The
+  // average is a broadcast scalar; the NOT EXISTS an anti-join against
+  // recent orders only.
+  private val q22 = (s: SparkSession, dir: String) => {
+    val ccSet = Seq(1, 2, 3, 4, 5)
+    val cands = Tables.customer(s, dir)
+      .withColumn("cntrycode", col("c_nationkey") % 10)
+      .filter(col("cntrycode").isin(ccSet: _*))
+    val avgBal = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0)
+      .agg((Ora.dsum(Ora.money(col("c_acctbal"))) /
+        count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cands.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        Ora.dsum(Ora.money(col("c_acctbal"))).as("totacctbal"))
+  }
+
+  private val q22Sql =
+    """SELECT c_nationkey % 10 AS cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+      |  AND c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |           / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_nationkey % 10""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_tpch_q4" -> Q(q4, Some(q4Sql),
       "Q4 shape: EXISTS semi-join, priority counts over a quarter"),
@@ -167,6 +498,24 @@ object TpchMore extends QueryModule {
       "Q12 shape: conditional double-count per linestatus"),
     "q_tpch_q14" -> Q(q14, Some(q14Sql),
       "Q14 shape: promo revenue share, ratio of conditional sums"),
+    "q_tpch_q7" -> Q(q7, Some(q7Sql),
+      "Q7 shape: inter-region shipping volume per year"),
+    "q_tpch_q8" -> Q(q8, Some(q8Sql),
+      "Q8 shape: national market share, ratio of conditional sums"),
+    "q_tpch_q13" -> Q(q13, Some(q13Sql),
+      "Q13 shape: customer order-count histogram, filtered outer join"),
+    "q_tpch_q15" -> Q(q15, Some(q15Sql),
+      "Q15 shape: top supplier by quarter revenue, exact-decimal max"),
+    "q_tpch_q17" -> Q(q17, Some(q17Sql),
+      "Q17 shape: small-quantity revenue, per-part average threshold"),
+    "q_tpch_q18" -> Q(q18, Some(q18Sql),
+      "Q18 shape: large-volume orders, HAVING before the join"),
+    "q_tpch_q19" -> Q(q19, Some(q19Sql),
+      "Q19 shape: disjunctive brand/size/quantity revenue"),
+    "q_tpch_q21" -> Q(q21, Some(q21Sql),
+      "Q21 shape: only-late-supplier EXISTS/NOT-EXISTS, semi+anti join"),
+    "q_tpch_q22" -> Q(q22, Some(q22Sql),
+      "Q22 shape: dormant well-funded customers, scalar avg + anti join"),
     "q_win_pct_rank" -> Q(winPct, Some(winPctSql),
       "percent_rank / cume_dist / nth_value per market segment"))
 }

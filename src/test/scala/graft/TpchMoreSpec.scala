@@ -30,6 +30,72 @@ class TpchMoreSpec extends SparkSpec {
     assert(v > 0 && v < 100, s"promo pct $v")
   }
 
+  test("q7: region dims broadcast; revenue positive per (regions, year)") {
+    val p = plan("q_tpch_q7")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+    val rows = run("q_tpch_q7").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) > 0))
+  }
+
+  test("q8: customer-region EXISTS is a semi-join; share within [0,1]") {
+    val p = plan("q_tpch_q8")
+    assert(p.contains("LeftSemi"), s"expected semi-join:\n${p.take(800)}")
+    run("q_tpch_q8").collect().foreach { r =>
+      val s = r.getDouble(1); assert(s >= 0 && s <= 1, s"share $s")
+    }
+  }
+
+  test("q13: histogram counts every customer exactly once") {
+    val rows = run("q_tpch_q13").collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nCust)
+  }
+
+  test("q15: max-revenue equality runs on exact decimals, winners agree") {
+    val rows = run("q_tpch_q15").collect()
+    assert(rows.nonEmpty)
+    // every returned supplier carries the same (maximal) revenue
+    assert(rows.map(_.getDouble(2)).distinct.length === 1)
+  }
+
+  test("q17: single positive avg_yearly; per-part average is a window (one scan)") {
+    val p = plan("q_tpch_q17")
+    assert(p.contains("Window"), s"expected window avg:\n${p.take(800)}")
+    val v = run("q_tpch_q17").collect()(0).getDouble(0)
+    assert(v > 0)
+  }
+
+  test("q18: every returned order is over the quantity threshold, capped at 100") {
+    val rows = run("q_tpch_q18").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getDouble(5) > 250))
+  }
+
+  test("q19: disjunctive bands aggregate to one non-null revenue row") {
+    val rows = run("q_tpch_q19").collect()
+    assert(rows.length === 1)
+    assert(!rows(0).isNullAt(0) && rows(0).getDouble(0) > 0)
+  }
+
+  test("q21: EXISTS/NOT-EXISTS compile to semi+anti joins over late lines") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), s"expected semi:\n${p.take(800)}")
+    assert(p.contains("LeftAnti"), s"expected anti:\n${p.take(800)}")
+    val rows = run("q_tpch_q21").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
+  test("q22: dormant-customer filter is an anti-join against recent orders only") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), s"expected anti:\n${p.take(800)}")
+    val rows = run("q_tpch_q22").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
   test("window pct family: pct_rank bounds, cume monotone in rank order") {
     val rows = run("q_win_pct_rank").collect()
     assert(rows.nonEmpty)
