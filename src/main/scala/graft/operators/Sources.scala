@@ -227,11 +227,80 @@ object Sources extends QueryModule {
       |FROM lineitem WHERE NOT (l_quantity > 30.0)
       |GROUP BY l_returnflag""".stripMargin
 
+  /** SQL UPDATE through the catalog — Spark's group-based row-level
+    * rewrite over the object store (copy-on-write at object
+    * granularity: footer stats pick the affected objects, only those
+    * are rewritten — RowLevelOpsSpec proves untouched objects keep
+    * their exact bytes). The SET avoids float arithmetic so the
+    * readback stays bit-exact against the oracle. */
+  private val catalogUpdate = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    Tables.orders(s, dir)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.format("graft-objects").mode("overwrite")
+      .save(s"$root/main/orders_upd")
+    s.sql("""UPDATE graft.main.orders_upd SET o_orderpriority = '0-REPRICED'
+            |WHERE o_totalprice > 400000.0""".stripMargin)
+    s.sql("""SELECT o_orderpriority, COUNT(*) AS n_rows,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+            |FROM graft.main.orders_upd GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  private val catalogUpdateSql =
+    """SELECT CASE WHEN o_totalprice > 400000.0 THEN '0-REPRICED'
+      |            ELSE o_orderpriority END AS o_orderpriority,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** MERGE INTO through the catalog: matched rows get a status flag,
+    * unmatched source rows are inserted — one ReplaceData plan whose
+    * commit swaps only the objects holding matches (inserts land as
+    * fresh tail objects). */
+  private val catalogMerge = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    Tables.orders(s, dir)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.format("graft-objects").mode("overwrite")
+      .save(s"$root/main/orders_mrg")
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey").as("k"))
+      .union(s.range(1, 3).select((-col("id")).cast("long").as("k")))
+      .createOrReplaceTempView("merge_src")
+    s.sql("""MERGE INTO graft.main.orders_mrg t USING merge_src s
+            |ON t.o_orderkey = s.k
+            |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+            |WHEN NOT MATCHED THEN INSERT
+            |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |   o_orderdate, o_orderpriority)
+            |  VALUES (s.k, 0, 'N', 0.0,
+            |          TIMESTAMP '1995-01-01 00:00:00', '9-MERGED')""".stripMargin)
+    s.sql("""SELECT o_orderstatus, COUNT(*) AS n_rows,
+            |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            |FROM graft.main.orders_mrg GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  private val catalogMergeSql =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM (
+      |  SELECT CASE WHEN o_orderkey % 500 = 0 THEN 'M'
+      |              ELSE o_orderstatus END AS o_orderstatus, o_orderkey
+      |  FROM orders
+      |  UNION ALL SELECT 'N', -1
+      |  UNION ALL SELECT 'N', -2)
+      |GROUP BY o_orderstatus""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_src_objstore_agg" -> Q(objstoreAgg, Some(objstoreAggSql),
       "storage-side MIN/MAX/COUNT from object footers (agg pushdown)"),
     "q_src_catalog_delete" -> Q(catalogDelete, Some(catalogDeleteSql),
       "SQL DELETE through the graft TableCatalog (object-level delete)"),
+    "q_src_catalog_update" -> Q(catalogUpdate, Some(catalogUpdateSql),
+      "SQL UPDATE via group-based row-level rewrite (object copy-on-write)"),
+    "q_src_catalog_merge" -> Q(catalogMerge, Some(catalogMergeSql),
+      "MERGE INTO via group-based row-level rewrite (update + insert)"),
     "q_src_bloom_index" -> Q(bloomIndex, Some(bloomIndexSql),
       "bloom-filter value index write+lookup (omap value-index analog)"),
     "q_src_csv_roundtrip" -> Q(csvRoundtrip, Some(csvRoundtripSql),

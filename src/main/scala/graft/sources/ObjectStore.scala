@@ -8,8 +8,8 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -490,7 +490,25 @@ object GraftObjectTable {
 }
 
 class GraftObjectTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_object` = the `<table>.<seq>` object a row came from — the
+    * reference's object-level addressing surfaced as a Spark metadata
+    * column (query it like `SELECT _object, * FROM t`). Row-level
+    * operations also require it, which routes their writes through
+    * Spark's projecting task (ReplaceDataExec only splits data from
+    * the internal `__row_operation` column when a metadata projection
+    * exists — without it the raw operation-tagged rows would reach the
+    * writer). Nullable: MERGE-inserted rows have no source object. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_object"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "name of the storage object this row was read from"
+    })
   override def name(): String = s"graft-objects:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -554,6 +572,169 @@ class GraftObjectTable(tableSchema: StructType, path: String)
       Files.write(Paths.get(path, "_schema.ddl"),
         tableSchema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** SQL UPDATE / MERGE INTO (and DELETE whose predicate falls outside
+    * the storage-evaluable set) via Spark's group-based row-level
+    * operation rewrite — copy-on-write at OBJECT granularity, the same
+    * "storage objects are the unit of work" discipline as deleteWhere:
+    * the operation's scan plans only objects whose footer stats say a
+    * row COULD match (everything else is untouched), Spark computes the
+    * full replacement content of those objects (updated + carried-over
+    * rows, plus MERGE inserts), and commit swaps exactly the scanned
+    * objects for the rewritten ones. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(tableSchema, path, info.command())
+}
+
+/** One UPDATE/MERGE/DELETE command instance: the coordination channel
+  * between the command's scan (which learns the affected objects at
+  * planning time) and its write (whose commit replaces them).
+  *
+  * Group filtering is conservative: an object is "affected" when the
+  * pushed condition's storage-evaluable conjuncts pass its footer
+  * stats — objects provably without matches keep their bytes. Affected
+  * objects are rewritten whole even if few rows change (copy-on-write
+  * amplification — the reference's object rewrite has the same shape;
+  * a delta-based encoding would be the SupportsDelta extension).
+  *
+  * Commit is staged-rename like every other write here, single-writer
+  * by the table contract; a crash between the rename loop and the
+  * unlink loop can briefly expose old+new generations (same
+  * non-transactional caveat as the batch append base — a manifest/CAS
+  * would close it on a real object store). */
+class GraftRowLevelOperation(schema: StructType, path: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  private val affected =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  private[sources] def recordAffected(objs: Seq[String]): Unit = {
+    affected.clear(); objs.foreach(affected.add)
+  }
+  private[sources] def affectedObjects: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    affected.asScala.toSeq.sorted
+  }
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftRowLevelOperation($cmd, $path)"
+
+  /** Requiring `_object` does two jobs: it gives the replacement plan
+    * per-row provenance, and it forces ReplaceDataExec onto its
+    * projecting write task (see GraftObjectTable.metadataColumns). */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_object"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftGroupScanBuilder(schema, path, this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceDataWrite(info.schema(), path,
+            GraftRowLevelOperation.this)
+      }
+    }
+}
+
+/** Scan builder for a row-level command. Pushed filters are used ONLY
+  * to prune whole objects (group filtering); every filter is returned
+  * as residual and `pushedFilters()` stays empty, because a group scan
+  * must surface ALL rows of surviving objects — carried-over rows of a
+  * partially-matching object are part of the replacement content. */
+class GraftGroupScanBuilder(schema: StructType, path: String,
+    op: GraftRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var pruning: Array[Filter] = Array.empty
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruning = filters.filter(ObjectFormat.storageEvaluable(schema, _))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+  override def build(): Scan = new GraftGroupScan(schema, pruning, path, op)
+}
+
+class GraftGroupScan(schema: StructType, pruning: Array[Filter],
+    path: String, op: GraftRowLevelOperation) extends Scan with Batch {
+
+  /** Data columns + the `_object` provenance column the operation
+    * requires (appended last, matching Spark's metadata-attr layout). */
+  private val outSchema =
+    schema.add(StructField("_object", StringType, nullable = true))
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftGroupScan path=$path, " +
+      s"GroupPruning: [${pruning.mkString(", ")}] (copy-on-write groups)"
+
+  private lazy val selected: Seq[String] =
+    GraftObjectTable.listObjects(path).map { obj =>
+      obj -> ObjectFormat.readFooter(obj)
+    }.filter { case (_, footer) =>
+      footer.rowCount > 0 && pruning.forall(ObjectFormat.mightMatch(_, footer))
+    }.map(_._1)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    op.recordAffected(selected) // idempotent under re-planning
+    selected.map(GraftObjectPartition.apply).toArray
+  }
+
+  /** No row filters: whole-object rows, the group-scan contract. */
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(schema, outSchema, Array.empty)
+}
+
+/** ReplaceData commit: stage the rewritten content (one object per
+  * write task, same encoder as every other write path), then rename
+  * staged objects onto FRESH tail sequence numbers and unlink the
+  * affected generation. Sequence numbers never recycle, so a reader
+  * listing mid-commit sees well-formed objects either way. */
+class GraftReplaceDataWrite(writeSchema: StructType, path: String,
+    op: GraftRowLevelOperation) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    new File(path).mkdirs()
+    new GraftWriterFactory(writeSchema, path, "rl")
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    val table = dir.getName
+    val affected = op.affectedObjects.toSet
+    def seqOf(p: String): Int =
+      new File(p).getName.substring(table.length + 1).toInt
+    val all = GraftObjectTable.listObjects(path)
+    val base = all.map(seqOf).maxOption.map(_ + 1).getOrElse(0)
+    // An empty write partition (e.g. every group pruned, or a skewed
+    // replacement plan) stages a zero-row object — drop it instead of
+    // renaming junk into the sequence.
+    val nonEmpty = messages.collect {
+      case GraftStagedObject(staged, _)
+          if ObjectFormat.readFooter(staged).rowCount > 0 => staged
+      case GraftStagedObject(staged, _) =>
+        new File(staged).delete(); null
+    }.filter(_ != null)
+    nonEmpty.zipWithIndex.foreach { case (staged, i) =>
+      val dst = new File(dir, s"$table.${base + i}")
+      if (!new File(staged).renameTo(dst))
+        throw new java.io.IOException(s"rename $staged -> $dst failed")
+    }
+    affected.foreach { obj =>
+      require(new File(obj).delete(), s"replace: cannot unlink $obj")
+    }
+    if (GraftObjectTable.listObjects(path).isEmpty)
+      Files.write(Paths.get(path, "_schema.ddl"),
+        writeSchema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftStagedObject(staged, _) => new File(staged).delete()
+      case _ =>
+    }
 }
 
 /** DSv2 write: each task encodes its partition into a staged object;
@@ -1046,7 +1227,13 @@ class GraftObjectReader(path: String, fullSchema: StructType,
 
   private val n = fullSchema.length
   private val fieldIdx = fullSchema.fieldNames.zipWithIndex.toMap
-  private val outIdx = readSchema.fieldNames.map(fieldIdx)
+  /** -1 marks the `_object` metadata column (not stored in the body —
+    * synthesized from the object file name, the reference's object
+    * address for this row). */
+  private val outIdx = readSchema.fieldNames.map(f =>
+    if (f == "_object" && !fieldIdx.contains(f)) -1 else fieldIdx(f))
+  private val objName =
+    UTF8String.fromString(new File(path).getName)
   private val present = Array.ofDim[Boolean](n)
   private val values = Array.ofDim[Any](n) // Catalyst-level values
   private var current: InternalRow = _
@@ -1149,7 +1336,10 @@ class GraftObjectReader(path: String, fullSchema: StructType,
       if (pushed.forall(eval) != negated) {
         val out = new Array[Any](outIdx.length)
         var k = 0
-        while (k < outIdx.length) { out(k) = values(outIdx(k)); k += 1 }
+        while (k < outIdx.length) {
+          out(k) = if (outIdx(k) < 0) objName else values(outIdx(k))
+          k += 1
+        }
         current = new GenericInternalRow(out)
         return true
       }

@@ -75,17 +75,27 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) == expect)
   }
 
-  test("DELETE with an unsupported predicate is refused, not half-applied") {
+  test("DELETE with a non-metadata predicate falls back to row-level rewrite") {
+    // Predicates outside the storage-evaluable set can't be answered by
+    // object unlinking alone; with SupportsRowLevelOperations the plan
+    // falls back to the copy-on-write rewrite instead of being refused.
     mkTable("refuse", "lineitem")
     val before = spark.sql("SELECT COUNT(*) AS n FROM gtest.refuse.lineitem")
       .collect()(0).getLong(0)
-    intercept[Exception] {
-      spark.sql(
-        "DELETE FROM gtest.refuse.lineitem WHERE length(l_returnflag) > 99")
-    }
+    // no-op predicate: nothing matches, row count must be unchanged
+    spark.sql(
+      "DELETE FROM gtest.refuse.lineitem WHERE length(l_returnflag) > 99")
     val after = spark.sql("SELECT COUNT(*) AS n FROM gtest.refuse.lineitem")
       .collect()(0).getLong(0)
     assert(after == before)
+    // a real expression predicate deletes exactly the matching rows
+    val expect = spark.sql(
+      """SELECT COUNT(*) AS n FROM gtest.refuse.lineitem
+        |WHERE NOT (l_orderkey % 7 = 0)""".stripMargin).collect()(0).getLong(0)
+    spark.sql("DELETE FROM gtest.refuse.lineitem WHERE l_orderkey % 7 = 0")
+    val left = spark.sql("SELECT COUNT(*) AS n FROM gtest.refuse.lineitem")
+      .collect()(0).getLong(0)
+    assert(left == expect, s"row-level delete: expected $expect rows, got $left")
   }
 
   test("TRUNCATE TABLE empties via the delete path; table stays queryable") {
