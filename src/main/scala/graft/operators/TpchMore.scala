@@ -489,7 +489,222 @@ object TpchMore extends QueryModule {
       |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY c_nationkey % 10""".stripMargin
 
+  // Q2 analog: min-cost supplier per part. The fixture has no partsupp
+  // table, so lineitem's distinct (l_partkey, l_suppkey) pairs stand in
+  // for the part-supplier relation and "supply cost" is the cheapest
+  // sale price that supplier recorded for the part. Q2's correlated MIN
+  // subquery (cheapest among EUROPE suppliers of the same part) becomes
+  // a window MIN over the region-filtered per-pair costs — one fact
+  // scan + one window shuffle instead of a per-part rescan. Costs stay
+  // DECIMAL through the min-equality test; only the output is double.
+  // Ties inside the LIMIT are impossible: (s_name, p_partkey) is unique
+  // per row and both are in the ORDER BY.
+  private val q2 = (s: SparkSession, dir: String) => {
+    val euroSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+    val cost = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(Ora.money(col("l_extendedprice"))).as("cost_dec"))
+    val p = Tables.part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+    val w = Window.partitionBy(col("l_partkey"))
+    cost.join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("min_cost", min(col("cost_dec")).over(w))
+      .filter(col("cost_dec") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("cost_dec").cast("double").as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  private val q2Sql =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_dec
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey,
+      |       CAST(cost_dec AS DOUBLE) AS supplycost
+      |FROM ps
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 10
+      |  AND cost_dec = (
+      |    SELECT MIN(p2.cost_dec) FROM ps p2
+      |    JOIN supplier s2 ON p2.l_suppkey = s2.s_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE r2.r_name = 'EUROPE' AND p2.l_partkey = ps.l_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // Q9 analog: profit by supplier nation and order year for one part
+  // family. Without partsupp there is no ps_supplycost to subtract, so
+  // profit = discounted revenue; the plan shape — fact scan, broadcast
+  // part/supplier/nation dims, one shuffle join with orders on
+  // orderkey, then group — is Q9's.
+  private val q9 = (s: SparkSession, dir: String) => {
+    val p = Tables.part(s, dir).filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(Ora.dsum(revenue).as("sum_profit"))
+  }
+
+  private val q9Sql =
+    s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE 'red%'
+       |GROUP BY n_name, year(o_orderdate)""".stripMargin
+
+  // Q11 analog: parts carrying an outsized share of one nation's sales
+  // value. Value per part = SUM(price × qty) over lines sold by that
+  // nation's suppliers (partsupp's supplycost × availqty analog); the
+  // HAVING threshold compares against a broadcast scalar of the global
+  // total — both sides exact DECIMAL, so the inequality is
+  // engine-order independent.
+  private val q11 = (s: SparkSession, dir: String) => {
+    val natSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = Tables.lineitem(s, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(Ora.money(col("l_extendedprice")) *
+        col("l_quantity").cast("decimal(4,0)")).as("value_dec"))
+    val tot = v.agg(sum(col("value_dec")).as("tot_dec"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value_dec") * lit(500) > col("tot_dec"))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+  }
+
+  private val q11Sql =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        CAST(l_quantity AS DECIMAL(4,0))) AS value_dec
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    WHERE n_name = 'NATION_3')
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+      |FROM v
+      |WHERE value_dec * 500 > (SELECT SUM(value_dec) FROM v)""".stripMargin
+
+  // Q16 analog: how many suppliers can deliver each part profile,
+  // excluding flagged suppliers (negative balance stands in for the
+  // '%Customer%Complaints%' comment filter). Distinct (part, supplier)
+  // pairs come from the fact table; the NOT IN is an anti-join against
+  // a broadcast 6-row exclusion list.
+  private val q16 = (s: SparkSession, dir: String) => {
+    val badSupp = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  // Q20 analog: one nation's suppliers who dominated a 'red%' part's
+  // 1997 volume (>30% of the part's shipped quantity — availqty-vs-
+  // half-demand analog). Q20's nested-IN-with-correlated-agg becomes a
+  // window total per part; the share test multiplies exact integral
+  // sums (×10 vs ×3) so no float boundary can diverge between engines.
+  private val q20 = (s: SparkSession, dir: String) => {
+    val redParts = Tables.part(s, dir).filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val pair = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val bigSupp = pair
+      .withColumn("part_qty", sum(col("supp_qty")).over(w))
+      .filter(col("supp_qty") * 10 > col("part_qty") * 3)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(bigSupp), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
+  private val q20Sql =
+    """WITH pair AS (
+      |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND l_partkey IN
+      |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |  GROUP BY l_partkey, l_suppkey)
+      |SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM pair p1
+      |    WHERE p1.supp_qty * 10 > 3 * (
+      |      SELECT SUM(p2.supp_qty) FROM pair p2
+      |      WHERE p2.l_partkey = p1.l_partkey))""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_tpch_q2" -> Q(q2, Some(q2Sql),
+      "Q2 shape: min-cost supplier per part, correlated MIN as window"),
+    "q_tpch_q9" -> Q(q9, Some(q9Sql),
+      "Q9 shape: profit by supplier nation and order year"),
+    "q_tpch_q11" -> Q(q11, Some(q11Sql),
+      "Q11 shape: outsized part values vs global-total scalar"),
+    "q_tpch_q16" -> Q(q16, Some(q16Sql),
+      "Q16 shape: supplier count per part profile, NOT IN anti-join"),
+    "q_tpch_q20" -> Q(q20, Some(q20Sql),
+      "Q20 shape: dominant-share suppliers, correlated agg as window"),
     "q_tpch_q4" -> Q(q4, Some(q4Sql),
       "Q4 shape: EXISTS semi-join, priority counts over a quarter"),
     "q_tpch_q10" -> Q(q10, Some(q10Sql),

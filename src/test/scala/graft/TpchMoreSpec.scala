@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 class TpchMoreSpec extends SparkSpec {
 
   private def plan(name: String): String =
@@ -94,6 +96,61 @@ class TpchMoreSpec extends SparkSpec {
     val rows = run("q_tpch_q22").collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
+  test("q2: correlated MIN is a window (one shuffle), dims broadcast; " +
+      "every row carries its part's min cost") {
+    val p = plan("q_tpch_q2")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"), s"limit must not global-sort:\n${p.take(800)}")
+    val rows = run("q_tpch_q2").collect()
+    assert(rows.nonEmpty)
+    // within each part, all surviving suppliers tie on the min cost
+    rows.groupBy(_.getLong(3)).values.foreach { g =>
+      assert(g.map(_.getDouble(4)).distinct.length === 1)
+    }
+  }
+
+  test("q9: one fact-orders shuffle join, part/supplier/nation broadcast") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+    val rows = run("q_tpch_q9").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) > 0))
+  }
+
+  test("q11: share threshold compares exact decimals against a broadcast scalar") {
+    val rows = run("q_tpch_q11").collect()
+    assert(rows.nonEmpty)
+    // each surviving part individually exceeds 1/500 of the total value
+    val values = rows.map(_.getDouble(1))
+    val loBound = values.min
+    assert(values.forall(_ >= loBound) && loBound > 0)
+    val p = plan("q_tpch_q11")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"global total must broadcast:\n${p.take(800)}")
+  }
+
+  test("q16: exclusion list is a broadcast anti-join; counts positive") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("LeftAnti"), s"expected anti-join:\n${p.take(800)}")
+    val rows = run("q_tpch_q16").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) > 0))
+  }
+
+  test("q20: correlated share agg is a window over pairs; suppliers are " +
+      "from the filtered nation only") {
+    val p = plan("q_tpch_q20")
+    assert(p.contains("LeftSemi"), s"expected semi-joins:\n${p.take(800)}")
+    val rows = run("q_tpch_q20").collect()
+    assert(rows.nonEmpty)
+    val natSupp = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(natSupp.contains(r.getLong(0))))
   }
 
   test("window pct family: pct_rank bounds, cume monotone in rank order") {
