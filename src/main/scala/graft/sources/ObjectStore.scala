@@ -657,7 +657,8 @@ class GraftGroupScanBuilder(schema: StructType, path: String,
 }
 
 class GraftGroupScan(schema: StructType, pruning: Array[Filter],
-    path: String, op: GraftRowLevelOperation) extends Scan with Batch {
+    path: String, op: GraftRowLevelOperation)
+    extends Scan with Batch with SupportsRuntimeFiltering {
 
   /** Data columns + the `_object` provenance column the operation
     * requires (appended last, matching Spark's metadata-attr layout). */
@@ -669,16 +670,41 @@ class GraftGroupScan(schema: StructType, pruning: Array[Filter],
     s"GraftGroupScan path=$path, " +
       s"GroupPruning: [${pruning.mkString(", ")}] (copy-on-write groups)"
 
-  private lazy val selected: Seq[String] =
+  private lazy val statsSelected: Seq[String] =
     GraftObjectTable.listObjects(path).map { obj =>
       obj -> ObjectFormat.readFooter(obj)
     }.filter { case (_, footer) =>
       footer.rowCount > 0 && pruning.forall(ObjectFormat.mightMatch(_, footer))
     }.map(_._1)
 
+  /** Runtime GROUP filtering (Spark's
+    * RowLevelOperationRuntimeGroupFiltering): before the copy-on-write
+    * write runs, Spark executes the operation's condition as a
+    * subquery over this same scan and feeds the distinct `_object`
+    * values of the MATCHING rows back here — so the rewrite touches
+    * only objects that truly contain matches, not every object whose
+    * footer stats merely can't rule one out. Predicates outside the
+    * storage-evaluable set (stats can't prune at all) collapse from
+    * "rewrite the whole table" to "rewrite the objects with hits". */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_object"))
+
+  @volatile private var matched: Option[Set[String]] = None
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In("_object", vs) =>
+        matched = Some(vs.collect { case s: String => s }.toSet)
+      case _ => // only _object membership is meaningful here
+    }
+
+  private def selected: Seq[String] = matched match {
+    case Some(names) => statsSelected.filter(p => names(new File(p).getName))
+    case None => statsSelected
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    op.recordAffected(selected) // idempotent under re-planning
-    selected.map(GraftObjectPartition.apply).toArray
+    op.recordAffected(selected) // overwrite semantics: last (post-
+    selected.map(GraftObjectPartition.apply).toArray // filter) plan wins
   }
 
   /** No row filters: whole-object rows, the group-scan contract. */
@@ -1073,7 +1099,8 @@ case class GraftObjectPartition(path: String) extends InputPartition
 
 class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = readSchema_
   override def toBatch: Batch = this
@@ -1091,8 +1118,33 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
         pushed.forall(ObjectFormat.mightMatch(_, footer))
     }
 
+  /** Runtime object pruning — Spark's dynamic-partition-pruning hook
+    * for DSv2. At execution time the equi-join build side's distinct
+    * keys arrive here as `In(joinCol, values)`; objects whose footer
+    * min/max can't hold any build key are dropped before a byte of
+    * their bodies is read. This is the reference's object-index skip
+    * applied with information that only EXISTS at runtime — on a
+    * 100 TB fact table range-laid-out on the join key, a selective
+    * dim-side filter collapses the scan to the few overlapping
+    * objects. Every column the scan outputs is eligible (a runtime
+    * filter can only arrive on a join key, and join keys are always in
+    * the output; refs outside the output would not resolve); row-level
+    * re-filtering is unnecessary (the join itself discards
+    * non-matching survivors), matching Spark's DPP contract. */
+  override def filterAttributes(): Array[NamedReference] =
+    readSchema_.fieldNames.map(Expressions.column)
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(ObjectFormat.storageEvaluable(fullSchema, _))
+
+  /** Re-planned by BatchScanExec after runtime filters land; the base
+    * footer selection is computed once, the runtime prune re-applied
+    * per call. */
   override def planInputPartitions(): Array[InputPartition] =
-    selected.map { case (p, _) => GraftObjectPartition(p) }.toArray
+    selected.filter { case (_, footer) =>
+      runtime.forall(ObjectFormat.mightMatch(_, footer))
+    }.map { case (p, _) => GraftObjectPartition(p) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(fullSchema, readSchema_, pushed)

@@ -109,4 +109,29 @@ class RowLevelOpsSpec extends SparkSpec {
     spark.sql("UPDATE graftrl.main.rl_noop SET o_orderstatus = 'Z' WHERE o_orderkey < 0")
     assert(bytesOf(dir) === before)
   }
+
+  test("runtime group filter: stats-blind predicate rewrites only objects " +
+      "with actual matches") {
+    val dir = build("rl_rgf")
+    val before = bytesOf(dir)
+    // pick one key from ONE object; express the match through a string
+    // function footer stats can't evaluate, so stats pruning is blind
+    // and only the runtime group filter (the matched rows' _object set)
+    // can narrow the rewrite
+    val target = ObjectFormat.readFooter(before.keys.min)
+      .stats("o_orderkey").max.asInstanceOf[Number].longValue()
+    spark.sql(s"""UPDATE graftrl.main.rl_rgf SET o_orderstatus = 'R'
+                 |WHERE length(CAST(o_orderkey AS STRING)) =
+                 |      length('$target')
+                 |  AND CAST(o_orderkey AS STRING) = '$target'""".stripMargin)
+    val after = bytesOf(dir)
+    val untouched = before.keys.filter(p => after.get(p).contains(before(p)))
+    assert(untouched.size === before.size - 1,
+      s"exactly one object should be rewritten; untouched=${untouched.size} " +
+        s"of ${before.size}")
+    val expected = Tables.orders(spark, sf).withColumn("o_orderstatus",
+      when(col("o_orderkey") === target, lit("R"))
+        .otherwise(col("o_orderstatus")))
+    sameRows(spark.table("graftrl.main.rl_rgf"), expected)
+  }
 }
