@@ -56,15 +56,20 @@ class GraftCatalog extends TableCatalog {
 
   private def schemaSidecar(dir: File): File = new File(dir, "_schema.ddl")
 
+  /** Sidecar first: once ALTER TABLE has run, the sidecar is the
+    * authoritative (evolved) schema and older objects' headers are
+    * just their own generation's layout; without a sidecar the first
+    * object speaks for the table. */
   private def resolveSchema(ident: Identifier, dir: File): StructType = {
-    val fromObjects = GraftObjectTable.listObjects(dir.getPath).headOption
-      .map(ObjectFormat.readSchema)
-    fromObjects.orElse {
-      val sc = schemaSidecar(dir)
+    val sc = schemaSidecar(dir)
+    val fromSidecar =
       if (sc.isFile)
         Some(StructType.fromDDL(
           new String(Files.readAllBytes(sc.toPath), StandardCharsets.UTF_8)))
       else None
+    fromSidecar.orElse {
+      GraftObjectTable.listObjects(dir.getPath).headOption
+        .map(ObjectFormat.readSchema)
     }.getOrElse(throw new NoSuchTableException(ident))
   }
 
@@ -91,9 +96,60 @@ class GraftCatalog extends TableCatalog {
     new GraftObjectTable(schema, dir.getPath)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported")
+  /** Schema evolution, metadata-first (bodies are positional and
+    * name-mapped at read):
+    *  - ADD COLUMN: sidecar only — older objects read null for it;
+    *  - DROP COLUMN: sidecar only — older objects' data is ignored by
+    *    the name-based projection;
+    *  - RENAME COLUMN: sidecar + a header-DDL patch per object (names
+    *    live only in headers; bodies and footers are untouched).
+    * Type changes are refused: they would reinterpret stored bytes. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!dir.isDirectory) throw new NoSuchTableException(ident)
+    var schema = resolveSchema(ident, dir)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft catalog: nested ADD COLUMN is not supported")
+        require(add.isNullable,
+          "graft catalog: added columns must be nullable " +
+            "(existing objects read them as null)")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(name),
+          s"ALTER: column $name already exists")
+        schema = schema.add(
+          org.apache.spark.sql.types.StructField(name, add.dataType(),
+            nullable = true))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft catalog: nested DROP COLUMN is not supported")
+        val name = del.fieldNames()(0)
+        require(schema.fieldNames.contains(name),
+          s"ALTER: no such column $name")
+        require(schema.length > 1, "ALTER: cannot drop the last column")
+        schema = StructType(schema.filterNot(_.name == name))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "graft catalog: nested RENAME COLUMN is not supported")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        require(schema.fieldNames.contains(from),
+          s"ALTER: no such column $from")
+        require(!schema.fieldNames.contains(to),
+          s"ALTER: column $to already exists")
+        GraftObjectTable.listObjects(dir.getPath)
+          .foreach(ObjectFormat.renameHeaderColumn(_, from, to))
+        schema = StructType(schema.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER TABLE change $other")
+    }
+    Files.write(schemaSidecar(dir).toPath,
+      schema.toDDL.getBytes(StandardCharsets.UTF_8))
+    new GraftObjectTable(schema, dir.getPath)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -409,6 +409,40 @@ object ObjectFormat {
       case _ => true
     }
   }
+
+  /** ALTER TABLE … RENAME COLUMN support: column names live ONLY in
+    * the header DDL string (bodies are positional, the footer CRC
+    * covers the body alone), so a rename is a header patch streamed
+    * byte-for-byte around the new DDL — no decode, no re-encode, no
+    * stats rebuild. Staged + atomic rename, same commit discipline as
+    * every other write. (A production store would instead keep field
+    * IDs so rename touches zero objects; patching the self-describing
+    * header is the honest equivalent for name-keyed objects.) */
+  def renameHeaderColumn(path: String, from: String, to: String): Unit = {
+    val p = Paths.get(path)
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(Files.newInputStream(p), 1 << 16))
+    try {
+      require(in.readInt() == Magic, s"$path: not a graft object")
+      val ver = in.readInt()
+      val schema = StructType.fromDDL(in.readUTF())
+      if (!schema.fieldNames.contains(from)) return // generation predates col
+      val renamed = StructType(schema.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val staged = new File(path + "._rename_staged")
+      val out = new DataOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(staged.toPath), 1 << 16))
+      try {
+        out.writeInt(Magic); out.writeInt(ver); out.writeUTF(renamed.toDDL)
+        val buf = new Array[Byte](1 << 16)
+        var r = in.read(buf)
+        while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+      } finally out.close()
+      Files.move(staged.toPath, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally in.close()
+  }
 }
 
 /** Distributed ingest: raw parquet fixtures → the object layout.
@@ -465,9 +499,17 @@ class GraftObjectSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = pathOf(options)
-    val first = GraftObjectTable.listObjects(dir).headOption
-      .getOrElse(throw new IllegalArgumentException(s"$dir: no objects"))
-    ObjectFormat.readSchema(first)
+    // sidecar first: authoritative after ALTER TABLE (older objects
+    // are earlier generations, name-mapped at read)
+    val sidecar = new File(dir, "_schema.ddl")
+    if (sidecar.isFile)
+      StructType.fromDDL(new String(Files.readAllBytes(sidecar.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    else {
+      val first = GraftObjectTable.listObjects(dir).headOption
+        .getOrElse(throw new IllegalArgumentException(s"$dir: no objects"))
+      ObjectFormat.readSchema(first)
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -799,15 +841,25 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
-    // APPEND must match the table's existing schema: objects are
-    // self-describing, but one table = one schema (readers take the
-    // first object's header as the table contract)
+    // APPEND must match the table's CURRENT schema — the sidecar when
+    // present (authoritative after ALTER TABLE; older objects are
+    // earlier generations, name-mapped at read), else the first
+    // object's header.
     if (!truncate) {
-      GraftObjectTable.listObjects(path).headOption.foreach { first =>
-        val existing = ObjectFormat.readSchema(first)
-        require(existing.toDDL == writeSchema.toDDL,
+      val sidecar = new File(path, "_schema.ddl")
+      val current =
+        if (sidecar.isFile)
+          Some(new String(Files.readAllBytes(sidecar.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else GraftObjectTable.listObjects(path).headOption
+          .map(ObjectFormat.readSchema(_).toDDL)
+      // names + types must agree; nullability may differ (INSERT VALUES
+      // plans arrive NOT NULL, the store treats every column nullable)
+      def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+      current.foreach { ddl =>
+        require(shape(StructType.fromDDL(ddl)) == shape(writeSchema),
           s"graft-objects append schema mismatch: table has " +
-            s"[${existing.toDDL}], write has [${writeSchema.toDDL}]")
+            s"[$ddl], write has [${writeSchema.toDDL}]")
       }
     }
     new GraftWriterFactory(writeSchema, path, "b")
@@ -816,7 +868,15 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
     val dir = new File(path)
     val table = dir.getName
     val existing = GraftObjectTable.listObjects(path)
-    if (truncate) existing.foreach(p => new File(p).delete())
+    if (truncate) {
+      existing.foreach(p => new File(p).delete())
+      // an overwrite defines the schema anew; refresh any sidecar so
+      // sidecar-first resolution can't serve a stale generation
+      val sidecar = new File(dir, "_schema.ddl")
+      if (sidecar.isFile)
+        Files.write(sidecar.toPath, writeSchema.toDDL.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    }
     val base = if (truncate) 0 else existing.size
     messages.zipWithIndex.foreach { case (GraftStagedObject(staged, _), i) =>
       val dst = new File(dir, s"$table.${base + i}")
@@ -1060,7 +1120,10 @@ class GraftFooterAggScan(aggs: Seq[FooterAgg],
     case FooterAgg.MaxOf(c, dt) => narrow(f.stats.get(c).map(_.max).orNull, dt)
     case FooterAgg.CountStar => Long.box(f.rowCount.toLong)
     case FooterAgg.CountOf(c) =>
-      Long.box((f.rowCount - f.stats.get(c).map(_.nullCount).getOrElse(0)).toLong)
+      // no stats entry ⇔ the column postdates this object's generation
+      // (footers stat every column of their own schema) ⇔ all null here
+      Long.box(f.stats.get(c).map(s => f.rowCount - s.nullCount)
+        .getOrElse(0).toLong)
   }.toArray
 
   override def readSchema(): StructType = StructType(aggs.map(outField))
@@ -1273,17 +1336,27 @@ class GraftObjectReader(path: String, fullSchema: StructType,
   private val in = new DataInputStream(counting)
   require(in.readInt() == ObjectFormat.Magic)
   in.readInt()
-  in.readUTF()
+  /** Decode with the schema EMBEDDED in this object, not the table's:
+    * after ALTER TABLE the table schema and older objects' layouts
+    * diverge (schema evolution), and bodies are positional in their
+    * own header schema. Columns are then matched to the table schema
+    * BY NAME — a column this object predates reads as null. */
+  private val objSchema = StructType.fromDDL(in.readUTF())
   private val bodyLen = in.readInt()
   private val bodyEnd = counting.pos + bodyLen
 
-  private val n = fullSchema.length
-  private val fieldIdx = fullSchema.fieldNames.zipWithIndex.toMap
+  private val n = objSchema.length
+  private val fieldIdx = objSchema.fieldNames.zipWithIndex.toMap
   /** -1 marks the `_object` metadata column (not stored in the body —
     * synthesized from the object file name, the reference's object
-    * address for this row). */
-  private val outIdx = readSchema.fieldNames.map(f =>
-    if (f == "_object" && !fieldIdx.contains(f)) -1 else fieldIdx(f))
+    * address for this row); -2 marks a table column absent from this
+    * object's generation (evolution-added → null). */
+  private val outIdx = readSchema.fieldNames.map { f =>
+    fieldIdx.get(f) match {
+      case Some(i) => i
+      case None => if (f == "_object") -1 else -2
+    }
+  }
   private val objName =
     UTF8String.fromString(new File(path).getName)
   private val present = Array.ofDim[Boolean](n)
@@ -1347,16 +1420,18 @@ class GraftObjectReader(path: String, fullSchema: StructType,
     while (i < n) { present(i) = in.readBoolean(); i += 1 }
     i = 0
     while (i < n) {
-      values(i) = if (present(i)) readValue(fullSchema(i).dataType) else null
+      values(i) = if (present(i)) readValue(objSchema(i).dataType) else null
       i += 1
     }
     true
   }
 
-  private def fieldVal(a: String): Any = values(fieldIdx(a)) match {
-    case s: UTF8String => s.toString // pushed string compares are rare
-    case v => v
-  }
+  private def fieldVal(a: String): Any =
+    fieldIdx.get(a).map(values) match { // absent column (evolution) -> null
+      case Some(s: UTF8String) => s.toString // pushed string compares are rare
+      case Some(v) => v
+      case None => null
+    }
 
   private def eval(f: Filter): Boolean = {
     import ObjectFormat.cmpExact
@@ -1389,7 +1464,11 @@ class GraftObjectReader(path: String, fullSchema: StructType,
         val out = new Array[Any](outIdx.length)
         var k = 0
         while (k < outIdx.length) {
-          out(k) = if (outIdx(k) < 0) objName else values(outIdx(k))
+          out(k) = outIdx(k) match {
+            case -1 => objName // _object metadata column
+            case -2 => null    // column newer than this object
+            case i => values(i)
+          }
           k += 1
         }
         current = new GenericInternalRow(out)
