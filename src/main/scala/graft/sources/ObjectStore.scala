@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -992,12 +992,15 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var pushedAggs: Option[Seq[FooterAgg]] = None
   private var aggFooters: Seq[ObjectFormat.Footer] = Nil
+  private var limit: Option[Int] = None
+  private var topN: Option[PushedTopN] = None
 
   /** Storage-evaluable set shared with SupportsDelete — see
     * ObjectFormat.storageEvaluable. */
@@ -1069,15 +1072,48 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
     true
   }
 
+  /** LIMIT pushdown (partial — Spark keeps the global limit): the scan
+    * truncates the OBJECT LIST by cumulative footer row counts when no
+    * filters are pushed (`LIMIT 10` on a million-object table opens
+    * one object), and in every case each reader stops decoding after
+    * `limit` qualifying rows — the reference's "stop after N matches"
+    * early-exit inside the storage server. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY col LIMIT k pushdown (partial): accepted for a single
+    * sort key with footer min/max stats and no pushed filters. The
+    * scan keeps only objects whose value range can intersect the
+    * top-k — the reference's object-index-assisted top-k, where the
+    * per-object index bounds prove most objects irrelevant before a
+    * body byte is read. Spark re-sorts and re-limits the survivors. */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    if (accepted.nonEmpty || orders.length != 1) return false
+    orders(0).expression() match {
+      case nr: NamedReference
+          if nr.fieldNames().length == 1 && has(nr.fieldNames()(0)) &&
+            ObjectFormat.statKind(fullSchema(nr.fieldNames()(0)).dataType) != 0 =>
+        topN = Some(PushedTopN(nr.fieldNames()(0),
+          orders(0).direction() == SortDirection.DESCENDING,
+          orders(0).nullOrdering() == NullOrdering.NULLS_FIRST, l))
+        true
+      case _ => false
+    }
+  }
+
   private def maxObjectsPerTrigger: Option[Int] =
     Option(options.get("maxObjectsPerTrigger")).map(_.toInt)
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new GraftFooterAggScan(aggs, aggFooters, path)
     case None => new GraftObjectScan(fullSchema, required, accepted, path,
-      maxObjectsPerTrigger)
+      maxObjectsPerTrigger, limit, topN)
   }
 }
+
+/** A pushed ORDER BY <col> [ASC|DESC] [NULLS FIRST|LAST] LIMIT k. */
+final case class PushedTopN(col: String, descending: Boolean,
+    nullsFirst: Boolean, k: Int)
 
 /** Footer-answerable aggregate, tagged with the column's Spark type so
   * the partial row surfaces values in the column's own width (footer
@@ -1161,7 +1197,8 @@ case class GraftAggRowsPartition(rows: Seq[Array[Any]]) extends InputPartition
 case class GraftObjectPartition(path: String) extends InputPartition
 
 class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
-    pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int])
+    pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int],
+    limit: Option[Int] = None, topN: Option[PushedTopN] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -1170,6 +1207,11 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
   override def description(): String =
     s"GraftObjectScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
+      topN.map(t => s"PushedTopN: ${t.col} " +
+        s"${if (t.descending) "DESC" else "ASC"} " +
+        s"${if (t.nullsFirst) "NULLS FIRST" else "NULLS LAST"} " +
+        s"LIMIT ${t.k}, ").getOrElse("") +
       s"ReadSchema: ${readSchema_.catalogString}"
 
   /** Object pruning = the reference's object-local index: footers only. */
@@ -1203,14 +1245,114 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
 
   /** Re-planned by BatchScanExec after runtime filters land; the base
     * footer selection is computed once, the runtime prune re-applied
-    * per call. */
-  override def planInputPartitions(): Array[InputPartition] =
-    selected.filter { case (_, footer) =>
+    * per call. A pushed LIMIT/TopN then shrinks the object list —
+    * only when NO filters (pushed or runtime) remain, because footer
+    * row counts count all rows and a filter would break the
+    * "cumulative rows ≥ k ⇒ enough qualifying rows" argument. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val avail = selected.filter { case (_, footer) =>
       runtime.forall(ObjectFormat.mightMatch(_, footer))
-    }.map { case (p, _) => GraftObjectPartition(p) }.toArray
+    }
+    val chosen =
+      if (pushed.nonEmpty || runtime.nonEmpty) avail
+      else topN.map(topNPrune(avail, _))
+        .orElse(limit.map(limitPrefix(avail, _)))
+        .getOrElse(avail)
+    chosen.map { case (p, _) => GraftObjectPartition(p) }.toArray
+  }
+
+  /** LIMIT k, no filters: any k rows do — first objects win. */
+  private def limitPrefix(avail: Seq[(String, ObjectFormat.Footer)],
+      k: Int): Seq[(String, ObjectFormat.Footer)] = {
+    var cum = 0L
+    avail.takeWhile { case (_, f) =>
+      val need = cum < k; cum += f.rowCount; need
+    }
+  }
+
+  /** ORDER BY col LIMIT k, no filters: keep only objects whose footer
+    * range can intersect the top-k. Soundness: a prefix set S of
+    * value-known objects with cumulative non-null count ≥ m proves m
+    * values ≤ bound (ASC; ≥ bound DESC) exist, so an object whose
+    * entire range lies strictly beyond the bound cannot contribute.
+    * Null counts are exact in every footer (even NaN-disabled ones),
+    * so the null side of the ordering is computed exactly; objects
+    * with values but NaN-disabled min/max are always kept and never
+    * counted toward the proof. */
+  private def topNPrune(avail: Seq[(String, ObjectFormat.Footer)],
+      t: PushedTopN): Seq[(String, ObjectFormat.Footer)] = {
+    import ObjectFormat.{ColStats, Footer, cmpExact}
+    // stats-absent column ⇔ the column postdates the object's
+    // generation ⇔ all rows null for it (same rule as CountOf)
+    def st(f: Footer): Option[ColStats] = f.stats.get(t.col)
+    def nullsOf(f: Footer): Long =
+      st(f).map(_.nullCount.toLong).getOrElse(f.rowCount.toLong)
+    def valsOf(f: Footer): Long = f.rowCount - nullsOf(f)
+    // far edge accumulates the proof bound; near edge is the exclusion
+    // test (ASC: far=max, near=min; DESC mirrored)
+    def farOf(f: Footer): Option[Any] =
+      st(f).flatMap(s => Option(if (t.descending) s.min else s.max))
+    def nearOf(f: Footer): Option[Any] =
+      st(f).flatMap(s => Option(if (t.descending) s.max else s.min))
+    def lt(a: Any, b: Any): Boolean = cmpExact(a, b).exists(c =>
+      if (t.descending) c > 0 else c < 0)
+
+    // minimal object set proving ≥ m null rows (greedy, largest first)
+    def keepForNulls(m: Long): ((String, Footer)) => Boolean = {
+      val withNulls = avail.filter(x => nullsOf(x._2) > 0)
+        .sortBy(x => -nullsOf(x._2))
+      var cum = 0L
+      val kept = withNulls.takeWhile { x =>
+        val need = cum < m; cum += nullsOf(x._2); need
+      }.map(_._1).toSet
+      x => kept(x._1)
+    }
+
+    // objects that can hold one of the m least (ASC) / greatest (DESC)
+    // values
+    def keepForValues(m: Long): ((String, Footer)) => Boolean = {
+      val known = avail.filter(x => valsOf(x._2) > 0 && farOf(x._2).isDefined)
+        .sortWith((a, b) => lt(farOf(a._2).get, farOf(b._2).get))
+      var cum = 0L
+      var bound: Option[Any] = None
+      val it = known.iterator
+      while (cum < m && it.hasNext) {
+        val x = it.next(); cum += valsOf(x._2); bound = farOf(x._2)
+      }
+      if (cum < m) x => valsOf(x._2) > 0 // not provable: keep all values
+      else { x =>
+        valsOf(x._2) > 0 && (nearOf(x._2) match {
+          case None => true // NaN-disabled stats: cannot exclude
+          case Some(near) => !lt(bound.get, near) // near beyond bound ⇒ out
+        })
+      }
+    }
+
+    val totalNulls = avail.map(x => nullsOf(x._2)).sum
+    val totalVals = avail.map(x => valsOf(x._2)).sum
+    val keep: ((String, Footer)) => Boolean =
+      if (t.nullsFirst) {
+        if (totalNulls >= t.k) keepForNulls(t.k)
+        else {
+          val kv = keepForValues(t.k - totalNulls)
+          x => nullsOf(x._2) > 0 || kv(x)
+        }
+      } else {
+        if (totalVals >= t.k) keepForValues(t.k)
+        else {
+          val kn = keepForNulls(t.k - totalVals)
+          x => valsOf(x._2) > 0 || kn(x)
+        }
+      }
+    avail.filter(keep)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(fullSchema, readSchema_, pushed)
+    new GraftReaderFactory(fullSchema, readSchema_, pushed,
+      // per-reader early exit: stop decoding after `limit` qualifying
+      // rows (valid with filters too — the cap counts post-filter
+      // rows). TopN must surface every candidate row, so no cap there.
+      rowLimit = if (topN.isEmpty) limit else None)
 
   /** Streaming read: the object sequence IS the offset log. Objects are
     * immutable once committed (staged rename) and appended with
@@ -1302,10 +1444,12 @@ class GraftMicroBatchStream(fullSchema: StructType, readSchema: StructType,
 }
 
 class GraftReaderFactory(fullSchema: StructType, readSchema: StructType,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], rowLimit: Option[Int] = None)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftObjectReader(
-      p.asInstanceOf[GraftObjectPartition].path, fullSchema, readSchema, pushed)
+      p.asInstanceOf[GraftObjectPartition].path, fullSchema, readSchema, pushed,
+      rowLimit = rowLimit.getOrElse(Int.MaxValue))
 }
 
 /** Streams one object: decode row → evaluate pushed filters → project
@@ -1315,8 +1459,11 @@ class GraftReaderFactory(fullSchema: StructType, readSchema: StructType,
   * included), so projection is a plain array copy. */
 class GraftObjectReader(path: String, fullSchema: StructType,
     readSchema: StructType, pushed: Array[Filter],
-    negated: Boolean = false) // true: emit rows FAILING the conjunction
+    negated: Boolean = false, // true: emit rows FAILING the conjunction
+    rowLimit: Int = Int.MaxValue) // pushed LIMIT: stop decoding after
     extends PartitionReader[InternalRow] {         // (DELETE's survivors)
+
+  private var emitted = 0
 
   /** Byte-position tracking for the recursive decoder (rows end where
     * the body ends; the codec has no per-row length prefix). */
@@ -1456,6 +1603,7 @@ class GraftObjectReader(path: String, fullSchema: StructType,
   }
 
   override def next(): Boolean = {
+    if (emitted >= rowLimit) return false // pushed-LIMIT early exit
     while (readRow()) {
       // 3VL: cmpExact is None on null ⇒ predicate unknown ⇒ row
       // filtered, matching SQL semantics for pushed conjuncts (and in
@@ -1472,6 +1620,7 @@ class GraftObjectReader(path: String, fullSchema: StructType,
           k += 1
         }
         current = new GenericInternalRow(out)
+        emitted += 1
         return true
       }
     }
