@@ -183,6 +183,43 @@ object Sources extends QueryModule {
         max(col("o_orderdate")).as("max_date"))
   }
 
+  /** Value-clustered layout + storage-partitioned execution (the
+    * reference's placement-group affinity): both tables are written
+    * `clusterBy` their join key (every object single-key, footer
+    * min==max), read back with `clusteredBy` (footer-verified →
+    * KeyGroupedPartitioning), joined and aggregated ON the cluster
+    * key — with v2 bucketing on, the whole plan needs zero shuffles
+    * (ClusteredLayoutSpec asserts the plan; this query binds the
+    * result to a DuckDB oracle over the raw tables). */
+  private val clusteredJoin = (s: SparkSession, dir: String) => {
+    val base = tmpDir(dir, "clustered")
+    val oTgt = s"$base/orders"; val cTgt = s"$base/customer"
+    Tables.orders(s, dir)
+      .repartition(col("o_custkey")).sortWithinPartitions("o_custkey")
+      .write.format("graft-objects").option("clusterBy", "o_custkey")
+      .mode("overwrite").save(oTgt)
+    Tables.customer(s, dir)
+      .repartition(col("c_custkey")).sortWithinPartitions("c_custkey")
+      .write.format("graft-objects").option("clusterBy", "c_custkey")
+      .mode("overwrite").save(cTgt)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.read.format("graft-objects").option("clusteredBy", "o_custkey").load(oTgt)
+      .join(s.read.format("graft-objects").option("clusteredBy", "c_custkey")
+        .load(cTgt), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"),
+        min(col("c_name")).as("c_name"))
+  }
+
+  private val clusteredJoinSql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+      |  min(c_name) AS c_name
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_custkey""".stripMargin
+
   private val objstoreAggSql =
     """SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
       |  COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
@@ -301,6 +338,8 @@ object Sources extends QueryModule {
       "SQL UPDATE via group-based row-level rewrite (object copy-on-write)"),
     "q_src_catalog_merge" -> Q(catalogMerge, Some(catalogMergeSql),
       "MERGE INTO via group-based row-level rewrite (update + insert)"),
+    "q_src_clustered_join" -> Q(clusteredJoin, Some(clusteredJoinSql),
+      "value-clustered layout: storage-partitioned join + agg, zero shuffles"),
     "q_src_bloom_index" -> Q(bloomIndex, Some(bloomIndexSql),
       "bloom-filter value index write+lookup (omap value-index analog)"),
     "q_src_csv_roundtrip" -> Q(csvRoundtrip, Some(csvRoundtripSql),

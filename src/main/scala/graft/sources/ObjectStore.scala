@@ -561,7 +561,8 @@ class GraftObjectTable(tableSchema: StructType, path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(info.schema(), path)
+    new GraftWriteBuilder(info.schema(), path,
+      Option(info.options().get("clusterBy")))
 
   /** `DELETE FROM … WHERE p` as an OBJECT-LEVEL operation — the
     * reference's discipline (storage objects are the unit of work):
@@ -812,12 +813,14 @@ class GraftReplaceDataWrite(writeSchema: StructType, path: String,
   * write fan-out as the reference's loader). `overwrite` (TRUNCATE)
   * clears the previous generation at commit time, after every staged
   * object is durable. */
-class GraftWriteBuilder(writeSchema: StructType, path: String)
+class GraftWriteBuilder(writeSchema: StructType, path: String,
+    clusterBy: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(writeSchema, path, doTruncate)
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(writeSchema, path, doTruncate, clusterBy)
     /** Streaming write: each micro-batch epoch commits its staged
       * objects onto the tail of the `<table>.<seq>` sequence — which is
       * exactly what makes the table readable as a stream (offset =
@@ -832,12 +835,18 @@ class GraftWriteBuilder(writeSchema: StructType, path: String)
 case class GraftStagedObject(stagedPath: String, partitionId: Int)
     extends WriterCommitMessage
 
+/** A clustered write's per-task result: one staged object per cluster
+  * key segment encountered in the task's partition. */
+case class GraftStagedObjects(stagedPaths: Seq[String], partitionId: Int)
+    extends WriterCommitMessage
+
 /** Batch commit discipline: staged-rename, single-writer. The sequence
   * base is `existing.size`, which is correct for the one-writer-per-
   * table contract every call site here honors; concurrent appenders
   * would need a lock-file or a conditional-put (the reference's
   * object-store CAS) to serialize the base — documented, not built. */
-class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
+class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
+    clusterBy: Option[String] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
@@ -862,7 +871,7 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
             s"[$ddl], write has [${writeSchema.toDDL}]")
       }
     }
-    new GraftWriterFactory(writeSchema, path, "b")
+    new GraftWriterFactory(writeSchema, path, "b", clusterBy)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -878,15 +887,20 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean)
           java.nio.charset.StandardCharsets.UTF_8))
     }
     val base = if (truncate) 0 else existing.size
-    messages.zipWithIndex.foreach { case (GraftStagedObject(staged, _), i) =>
+    val staged = messages.flatMap {
+      case GraftStagedObject(s, _) => Seq(s)
+      case GraftStagedObjects(ss, _) => ss // clustered write: many per task
+    }
+    staged.zipWithIndex.foreach { case (s, i) =>
       val dst = new File(dir, s"$table.${base + i}")
-      if (!new File(staged).renameTo(dst))
-        throw new java.io.IOException(s"rename $staged -> $dst failed")
+      if (!new File(s).renameTo(dst))
+        throw new java.io.IOException(s"rename $s -> $dst failed")
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftStagedObject(staged, _) => new File(staged).delete()
+      case GraftStagedObjects(ss, _) => ss.foreach(new File(_).delete())
       case _ =>
     }
 }
@@ -972,19 +986,56 @@ class GraftStreamingWrite(writeSchema: StructType, path: String)
     }
 }
 
-class GraftWriterFactory(writeSchema: StructType, path: String, tag: String)
+class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
+    clusterBy: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val staged = s"$path/_staged_$tag${partitionId}_$taskId"
-      private val enc = new ObjectFormat.ObjectEncoder(writeSchema)
-      override def write(row: InternalRow): Unit = enc.addInternal(row)
-      override def commit(): WriterCommitMessage = {
-        enc.finish(staged)
-        GraftStagedObject(staged, partitionId)
+    clusterBy match {
+      case None => new DataWriter[InternalRow] {
+        private val staged = s"$path/_staged_$tag${partitionId}_$taskId"
+        private val enc = new ObjectFormat.ObjectEncoder(writeSchema)
+        override def write(row: InternalRow): Unit = enc.addInternal(row)
+        override def commit(): WriterCommitMessage = {
+          enc.finish(staged)
+          GraftStagedObject(staged, partitionId)
+        }
+        override def abort(): Unit = new File(staged).delete()
+        override def close(): Unit = ()
       }
-      override def abort(): Unit = new File(staged).delete()
-      override def close(): Unit = ()
+      /** Value-clustered write (`.option("clusterBy", col)`): rotate to
+        * a fresh object whenever the cluster key changes, so every
+        * object holds rows of exactly ONE key value (footer min==max —
+        * the invariant the clustered read path verifies). Rotation
+        * alone guarantees the invariant for any row order; callers
+        * `repartition(col).sortWithinPartitions(col)` to get one
+        * object per key rather than one per key-run. */
+      case Some(c) => new DataWriter[InternalRow] {
+        private val idx = writeSchema.fieldIndex(c)
+        private val dt = writeSchema(idx).dataType
+        private var enc: ObjectFormat.ObjectEncoder = _
+        private var segment = 0
+        private var currentKey: Any = _
+        private var open = false
+        private val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+        private def stagedName: String =
+          s"$path/_staged_$tag${partitionId}_${taskId}_s$segment"
+        private def rotate(): Unit = {
+          if (open) { enc.finish(stagedName); staged += stagedName; segment += 1 }
+          enc = new ObjectFormat.ObjectEncoder(writeSchema)
+          open = true
+        }
+        override def write(row: InternalRow): Unit = {
+          val key = if (row.isNullAt(idx)) null else row.get(idx, dt)
+          if (!open || key != currentKey) { rotate(); currentKey = key }
+          enc.addInternal(row)
+        }
+        override def commit(): WriterCommitMessage = {
+          if (open) { enc.finish(stagedName); staged += stagedName }
+          GraftStagedObjects(staged.toSeq, partitionId)
+        }
+        override def abort(): Unit = staged.foreach(new File(_).delete())
+        override def close(): Unit = ()
+      }
     }
 }
 
@@ -1107,7 +1158,8 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => new GraftFooterAggScan(aggs, aggFooters, path)
     case None => new GraftObjectScan(fullSchema, required, accepted, path,
-      maxObjectsPerTrigger, limit, topN)
+      maxObjectsPerTrigger, limit, topN,
+      Option(options.get("clusteredBy")))
   }
 }
 
@@ -1196,11 +1248,21 @@ case class GraftAggRowsPartition(rows: Seq[Array[Any]]) extends InputPartition
 
 case class GraftObjectPartition(path: String) extends InputPartition
 
+/** All objects of one cluster-key value; `key` is the catalyst value
+  * (null for the all-null group) surfaced to Spark's storage-
+  * partitioned-join machinery via HasPartitionKey. */
+case class GraftClusteredPartition(paths: Seq[String], key: Any)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array(key))
+}
+
 class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int],
-    limit: Option[Int] = None, topN: Option[PushedTopN] = None)
+    limit: Option[Int] = None, topN: Option[PushedTopN] = None,
+    clusteredBy: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   override def readSchema(): StructType = readSchema_
   override def toBatch: Batch = this
@@ -1237,11 +1299,68 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     * re-filtering is unnecessary (the join itself discards
     * non-matching survivors), matching Spark's DPP contract. */
   override def filterAttributes(): Array[NamedReference] =
-    readSchema_.fieldNames.map(Expressions.column)
+    // runtime filtering re-plans partitions, which would invalidate a
+    // reported key-grouped partitioning (group count is part of the
+    // contract) — clustered reads trade DPP for shuffle-free joins
+    if (clusteredGroups.isDefined) Array.empty
+    else readSchema_.fieldNames.map(Expressions.column)
 
   @volatile private var runtime: Array[Filter] = Array.empty
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(ObjectFormat.storageEvaluable(fullSchema, _))
+
+  /** Value-clustered layout (SURVEY §2.11 layout/transform analog, the
+    * 100 TB co-location story): when every selected object holds
+    * exactly one value of `clusteredBy` (footer min==max, no nulls —
+    * or all-null, the null key), the scan groups objects by key and
+    * reports `KeyGroupedPartitioning(identity(col))`. Joins and
+    * aggregations keyed on that column then skip their shuffle
+    * entirely (Spark's storage-partitioned join, enabled via
+    * spark.sql.sources.v2.bucketing.enabled) — data never moves
+    * because the layout already agrees with the query's distribution,
+    * which is the reference's placement-group affinity re-expressed
+    * in Catalyst's own distribution language. The declared column is
+    * VERIFIED against footers; any violation falls back to normal
+    * unknown partitioning (never wrong, just unoptimized). */
+  private lazy val clusteredGroups: Option[Seq[(Any, Seq[String])]] =
+    clusteredBy.flatMap { c =>
+      if (!fullSchema.fieldNames.contains(c)) None
+      else {
+        val dt = fullSchema(c).dataType
+        def keyOf(f: ObjectFormat.Footer): Option[Any] =
+          f.stats.get(c).flatMap { s =>
+            if (s.nullCount == f.rowCount) Some(KeyNull)
+            else if (s.nullCount == 0 && s.min != null &&
+              ObjectFormat.cmpExact(s.min, s.max).contains(0))
+              Some(narrowKey(s.min, dt))
+            else None // mixed keys or mixed null/value: not clustered
+          }
+        if (ObjectFormat.statKind(dt) == 0) None
+        else {
+          val keyed = selected.map { case (p, f) => (p, keyOf(f)) }
+          if (keyed.exists(_._2.isEmpty)) None
+          else Some(keyed.groupBy(_._2.get)
+            .map { case (k, ps) => (k, ps.map(_._1)) }
+            .toSeq.sortBy(_._2.head)) // deterministic group order
+        }
+      }
+    }
+  private object KeyNull // sentinel: groupBy key for the all-null group
+  private def narrowKey(v: Any, dt: DataType): Any = (v, dt) match {
+    case (l: java.lang.Long, IntegerType | DateType) => Int.box(l.toInt)
+    case (d: java.lang.Double, FloatType) => Float.box(d.toFloat)
+    case (x, _) => x
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    clusteredGroups match {
+      case Some(groups) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.identity(clusteredBy.get)), groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          planInputPartitions().length)
+    }
 
   /** Re-planned by BatchScanExec after runtime filters land; the base
     * footer selection is computed once, the runtime prune re-applied
@@ -1250,15 +1369,25 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     * row counts count all rows and a filter would break the
     * "cumulative rows ≥ k ⇒ enough qualifying rows" argument. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val avail = selected.filter { case (_, footer) =>
-      runtime.forall(ObjectFormat.mightMatch(_, footer))
+    clusteredGroups match {
+      case Some(groups) =>
+        // one partition per cluster key, its objects read in sequence;
+        // count must match the reported KeyGroupedPartitioning
+        groups.map { case (k, paths) =>
+          GraftClusteredPartition(paths,
+            if (k == KeyNull) null else k): InputPartition
+        }.toArray
+      case None =>
+        val avail = selected.filter { case (_, footer) =>
+          runtime.forall(ObjectFormat.mightMatch(_, footer))
+        }
+        val chosen =
+          if (pushed.nonEmpty || runtime.nonEmpty) avail
+          else topN.map(topNPrune(avail, _))
+            .orElse(limit.map(limitPrefix(avail, _)))
+            .getOrElse(avail)
+        chosen.map { case (p, _) => GraftObjectPartition(p) }.toArray
     }
-    val chosen =
-      if (pushed.nonEmpty || runtime.nonEmpty) avail
-      else topN.map(topNPrune(avail, _))
-        .orElse(limit.map(limitPrefix(avail, _)))
-        .getOrElse(avail)
-    chosen.map { case (p, _) => GraftObjectPartition(p) }.toArray
   }
 
   /** LIMIT k, no filters: any k rows do — first objects win. */
@@ -1447,9 +1576,32 @@ class GraftReaderFactory(fullSchema: StructType, readSchema: StructType,
     pushed: Array[Filter], rowLimit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftObjectReader(
-      p.asInstanceOf[GraftObjectPartition].path, fullSchema, readSchema, pushed,
-      rowLimit = rowLimit.getOrElse(Int.MaxValue))
+    p match {
+      case GraftObjectPartition(path) =>
+        new GraftObjectReader(path, fullSchema, readSchema, pushed,
+          rowLimit = rowLimit.getOrElse(Int.MaxValue))
+      case GraftClusteredPartition(paths, _) =>
+        new PartitionReader[InternalRow] { // chain one key's objects
+          private val cap = rowLimit.getOrElse(Int.MaxValue)
+          private var emitted = 0
+          private val it = paths.iterator
+          private var cur: GraftObjectReader = _
+          override def next(): Boolean = {
+            if (emitted >= cap) return false
+            while (cur == null || !cur.next()) {
+              if (cur != null) cur.close()
+              cur = null
+              if (!it.hasNext) return false
+              cur = new GraftObjectReader(it.next(), fullSchema, readSchema,
+                pushed)
+            }
+            emitted += 1
+            true
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+    }
 }
 
 /** Streams one object: decode row → evaluate pushed filters → project

@@ -1,0 +1,147 @@
+package graft
+
+import graft.sources.{GraftObjectTable, ObjectFormat}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+/** Value-clustered object layout + storage-partitioned execution:
+  * `.option("clusterBy", col)` writes rotate objects at key changes so
+  * every object holds one key value; `.option("clusteredBy", col)`
+  * reads verify that invariant from footers and report
+  * KeyGroupedPartitioning(identity(col)) — Spark then runs joins and
+  * aggregations keyed on the column WITHOUT a shuffle (storage-
+  * partitioned join). The 100 TB posture: co-locate once at layout
+  * time, never exchange the fact table again.
+  */
+class ClusteredLayoutSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: collectAll(a.executedPlan)
+    case q: QueryStageExec => p +: collectAll(q.plan)
+    case _ => p +: p.children.flatMap(collectAll)
+  }
+  private def shuffleCount(df: DataFrame): Int = {
+    df.collect() // finalize AQE
+    collectAll(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col).toIndexedSeq: _*).collect()
+      .map(_.toSeq.map {
+        case d: Double => f"$d%.9f"
+        case v => String.valueOf(v)
+      }.mkString("|")).sorted.toSeq
+  }
+
+  private def writeClustered(df: DataFrame, key: String, tgt: String): Unit =
+    df.repartition(col(key)).sortWithinPartitions(key)
+      .write.format("graft-objects").option("clusterBy", key)
+      .mode("overwrite").save(tgt)
+
+  private def readClustered(tgt: String, key: String): DataFrame =
+    spark.read.format("graft-objects").option("clusteredBy", key).load(tgt)
+
+  private def withSpjConf[A](body: => A): A = {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
+  test("clustered write: every object holds exactly one cluster-key value") {
+    val dir = tmp("graft-clw"); val tgt = s"$dir/orders"
+    writeClustered(Tables.load(spark, sf, "orders"), "o_custkey", tgt)
+    val objs = GraftObjectTable.listObjects(tgt)
+    assert(objs.nonEmpty)
+    objs.foreach { p =>
+      val s = ObjectFormat.readFooter(p).stats("o_custkey")
+      assert(s.nullCount == 0 && ObjectFormat.cmpExact(s.min, s.max).contains(0),
+        s"$p: clustered object must be single-key (min=${s.min} max=${s.max})")
+    }
+    // content identical to the source
+    assert(canon(spark.read.format("graft-objects").load(tgt))
+      == canon(Tables.load(spark, sf, "orders")))
+  }
+
+  test("storage-partitioned join: co-clustered tables join with ZERO shuffles") {
+    val dir = tmp("graft-spj")
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    writeClustered(orders, "o_custkey", s"$dir/orders")
+    writeClustered(customer, "c_custkey", s"$dir/customer")
+
+    withSpjConf {
+      val joined = readClustered(s"$dir/orders", "o_custkey")
+        .join(readClustered(s"$dir/customer", "c_custkey"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name")
+      val n = shuffleCount(joined)
+      assert(n == 0, s"storage-partitioned join must not shuffle, saw $n:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+      assert(canon(joined) == canon(
+        orders.join(customer, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_custkey", "c_name")))
+    }
+  }
+
+  test("aggregation on the cluster key runs without a shuffle") {
+    val dir = tmp("graft-spagg"); val tgt = s"$dir/orders"
+    val orders = Tables.load(spark, sf, "orders")
+    writeClustered(orders, "o_custkey", tgt)
+
+    withSpjConf {
+      val agg = readClustered(tgt, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("spend"), count(lit(1)).as("n"))
+      val n = shuffleCount(agg)
+      assert(n == 0, s"agg on cluster key must not shuffle, saw $n:\n" +
+        agg.queryExecution.executedPlan.toString.take(2000))
+      assert(canon(agg) == canon(orders.groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("spend"), count(lit(1)).as("n"))))
+    }
+  }
+
+  test("declared clusteredBy on an UNclustered table falls back safely") {
+    val dir = tmp("graft-clfb"); val tgt = s"$dir/orders"
+    val orders = Tables.load(spark, sf, "orders")
+    // ordinary multi-key objects
+    orders.repartition(3).write.format("graft-objects")
+      .mode("overwrite").save(tgt)
+    withSpjConf {
+      val df = readClustered(tgt, "o_custkey")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      // falls back to a normal shuffle plan; results stay exact
+      assert(canon(df) == canon(
+        orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))))
+    }
+  }
+
+  test("clustered read composes with pushed filters and column pruning") {
+    val dir = tmp("graft-clpf"); val tgt = s"$dir/orders"
+    val orders = Tables.load(spark, sf, "orders")
+    writeClustered(orders, "o_custkey", tgt)
+    val got = readClustered(tgt, "o_custkey")
+      .filter(col("o_totalprice") > 50000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val exp = orders.filter(col("o_totalprice") > 50000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(canon(got) == canon(exp))
+  }
+}
