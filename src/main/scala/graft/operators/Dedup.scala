@@ -320,7 +320,58 @@ object Dedup extends QueryModule {
       |SELECT id AS doc_id, least(id, min(peer)) AS cluster_id
       |FROM reach GROUP BY id""".stripMargin
 
+  /** Incremental dedup: find the rows of an incoming batch (doc_id ≡ 0
+    * mod 5 here) whose text does NOT already exist in the historical
+    * corpus (the rest) — the recurring ingest problem at 100 TB, where
+    * "anti-join the batch against the whole corpus" is unaffordable if
+    * it shuffles the corpus. The shape that scales:
+    *
+    *  1. one map-side corpus pass folds every text hash into a BLOOM
+    *     filter (partials merge associatively; at 100 TB the sketch is
+    *     built once at ingest and persisted, not rebuilt per query);
+    *  2. the broadcast sketch splits the batch map-side: bloom-negative
+    *     rows are DEFINITELY new (no false negatives) and never touch a
+    *     join; bloom-positive rows (true dups + fpp·batch false
+    *     positives) form the tiny probe set;
+    *  3. the corpus is map-scanned once more against the BROADCAST
+    *     probe-hash set (left-semi) — confirming which probes really
+    *     exist; the corpus is never hash-exchanged;
+    *  4. the batch anti-joins the broadcast confirmed-dup set.
+    *
+    * Every shuffle in the plan carries probe-set-sized data; both joins
+    * are broadcast (spec-asserted). The bloom probe itself is the one
+    * UDF (Spark exposes no expression over a driver-built BloomFilter);
+    * it runs only over the BATCH, and exactness never depends on it —
+    * false positives are removed by the verify semi-join, so the result
+    * is bit-equal to the plain NOT EXISTS oracle. */
+  private val incrementalQ = (s: SparkSession, dir: String) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("text_hash", md5(col("text")))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val bloom = corpus.stat.bloomFilter("text_hash", 1 << 20, 0.03)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val inBloom = udf((h: String) => h != null && bloomBc.value.mightContain(h))
+    val definitelyNew = batch.filter(!inBloom(col("text_hash")))
+    val probes = batch.filter(inBloom(col("text_hash")))
+    val confirmedDup = corpus
+      .join(broadcast(probes.select("text_hash").distinct()),
+        Seq("text_hash"), "left_semi")
+      .select("text_hash").distinct()
+    definitelyNew.select(col("doc_id"), col("text_hash"))
+      .unionAll(probes.join(broadcast(confirmedDup), Seq("text_hash"), "left_anti")
+        .select(col("doc_id"), col("text_hash")))
+  }
+
+  private val incrementalSql =
+    """SELECT doc_id, md5(text) AS text_hash FROM documents d
+      |WHERE doc_id % 5 = 0 AND NOT EXISTS (
+      |  SELECT 1 FROM documents c
+      |  WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(d.text))""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_dedup_incremental" -> Q(incrementalQ, Some(incrementalSql),
+      "batch-vs-corpus exact dedup via bloom prefilter + broadcast verify"),
     "q_dedup_clusters" -> Q(clustersQ, Some(clustersSql),
       "connected-components cluster ids over verified jaccard pairs"),
     "q_dedup_exact" -> Q(exactQ, Some(exactSql),

@@ -1262,7 +1262,8 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     limit: Option[Int] = None, topN: Option[PushedTopN] = None,
     clusteredBy: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   override def readSchema(): StructType = readSchema_
   override def toBatch: Batch = this
@@ -1351,6 +1352,19 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     case (d: java.lang.Double, FloatType) => Float.box(d.toFloat)
     case (x, _) => x
   }
+
+  /** Within a clustered partition every row carries the SAME cluster
+    * key, so the partition is trivially sorted by it (a constant
+    * sequence satisfies any ordering on that column). Reporting it
+    * lets Spark elide the SortExec pair a sort-merge join would
+    * otherwise insert — the storage-partitioned join becomes both
+    * shuffle-free AND sort-free on the cluster key. */
+  override def outputOrdering(): Array[SortOrder] =
+    clusteredGroups match {
+      case Some(_) => Array(Expressions.sort(
+        Expressions.identity(clusteredBy.get), SortDirection.ASCENDING))
+      case None => Array.empty
+    }
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     clusteredGroups match {

@@ -95,6 +95,12 @@ class ClusteredLayoutSpec extends SparkSpec {
       val n = shuffleCount(joined)
       assert(n == 0, s"storage-partitioned join must not shuffle, saw $n:\n" +
         joined.queryExecution.executedPlan.toString.take(2000))
+      // reported ordering (single-key partitions are trivially sorted
+      // by the key) must also elide the merge-join sorts
+      val sorts = collectAll(joined.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+      assert(sorts == 0, s"clustered ordering must elide sorts, saw $sorts:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
       assert(canon(joined) == canon(
         orders.join(customer, col("o_custkey") === col("c_custkey"))
           .select("o_orderkey", "o_custkey", "c_name")))

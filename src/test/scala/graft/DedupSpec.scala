@@ -59,6 +59,30 @@ class DedupSpec extends SparkSpec {
     assert(label.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("incremental dedup: equals plain anti-join; both joins broadcast, no corpus merge join") {
+    import org.apache.spark.sql.functions._
+    val df = run("q_dedup_incremental")
+    // reference computation: plain batch-anti-corpus on the text hash
+    val docs = Tables.documents(spark, sf).withColumn("text_hash", md5(col("text")))
+    val exp = docs.filter(col("doc_id") % 5 === 0)
+      .join(docs.filter(col("doc_id") % 5 =!= 0).select("text_hash").distinct(),
+        Seq("text_hash"), "left_anti")
+      .select("doc_id", "text_hash")
+    val canon = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(r => s"${r.get(0)}|${r.get(1)}").sorted.toSeq
+    assert(canon(df) == canon(exp))
+    assert(df.count() > 0, "fixture batch must have novel rows")
+
+    // scale shape: the corpus is never sort-merge-joined or exchanged
+    // into a join — both the verify semi and the final anti broadcast
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not be merge-joined:\n${plan.take(1500)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"semi + anti must both broadcast:\n${plan.take(1500)}")
+  }
+
   test("cosine pairs: bounded by 1, above threshold, deterministic rerun") {
     val once = run("q_dedup_cosine_pairs").collect()
     once.foreach { r =>
