@@ -183,6 +183,34 @@ object Sources extends QueryModule {
         max(col("o_orderdate")).as("max_date"))
   }
 
+  /** Reader-tier aggregate pushdown — the reference's `--use-cls`
+    * headline end-to-end: filter + GROUP BY + MIN/MAX/COUNT/SUM all
+    * evaluate INSIDE the object reader, one partial row per object per
+    * group leaves storage, Spark merges (ObjectStoreFeaturesSpec
+    * asserts the GraftPartialAggScan plan; this binds the values to a
+    * DuckDB oracle over the raw table). */
+  private val objstoreAggFiltered = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "objaggf") + "/orders"
+    Tables.orders(s, dir)
+      .repartition(4)
+      .write.format("graft-objects").mode("overwrite").save(out)
+    s.read.format("graft-objects").load(out)
+      .filter(col("o_totalprice") > 50000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).as("sum_cust"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderdate")).as("min_date"))
+  }
+
+  private val objstoreAggFilteredSql =
+    """SELECT o_orderstatus, COUNT(*) AS n, SUM(o_custkey) AS sum_cust,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  min(o_orderdate) AS min_date
+      |FROM orders WHERE o_totalprice > 50000.0
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** Value-clustered layout + storage-partitioned execution (the
     * reference's placement-group affinity): both tables are written
     * `clusterBy` their join key (every object single-key, footer
@@ -332,6 +360,9 @@ object Sources extends QueryModule {
   override val queries: Map[String, Q] = Map(
     "q_src_objstore_agg" -> Q(objstoreAgg, Some(objstoreAggSql),
       "storage-side MIN/MAX/COUNT from object footers (agg pushdown)"),
+    "q_src_objstore_agg_filtered" -> Q(objstoreAggFiltered,
+      Some(objstoreAggFilteredSql),
+      "filtered+grouped agg evaluated in the object reader (use-cls analog)"),
     "q_src_catalog_delete" -> Q(catalogDelete, Some(catalogDeleteSql),
       "SQL DELETE through the graft TableCatalog (object-level delete)"),
     "q_src_catalog_update" -> Q(catalogUpdate, Some(catalogUpdateSql),

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
@@ -1050,6 +1050,8 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
   private var required: StructType = fullSchema
   private var pushedAggs: Option[Seq[FooterAgg]] = None
   private var aggFooters: Seq[ObjectFormat.Footer] = Nil
+  // None = footer tier; Some(groupCols) = reader-partial tier
+  private var readerAggGroups: Option[Seq[String]] = None
   private var limit: Option[Int] = None
   private var topN: Option[PushedTopN] = None
 
@@ -1070,18 +1072,25 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
 
   /** Storage-side aggregation — the reference's defining behavior
     * (SURVEY §2.4 "agg predicates … OSD returns one partial row per
-    * object", §4.1 row 3): a global (no GROUP BY, no pushed filters)
-    * MIN/MAX/COUNT(*)/COUNT(col) is answered ENTIRELY from object
-    * footers — exact longs/doubles for min/max, exact row and null
-    * counts — one partial row per object, zero rows decoded. Spark
-    * applies the final merge (min-of-mins, sum-of-counts), identical
-    * to the reference's client-side partial combine. Anything the
-    * footer can't answer exactly (GROUP BY, SUM/AVG, a column whose
-    * stats were disabled by a NaN sighting, distinct counts) is
-    * refused and falls back to the ordinary scan. */
+    * object", §4.1 row 3), in two tiers:
+    *
+    *  1. FOOTER tier — a global (no GROUP BY, no pushed filters)
+    *     MIN/MAX/COUNT(*)/COUNT(col) is answered ENTIRELY from object
+    *     footers: one partial row per object, zero rows decoded.
+    *  2. READER tier — with pushed filters, a GROUP BY on decodable
+    *     columns, or a SUM (no footer sums), the aggregation runs
+    *     INSIDE the object reader: decode → filter → accumulate, one
+    *     partial row per object per group leaves storage. This is the
+    *     reference's `--use-cls` headline (select+project+aggregate
+    *     evaluated in the storage server; only partials travel).
+    *
+    * Spark applies the final merge either way (min-of-mins,
+    * sum-of-counts — partial pushdown, supportCompletePushDown stays
+    * false). Anything not exactly reproducible (distinct counts, AVG
+    * over doubles, sums of floating columns whose order-dependence
+    * the oracle discipline forbids, NaN-disabled footer stats in the
+    * footer tier) is refused and falls back to the ordinary scan. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (accepted.nonEmpty || aggregation.groupByExpressions().nonEmpty)
-      return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -1100,26 +1109,61 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
         case _: CountStar => Some(FooterAgg.CountStar)
         case c: Count if !c.isDistinct() =>
           colOf(c.column).map(FooterAgg.CountOf.apply)
+        case s: Sum if !s.isDistinct() =>
+          // integral sums only: Long accumulation is order-insensitive
+          // (modular); floating sums are order-dependent and refused
+          colOf(s.column).filter(c => fullSchema(c).dataType match {
+            case LongType | IntegerType => true
+            case _ => false
+          }).map(FooterAgg.SumOf.apply)
         case _ => None
       }
     if (translated.exists(_.isEmpty)) return false
     val aggs = translated.flatten
-    // a MIN/MAX column must carry stats in every non-empty object whose
-    // rows aren't all null for it (stats absent + non-null rows present
-    // ⇒ a NaN disabled them ⇒ the footer can't reproduce Spark's
-    // NaN-is-greatest MAX — refuse, don't approximate)
-    val need = aggs.collect {
-      case FooterAgg.MinOf(c, _) => c
-      case FooterAgg.MaxOf(c, _) => c
-    }.distinct
-    val footers = GraftObjectTable.listObjects(path).map(ObjectFormat.readFooter)
-    val answerable = footers.filter(_.rowCount > 0).forall { f =>
-      need.forall(c => f.stats.get(c).exists(s =>
-        s.min != null || s.nullCount == f.rowCount))
+    // GROUP BY: single-name references to atomic-typed columns (their
+    // decoded values key the reader's accumulation map)
+    val groupCols = aggregation.groupByExpressions().toSeq.map(colOf)
+    if (groupCols.exists(_.isEmpty)) return false
+    val groups = groupCols.flatten
+    def atomic(c: String): Boolean = fullSchema(c).dataType match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
     }
-    if (!answerable) return false
-    pushedAggs = Some(aggs)
-    aggFooters = footers
+    // BinaryType excluded: Array[Byte] has identity equality, which
+    // would break the reader's group-key map
+    if (groups.exists(c => !atomic(c) ||
+      fullSchema(c).dataType == BinaryType)) return false
+
+    val footerTier = accepted.isEmpty && groups.isEmpty &&
+      !aggs.exists(_.isInstanceOf[FooterAgg.SumOf]) && {
+        // a MIN/MAX column must carry stats in every non-empty object
+        // whose rows aren't all null for it (stats absent + non-null
+        // rows ⇒ a NaN disabled them ⇒ refuse, don't approximate)
+        val need = aggs.collect {
+          case FooterAgg.MinOf(c, _) => c
+          case FooterAgg.MaxOf(c, _) => c
+        }.distinct
+        val footers = GraftObjectTable.listObjects(path).map(ObjectFormat.readFooter)
+        val ok = footers.filter(_.rowCount > 0).forall { f =>
+          need.forall(c => f.stats.get(c).exists(s =>
+            s.min != null || s.nullCount == f.rowCount))
+        }
+        if (ok) { aggFooters = footers }
+        ok
+      }
+    if (footerTier) {
+      pushedAggs = Some(aggs)
+    } else {
+      // reader tier: MIN/MAX need exact in-reader compares, which the
+      // decoder guarantees for every atomic type it surfaces; make
+      // sure each MIN/MAX column is atomic too
+      val mmCols = aggs.collect {
+        case FooterAgg.MinOf(c, _) => c; case FooterAgg.MaxOf(c, _) => c
+      }
+      if (mmCols.exists(!atomic(_))) return false
+      pushedAggs = Some(aggs)
+      readerAggGroups = Some(groups)
+    }
     true
   }
 
@@ -1155,9 +1199,11 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
   private def maxObjectsPerTrigger: Option[Int] =
     Option(options.get("maxObjectsPerTrigger")).map(_.toInt)
 
-  override def build(): Scan = pushedAggs match {
-    case Some(aggs) => new GraftFooterAggScan(aggs, aggFooters, path)
-    case None => new GraftObjectScan(fullSchema, required, accepted, path,
+  override def build(): Scan = (pushedAggs, readerAggGroups) match {
+    case (Some(aggs), None) => new GraftFooterAggScan(aggs, aggFooters, path)
+    case (Some(aggs), Some(groups)) =>
+      new GraftPartialAggScan(fullSchema, accepted, groups, aggs, path)
+    case _ => new GraftObjectScan(fullSchema, required, accepted, path,
       maxObjectsPerTrigger, limit, topN,
       Option(options.get("clusteredBy")))
   }
@@ -1176,6 +1222,8 @@ object FooterAgg {
   final case class MaxOf(col: String, dt: DataType) extends FooterAgg
   case object CountStar extends FooterAgg
   final case class CountOf(col: String) extends FooterAgg
+  /** Reader tier only (footers carry no sums); integral input. */
+  final case class SumOf(col: String) extends FooterAgg
 }
 
 /** One partial row per object, computed from footers ALREADY read at
@@ -1245,6 +1293,136 @@ class GraftFooterAggScan(aggs: Seq[FooterAgg],
 }
 
 case class GraftAggRowsPartition(rows: Seq[Array[Any]]) extends InputPartition
+
+/** Reader-tier aggregate pushdown: select+project+aggregate evaluated
+  * INSIDE the storage reader — the reference's `--use-cls` query path
+  * (filter rows in the OSD, return one aggregate partial per object
+  * instead of the rows). Each input partition is one object; its
+  * reader decodes rows, applies the pushed conjunction, accumulates
+  * MIN/MAX/COUNT/COUNT(col)/SUM partials per GROUP BY key, and emits
+  * one row per key (or the identity partial for a global aggregate
+  * over zero qualifying rows). Spark's final aggregate merges the
+  * per-object partials — so the bytes that leave "storage" scale with
+  * objects × groups, never with rows. Footer stats still prune
+  * objects that cannot match before their bodies are opened. */
+class GraftPartialAggScan(fullSchema: StructType, pushed: Array[Filter],
+    groups: Seq[String], aggs: Seq[FooterAgg], path: String)
+    extends Scan with Batch {
+
+  private def aggField(a: FooterAgg): StructField = a match {
+    case FooterAgg.MinOf(c, dt) => StructField(s"min($c)", dt)
+    case FooterAgg.MaxOf(c, dt) => StructField(s"max($c)", dt)
+    case FooterAgg.CountStar => StructField("count(*)", LongType, nullable = false)
+    case FooterAgg.CountOf(c) => StructField(s"count($c)", LongType, nullable = false)
+    case FooterAgg.SumOf(c) => StructField(s"sum($c)", LongType)
+  }
+  private def aggCol(a: FooterAgg): Option[String] = a match {
+    case FooterAgg.MinOf(c, _) => Some(c)
+    case FooterAgg.MaxOf(c, _) => Some(c)
+    case FooterAgg.CountOf(c) => Some(c)
+    case FooterAgg.SumOf(c) => Some(c)
+    case FooterAgg.CountStar => None
+  }
+
+  override def readSchema(): StructType =
+    StructType(groups.map(c => fullSchema(fullSchema.fieldIndex(c))) ++
+      aggs.map(aggField))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftPartialAggScan path=$path, " +
+      s"PushedAggregates: [${aggs.map(aggField(_).name).mkString(", ")}], " +
+      s"PushedGroupBy: [${groups.mkString(", ")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}] " +
+      "(in-reader partials, one row per object per group)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftObjectTable.listObjects(path).map { obj =>
+      obj -> ObjectFormat.readFooter(obj)
+    }.filter { case (_, footer) =>
+      footer.rowCount > 0 && pushed.forall(ObjectFormat.mightMatch(_, footer))
+    }.map { case (p, _) => GraftObjectPartition(p) }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftPartialAggReaderFactory(fullSchema, pushed, groups, aggs)
+}
+
+class GraftPartialAggReaderFactory(fullSchema: StructType,
+    pushed: Array[Filter], groups: Seq[String], aggs: Seq[FooterAgg])
+    extends PartitionReaderFactory {
+
+  private def aggCol(a: FooterAgg): Option[String] = a match {
+    case FooterAgg.MinOf(c, _) => Some(c)
+    case FooterAgg.MaxOf(c, _) => Some(c)
+    case FooterAgg.CountOf(c) => Some(c)
+    case FooterAgg.SumOf(c) => Some(c)
+    case FooterAgg.CountStar => None
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val inner = StructType((groups ++ aggs.flatMap(aggCol)).distinct
+        .map(c => fullSchema(fullSchema.fieldIndex(c))))
+      private val colIdx = inner.fieldNames.zipWithIndex.toMap
+      private val out: Iterator[InternalRow] = {
+        val rd = new GraftObjectReader(
+          p.asInstanceOf[GraftObjectPartition].path, fullSchema, inner, pushed)
+        // group key -> accumulator array (one slot per aggregate)
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[List[Any], Array[Any]]
+        def fresh(): Array[Any] = aggs.map[Any] {
+          case FooterAgg.CountStar | FooterAgg.CountOf(_) => Long.box(0L)
+          case _ => null
+        }.toArray
+        try {
+          while (rd.next()) {
+            val row = rd.get()
+            val key = groups
+              .map(c => row.get(colIdx(c), inner(colIdx(c)).dataType)).toList
+            val slots = acc.getOrElseUpdate(key, fresh())
+            var i = 0
+            aggs.foreach { a =>
+              val v = aggCol(a).map(c =>
+                row.get(colIdx(c), inner(colIdx(c)).dataType)).orNull
+              a match {
+                case FooterAgg.CountStar =>
+                  slots(i) = Long.box(slots(i).asInstanceOf[Long] + 1L)
+                case FooterAgg.CountOf(_) =>
+                  if (v != null)
+                    slots(i) = Long.box(slots(i).asInstanceOf[Long] + 1L)
+                case FooterAgg.SumOf(_) => if (v != null) {
+                  val add = v.asInstanceOf[Number].longValue()
+                  slots(i) = Long.box( // modular Long add = Spark non-ANSI
+                    (if (slots(i) == null) 0L
+                     else slots(i).asInstanceOf[Long]) + add)
+                }
+                case FooterAgg.MinOf(_, _) => if (v != null) {
+                  if (slots(i) == null ||
+                    ObjectFormat.cmpExact(v, slots(i)).exists(_ < 0))
+                    slots(i) = v
+                }
+                case FooterAgg.MaxOf(_, _) => if (v != null) {
+                  if (slots(i) == null ||
+                    ObjectFormat.cmpExact(v, slots(i)).exists(_ > 0))
+                    slots(i) = v
+                }
+              }
+              i += 1
+            }
+          }
+        } finally rd.close()
+        // a global aggregate over zero qualifying rows still owes one
+        // identity partial (COUNT 0, MIN/MAX/SUM null)
+        val rows = if (acc.isEmpty && groups.isEmpty) Seq(fresh()) else
+          acc.iterator.map { case (k, slots) => (k ++ slots).toArray }.toSeq
+        rows.iterator.map(vs => new GenericInternalRow(vs): InternalRow)
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (out.hasNext) { current = out.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+}
 
 case class GraftObjectPartition(path: String) extends InputPartition
 

@@ -60,6 +60,68 @@ class ObjectStoreFeaturesSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq, s"footer agg must equal full-scan agg: $got vs $exp")
   }
 
+  test("reader-tier agg pushdown: filtered MIN/MAX/COUNT/SUM aggregate inside the reader") {
+    val dir = tmp("graft-aggrd"); val tgt = s"$dir/orders"
+    val orders = Tables.load(spark, sf, "orders")
+    orders.repartition(4).write.format("graft-objects").mode("overwrite").save(tgt)
+
+    val df = spark.read.format("graft-objects").load(tgt)
+      .filter(col("o_totalprice") > 50000.0)
+      .agg(min("o_totalprice").as("mn"), max("o_orderkey").as("mx"),
+        count(lit(1)).as("n"), count("o_custkey").as("nc"),
+        sum("o_orderkey").as("sk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftPartialAggScan"),
+      s"filtered agg must aggregate in the reader:\n${plan.take(1500)}")
+    val exp = orders.filter(col("o_totalprice") > 50000.0)
+      .agg(min("o_totalprice"), max("o_orderkey"), count(lit(1)),
+        count("o_custkey"), sum("o_orderkey")).collect()(0)
+    assert(df.collect()(0).toSeq == exp.toSeq)
+  }
+
+  test("reader-tier agg pushdown: GROUP BY partials, one row per object per group") {
+    val dir = tmp("graft-agggb"); val tgt = s"$dir/orders"
+    val orders = Tables.load(spark, sf, "orders")
+    orders.repartition(4).write.format("graft-objects").mode("overwrite").save(tgt)
+
+    val df = spark.read.format("graft-objects").load(tgt)
+      .filter(col("o_totalprice") > 10000.0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sc"),
+        min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftPartialAggScan") &&
+      plan.contains("PushedGroupBy: [o_orderstatus]"),
+      s"grouped agg must push into the reader:\n${plan.take(1500)}")
+    assert(canon(df) == canon(orders.filter(col("o_totalprice") > 10000.0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sc"),
+        min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))))
+  }
+
+  test("floating-point SUM is refused (order-dependent): falls back to row scan, stays exact") {
+    val dir = tmp("graft-aggfp"); val tgt = s"$dir/orders"
+    val orders = Tables.load(spark, sf, "orders")
+    orders.repartition(3).write.format("graft-objects").mode("overwrite").save(tgt)
+    val df = spark.read.format("graft-objects").load(tgt)
+      .groupBy("o_orderstatus").agg(sum("o_totalprice").as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftPartialAggScan"),
+      s"double SUM must not push:\n${plan.take(1200)}")
+    // the refusal exists BECAUSE double sums are accumulation-order-
+    // dependent; the two routes may differ in the last ulps, so the
+    // comparison here is tolerant (the oracle-exact money path uses
+    // DECIMAL sums instead — design rule 4)
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = orders.groupBy("o_orderstatus").agg(sum("o_totalprice").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - exp(k)) <= math.abs(exp(k)) * 1e-12,
+        s"group $k: $v vs ${exp(k)}")
+    }
+  }
+
   test("pushed aggregates decode ZERO rows: correct even with corrupted bodies") {
     val dir = tmp("graft-aggcorrupt"); val tgt = s"$dir/orders"
     val orders = Tables.load(spark, sf, "orders")
