@@ -37,7 +37,9 @@ object PlanAudit {
       "q_text_repetition", "q_text_decontam", "q_text_pii",
       "q_dedup_canonical", "q_sim_semantic_dedup", "q_sample_weighted_mix",
       "q_tpch_q4", "q_tpch_q10", "q_tpch_q12", "q_tpch_q14",
-      "q_win_pct_rank", "q_mm_resize")
+      "q_win_pct_rank", "q_mm_resize",
+      "q_dedup_incremental", "q_src_clustered_join",
+      "q_src_objstore_agg_filtered")
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else (Bench.headline ++ extras).distinct
