@@ -68,13 +68,21 @@ object ObjectFormat {
   val Version = 2
 
   /** Stat kind per type: 1 = integral (footer stores exact longs),
-    * 2 = floating (footer stores doubles), 0 = no min/max stats. */
+    * 2 = floating (footer stores doubles), 3 = string (footer stores
+    * UTF-8 byte bounds, truncated at [[StringStatCap]] — min is a
+    * prefix = valid lower bound, max is an increment-truncated prefix
+    * = valid upper bound, exactly parquet's discipline), 0 = no
+    * min/max stats. */
   private[sources] def statKind(dt: DataType): Int = dt match {
     case LongType | IntegerType | DateType |
          TimestampType | TimestampNTZType => 1
     case DoubleType | FloatType => 2
+    case StringType => 3
     case _ => 0
   }
+
+  /** Stored string bounds are capped at this many bytes. */
+  val StringStatCap = 64
 
   /** min/max are java.lang.Long (integral cols), java.lang.Double
     * (floating cols) or null (no stats: non-stat type, all-null column,
@@ -111,7 +119,17 @@ object ObjectFormat {
               .compareTo(java.math.BigDecimal.valueOf(b.longValue())))
           else Some(java.lang.Double.compare(ad, bd))
         }
-      case (a: String, b: String) => Some(a.compareTo(b))
+      // strings compare in Spark's order: unsigned UTF-8 byte order
+      // (java.lang.String.compareTo is UTF-16 code-unit order, which
+      // disagrees beyond the BMP); footer bounds arrive as UTF8String,
+      // pushed filter values as String — all four pairings normalize
+      case (a: String, b: String) =>
+        Some(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      case (a: UTF8String, b: UTF8String) => Some(a.compareTo(b))
+      case (a: UTF8String, b: String) =>
+        Some(a.compareTo(UTF8String.fromString(b)))
+      case (a: String, b: UTF8String) =>
+        Some(UTF8String.fromString(a).compareTo(b))
       case _ => None
     }
   }
@@ -148,6 +166,24 @@ object ObjectFormat {
       if (v.isNaN) nans(i) = true
       if (v < minsD(i)) minsD(i) = v
       if (v > maxsD(i)) maxsD(i) = v
+    }
+    // string bounds as UTF-8 bytes (Spark's string order IS unsigned
+    // byte order); full values accumulate, truncation happens at write
+    private val minsB = Array.fill[Array[Byte]](n)(null)
+    private val maxsB = Array.fill[Array[Byte]](n)(null)
+    private def byteCmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var j = 0
+      val len = math.min(a.length, b.length)
+      while (j < len) {
+        val c = (a(j) & 0xff) - (b(j) & 0xff)
+        if (c != 0) return c
+        j += 1
+      }
+      a.length - b.length
+    }
+    private def statB(i: Int, v: Array[Byte]): Unit = {
+      if (minsB(i) == null || byteCmp(v, minsB(i)) < 0) minsB(i) = v
+      if (maxsB(i) == null || byteCmp(v, maxsB(i)) > 0) maxsB(i) = v
     }
 
     /** Recursive value codec (Catalyst-level values). Nested nulls get
@@ -217,6 +253,7 @@ object ObjectFormat {
           case FloatType => value.asInstanceOf[Float].toDouble
           case _ => value.asInstanceOf[Double]
         })
+        case 3 => statB(i, value.asInstanceOf[UTF8String].getBytes.clone())
         case _ =>
       }
       writeValue(dt, value)
@@ -256,6 +293,21 @@ object ObjectFormat {
       file.writeInt(bodyBytes.length)
       file.write(bodyBytes)
       file.writeInt(count)
+      // min: plain prefix (a prefix sorts ≤ the value — valid lower
+      // bound); max: prefix with the last non-0xFF byte incremented
+      // (sorts ≥ every value sharing the prefix — valid upper bound);
+      // un-incrementable (all 0xFF) ⇒ no usable upper bound ⇒ None
+      def truncMin(b: Array[Byte]): Array[Byte] =
+        if (b.length <= StringStatCap) b else b.take(StringStatCap)
+      def truncMax(b: Array[Byte]): Option[Array[Byte]] =
+        if (b.length <= StringStatCap) Some(b)
+        else {
+          val p = b.take(StringStatCap)
+          var j = p.length - 1
+          while (j >= 0 && p(j) == 0xff.toByte) j -= 1
+          if (j < 0) None
+          else { val q = p.take(j + 1); q(j) = (q(j) + 1).toByte; Some(q) }
+        }
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         kinds(i) match {
           case 1 if minsL(i) <= maxsL(i) =>
@@ -264,6 +316,11 @@ object ObjectFormat {
           case 2 if minsD(i) <= maxsD(i) && !nans(i) =>
             file.writeBoolean(true)
             file.writeDouble(minsD(i)); file.writeDouble(maxsD(i))
+          case 3 if maxsB(i) != null && truncMax(maxsB(i)).isDefined =>
+            file.writeBoolean(true)
+            val mn = truncMin(minsB(i)); val mx = truncMax(maxsB(i)).get
+            file.writeInt(mn.length); file.write(mn)
+            file.writeInt(mx.length); file.write(mx)
           case _ => file.writeBoolean(false)
         }
         file.writeInt(nullCounts(i))
@@ -312,6 +369,11 @@ object ObjectFormat {
         var mx: Any = null
         if (has) statKind(f.dataType) match {
           case 1 => mn = Long.box(in.readLong()); mx = Long.box(in.readLong())
+          case 3 => // UTF8String tolerates truncation mid-codepoint and
+            // compares in binary order — exactly what the bounds need
+            val a = new Array[Byte](in.readInt()); in.readFully(a)
+            val b = new Array[Byte](in.readInt()); in.readFully(b)
+            mn = UTF8String.fromBytes(a); mx = UTF8String.fromBytes(b)
           case _ => mn = Double.box(in.readDouble()); mx = Double.box(in.readDouble())
         }
         val nulls = in.readInt()
@@ -335,8 +397,13 @@ object ObjectFormat {
         val body = new Array[Byte](bodyLen)
         in.readFully(body)
         in.readInt() // rowCount
-        schema.fields.foreach { _ =>
-          if (in.readBoolean()) { in.readLong(); in.readLong() } // 16 bytes either kind
+        schema.fields.foreach { f =>
+          if (in.readBoolean()) statKind(f.dataType) match {
+            case 3 => // variable-length string bounds
+              var skip = in.readInt(); while (skip > 0) { in.readByte(); skip -= 1 }
+              skip = in.readInt(); while (skip > 0) { in.readByte(); skip -= 1 }
+            case _ => in.readLong(); in.readLong() // 16 bytes either kind
+          }
           in.readInt() // nullCount
         }
         val stored = in.readLong()
@@ -1135,7 +1202,15 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
       fullSchema(c).dataType == BinaryType)) return false
 
     val footerTier = accepted.isEmpty && groups.isEmpty &&
-      !aggs.exists(_.isInstanceOf[FooterAgg.SumOf]) && {
+      !aggs.exists(_.isInstanceOf[FooterAgg.SumOf]) &&
+      // string footer bounds may be TRUNCATED (conservative for
+      // pruning, inexact for aggregates) — string MIN/MAX always
+      // takes the reader tier
+      aggs.forall {
+        case FooterAgg.MinOf(_, dt) => ObjectFormat.statKind(dt) != 3
+        case FooterAgg.MaxOf(_, dt) => ObjectFormat.statKind(dt) != 3
+        case _ => true
+      } && {
         // a MIN/MAX column must carry stats in every non-empty object
         // whose rows aren't all null for it (stats absent + non-null
         // rows ⇒ a NaN disabled them ⇒ refuse, don't approximate)
@@ -1151,6 +1226,29 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
         if (ok) { aggFooters = footers }
         ok
       }
+    // Clustered-layout interplay: when the GROUP BY is keyed on a
+    // VERIFIED cluster column, the clustered scan's
+    // KeyGroupedPartitioning gives Spark a ZERO-exchange aggregate —
+    // and Spark's V2ScanPartitioningAndOrdering cannot attach that
+    // partitioning to a pushed-agg scan (it resolves the keys against
+    // the base relation's attributes, while aggregate pushdown mints
+    // fresh output attributes — the subset check fails silently). The
+    // reader here is colocated with the partial aggregate inside one
+    // codegen stage, so in-reader partials save no transfer locally;
+    // the exchange is the real cost at scale. Refuse the pushdown and
+    // let the clustered plan win.
+    if (groups.nonEmpty) {
+      val cOpt = Option(options.get("clusteredBy")).filter(groups.contains)
+      if (cOpt.isDefined) {
+        val sel = GraftObjectTable.listObjects(path)
+          .map(p => p -> ObjectFormat.readFooter(p))
+          .filter { case (_, f) =>
+            f.rowCount > 0 && accepted.forall(ObjectFormat.mightMatch(_, f))
+          }
+        if (GraftClustering.groups(sel, fullSchema, cOpt).isDefined)
+          return false
+      }
+    }
     if (footerTier) {
       pushedAggs = Some(aggs)
     } else {
@@ -1363,9 +1461,9 @@ class GraftPartialAggReaderFactory(fullSchema: StructType,
       private val inner = StructType((groups ++ aggs.flatMap(aggCol)).distinct
         .map(c => fullSchema(fullSchema.fieldIndex(c))))
       private val colIdx = inner.fieldNames.zipWithIndex.toMap
+      private val paths: Seq[String] =
+        Seq(p.asInstanceOf[GraftObjectPartition].path)
       private val out: Iterator[InternalRow] = {
-        val rd = new GraftObjectReader(
-          p.asInstanceOf[GraftObjectPartition].path, fullSchema, inner, pushed)
         // group key -> accumulator array (one slot per aggregate)
         val acc = scala.collection.mutable.LinkedHashMap
           .empty[List[Any], Array[Any]]
@@ -1373,6 +1471,8 @@ class GraftPartialAggReaderFactory(fullSchema: StructType,
           case FooterAgg.CountStar | FooterAgg.CountOf(_) => Long.box(0L)
           case _ => null
         }.toArray
+        paths.foreach { path =>
+        val rd = new GraftObjectReader(path, fullSchema, inner, pushed)
         try {
           while (rd.next()) {
             val row = rd.get()
@@ -1410,6 +1510,7 @@ class GraftPartialAggReaderFactory(fullSchema: StructType,
             }
           }
         } finally rd.close()
+        }
         // a global aggregate over zero qualifying rows still owes one
         // identity partial (COUNT 0, MIN/MAX/SUM null)
         val rows = if (acc.isEmpty && groups.isEmpty) Seq(fresh()) else
@@ -1502,34 +1603,7 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     * VERIFIED against footers; any violation falls back to normal
     * unknown partitioning (never wrong, just unoptimized). */
   private lazy val clusteredGroups: Option[Seq[(Any, Seq[String])]] =
-    clusteredBy.flatMap { c =>
-      if (!fullSchema.fieldNames.contains(c)) None
-      else {
-        val dt = fullSchema(c).dataType
-        def keyOf(f: ObjectFormat.Footer): Option[Any] =
-          f.stats.get(c).flatMap { s =>
-            if (s.nullCount == f.rowCount) Some(KeyNull)
-            else if (s.nullCount == 0 && s.min != null &&
-              ObjectFormat.cmpExact(s.min, s.max).contains(0))
-              Some(narrowKey(s.min, dt))
-            else None // mixed keys or mixed null/value: not clustered
-          }
-        if (ObjectFormat.statKind(dt) == 0) None
-        else {
-          val keyed = selected.map { case (p, f) => (p, keyOf(f)) }
-          if (keyed.exists(_._2.isEmpty)) None
-          else Some(keyed.groupBy(_._2.get)
-            .map { case (k, ps) => (k, ps.map(_._1)) }
-            .toSeq.sortBy(_._2.head)) // deterministic group order
-        }
-      }
-    }
-  private object KeyNull // sentinel: groupBy key for the all-null group
-  private def narrowKey(v: Any, dt: DataType): Any = (v, dt) match {
-    case (l: java.lang.Long, IntegerType | DateType) => Int.box(l.toInt)
-    case (d: java.lang.Double, FloatType) => Float.box(d.toFloat)
-    case (x, _) => x
-  }
+    GraftClustering.groups(selected, fullSchema, clusteredBy)
 
   /** Within a clustered partition every row carries the SAME cluster
     * key, so the partition is trivially sorted by it (a constant
@@ -1567,7 +1641,7 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
         // count must match the reported KeyGroupedPartitioning
         groups.map { case (k, paths) =>
           GraftClusteredPartition(paths,
-            if (k == KeyNull) null else k): InputPartition
+            if (k == GraftClustering.KeyNull) null else k): InputPartition
         }.toArray
       case None =>
         val avail = selected.filter { case (_, footer) =>
@@ -1698,6 +1772,47 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
   }
+}
+
+/** Shared value-clustering detection: a table is clustered on `col`
+  * when every object's footer proves single-key content (min==max, no
+  * nulls — or all-null, the null-key group). Truncated string bounds
+  * make long string keys read as unclustered (min != max) — a safe
+  * fallback, never a wrong grouping. */
+object GraftClustering {
+  object KeyNull // sentinel: groupBy key for the all-null group
+
+  def narrowKey(v: Any, dt: DataType): Any = (v, dt) match {
+    case (l: java.lang.Long, IntegerType | DateType) => Int.box(l.toInt)
+    case (d: java.lang.Double, FloatType) => Float.box(d.toFloat)
+    case (x, _) => x
+  }
+
+  def groups(selected: Seq[(String, ObjectFormat.Footer)],
+      fullSchema: StructType,
+      clusteredBy: Option[String]): Option[Seq[(Any, Seq[String])]] =
+    clusteredBy.flatMap { c =>
+      if (!fullSchema.fieldNames.contains(c)) None
+      else {
+        val dt = fullSchema(c).dataType
+        def keyOf(f: ObjectFormat.Footer): Option[Any] =
+          f.stats.get(c).flatMap { s =>
+            if (s.nullCount == f.rowCount) Some(KeyNull)
+            else if (s.nullCount == 0 && s.min != null &&
+              ObjectFormat.cmpExact(s.min, s.max).contains(0))
+              Some(narrowKey(s.min, dt))
+            else None // mixed keys or mixed null/value: not clustered
+          }
+        if (ObjectFormat.statKind(dt) == 0) None
+        else {
+          val keyed = selected.map { case (p, f) => (p, keyOf(f)) }
+          if (keyed.exists(_._2.isEmpty)) None
+          else Some(keyed.groupBy(_._2.get)
+            .map { case (k, ps) => (k, ps.map(_._1)) }
+            .toSeq.sortBy(_._2.head)) // deterministic group order
+        }
+      }
+    }
 }
 
 /** Offset = count of `<table>.<seq>` objects consumed so far. */
@@ -1919,9 +2034,8 @@ class GraftObjectReader(path: String, fullSchema: StructType,
 
   private def fieldVal(a: String): Any =
     fieldIdx.get(a).map(values) match { // absent column (evolution) -> null
-      case Some(s: UTF8String) => s.toString // pushed string compares are rare
-      case Some(v) => v
-      case None => null
+      case Some(v) => v // UTF8String stays raw: cmpExact compares it
+      case None => null // against String filter values in binary order
     }
 
   private def eval(f: Filter): Boolean = {
