@@ -441,6 +441,12 @@ object ObjectFormat {
       case In(a, vs) => vs.forall(ok(a, _))
       case IsNull(a) => has(a)
       case IsNotNull(a) => has(a)
+      // string predicate family (LIKE 'p%' / '%s' / '%i%'): row-level
+      // evaluation in the reader; StartsWith additionally prunes via
+      // the string footer bounds
+      case StringStartsWith(a, _) => has(a) && schema(a).dataType == StringType
+      case StringEndsWith(a, _) => has(a) && schema(a).dataType == StringType
+      case StringContains(a, _) => has(a) && schema(a).dataType == StringType
       case And(l, r) => storageEvaluable(schema, l) && storageEvaluable(schema, r)
       case Or(l, r) => storageEvaluable(schema, l) && storageEvaluable(schema, r)
       case AlwaysTrue() => true // TRUNCATE arrives as DELETE WHERE true
@@ -472,6 +478,23 @@ object ObjectFormat {
       case IsNull(a) => stats.get(a).forall(_.hasNull)
       case IsNotNull(a) =>
         stats.get(a).forall(s => footer.rowCount - s.nullCount > 0)
+      /** LIKE 'p%': a value starting with p satisfies p ≤ v < succ(p);
+        * the object can match only if its range intersects that — i.e.
+        * max ≥ p AND min starts-below-or-within the prefix (min ≤ any
+        * string with prefix p ⇔ min's first |p| bytes ≤ p). Both sides
+        * stay conservative under truncated bounds. */
+      case StringStartsWith(a, p) =>
+        rng(a).forall { case (mn, mx) =>
+          val pu = UTF8String.fromString(p)
+          val mnU = mn.asInstanceOf[UTF8String]; val mxU = mx.asInstanceOf[UTF8String]
+          // max below the prefix ⇒ impossible
+          val maxOk = mxU.compareTo(pu) >= 0
+          // min above every p-prefixed string ⇒ impossible: compare
+          // min's leading |p| bytes against p
+          val mnHead = mnU.substring(0, pu.numChars())
+          val minOk = mnHead.compareTo(pu) <= 0
+          maxOk && minOk
+        }
       case And(l, r) => mightMatch(l, footer) && mightMatch(r, footer)
       case _ => true
     }
@@ -2047,6 +2070,18 @@ class GraftObjectReader(path: String, fullSchema: StructType,
       case LessThan(a, v) => cmpExact(fieldVal(a), v).exists(_ < 0)
       case LessThanOrEqual(a, v) => cmpExact(fieldVal(a), v).exists(_ <= 0)
       case In(a, vs) => vs.exists(v => cmpExact(fieldVal(a), v).contains(0))
+      case StringStartsWith(a, p) => fieldVal(a) match {
+        case s: UTF8String => s.startsWith(UTF8String.fromString(p))
+        case _ => false // null ⇒ unknown ⇒ filtered (3VL)
+      }
+      case StringEndsWith(a, p) => fieldVal(a) match {
+        case s: UTF8String => s.endsWith(UTF8String.fromString(p))
+        case _ => false
+      }
+      case StringContains(a, p) => fieldVal(a) match {
+        case s: UTF8String => s.contains(UTF8String.fromString(p))
+        case _ => false
+      }
       case IsNull(a) => fieldVal(a) == null
       case IsNotNull(a) => fieldVal(a) != null
       case And(l, r) => eval(l) && eval(r)

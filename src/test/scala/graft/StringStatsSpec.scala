@@ -105,6 +105,36 @@ class StringStatsSpec extends SparkSpec {
       .filter(col("s") === big).count() == 1)
   }
 
+  test("LIKE family pushes to the reader; prefix LIKE prunes objects") {
+    val dir = tmp("graft-strlike"); val tgt = s"$dir/t"
+    val schema = StructType(Seq(StructField("s", StringType),
+      StructField("v", LongType)))
+    new File(tgt).mkdirs()
+    ObjectFormat.writeObject(s"$tgt/t.0", schema,
+      Seq(Row("apple", 1L), Row("apricot", 2L), Row("banana", 3L)).iterator)
+    ObjectFormat.writeObject(s"$tgt/t.1", schema,
+      Seq(Row("mango", 4L), Row("melon", 5L), Row("peach", 6L)).iterator)
+
+    val back = spark.read.format("graft-objects").load(tgt)
+    // endsWith / contains evaluate in the reader (no pruning possible —
+    // run them while both objects are intact)
+    assert(back.filter(col("s").endsWith("ch")).collect()
+      .map(_.getLong(1)).toSeq == Seq(6L))
+    assert(back.filter(col("s").contains("ang")).collect()
+      .map(_.getLong(1)).toSeq == Seq(4L))
+
+    // prefix prune: 'me%' cannot live in t.0 — corrupt it, still answers
+    corruptBody(s"$tgt/t.0")
+    val pre = back.filter(col("s").startsWith("me"))
+    assert(pre.queryExecution.executedPlan.toString
+      .contains("StringStartsWith(s,me)"), "startsWith must push")
+    assert(pre.collect().map(_.getLong(1)).toSeq == Seq(5L))
+
+    // conservative boundary: prefix shared with t.1's min ('m') keeps it
+    assert(back.filter(col("s").startsWith("ma")).collect()
+      .map(_.getLong(1)).toSeq == Seq(4L))
+  }
+
   test("reader-tier MIN/MAX on strings (footer bounds are inexact under truncation)") {
     val dir = tmp("graft-strmm"); val tgt = s"$dir/orders"
     val orders = Tables.load(spark, sf, "orders")
