@@ -204,6 +204,40 @@ object Sources extends QueryModule {
         min(col("o_orderdate")).as("min_date"))
   }
 
+  /** Temporal predicate pushdown through the object store — TPC-H Q6
+    * with the l_shipdate range predicates evaluated INSIDE the object
+    * reader and, because the layout is range-partitioned on
+    * l_shipdate, pruning whole objects by their footer micros bounds
+    * before any body read (PushdownWideningSpec proves the prune with
+    * corrupted bodies). Before the evaluable-set widening, temporal
+    * filter values were refused and the whole WHERE fell back to
+    * Spark after full decode. */
+  private val pushdownTemporal = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "objtemporal") + "/lineitem"
+    Tables.lineitem(s, dir)
+      .repartitionByRange(8, col("l_shipdate"))
+      .write.format("graft-objects").mode("overwrite").save(out)
+    s.read.format("graft-objects").load(out)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(Ora.money(col("l_extendedprice")) * Ora.rate(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val pushdownTemporalSql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   private val objstoreAggFilteredSql =
     """SELECT o_orderstatus, COUNT(*) AS n, SUM(o_custkey) AS sum_cust,
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
@@ -363,6 +397,8 @@ object Sources extends QueryModule {
     "q_src_objstore_agg_filtered" -> Q(objstoreAggFiltered,
       Some(objstoreAggFilteredSql),
       "filtered+grouped agg evaluated in the object reader (use-cls analog)"),
+    "q_src_pushdown_temporal" -> Q(pushdownTemporal, Some(pushdownTemporalSql),
+      "TPC-H Q6 through graft-objects: timestamp range evaluated in the reader, objects pruned by footer micros bounds"),
     "q_src_catalog_delete" -> Q(catalogDelete, Some(catalogDeleteSql),
       "SQL DELETE through the graft TableCatalog (object-level delete)"),
     "q_src_catalog_update" -> Q(catalogUpdate, Some(catalogUpdateSql),

@@ -102,8 +102,45 @@ object ObjectFormat {
   def cmpExact(x: Any, v: Any): Option[Int] = {
     def floating(n: Number) =
       n.isInstanceOf[java.lang.Double] || n.isInstanceOf[java.lang.Float]
-    (x, v) match {
+    // Pushed-filter values for temporal columns arrive as external Java
+    // types while footer stats and decoded rows carry the Catalyst
+    // form (days / micros as integrals) — normalize the external side
+    // so all pairings compare exactly. Decimals (java.math.BigDecimal
+    // from filters, Catalyst Decimal from rows) must NOT fall into the
+    // integral branch below: longValue() truncates the fraction.
+    def norm(a: Any): Any = a match {
+      case d: java.sql.Date =>
+        java.lang.Long.valueOf(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+      case d: java.time.LocalDate => java.lang.Long.valueOf(d.toEpochDay)
+      case t: java.sql.Timestamp =>
+        java.lang.Long.valueOf(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant =>
+        java.lang.Long.valueOf(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+      case l: java.time.LocalDateTime =>
+        java.lang.Long.valueOf(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l))
+      case d: Decimal => d.toJavaBigDecimal
+      case other => other
+    }
+    (norm(x), norm(v)) match {
       case (null, _) | (_, null) => None
+      case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+        Some(java.lang.Boolean.compare(a, b))
+      case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+        Some(a.compareTo(b))
+      case (a: java.math.BigDecimal, b: Number) =>
+        val bd = b.doubleValue()
+        if (floating(b) && (bd.isNaN || bd.isInfinite))
+          Some(java.lang.Double.compare(a.doubleValue(), bd))
+        else Some(a.compareTo(new java.math.BigDecimal(b.toString)))
+      case (a: Number, b: java.math.BigDecimal) =>
+        val ad = a.doubleValue()
+        if (floating(a) && (ad.isNaN || ad.isInfinite))
+          Some(java.lang.Double.compare(ad, b.doubleValue()))
+        else Some(new java.math.BigDecimal(a.toString).compareTo(b))
       case (a: Number, b: Number) =>
         if (!floating(a) && !floating(b))
           Some(java.lang.Long.compare(a.longValue(), b.longValue()))
@@ -425,13 +462,29 @@ object ObjectFormat {
     * SupportsDelete's acceptance check. */
   def storageEvaluable(schema: StructType, f: Filter): Boolean = {
     def has(a: String): Boolean = schema.fieldNames.contains(a)
-    def ok(a: String, v: Any): Boolean = has(a) && (v match {
-      case _: Number | _: String => schema(a).dataType match {
-        case LongType | IntegerType | DoubleType | FloatType | StringType => true
+    // A (column type, filter value) pair is evaluable when cmpExact can
+    // compare the decoded Catalyst value against the external filter
+    // value exactly. Temporal values arrive as either the java.sql or
+    // the java.time family depending on spark.sql.datetime.java8API.
+    def ok(a: String, v: Any): Boolean = has(a) && {
+      val dt = schema(a).dataType
+      v match {
+        case null => false
+        case _: java.lang.Boolean => dt == BooleanType
+        case _: java.math.BigDecimal => dt.isInstanceOf[DecimalType]
+        case _: java.sql.Date | _: java.time.LocalDate => dt == DateType
+        case _: java.sql.Timestamp | _: java.time.Instant =>
+          dt == TimestampType
+        case _: java.time.LocalDateTime => dt == TimestampNTZType
+        case _: Number => dt match {
+          case LongType | IntegerType | ShortType | ByteType |
+               DoubleType | FloatType => true
+          case _ => false
+        }
+        case _: String => dt == StringType
         case _ => false
       }
-      case _ => false
-    })
+    }
     f match {
       case EqualTo(a, v) => ok(a, v)
       case GreaterThan(a, v) => ok(a, v)
@@ -447,6 +500,11 @@ object ObjectFormat {
       case StringStartsWith(a, _) => has(a) && schema(a).dataType == StringType
       case StringEndsWith(a, _) => has(a) && schema(a).dataType == StringType
       case StringContains(a, _) => has(a) && schema(a).dataType == StringType
+      // a <=> NULL needs only presence; a <=> v needs comparability
+      case EqualNullSafe(a, v) => if (v == null) has(a) else ok(a, v)
+      // NOT is evaluable exactly when its operand is — the reader
+      // evaluates it in three-valued logic (NOT unknown = unknown)
+      case Not(g) => storageEvaluable(schema, g)
       case And(l, r) => storageEvaluable(schema, l) && storageEvaluable(schema, r)
       case Or(l, r) => storageEvaluable(schema, l) && storageEvaluable(schema, r)
       case AlwaysTrue() => true // TRUNCATE arrives as DELETE WHERE true
@@ -495,7 +553,40 @@ object ObjectFormat {
           val minOk = mnHead.compareTo(pu) <= 0
           maxOk && minOk
         }
+      case EqualNullSafe(a, null) => stats.get(a).forall(_.hasNull)
+      case EqualNullSafe(a, v) =>
+        rng(a).forall { case (mn, mx) => inRange(v, mn, mx) }
       case And(l, r) => mightMatch(l, footer) && mightMatch(r, footer)
+      case Or(l, r) => mightMatch(l, footer) || mightMatch(r, footer)
+      /** NOT prunes by pushing the negation to the complementary
+        * operator (sound for SATISFACTION: null rows satisfy neither a
+        * predicate nor its negation, and the bounds describe non-null
+        * rows only). NOT(a = v) can prune only when the footer proves
+        * every non-null value equals v, i.e. min == max == v — sound
+        * even under string truncation, since stored-min ≤ values ≤
+        * stored-max pins all values to v when the bounds coincide. */
+      case Not(g) => g match {
+        case Not(h) => mightMatch(h, footer)
+        case GreaterThan(a, v) => mightMatch(LessThanOrEqual(a, v), footer)
+        case GreaterThanOrEqual(a, v) => mightMatch(LessThan(a, v), footer)
+        case LessThan(a, v) => mightMatch(GreaterThanOrEqual(a, v), footer)
+        case LessThanOrEqual(a, v) => mightMatch(GreaterThan(a, v), footer)
+        case IsNull(a) => mightMatch(IsNotNull(a), footer)
+        case IsNotNull(a) => mightMatch(IsNull(a), footer)
+        case And(l, r) => mightMatch(Or(Not(l), Not(r)), footer)
+        case Or(l, r) => mightMatch(And(Not(l), Not(r)), footer)
+        case EqualTo(a, v) => rng(a) match {
+          case Some((mn, mx)) =>
+            !(cmpExact(mn, v).contains(0) && cmpExact(mx, v).contains(0))
+          case None => true
+        }
+        case In(a, vs) => rng(a) match {
+          case Some((mn, mx)) if cmpExact(mn, mx).contains(0) =>
+            !vs.exists(v => cmpExact(mn, v).contains(0))
+          case _ => true
+        }
+        case _ => true
+      }
       case _ => true
     }
   }
@@ -2061,47 +2152,67 @@ class GraftObjectReader(path: String, fullSchema: StructType,
       case None => null // against String filter values in binary order
     }
 
-  private def eval(f: Filter): Boolean = {
+  /** Kleene three-valued evaluation: None = unknown (a null reached a
+    * comparison). Row fate at the top level: reads emit rows whose
+    * conjunction is TRUE; the negated (DELETE) mode keeps rows whose
+    * conjunction is FALSE **or** UNKNOWN. Genuine 3VL (not a collapse
+    * of unknown to false) is required the moment NOT is pushable:
+    * NOT(unknown) must stay unknown, not become true. */
+  private def eval3(f: Filter): Option[Boolean] = {
     import ObjectFormat.cmpExact
     f match {
-      case EqualTo(a, v) => cmpExact(fieldVal(a), v).contains(0)
-      case GreaterThan(a, v) => cmpExact(fieldVal(a), v).exists(_ > 0)
-      case GreaterThanOrEqual(a, v) => cmpExact(fieldVal(a), v).exists(_ >= 0)
-      case LessThan(a, v) => cmpExact(fieldVal(a), v).exists(_ < 0)
-      case LessThanOrEqual(a, v) => cmpExact(fieldVal(a), v).exists(_ <= 0)
-      case In(a, vs) => vs.exists(v => cmpExact(fieldVal(a), v).contains(0))
+      case EqualTo(a, v) => cmpExact(fieldVal(a), v).map(_ == 0)
+      case GreaterThan(a, v) => cmpExact(fieldVal(a), v).map(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmpExact(fieldVal(a), v).map(_ >= 0)
+      case LessThan(a, v) => cmpExact(fieldVal(a), v).map(_ < 0)
+      case LessThanOrEqual(a, v) => cmpExact(fieldVal(a), v).map(_ <= 0)
+      case In(a, vs) =>
+        val cs = vs.map(v => cmpExact(fieldVal(a), v))
+        if (cs.exists(_.contains(0))) Some(true)
+        else if (cs.forall(_.isDefined)) Some(false)
+        else None // null operand: x IN (…) is unknown when unmatched
+      case EqualNullSafe(a, v) => // never unknown: <=> is null-safe
+        val x = fieldVal(a)
+        if (x == null || v == null) Some(x == null && v == null)
+        else Some(cmpExact(x, v).contains(0))
       case StringStartsWith(a, p) => fieldVal(a) match {
-        case s: UTF8String => s.startsWith(UTF8String.fromString(p))
-        case _ => false // null ⇒ unknown ⇒ filtered (3VL)
+        case s: UTF8String => Some(s.startsWith(UTF8String.fromString(p)))
+        case _ => None
       }
       case StringEndsWith(a, p) => fieldVal(a) match {
-        case s: UTF8String => s.endsWith(UTF8String.fromString(p))
-        case _ => false
+        case s: UTF8String => Some(s.endsWith(UTF8String.fromString(p)))
+        case _ => None
       }
       case StringContains(a, p) => fieldVal(a) match {
-        case s: UTF8String => s.contains(UTF8String.fromString(p))
-        case _ => false
+        case s: UTF8String => Some(s.contains(UTF8String.fromString(p)))
+        case _ => None
       }
-      case IsNull(a) => fieldVal(a) == null
-      case IsNotNull(a) => fieldVal(a) != null
-      case And(l, r) => eval(l) && eval(r)
-      // unknown collapses to false (row filtered / survives a DELETE),
-      // which OR propagates conservatively: unknown∨true = true,
-      // unknown∨false = unknown — both match SQL 3VL row fate here
-      case Or(l, r) => eval(l) || eval(r)
-      case AlwaysTrue() => true
-      case AlwaysFalse() => false
-      case _ => true
+      case IsNull(a) => Some(fieldVal(a) == null)
+      case IsNotNull(a) => Some(fieldVal(a) != null)
+      case Not(g) => eval3(g).map(!_)
+      case And(l, r) => (eval3(l), eval3(r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (eval3(l), eval3(r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case AlwaysTrue() => Some(true)
+      case AlwaysFalse() => Some(false)
+      case _ => Some(true) // non-evaluable never reaches the reader
     }
   }
 
   override def next(): Boolean = {
     if (emitted >= rowLimit) return false // pushed-LIMIT early exit
     while (readRow()) {
-      // 3VL: cmpExact is None on null ⇒ predicate unknown ⇒ row
-      // filtered, matching SQL semantics for pushed conjuncts (and in
-      // negated/DELETE mode the unknown row correctly SURVIVES)
-      if (pushed.forall(eval) != negated) {
+      // TRUE-or-not decides row fate: a read emits only TRUE rows; a
+      // negated DELETE keeps FALSE and UNKNOWN rows (SQL deletes only
+      // where the predicate is TRUE)
+      if (pushed.forall(eval3(_).contains(true)) != negated) {
         val out = new Array[Any](outIdx.length)
         var k = 0
         while (k < outIdx.length) {
