@@ -65,7 +65,54 @@ object ObjectFormat {
   // rounded-up min could prune an object that holds the queried key)
   // + an exact per-column null count (feeds COUNT(col) pushdown and
   // IsNull/IsNotNull pruning).
-  val Version = 2
+  // v3: + per-column KMV distinct-count sketch (k smallest 64-bit
+  // value hashes — exact below k, mergeable across objects by keeping
+  // the k smallest of the union) and string byte-length stats
+  // (sum + max), both feeding DSv2 column statistics → Catalyst CBO
+  // (the reference's runstats analog computed AT WRITE, per object).
+  // v2 objects still read (sketch maps come back empty).
+  val Version = 3
+  val MinVersion = 2
+
+  /** KMV sketch size: exact NDV up to k; ±1/sqrt(k) ≈ 6% beyond.
+    * 2 KB per column per object — noise against ~128 MB object
+    * bodies, and the merge cost is driver-side over footers only. */
+  val NdvSketchK = 256
+
+  /** splitmix64 finalizer — the per-value hash for integral/floating
+    * stats; strings run FNV-1a over UTF-8 bytes then this avalanche. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def hashBytes(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Merged-NDV estimate from per-object KMV sketches (each sorted in
+    * unsigned order): union, keep the k smallest distinct — still a
+    * valid KMV of the union of the objects' value sets. Below k the
+    * union IS the distinct hash set ⇒ exact. */
+  def ndvEstimate(sketches: Iterable[Array[Long]]): Option[Long] = {
+    val all = sketches.filter(_.nonEmpty)
+    if (all.isEmpty) return None
+    val merged = all.flatten.toArray.distinct
+      .sortWith(java.lang.Long.compareUnsigned(_, _) < 0)
+    if (merged.length < NdvSketchK) Some(merged.length.toLong)
+    else {
+      val kth = merged(NdvSketchK - 1)
+      // unsigned long → fraction of the 2^64 hash space
+      val frac = ((kth >>> 11).toDouble * 2048.0 + (kth & 2047L).toDouble) /
+        1.8446744073709552e19
+      Some(math.max(NdvSketchK.toLong,
+        math.round((NdvSketchK - 1).toDouble / frac)))
+    }
+  }
 
   /** Stat kind per type: 1 = integral (footer stores exact longs),
     * 2 = floating (footer stores doubles), 3 = string (footer stores
@@ -90,7 +137,13 @@ object ObjectFormat {
   final case class ColStats(min: Any, max: Any, nullCount: Int) {
     def hasNull: Boolean = nullCount > 0
   }
-  final case class Footer(rowCount: Int, stats: Map[String, ColStats])
+  /** v3 additions ride as separate maps so ColStats pattern-match
+    * sites stay 3-ary: `ndvSketch` holds each column's sorted KMV hash
+    * array (empty pre-v3 / no-stat kinds); `strLen` holds (byte-length
+    * sum, max) for string columns. */
+  final case class Footer(rowCount: Int, stats: Map[String, ColStats],
+      ndvSketch: Map[String, Array[Long]] = Map.empty,
+      strLen: Map[String, (Long, Int)] = Map.empty)
 
   /** Exact 3-valued compare across JVM numeric widths. Integral pairs
     * compare as longs; an integral×floating pair compares through
@@ -99,33 +152,34 @@ object ObjectFormat {
     * NaN/±Inf fall back to Double.compare, whose total order (NaN
     * greatest) matches Spark's. None when either side is null or the
     * pair is not comparable (callers treat None as "unknown"). */
+  // Pushed-filter values for temporal columns arrive as external Java
+  // types while footer stats and decoded rows carry the Catalyst
+  // form (days / micros as integrals) — normalize the external side
+  // so all pairings compare exactly. Decimals (java.math.BigDecimal
+  // from filters, Catalyst Decimal from rows) must NOT fall into the
+  // integral branch of cmpExact: longValue() truncates the fraction.
+  private def normExternal(a: Any): Any = a match {
+    case d: java.sql.Date =>
+      java.lang.Long.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => java.lang.Long.valueOf(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      java.lang.Long.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      java.lang.Long.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case l: java.time.LocalDateTime =>
+      java.lang.Long.valueOf(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l))
+    case d: Decimal => d.toJavaBigDecimal
+    case other => other
+  }
+
   def cmpExact(x: Any, v: Any): Option[Int] = {
     def floating(n: Number) =
       n.isInstanceOf[java.lang.Double] || n.isInstanceOf[java.lang.Float]
-    // Pushed-filter values for temporal columns arrive as external Java
-    // types while footer stats and decoded rows carry the Catalyst
-    // form (days / micros as integrals) — normalize the external side
-    // so all pairings compare exactly. Decimals (java.math.BigDecimal
-    // from filters, Catalyst Decimal from rows) must NOT fall into the
-    // integral branch below: longValue() truncates the fraction.
-    def norm(a: Any): Any = a match {
-      case d: java.sql.Date =>
-        java.lang.Long.valueOf(
-          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
-      case d: java.time.LocalDate => java.lang.Long.valueOf(d.toEpochDay)
-      case t: java.sql.Timestamp =>
-        java.lang.Long.valueOf(
-          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
-      case i: java.time.Instant =>
-        java.lang.Long.valueOf(
-          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
-      case l: java.time.LocalDateTime =>
-        java.lang.Long.valueOf(
-          org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l))
-      case d: Decimal => d.toJavaBigDecimal
-      case other => other
-    }
-    (norm(x), norm(v)) match {
+    (normExternal(x), normExternal(v)) match {
       case (null, _) | (_, null) => None
       case (a: java.lang.Boolean, b: java.lang.Boolean) =>
         Some(java.lang.Boolean.compare(a, b))
@@ -221,6 +275,25 @@ object ObjectFormat {
     private def statB(i: Int, v: Array[Byte]): Unit = {
       if (minsB(i) == null || byteCmp(v, minsB(i)) < 0) minsB(i) = v
       if (maxsB(i) == null || byteCmp(v, maxsB(i)) > 0) maxsB(i) = v
+      sumLenB(i) += v.length
+      if (v.length > maxLenB(i)) maxLenB(i) = v.length
+    }
+    private val sumLenB = Array.fill(n)(0L)
+    private val maxLenB = Array.fill(n)(0)
+
+    /** Per-column KMV: the k smallest distinct 64-bit value hashes in
+      * UNSIGNED order (TreeSet dedups; cap at k by evicting the
+      * largest). O(log k) per row, 2 KB per column in the footer. */
+    private val unsignedOrd: java.util.Comparator[java.lang.Long] =
+      (a, b) => java.lang.Long.compareUnsigned(a, b)
+    private val kmv = Array.fill(n)(new java.util.TreeSet[java.lang.Long](unsignedOrd))
+    private def sketch(i: Int, h: Long): Unit = {
+      val s = kmv(i)
+      if (s.size < NdvSketchK) { s.add(h); () }
+      else if (java.lang.Long.compareUnsigned(h, s.last()) < 0) {
+        if (s.add(h)) s.pollLast()
+        ()
+      }
     }
 
     /** Recursive value codec (Catalyst-level values). Nested nulls get
@@ -282,15 +355,25 @@ object ObjectFormat {
 
     private def put(i: Int, dt: DataType, value: Any): Unit = {
       kinds(i) match {
-        case 1 => statL(i, dt match {
-          case IntegerType | DateType => value.asInstanceOf[Int].toLong
-          case _ => value.asInstanceOf[Long]
-        })
-        case 2 => statD(i, dt match {
-          case FloatType => value.asInstanceOf[Float].toDouble
-          case _ => value.asInstanceOf[Double]
-        })
-        case 3 => statB(i, value.asInstanceOf[UTF8String].getBytes.clone())
+        case 1 =>
+          val l = dt match {
+            case IntegerType | DateType => value.asInstanceOf[Int].toLong
+            case _ => value.asInstanceOf[Long]
+          }
+          statL(i, l); sketch(i, mix64(l))
+        case 2 =>
+          val d = dt match {
+            case FloatType => value.asInstanceOf[Float].toDouble
+            case _ => value.asInstanceOf[Double]
+          }
+          statD(i, d)
+          // NDV hashing normalizes -0.0 to 0.0 and NaN to the
+          // canonical bits, matching SQL DISTINCT equivalence classes
+          val bits = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+          sketch(i, mix64(bits))
+        case 3 =>
+          val b = value.asInstanceOf[UTF8String].getBytes.clone()
+          statB(i, b); sketch(i, hashBytes(b))
         case _ =>
       }
       writeValue(dt, value)
@@ -361,6 +444,14 @@ object ObjectFormat {
           case _ => file.writeBoolean(false)
         }
         file.writeInt(nullCounts(i))
+        // v3 block: KMV sketch (ascending unsigned), string len stats
+        val s = kmv(i)
+        file.writeInt(s.size)
+        val it = s.iterator()
+        while (it.hasNext) file.writeLong(it.next())
+        if (kinds(i) == 3) {
+          file.writeLong(sumLenB(i)); file.writeInt(maxLenB(i))
+        }
       }
       // body CRC32 — verified by verifyObject (scrub), not at planning
       val crc = new java.util.zip.CRC32()
@@ -382,7 +473,8 @@ object ObjectFormat {
     val in = new DataInputStream(Files.newInputStream(Paths.get(path)))
     try {
       require(in.readInt() == Magic, s"$path: not a graft object")
-      require(in.readInt() == Version, s"$path: bad version")
+      val v = in.readInt()
+      require(v >= MinVersion && v <= Version, s"$path: bad version $v")
       StructType.fromDDL(in.readUTF())
     } finally in.close()
   }
@@ -394,13 +486,16 @@ object ObjectFormat {
     val in = new DataInputStream(Files.newInputStream(Paths.get(path)))
     try {
       require(in.readInt() == Magic, s"$path: not a graft object")
-      in.readInt()
+      val ver = in.readInt()
       val schema = StructType.fromDDL(in.readUTF())
       val bodyLen = in.readInt()
       var toSkip = bodyLen.toLong
       while (toSkip > 0) toSkip -= in.skip(toSkip)
       val count = in.readInt()
-      val stats = schema.fields.map { f =>
+      val stats = Map.newBuilder[String, ColStats]
+      val sketches = Map.newBuilder[String, Array[Long]]
+      val lens = Map.newBuilder[String, (Long, Int)]
+      schema.fields.foreach { f =>
         val has = in.readBoolean()
         var mn: Any = null
         var mx: Any = null
@@ -414,9 +509,18 @@ object ObjectFormat {
           case _ => mn = Double.box(in.readDouble()); mx = Double.box(in.readDouble())
         }
         val nulls = in.readInt()
-        f.name -> ColStats(mn, mx, nulls)
-      }.toMap
-      Footer(count, stats)
+        stats += f.name -> ColStats(mn, mx, nulls)
+        if (ver >= 3) {
+          val k = in.readInt()
+          val arr = new Array[Long](k)
+          var j = 0
+          while (j < k) { arr(j) = in.readLong(); j += 1 }
+          if (k > 0) sketches += f.name -> arr
+          if (statKind(f.dataType) == 3)
+            lens += f.name -> (in.readLong(), in.readInt())
+        }
+      }
+      Footer(count, stats.result(), sketches.result(), lens.result())
     } finally in.close()
   }
 
@@ -428,7 +532,9 @@ object ObjectFormat {
     try {
       val in = new DataInputStream(Files.newInputStream(Paths.get(path)))
       try {
-        if (in.readInt() != Magic || in.readInt() != Version) return false
+        if (in.readInt() != Magic) return false
+        val ver = in.readInt()
+        if (ver < MinVersion || ver > Version) return false
         val schema = StructType.fromDDL(in.readUTF())
         val bodyLen = in.readInt()
         val body = new Array[Byte](bodyLen)
@@ -442,6 +548,11 @@ object ObjectFormat {
             case _ => in.readLong(); in.readLong() // 16 bytes either kind
           }
           in.readInt() // nullCount
+          if (ver >= 3) {
+            var k = in.readInt()
+            while (k > 0) { in.readLong(); k -= 1 } // KMV sketch
+            if (statKind(f.dataType) == 3) { in.readLong(); in.readInt() }
+          }
         }
         val stored = in.readLong()
         val crc = new java.util.zip.CRC32()
@@ -589,6 +700,85 @@ object ObjectFormat {
       }
       case _ => true
     }
+  }
+
+  /** Per-object selectivity estimate for one pushed filter, from the
+    * footer alone — the storage tier answering "how many rows will
+    * this filter keep" with the same stats it uses to answer the
+    * filter itself: exact null fractions, uniform-assumption range
+    * fractions over numeric min/max, KMV-NDV equality estimates.
+    * Conservative 1.0 wherever the footer cannot say (string ranges,
+    * missing stats) — estimates may overshoot but a kept object never
+    * estimates to zero unless the stats prove emptiness. Feeds the
+    * scan's reported Statistics: with filters fully pushed into the
+    * scan there is no Filter node left for Catalyst's own
+    * FilterEstimation, so the relation estimate must already be the
+    * post-filter one. */
+  def selectivity(filter: Filter, footer: Footer): Double = {
+    val rows = footer.rowCount.toDouble
+    if (rows == 0) return 0.0
+    def nonNullFrac(a: String): Double =
+      footer.stats.get(a).map(s => (rows - s.nullCount) / rows).getOrElse(1.0)
+    def ndvOf(a: String): Option[Double] =
+      ndvEstimate(footer.ndvSketch.get(a).toSeq).map(_.toDouble)
+    def numD(x: Any): Option[Double] = normExternal(x) match {
+      case n: java.math.BigDecimal => Some(n.doubleValue())
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    // fraction of the non-null value range below v (uniform assumption)
+    def fracBelow(a: String, v: Any): Option[Double] = for {
+      s <- footer.stats.get(a)
+      if s.min != null
+      mn <- numD(s.min); mx <- numD(s.max); vd <- numD(v)
+      if !mn.isNaN && !mx.isNaN && !vd.isNaN
+    } yield
+      if (vd <= mn) 0.0
+      else if (vd >= mx) 1.0
+      else if (mx == mn) 1.0
+      else (vd - mn) / (mx - mn)
+    def clamp(d: Double): Double = math.max(0.0, math.min(1.0, d))
+    // one-in-NDV height of a single value among the non-null values;
+    // 0 when unsketched (the boundary term is then simply dropped)
+    def invNdv(a: String): Double =
+      ndvOf(a).map(n => 1.0 / math.max(1.0, n)).getOrElse(0.0)
+    def eqSel(a: String): Double =
+      ndvOf(a).map(n => nonNullFrac(a) / math.max(1.0, n))
+        .getOrElse(nonNullFrac(a))
+    val sel = filter match {
+      case _ if !mightMatch(filter, footer) => 0.0
+      case IsNull(a) =>
+        footer.stats.get(a).map(_.nullCount / rows).getOrElse(0.5)
+      case IsNotNull(a) => nonNullFrac(a)
+      case EqualTo(a, _) => eqSel(a)
+      case EqualNullSafe(a, null) =>
+        footer.stats.get(a).map(_.nullCount / rows).getOrElse(0.5)
+      case EqualNullSafe(a, _) => eqSel(a)
+      case In(a, vs) =>
+        ndvOf(a).map(n => nonNullFrac(a) *
+          math.min(1.0, vs.distinct.length / math.max(1.0, n)))
+          .getOrElse(nonNullFrac(a))
+      case LessThan(a, v) =>
+        fracBelow(a, v).map(_ * nonNullFrac(a)).getOrElse(nonNullFrac(a))
+      case LessThanOrEqual(a, v) =>
+        fracBelow(a, v).map(f => (f + invNdv(a)) * nonNullFrac(a))
+          .getOrElse(nonNullFrac(a))
+      case GreaterThan(a, v) =>
+        fracBelow(a, v).map(f => (1.0 - f) * nonNullFrac(a))
+          .getOrElse(nonNullFrac(a))
+      case GreaterThanOrEqual(a, v) =>
+        fracBelow(a, v).map(f => (1.0 - f + invNdv(a)) * nonNullFrac(a))
+          .getOrElse(nonNullFrac(a))
+      case And(l, r) => selectivity(l, footer) * selectivity(r, footer)
+      case Or(l, r) =>
+        val sl = selectivity(l, footer); val sr = selectivity(r, footer)
+        sl + sr - sl * sr
+      case Not(g) => 1.0 - selectivity(g, footer)
+      case AlwaysTrue() => 1.0
+      case AlwaysFalse() => 0.0
+      case _ => 1.0
+    }
+    clamp(sel)
   }
 
   /** ALTER TABLE … RENAME COLUMN support: column names live ONLY in
@@ -1878,13 +2068,97 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     * keeps per object surface here as exact relation statistics, so
     * Catalyst's size/row-based decisions (auto-broadcast, join
     * reorder under CBO) see the truth without an ANALYZE pass. With
-    * pushed filters the counts are the selected objects' totals — an
-    * upper bound, same contract as any pre-filter scan estimate. */
+    * pushed filters the counts are footer-selectivity estimates over
+    * the surviving objects (ObjectFormat.selectivity) — the filter is
+    * fully absorbed by the scan, so the scan's own estimate must be
+    * the post-filter one or downstream join planning would see
+    * pre-filter sizes forever.
+    *
+    * v3 footers additionally carry per-column write-time stats — the
+    * full runstats analog, computed per object AT INGEST, never by a
+    * table scan: null counts (exact sums), min/max (exact merges,
+    * narrowed to the column's Catalyst type), string byte lengths, and
+    * a merged-KMV distinct-count estimate (exact below the sketch
+    * size). Surfaced as DSv2 `columnStats`, which Spark folds into
+    * Catalyst `ColumnStat` — CBO filter-selectivity and join-size
+    * estimation then run off storage metadata alone, the ANALYZE
+    * TABLE result with zero ANALYZE cost. String min/max stay
+    * unreported (footer bounds are truncation-conservative, and CBO
+    * range logic is numeric-only). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = selected.map { case (p, _) => new File(p).length() }.sum
-    private val rows = selected.map(_._2.rowCount.toLong).sum
+    // With filters fully pushed into the scan, Catalyst sees no Filter
+    // node to estimate — so the relation estimate must already be the
+    // post-filter one. Each surviving object scales by its own
+    // footer-stats selectivity (exact null fractions, range fractions,
+    // KMV-NDV equalities); no filters ⇒ the product is empty ⇒ exact
+    // footer totals.
+    private val perObject = selected.map { case (p, f) =>
+      val frac = pushed.foldLeft(1.0)((s, flt) =>
+        s * ObjectFormat.selectivity(flt, f))
+      (new File(p).length(), f.rowCount.toLong, frac)
+    }
+    private val bytes = math.max(1L,
+      perObject.map { case (b, _, fr) => math.round(b * fr) }.sum)
+    private val rows =
+      perObject.map { case (_, r, fr) => math.round(r * fr) }.sum
+    // column stats describe the selected objects' raw contents — the
+    // per-filter scaling above applies to cardinality, not to the
+    // merged bounds/NDV, which remain valid (upper-bound) post-filter
+    private val rawRows = selected.map(_._2.rowCount.toLong).sum
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    override def columnStats(): util.Map[NamedReference, colstats.ColumnStatistics] = {
+      val m = new util.HashMap[NamedReference, colstats.ColumnStatistics]()
+      val footers = selected.map(_._2)
+      if (footers.isEmpty) return m
+      readSchema_.fields.foreach { f =>
+        val dt = f.dataType
+        val perCol = footers.flatMap(_.stats.get(f.name))
+        if (perCol.nonEmpty) {
+          val nulls = perCol.map(_.nullCount.toLong).sum
+          val nonNull = rawRows - nulls
+          val ndv = ObjectFormat.ndvEstimate(
+            footers.flatMap(_.ndvSketch.get(f.name)))
+          val (mnO, mxO): (Option[Any], Option[Any]) =
+            if (dt == StringType || perCol.exists(_.min == null)) (None, None)
+            else {
+              import ObjectFormat.cmpExact
+              val mn = perCol.map(_.min)
+                .reduce((a, b) => if (cmpExact(a, b).exists(_ <= 0)) a else b)
+              val mx = perCol.map(_.max)
+                .reduce((a, b) => if (cmpExact(a, b).exists(_ >= 0)) a else b)
+              (Some(GraftClustering.narrowKey(mn, dt)),
+                Some(GraftClustering.narrowKey(mx, dt)))
+            }
+          val lenStats = footers.flatMap(_.strLen.get(f.name))
+          val (avgL, maxL): (Option[Long], Option[Long]) =
+            if (dt == StringType)
+              if (lenStats.nonEmpty && nonNull > 0)
+                (Some(math.max(1L, math.round(
+                  lenStats.map(_._1).sum.toDouble / nonNull))),
+                  Some(lenStats.map(_._2).max.toLong))
+              else (None, None)
+            else (Some(dt.defaultSize.toLong), Some(dt.defaultSize.toLong))
+          m.put(Expressions.column(f.name), new colstats.ColumnStatistics {
+            override def nullCount(): util.OptionalLong =
+              util.OptionalLong.of(nulls)
+            override def distinctCount(): util.OptionalLong =
+              ndv.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+            override def min(): util.Optional[Object] =
+              mnO.map(v => util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(util.Optional.empty[Object]())
+            override def max(): util.Optional[Object] =
+              mxO.map(v => util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(util.Optional.empty[Object]())
+            override def avgLen(): util.OptionalLong =
+              avgL.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+            override def maxLen(): util.OptionalLong =
+              maxL.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+          })
+        }
+      }
+      m
+    }
   }
 }
 

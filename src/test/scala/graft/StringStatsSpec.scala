@@ -22,10 +22,16 @@ class StringStatsSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Flip one byte in the BODY region (located via the header, so the
+    * corruption never lands in the stats footer — pruning must keep
+    * working off an intact footer while the body is unreadable). */
   private def corruptBody(path: String): Unit = {
     val raf = new java.io.RandomAccessFile(path, "rw")
-    raf.seek(raf.length() / 2)
-    val b = raf.read(); raf.seek(raf.length() / 2); raf.write(b ^ 0xff)
+    raf.readInt(); raf.readInt() // magic, version
+    val ddlLen = raf.readUnsignedShort(); raf.skipBytes(ddlLen)
+    val bodyLen = raf.readInt()
+    val at = raf.getFilePointer + bodyLen / 2
+    raf.seek(at); val b = raf.read(); raf.seek(at); raf.write(b ^ 0xff)
     raf.close()
   }
 
