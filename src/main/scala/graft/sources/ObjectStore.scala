@@ -71,7 +71,16 @@ object ObjectFormat {
   // (sum + max), both feeding DSv2 column statistics → Catalyst CBO
   // (the reference's runstats analog computed AT WRITE, per object).
   // v2 objects still read (sketch maps come back empty).
-  val Version = 3
+  // v4: + per-column membership index — the object-local value index
+  // for point lookups where min/max ranges cannot prune (high-NDV
+  // keys scattered across objects). Two tiers: when a column's KMV
+  // sketch never overflowed, the sketch IS the complete distinct-hash
+  // set and membership is EXACT (zero extra bytes); columns opted in
+  // via `.option("bloomFilterColumns", ...)` additionally carry a
+  // bloom filter sized at finish() for the observed NDV (no false
+  // negatives — a miss proves absence, so EqualTo/IN/<=> skip the
+  // object without reading its body). Older versions still read.
+  val Version = 4
   val MinVersion = 2
 
   /** KMV sketch size: exact NDV up to k; ±1/sqrt(k) ≈ 6% beyond.
@@ -92,6 +101,36 @@ object ObjectFormat {
     var i = 0
     while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
     mix64(h)
+  }
+
+  /** Bloom sizing/probing (standard double-hashing over the 64-bit
+    * value hash: probe i tests bit (h1 + i·h2) mod m). Sized at
+    * finish() for the object's OBSERVED distinct count, so the target
+    * false-positive rate holds regardless of object fill. */
+  def bloomDims(n: Int, fpp: Double): (Int, Int) = {
+    val m0 = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
+    val m = math.max(64L, ((m0.toLong + 63) / 64) * 64)
+    val mi = math.min(m, (Int.MaxValue / 2).toLong).toInt
+    val k = math.max(1, math.round(mi.toDouble / n * math.log(2)).toInt)
+    (mi, k)
+  }
+  def bloomSet(bits: Array[Long], m: Int, k: Int, h: Long): Unit = {
+    val h1 = h; val h2 = (h >>> 32) | (h << 32) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, m.toLong).toInt
+      bits(bit >>> 6) |= (1L << (bit & 63)); i += 1
+    }
+  }
+  def bloomTest(bits: Array[Long], m: Int, k: Int, h: Long): Boolean = {
+    val h1 = h; val h2 = (h >>> 32) | (h << 32) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, m.toLong).toInt
+      if ((bits(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
   }
 
   /** Merged-NDV estimate from per-object KMV sketches (each sorted in
@@ -137,13 +176,24 @@ object ObjectFormat {
   final case class ColStats(min: Any, max: Any, nullCount: Int) {
     def hasNull: Boolean = nullCount > 0
   }
-  /** v3 additions ride as separate maps so ColStats pattern-match
+  /** v4 per-column membership index: `kind` is the column's statKind
+    * at write time (guards hash-discipline consistency on the read
+    * side), `complete` means the KMV sketch never overflowed — it
+    * holds EVERY distinct non-null value hash, so a binary-search miss
+    * proves absence; `bloomK`/`bloomBits` carry the optional bloom
+    * (k hash functions over a bit array) for overflowed columns. */
+  final case class ColIndex(kind: Int, complete: Boolean,
+      bloomK: Int, bloomBits: Array[Long])
+
+  /** v3+ additions ride as separate maps so ColStats pattern-match
     * sites stay 3-ary: `ndvSketch` holds each column's sorted KMV hash
     * array (empty pre-v3 / no-stat kinds); `strLen` holds (byte-length
-    * sum, max) for string columns. */
+    * sum, max) for string columns; `colIndex` the v4 membership
+    * index. */
   final case class Footer(rowCount: Int, stats: Map[String, ColStats],
       ndvSketch: Map[String, Array[Long]] = Map.empty,
-      strLen: Map[String, (Long, Int)] = Map.empty)
+      strLen: Map[String, (Long, Int)] = Map.empty,
+      colIndex: Map[String, ColIndex] = Map.empty)
 
   /** Exact 3-valued compare across JVM numeric widths. Integral pairs
     * compare as longs; an integral×floating pair compares through
@@ -232,7 +282,8 @@ object ObjectFormat {
     * fixture surface: atomics, date/timestamp, decimal, string/binary,
     * arrays of any element, nested structs and maps (SURVEY §1.2's
     * DATE and BLOB analogs included). */
-  final class ObjectEncoder(schema: StructType) {
+  final class ObjectEncoder(schema: StructType,
+      bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01) {
     private val body = new ByteArrayOutputStream(1 << 20)
     private val out = new DataOutputStream(body)
     private val n = schema.length
@@ -287,13 +338,26 @@ object ObjectFormat {
     private val unsignedOrd: java.util.Comparator[java.lang.Long] =
       (a, b) => java.lang.Long.compareUnsigned(a, b)
     private val kmv = Array.fill(n)(new java.util.TreeSet[java.lang.Long](unsignedOrd))
+    // overflow ⇒ some distinct hash was NOT retained ⇒ the sketch is a
+    // sample, not the complete distinct set (kills exact membership)
+    private val kmvOverflow = Array.fill(n)(false)
+    // opted-in bloom columns accumulate ALL distinct value hashes so
+    // the filter can be sized for the observed NDV at finish(). (A
+    // production writer would use an open-addressing primitive-long
+    // set; boxing is irrelevant at fixture scale and the memory bound
+    // — 8B+box per distinct key per opted column per object — is the
+    // same order as parquet's bloom-build path.)
+    private val bloomSets: Array[java.util.HashSet[java.lang.Long]] =
+      schema.fields.map(f =>
+        if (bloomCols.contains(f.name)) new java.util.HashSet[java.lang.Long]()
+        else null)
     private def sketch(i: Int, h: Long): Unit = {
+      if (bloomSets(i) != null) { bloomSets(i).add(h); () }
       val s = kmv(i)
       if (s.size < NdvSketchK) { s.add(h); () }
       else if (java.lang.Long.compareUnsigned(h, s.last()) < 0) {
-        if (s.add(h)) s.pollLast()
-        ()
-      }
+        if (s.add(h)) { s.pollLast(); kmvOverflow(i) = true }
+      } else if (!s.contains(h)) kmvOverflow(i) = true
     }
 
     /** Recursive value codec (Catalyst-level values). Nested nulls get
@@ -452,6 +516,21 @@ object ObjectFormat {
         if (kinds(i) == 3) {
           file.writeLong(sumLenB(i)); file.writeInt(maxLenB(i))
         }
+        // v4 block: membership index — stat kind (hash-discipline
+        // guard), sketch-completeness flag, optional bloom
+        file.writeByte(kinds(i))
+        file.writeBoolean(!kmvOverflow(i))
+        val bs = bloomSets(i)
+        if (bs == null || bs.isEmpty || kinds(i) == 0) file.writeInt(0)
+        else {
+          val (m, kH) = bloomDims(bs.size, bloomFpp)
+          val bits = new Array[Long](m >>> 6)
+          val bit = bs.iterator()
+          while (bit.hasNext) bloomSet(bits, m, kH, bit.next())
+          file.writeInt(m); file.writeInt(kH)
+          var j = 0
+          while (j < bits.length) { file.writeLong(bits(j)); j += 1 }
+        }
       }
       // body CRC32 — verified by verifyObject (scrub), not at planning
       val crc = new java.util.zip.CRC32()
@@ -463,8 +542,9 @@ object ObjectFormat {
   }
 
   /** Encode one partition of external Rows into a `<table>.<seq>` file. */
-  def writeObject(path: String, schema: StructType, rows: Iterator[Row]): Int = {
-    val enc = new ObjectEncoder(schema)
+  def writeObject(path: String, schema: StructType, rows: Iterator[Row],
+      bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01): Int = {
+    val enc = new ObjectEncoder(schema, bloomCols, bloomFpp)
     rows.foreach(enc.addExternal)
     enc.finish(path)
   }
@@ -495,6 +575,7 @@ object ObjectFormat {
       val stats = Map.newBuilder[String, ColStats]
       val sketches = Map.newBuilder[String, Array[Long]]
       val lens = Map.newBuilder[String, (Long, Int)]
+      val indexes = Map.newBuilder[String, ColIndex]
       schema.fields.foreach { f =>
         val has = in.readBoolean()
         var mn: Any = null
@@ -518,9 +599,25 @@ object ObjectFormat {
           if (k > 0) sketches += f.name -> arr
           if (statKind(f.dataType) == 3)
             lens += f.name -> (in.readLong(), in.readInt())
+          if (ver >= 4) {
+            val kind = in.readByte().toInt
+            val complete = in.readBoolean()
+            val m = in.readInt()
+            val (bk, bits) =
+              if (m == 0) (0, Array.emptyLongArray)
+              else {
+                val kH = in.readInt()
+                val b = new Array[Long](m >>> 6)
+                var j = 0
+                while (j < b.length) { b(j) = in.readLong(); j += 1 }
+                (kH, b)
+              }
+            if (kind != 0) indexes += f.name -> ColIndex(kind, complete, bk, bits)
+          }
         }
       }
-      Footer(count, stats.result(), sketches.result(), lens.result())
+      Footer(count, stats.result(), sketches.result(), lens.result(),
+        indexes.result())
     } finally in.close()
   }
 
@@ -552,6 +649,15 @@ object ObjectFormat {
             var k = in.readInt()
             while (k > 0) { in.readLong(); k -= 1 } // KMV sketch
             if (statKind(f.dataType) == 3) { in.readLong(); in.readInt() }
+          }
+          if (ver >= 4) {
+            in.readByte(); in.readBoolean() // kind, complete
+            val m = in.readInt()
+            if (m > 0) {
+              in.readInt() // bloom k
+              var j = m >>> 6
+              while (j > 0) { in.readLong(); j -= 1 }
+            }
           }
         }
         val stored = in.readLong()
@@ -624,6 +730,53 @@ object ObjectFormat {
     }
   }
 
+  /** Membership probe against the v4 column index: false ⇔ the footer
+    * PROVES value `v` absent from column `a` (complete-sketch binary
+    * search miss, or bloom miss — neither has false negatives). The
+    * hash discipline must match the writer's, which hashed the
+    * CATALYST form per stat kind — so the probe value normalizes the
+    * same way and is type-checked against the recorded kind; any
+    * mismatch (or no index) returns true, never a wrong prune. A
+    * complete EMPTY sketch means the column had no non-null values —
+    * every equality is then provably unsatisfiable. */
+  def mightContain(footer: Footer, a: String, v: Any): Boolean =
+    footer.colIndex.get(a) match {
+      case None => true
+      case Some(ci) =>
+        def floating(n: Number) =
+          n.isInstanceOf[java.lang.Double] || n.isInstanceOf[java.lang.Float]
+        val h: Option[Long] = (ci.kind, normExternal(v)) match {
+          case (1, n: Number) if !floating(n) &&
+            !n.isInstanceOf[java.math.BigDecimal] => Some(mix64(n.longValue()))
+          case (2, n: Number) if floating(n) =>
+            val d = n.doubleValue()
+            Some(mix64(java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)))
+          case (3, s: String) =>
+            Some(hashBytes(UTF8String.fromString(s).getBytes))
+          case (3, s: UTF8String) => Some(hashBytes(s.getBytes))
+          case _ => None
+        }
+        h match {
+          case None => true
+          case Some(hash) =>
+            if (ci.complete) {
+              val arr = footer.ndvSketch.getOrElse(a, Array.emptyLongArray)
+              // unsigned-order binary search over the sorted sketch
+              var lo = 0; var hi = arr.length - 1; var found = false
+              while (lo <= hi && !found) {
+                val mid = (lo + hi) >>> 1
+                val c = java.lang.Long.compareUnsigned(arr(mid), hash)
+                if (c == 0) found = true
+                else if (c < 0) lo = mid + 1
+                else hi = mid - 1
+              }
+              found
+            } else if (ci.bloomK > 0)
+              bloomTest(ci.bloomBits, ci.bloomBits.length << 6, ci.bloomK, hash)
+            else true
+        }
+    }
+
   def mightMatch(filter: Filter, footer: Footer): Boolean = {
     val stats = footer.stats
     def rng(a: String): Option[(Any, Any)] =
@@ -632,7 +785,9 @@ object ObjectFormat {
       (for { c1 <- cmpExact(v, mn); c2 <- cmpExact(v, mx) }
         yield c1 >= 0 && c2 <= 0).getOrElse(true)
     filter match {
-      case EqualTo(a, v) => rng(a).forall { case (mn, mx) => inRange(v, mn, mx) }
+      case EqualTo(a, v) =>
+        rng(a).forall { case (mn, mx) => inRange(v, mn, mx) } &&
+          mightContain(footer, a, v)
       case GreaterThan(a, v) =>
         rng(a).forall { case (_, mx) => cmpExact(mx, v).forall(_ > 0) }
       case GreaterThanOrEqual(a, v) =>
@@ -642,8 +797,9 @@ object ObjectFormat {
       case LessThanOrEqual(a, v) =>
         rng(a).forall { case (mn, _) => cmpExact(mn, v).forall(_ <= 0) }
       case In(a, vs) =>
-        rng(a).forall { case (mn, mx) =>
-          vs.isEmpty || vs.exists(v => inRange(v, mn, mx)) }
+        vs.isEmpty || vs.exists(v =>
+          rng(a).forall { case (mn, mx) => inRange(v, mn, mx) } &&
+            mightContain(footer, a, v))
       case IsNull(a) => stats.get(a).forall(_.hasNull)
       case IsNotNull(a) =>
         stats.get(a).forall(s => footer.rowCount - s.nullCount > 0)
@@ -666,7 +822,8 @@ object ObjectFormat {
         }
       case EqualNullSafe(a, null) => stats.get(a).forall(_.hasNull)
       case EqualNullSafe(a, v) =>
-        rng(a).forall { case (mn, mx) => inRange(v, mn, mx) }
+        rng(a).forall { case (mn, mx) => inRange(v, mn, mx) } &&
+          mightContain(footer, a, v)
       case And(l, r) => mightMatch(l, footer) && mightMatch(r, footer)
       case Or(l, r) => mightMatch(l, footer) || mightMatch(r, footer)
       /** NOT prunes by pushing the negation to the complementary
@@ -933,7 +1090,12 @@ class GraftObjectTable(tableSchema: StructType, path: String)
     new GraftScanBuilder(tableSchema, path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(info.schema(), path,
-      Option(info.options().get("clusterBy")))
+      Option(info.options().get("clusterBy")),
+      Option(info.options().get("bloomFilterColumns"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty),
+      Option(info.options().get("bloomFilterFpp"))
+        .map(_.toDouble).getOrElse(0.01))
 
   /** `DELETE FROM … WHERE p` as an OBJECT-LEVEL operation — the
     * reference's discipline (storage objects are the unit of work):
@@ -1185,13 +1347,15 @@ class GraftReplaceDataWrite(writeSchema: StructType, path: String,
   * clears the previous generation at commit time, after every staged
   * object is durable. */
 class GraftWriteBuilder(writeSchema: StructType, path: String,
-    clusterBy: Option[String] = None)
+    clusterBy: Option[String] = None,
+    bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(writeSchema, path, doTruncate, clusterBy)
+      new GraftBatchWrite(writeSchema, path, doTruncate, clusterBy,
+        bloomCols, bloomFpp)
     /** Streaming write: each micro-batch epoch commits its staged
       * objects onto the tail of the `<table>.<seq>` sequence — which is
       * exactly what makes the table readable as a stream (offset =
@@ -1217,7 +1381,8 @@ case class GraftStagedObjects(stagedPaths: Seq[String], partitionId: Int)
   * would need a lock-file or a conditional-put (the reference's
   * object-store CAS) to serialize the base — documented, not built. */
 class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
-    clusterBy: Option[String] = None)
+    clusterBy: Option[String] = None,
+    bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
@@ -1242,7 +1407,8 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
             s"[$ddl], write has [${writeSchema.toDDL}]")
       }
     }
-    new GraftWriterFactory(writeSchema, path, "b", clusterBy)
+    new GraftWriterFactory(writeSchema, path, "b", clusterBy,
+      bloomCols, bloomFpp)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -1358,13 +1524,15 @@ class GraftStreamingWrite(writeSchema: StructType, path: String)
 }
 
 class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
-    clusterBy: Option[String] = None)
+    clusterBy: Option[String] = None,
+    bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     clusterBy match {
       case None => new DataWriter[InternalRow] {
         private val staged = s"$path/_staged_$tag${partitionId}_$taskId"
-        private val enc = new ObjectFormat.ObjectEncoder(writeSchema)
+        private val enc =
+          new ObjectFormat.ObjectEncoder(writeSchema, bloomCols, bloomFpp)
         override def write(row: InternalRow): Unit = enc.addInternal(row)
         override def commit(): WriterCommitMessage = {
           enc.finish(staged)
@@ -1392,7 +1560,7 @@ class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
           s"$path/_staged_$tag${partitionId}_${taskId}_s$segment"
         private def rotate(): Unit = {
           if (open) { enc.finish(stagedName); staged += stagedName; segment += 1 }
-          enc = new ObjectFormat.ObjectEncoder(writeSchema)
+          enc = new ObjectFormat.ObjectEncoder(writeSchema, bloomCols, bloomFpp)
           open = true
         }
         override def write(row: InternalRow): Unit = {
