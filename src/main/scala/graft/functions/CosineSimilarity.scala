@@ -86,6 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.rhpBucketDescriptor)
+    ext.injectFunction(GraftFunctions.zorderDescriptor)
     // SURVEY §4.2(b): conf-gated ANN top-k rewrite (see AnnTopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
   }
@@ -116,9 +117,17 @@ object GraftFunctions {
         num(args(1)).toInt, num(args(2)).toInt, num(args(3)))
     })
 
+  /** zorder_long(k1, ..., kN) — bit-interleaved Z-curve value over
+    * long keys (graft.functions.ZOrderLong), the multi-dimensional
+    * clustering key for the object layout. */
+  val zorderDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_long"),
+    new ExpressionInfo(classOf[ZOrderLong].getName, "zorder_long"),
+    (args: Seq[Expression]) => ZOrderLong(args))
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSimDescriptor, rhpBucketDescriptor).foreach {
+    Seq(cosineSimDescriptor, rhpBucketDescriptor, zorderDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -391,7 +391,37 @@ object Sources extends QueryModule {
       |  UNION ALL SELECT 'N', -2)
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** Z-ordered object layout (graft.functions.GraftLayout): lineitem
+    * clustered on the interleaved (l_orderkey, l_suppkey) curve, then
+    * queried on the SECOND dimension — the filter a single-key sort
+    * cannot prune. Both dimensions' footer ranges are tight per
+    * object, so the suppkey point-range scan skips most objects
+    * (ZOrderSpec proves the pruning on a controlled grid; here the
+    * result itself is oracle-checked against the raw table). */
+  private val zorderScan = (s: SparkSession, dir: String) => {
+    val tgt = tmpDir(dir, "zorder") + "/lineitem"
+    graft.functions.GraftLayout.zorderWrite(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+      tgt, Seq("l_orderkey", "l_suppkey"), 8)
+    s.read.format("graft-objects").load(tgt)
+      .filter(col("l_suppkey") <= 3)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"))
+  }
+
+  private val zorderScanSql =
+    """SELECT l_suppkey, COUNT(*) AS n_rows,
+      |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM lineitem WHERE l_suppkey <= 3 GROUP BY l_suppkey""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_src_zorder" -> Q(zorderScan, Some(zorderScanSql),
+      "Z-ordered multi-dimension object layout: second-key filter prunes"),
     "q_src_objstore_agg" -> Q(objstoreAgg, Some(objstoreAggSql),
       "storage-side MIN/MAX/COUNT from object footers (agg pushdown)"),
     "q_src_objstore_agg_filtered" -> Q(objstoreAggFiltered,
