@@ -72,9 +72,10 @@ object Bench {
     ("region", 1, None))
 
   /** Re-ingest the fixture into the object layout under tmpfs.
-    * `events.ts` is TIMESTAMP(NANOS) in the fixture; it round-trips as
-    * raw int64 (nanosAsLong) which Tables.events / StreamOps already
-    * normalize, so semantics are unchanged. */
+    * `events.ts` round-trips in its physical fixture type (nanos as
+    * raw int64 under the legacy conf, or micros NTZ) which
+    * Tables.events / StreamOps normalize adaptively, so semantics are
+    * unchanged either generation. */
   def objectify(spark: SparkSession, sfDir: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val shm = Paths.get("/dev/shm")

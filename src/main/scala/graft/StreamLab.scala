@@ -20,11 +20,7 @@ object StreamLab {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.eventsPhysicalSchema(spark, sfDir)
 
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
@@ -34,8 +30,7 @@ object StreamLab {
         if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(evDir)))
           rdr.parquet(evDir)
         else rdr.option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      val agg = src
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = Tables.normalizeTs(src)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -62,11 +62,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) [local: FIXTURES.md], which
-    * Spark's vectorized reader rejects. Read nanos as long (legacy conf)
-    * and truncate to micros — the same floor DuckDB applies when it
-    * loads nanos into its microsecond timestamps, so oracle parity holds.
-    */
+  /** `events.ts` physical type has varied across fixture generations:
+    * TIMESTAMP(NANOS) (read as long under the legacy conf, truncated to
+    * micros — the same floor DuckDB applies) and TIMESTAMP(MICROS)
+    * without timezone (read as TIMESTAMP_NTZ). Normalize both to
+    * session-timezone TimestampType: every session here pins
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast is
+    * wall-clock-preserving and matches DuckDB's naive-timestamp view
+    * of the same column. Dispatch on the LOADED schema, not the
+    * fixture doc, so object-store copies of either generation keep
+    * working. */
   def events(s: SparkSession, d: String): DataFrame =
     cached(s, s"${objectStoreRoot.getOrElse("pq")}|$d|events-typed") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -74,9 +79,38 @@ object Tables {
         case Some(root) => s.read.format("graft-objects").load(s"$root/events")
         case None       => s.read.parquet(s"$d/events.parquet")
       }
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeTs(raw)
     }
+  /** The events fixture's physical schema as a stream reader must
+    * declare it (file streams require an explicit schema). Probed from
+    * the parquet footer under the same legacy conf the batch path
+    * uses, so both fixture generations (nanos-as-long, micros NTZ)
+    * resolve to whatever the files actually hold. */
+  def eventsPhysicalSchema(s: SparkSession, d: String)
+      : org.apache.spark.sql.types.StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evDir = s"$d/events.parquet"
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(evDir)))
+      s.read.parquet(evDir).schema
+    else
+      s.read.option("pathGlobFilter", "events.parquet").parquet(d).schema
+  }
+
+  /** Normalize a raw events `ts` column (either generation) to
+    * session-timezone TimestampType — the shape every query, window
+    * and watermark in the suite is written against. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long generation: floor to micros
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.{Q, QueryModule}
+import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
@@ -36,18 +36,14 @@ object StreamOps extends QueryModule {
 
   private val sinkId = new AtomicInteger(0)
 
-  /** events schema with ts as raw nanos (LongType) — the file source
-    * needs an explicit schema; ts is converted exactly like
-    * Tables.events (floor to micros, = DuckDB's load behavior). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val objDir = s"$dir/events.parquet"
-    val reader = s.readStream.schema(rawSchema)
+    // The file source needs an explicit schema: declare whatever the
+    // fixture generation physically holds (nanos-as-long or micros
+    // NTZ — probed from the footer), then normalize ts exactly like
+    // Tables.events so batch oracles and watermarks see one shape.
+    val reader = s.readStream.schema(Tables.eventsPhysicalSchema(s, dir))
       // INVARIANT the oracle comparisons rely on: the whole fixture is
       // ONE micro-batch (one events.parquet, AvailableNow, and this
       // ceiling far above the file count). Multi-batch input would let
@@ -65,7 +61,7 @@ object StreamOps extends QueryModule {
         reader.parquet(objDir)
       else
         reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(src)
   }
 
   /** Checkpoints live on tmpfs when available: the state-store commit
