@@ -355,7 +355,85 @@ object Curation extends QueryModule {
        |  FROM k)
        |WHERE rn <= ($quotaSql)""".stripMargin
 
+  /** Bigram language-model quality score — the CCNet/KenLM-style
+    * perplexity filter: train add-one-smoothed bigram counts on the
+    * corpus itself, score every document by its mean inverse bigram
+    * probability, and keep documents no worse than 2× the corpus-wide
+    * mean. High score = improbable token transitions = boilerplate,
+    * mangled extraction, or non-text — exactly what the perplexity
+    * gate drops in production pipelines.
+    *
+    * Determinism discipline: the per-token statistic is computed in
+    * INTEGER arithmetic — `(c(prev)+V) * 1e6 div (c(prev,tok)+1)` —
+    * so per-doc sums are exact longs (no float accumulation order to
+    * diverge), and the keep verdict cross-multiplies in decimal/
+    * hugeint instead of dividing. Every bigram scored is observed in
+    * the training corpus, so c(big) >= 1 and the ratio is bounded.
+    *
+    * 100 TB posture: prev-token derivation is MAP-ONLY (posexplode
+    * with the token array in scope — no per-doc window); the bigram
+    * and context count tables aggregate from the same exchange the
+    * probe join uses (gram-keyed shuffles over gram TYPES, far
+    * smaller than the corpus); V and the global mean are one-row
+    * crossJoin broadcast scalars, never a driver collect. */
+  private val lmScoreQ = (s: SparkSession, dir: String) => {
+    val big = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .select(col("doc_id"), col("tk"), posexplode(col("tk")))
+      .select(col("doc_id"),
+        when(col("pos") === 0, lit("<s>"))
+          .otherwise(element_at(col("tk"), col("pos"))).as("prev"),
+        col("col").as("tok"))
+    val cb = big.groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).as("cb"))
+    val cp = big.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+    val v = big.agg((countDistinct(col("tok")) + 1).as("v"))
+    val perDoc = big
+      .join(cb, Seq("prev", "tok")).join(cp, Seq("prev")).crossJoin(v)
+      .withColumn("q", expr("(cp + v) * 1000000 div (cb + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("q")).as("score_q"))
+    val tot = perDoc.agg(sum(col("score_q")).as("total_q"),
+      sum(col("n_tok")).as("total_n"))
+    perDoc.crossJoin(tot).select(
+      col("doc_id"), col("n_tok"), col("score_q"),
+      round(col("score_q") / col("n_tok") / 1e6, 4).as("avg_invp"),
+      (col("score_q").cast("decimal(20,0)") *
+        col("total_n").cast("decimal(20,0)") <=
+        (col("total_q") * 2).cast("decimal(20,0)") *
+          col("n_tok").cast("decimal(20,0)")).as("keep"))
+  }
+
+  private val lmScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |big AS (
+      |  SELECT doc_id,
+      |    unnest(list_prepend('<s>', list_slice(tk, 1, len(tk) - 1))) AS prev,
+      |    unnest(tk) AS tok
+      |  FROM toks),
+      |cb AS (SELECT prev, tok, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+      |cp AS (SELECT prev, COUNT(*) AS cp FROM big GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tok) + 1 AS v FROM big),
+      |q AS (
+      |  SELECT b.doc_id, (cp.cp + v.v) * 1000000 // (cb.cb + 1) AS q
+      |  FROM big b
+      |  JOIN cb ON b.prev = cb.prev AND b.tok = cb.tok
+      |  JOIN cp ON b.prev = cp.prev, v),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_tok,
+      |    CAST(SUM(q) AS BIGINT) AS score_q FROM q GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(score_q) AS BIGINT) AS total_q,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_n FROM per)
+      |SELECT doc_id, n_tok, score_q,
+      |  round(score_q / n_tok / 1e6, 4) AS avg_invp,
+      |  CAST(score_q AS HUGEINT) * CAST(total_n AS HUGEINT)
+      |    <= CAST(2 * total_q AS HUGEINT) * CAST(n_tok AS HUGEINT) AS keep
+      |FROM per, tot""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_lm_score" -> Q(lmScoreQ, Some(lmScoreSql),
+      "bigram-LM perplexity gate: integer-exact inverse-probability score"),
     "q_text_repetition" -> Q(repetitionQ, Some(repetitionSql),
       "Gopher repetition stats: dup-word/top-2gram/dup-3gram fractions + keep"),
     "q_text_decontam" -> Q(decontamQ, Some(decontamSql),

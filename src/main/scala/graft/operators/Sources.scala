@@ -85,6 +85,34 @@ object Sources extends QueryModule {
       |  max(event_id) AS max_id
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** ORC roundtrip — the reference's layered-format story (SURVEY §2.1:
+    * SFT_* format tags make the object body format pluggable — Arrow,
+    * flatbuffer, CSV, JSON) mapped onto Spark's other first-class
+    * columnar format: rewrite events as ORC (zlib, dictionary + RLE
+    * encodings distinct from parquet's), read back through the
+    * vectorized ORC reader, aggregate. Content must survive the
+    * format change bit-exactly; SourcesSpec additionally asserts the
+    * scan pushes the event_type filter into the ORC reader
+    * (searchArgument row-group pruning at scale). */
+  private val orcRoundtrip = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "orc")
+    Tables.events(s, dir).write.mode("overwrite")
+      .option("compression", "zlib").orc(out)
+    s.read.orc(out)
+      .filter(col("event_type") =!= "view")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        min(col("ts")).as("min_time"),
+        max(col("ts")).as("max_time"))
+  }
+
+  private val orcRoundtripSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  min(ts) AS min_time, max(ts) AS max_time
+      |FROM events WHERE event_type <> 'view' GROUP BY event_type""".stripMargin
+
   // RID surfacing: deterministic dense record ids over the table key.
   private val rid = (s: SparkSession, dir: String) =>
     Tables.lineitem(s, dir)
@@ -443,6 +471,8 @@ object Sources extends QueryModule {
       "CSV ingest roundtrip with explicit schema (fbwriter analog)"),
     "q_src_json_roundtrip" -> Q(jsonRoundtrip, Some(jsonRoundtripSql),
       "JSON encode/parse roundtrip (SFT_JSON analog)"),
+    "q_src_orc_roundtrip" -> Q(orcRoundtrip, Some(orcRoundtripSql),
+      "ORC rewrite + vectorized read-back (pluggable body format analog)"),
     "q_src_rid" -> Q(rid, Some(ridSql),
       "deterministic RID surfacing (Record.RID analog)"),
     "q_src_relayout" -> Q(relayout, Some(relayoutSql),
