@@ -380,6 +380,43 @@ object Sources extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Time travel through the catalog (GraftVersions): build the table
+    * (version 1), DELETE a price band (version 2), then read BOTH the
+    * pre-delete snapshot via `VERSION AS OF 1` — served from the
+    * table's version log + archive, not the live objects — and the
+    * live state, in one result. The oracle reconstructs both states
+    * from the raw table: time travel must change WHICH bytes are
+    * read, never the answer for a given version. */
+  private val timeTravel = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    Tables.orders(s, dir)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.format("graft-objects").mode("overwrite")
+      .save(s"$root/main/orders_tt")
+    s.sql("DELETE FROM graft.main.orders_tt WHERE o_totalprice > 200000.0")
+    s.sql("""SELECT 'v1' AS snap, COUNT(*) AS n_rows,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+            |    AS sum_price,
+            |  max(o_totalprice) AS max_price
+            |FROM graft.main.orders_tt VERSION AS OF 1
+            |UNION ALL
+            |SELECT 'live', COUNT(*),
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE),
+            |  max(o_totalprice)
+            |FROM graft.main.orders_tt""".stripMargin)
+  }
+
+  private val timeTravelSql =
+    """SELECT 'v1' AS snap, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+      |  max(o_totalprice) AS max_price
+      |FROM orders
+      |UNION ALL
+      |SELECT 'live', COUNT(*),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE),
+      |  max(o_totalprice)
+      |FROM orders WHERE NOT (o_totalprice > 200000.0)""".stripMargin
+
   /** MERGE INTO through the catalog: matched rows get a status flag,
     * unmatched source rows are inserted — one ReplaceData plan whose
     * commit swaps only the objects holding matches (inserts land as
@@ -463,6 +500,8 @@ object Sources extends QueryModule {
       "SQL UPDATE via group-based row-level rewrite (object copy-on-write)"),
     "q_src_catalog_merge" -> Q(catalogMerge, Some(catalogMergeSql),
       "MERGE INTO via group-based row-level rewrite (update + insert)"),
+    "q_src_time_travel" -> Q(timeTravel, Some(timeTravelSql),
+      "VERSION AS OF snapshot read: pre-DELETE state from the archive"),
     "q_src_clustered_join" -> Q(clusteredJoin, Some(clusteredJoinSql),
       "value-clustered layout: storage-partitioned join + agg, zero shuffles"),
     "q_src_bloom_index" -> Q(bloomIndex, Some(bloomIndexSql),

@@ -82,6 +82,26 @@ class GraftCatalog extends TableCatalog {
     new GraftObjectTable(resolveSchema(ident, dir), dir.getPath)
   }
 
+  /** Time travel: `SELECT … FROM graft.ns.t VERSION AS OF 3` — the
+    * returned table is the immutable snapshot view `dir@v3`
+    * (GraftVersions): version 3's object set, superseded content
+    * served from the table's archive. The snapshot's schema comes
+    * from its own first object when one exists (each object is
+    * self-describing — a snapshot taken before an ALTER TABLE reads
+    * with its generation's columns), falling back to the current
+    * sidecar for empty versions. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!dir.isDirectory) throw new NoSuchTableException(ident)
+    require(version.forall(_.isDigit),
+      s"graft catalog: VERSION AS OF wants an integer version, got $version")
+    val snap = s"${dir.getPath}@v${version.toInt}"
+    val schema = GraftObjectTable.listObjects(snap).headOption
+      .map(ObjectFormat.readSchema)
+      .getOrElse(resolveSchema(ident, dir))
+    new GraftObjectTable(schema, snap)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -155,15 +175,28 @@ class GraftCatalog extends TableCatalog {
     val dir = tableDir(ident)
     if (!dir.isDirectory) false
     else {
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      dir.delete()
+      // recursive: the version archive is a subdirectory
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(dir); !dir.exists()
     }
   }
 
   /** Rename moves the directory AND re-prefixes the `<name>.<seq>`
     * objects (object names embed the table name — the store's naming
     * contract). */
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  override def renameTable(oldIdent0: Identifier, newIdent0: Identifier): Unit = {
+    // Spark hands RENAME TO's target through unresolved: a fully
+    // qualified `cat.ns.t` arrives with the catalog name still in the
+    // namespace. Strip it so both `RENAME TO cat.ns.t2` and the
+    // catalog-relative `RENAME TO ns.t2` land in <root>/ns/t2.
+    def normalize(i: Identifier): Identifier =
+      if (i.namespace().headOption.contains(catalogName))
+        Identifier.of(i.namespace().drop(1), i.name())
+      else i
+    val oldIdent = normalize(oldIdent0); val newIdent = normalize(newIdent0)
     val from = tableDir(oldIdent)
     if (!from.isDirectory) throw new NoSuchTableException(oldIdent)
     val to = tableDir(newIdent)
@@ -179,6 +212,9 @@ class GraftCatalog extends TableCatalog {
         require(f.renameTo(new File(to, s"$newName.$seq")),
           s"rename: cannot re-prefix ${f.getName}")
       }
+    // version history travels with the table: re-prefix archived
+    // object names and the log's name references too
+    GraftVersions.renameTable(to.getPath, oldName, newName)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Table versioning for the graft object store — snapshots, time
+  * travel and retention over the `<table>.<seq>` object layout
+  * (SURVEY §1.1/§2.11; the capability a 100 TB training-data pipeline
+  * needs that plain object sequences don't give: "train on the exact
+  * corpus snapshot v12 while ingest and curation keep running", and
+  * the reproducibility story that goes with it).
+  *
+  * Mechanism — three sidecars per table directory, all invisible to
+  * `listObjects`' `<table>.<seq>` pattern:
+  *
+  *  - `_log`: append-only JSON lines, one per committed mutation.
+  *    Line k (version k) records the object names the commit added
+  *    (`add`), removed (`del`) and rewrote in place (`rw`), plus the
+  *    streaming epoch id when the commit was a streaming sink epoch
+  *    (for replay idempotence). The first logged commit on a table
+  *    that predates logging bootstraps line 1 as a baseline `add` of
+  *    the then-live objects.
+  *  - `_archive/`: content superseded by later versions. A removed
+  *    object is MOVED to `_archive/<name>@v<k>`; an in-place rewrite
+  *    (DELETE's partial-object path) first COPIES the old content
+  *    there. `<k>` is the version that superseded the content, so
+  *    name reuse across generations (e.g. re-append after TRUNCATE)
+  *    stays unambiguous.
+  *  - `_lock`: commit mutex. Every mutation commits under an OS file
+  *    lock on it, which serializes concurrent appenders' sequence
+  *    allocation (two writers can no longer both compute the same
+  *    `<table>.<seq>` base) — the CAS discipline a shared object
+  *    store would provide natively.
+  *
+  * Reading a snapshot: `path@v<k>` anywhere a table path is accepted
+  * (`load("…/t@v3")`, or SQL `VERSION AS OF 3` through GraftCatalog).
+  * `GraftObjectTable.listObjects` resolves the suffix here: replay
+  * `_log` through version k for the live name set, then map each name
+  * to its content location — the archive copy written by the SMALLEST
+  * version > k that superseded the name, or the live file when none
+  * did. Because resolution happens inside the one listing function
+  * every scan path shares, the full read surface (footer pruning,
+  * aggregate/limit pushdown, clustered reads, membership indexes,
+  * streaming a frozen snapshot) works on old versions unchanged.
+  *
+  * Retention: `vacuum(dir, keepFrom)` deletes archive content only
+  * reachable from versions <= keepFrom and records the floor in
+  * `_vacuum`; resolving at-or-below the floor refuses loudly rather
+  * than answering from partial state.
+  *
+  * Crash window: a commit's file operations (archive moves, staged
+  * renames) precede its log append, so a crash mid-commit can leave
+  * the live state transitioned but unlogged — the same single-writer
+  * staged-rename caveat the store documents for every commit path; on
+  * a real object store a manifest CAS would close it. The lock file
+  * bounds the damage to one torn commit, never interleaved ones.
+  *
+  * 100 TB posture: the log is names-only metadata (bytes per commit,
+  * not per row); snapshot resolution is a driver-side metadata step
+  * of the same order as directory listing; archive moves are renames
+  * within one directory tree, and the one content COPY (pre-rewrite
+  * archival) is bounded by a single object's size.
+  */
+object GraftVersions {
+
+  /** One `_log` line. `rw` names kept their `<table>.<seq>` name but
+    * changed content at this version (in-place partial-DELETE
+    * rewrite); their pre-image lives at `_archive/<name>@v<this>`. */
+  case class Commit(v: Int, add: Seq[String], del: Seq[String],
+      rw: Seq[String], epoch: Option[Long])
+
+  private val AsOfRe = "^(.*)@v(\\d+)$".r
+
+  /** Split a possibly version-suffixed table path. */
+  def split(path: String): (String, Option[Int]) = path match {
+    case AsOfRe(base, v) => (base, Some(v.toInt))
+    case _ => (path, None)
+  }
+
+  def isSnapshot(path: String): Boolean = split(path)._2.isDefined
+
+  private def logFile(dir: String) = new File(dir, "_log")
+  private def vacuumFile(dir: String) = new File(dir, "_vacuum")
+  private def archiveDir(dir: String) = new File(dir, "_archive")
+
+  // ---- log encoding: one JSON object per line, names-only ----------
+
+  private def jarr(ss: Seq[String]): String =
+    ss.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+
+  private def enc(c: Commit): String =
+    s"""{"v":${c.v},"add":${jarr(c.add)},"del":${jarr(c.del)},""" +
+      s""""rw":${jarr(c.rw)}""" +
+      c.epoch.map(e => s""","epoch":$e""").getOrElse("") + "}"
+
+  private def field(line: String, name: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + name + "\":\\[(.*?)\\]").matcher(line)
+    if (!m.find()) Seq.empty
+    else m.group(1).split(",").toSeq.map(_.trim)
+      .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  private def dec(line: String): Commit = {
+    val vm = java.util.regex.Pattern
+      .compile("\"v\":(\\d+)").matcher(line)
+    require(vm.find(), s"versions: malformed log line: $line")
+    val em = java.util.regex.Pattern
+      .compile("\"epoch\":(-?\\d+)").matcher(line)
+    Commit(vm.group(1).toInt, field(line, "add"), field(line, "del"),
+      field(line, "rw"), if (em.find()) Some(em.group(1).toLong) else None)
+  }
+
+  def readLog(dir: String): Seq[Commit] = {
+    val f = logFile(dir)
+    if (!f.isFile) Seq.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map(dec)
+  }
+
+  /** Latest committed version; 0 = never logged (pre-versioning
+    * tables read as their live listing only). */
+  def currentVersion(dir: String): Int =
+    readLog(dir).lastOption.map(_.v).getOrElse(0)
+
+  def vacuumFloor(dir: String): Int = {
+    val f = vacuumFile(dir)
+    if (!f.isFile) 0
+    else new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim.toInt
+  }
+
+  // ---- commit protocol ---------------------------------------------
+
+  /** Run `body` holding the table's commit lock. Reentrant use inside
+    * one JVM is serialized per (canonical) table path; cross-process,
+    * the OS file lock arbitrates. */
+  def withTableLock[T](dir: String)(body: => T): T = {
+    new File(dir).mkdirs()
+    val monitor = jvmLocks.computeIfAbsent(
+      new File(dir).getCanonicalPath, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(dir, "_lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try body finally l.release() }
+      finally ch.close()
+    }
+  }
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Next free object sequence number — `max(live)+1`, computed under
+    * the caller's lock. NOT `live.size`: after a partial DELETE the
+    * live sequence has gaps, and a size-based base would rename a new
+    * object ONTO a surviving name (silent replacement). */
+  def nextSeq(dir: String): Int = {
+    val table = new File(dir).getName
+    GraftObjectTable.listObjects(dir)
+      .map(p => new File(p).getName.substring(table.length + 1).toInt)
+      .maxOption.map(_ + 1).getOrElse(0)
+  }
+
+  /** The version the in-flight commit (under lock) will get, i.e. the
+    * one to stamp on archive names before calling `record`. Bootstraps
+    * the baseline line for a pre-versioning table so snapshots of the
+    * pre-existing content resolve too. */
+  def nextVersion(dir: String): Int = {
+    val cur = currentVersion(dir)
+    if (cur == 0) {
+      val live = GraftObjectTable.listObjects(dir)
+        .map(p => new File(p).getName)
+      if (live.nonEmpty) {
+        appendLine(dir, enc(Commit(1, live, Nil, Nil, None)))
+        return 2
+      }
+    }
+    cur + 1
+  }
+
+  /** Append the commit line for version `v` (from `nextVersion`). */
+  def record(dir: String, v: Int, add: Seq[String], del: Seq[String],
+      rw: Seq[String] = Nil, epoch: Option[Long] = None): Unit =
+    appendLine(dir, enc(Commit(v, add, del, rw, epoch)))
+
+  private def appendLine(dir: String, line: String): Unit =
+    Files.write(logFile(dir).toPath,
+      (line + "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+
+  def hasEpoch(dir: String, epoch: Long): Boolean =
+    readLog(dir).exists(_.epoch.contains(epoch))
+
+  /** MOVE a superseded live object into the archive (removal path). */
+  def archiveMove(dir: String, obj: File, v: Int): Unit = {
+    val ad = archiveDir(dir); ad.mkdirs()
+    Files.move(obj.toPath,
+      new File(ad, s"${obj.getName}@v$v").toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** COPY a to-be-rewritten object's pre-image into the archive
+    * (in-place rewrite path — the live name survives with new
+    * content). */
+  def archiveCopy(dir: String, obj: File, v: Int): Unit = {
+    val ad = archiveDir(dir); ad.mkdirs()
+    Files.copy(obj.toPath,
+      new File(ad, s"${obj.getName}@v$v").toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- snapshot resolution -----------------------------------------
+
+  /** Object paths (live or archived) that make up version `v`, in
+    * sequence order — the listing `listObjects` returns for a
+    * `path@v<k>` table. */
+  def resolve(dir: String, v: Int): Seq[String] = {
+    val log = readLog(dir)
+    require(log.nonEmpty,
+      s"versions: $dir has no version log (no logged commit yet)")
+    val latest = log.last.v
+    require(v >= 1 && v <= latest,
+      s"versions: $dir has versions 1..$latest, asked for $v")
+    require(v > vacuumFloor(dir),
+      s"versions: $dir vacuumed through version ${vacuumFloor(dir)}; " +
+        s"version $v is no longer materializable")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    log.takeWhile(_.v <= v).foreach { c =>
+      // del BEFORE add: a TRUNCATE commit both removes a name and
+      // re-adds it (sequence restarts at 0) — the re-added name is
+      // live at this version
+      live --= c.del.toSet; live ++= c.add
+    }
+    val later = log.dropWhile(_.v <= v)
+    val table = new File(dir).getName
+    live.toSeq
+      .sortBy(n => n.substring(table.length + 1).toInt)
+      .map { n =>
+        later.find(c => c.del.contains(n) || c.rw.contains(n)) match {
+          case Some(c) => new File(archiveDir(dir), s"$n@v${c.v}").getPath
+          case None => new File(dir, n).getPath
+        }
+      }
+  }
+
+  /** Drop archive content reachable only from versions <= `keepFrom`
+    * and record the floor. An archive file `<name>@v<j>` serves
+    * exactly the versions BEFORE j, so it survives iff j-1 > keepFrom. */
+  def vacuum(dir: String, keepFrom: Int): Unit = withTableLock(dir) {
+    val latest = currentVersion(dir)
+    require(keepFrom <= latest,
+      s"versions: cannot vacuum through $keepFrom, latest is $latest")
+    val ad = archiveDir(dir)
+    Option(ad.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName.split("@v") match {
+        case Array(_, j) if j.forall(_.isDigit) && j.toInt - 1 <= keepFrom =>
+          f.delete()
+        case _ =>
+      }
+    }
+    Files.write(vacuumFile(dir).toPath,
+      keepFrom.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Table rename support: re-prefix archived object names and log
+    * entries from `oldName` to `newName` (object names embed the
+    * table name — same contract the live rename honors). */
+  def renameTable(dir: String, oldName: String, newName: String): Unit = {
+    val ad = archiveDir(dir)
+    Option(ad.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(oldName + "."))
+      .foreach { f =>
+        require(f.renameTo(new File(ad,
+          newName + f.getName.substring(oldName.length))),
+          s"versions: cannot re-prefix archive ${f.getName}")
+      }
+    val lf = logFile(dir)
+    if (lf.isFile) {
+      val rewritten =
+        new String(Files.readAllBytes(lf.toPath), StandardCharsets.UTF_8)
+          .replace("\"" + oldName + ".", "\"" + newName + ".")
+      Files.write(lf.toPath, rewritten.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+}

@@ -1047,15 +1047,24 @@ class GraftObjectSource extends TableProvider with DataSourceRegister {
 
 object GraftObjectTable {
   /** `<table>.<seq>` files, seq-sorted — the object naming contract.
-    * Sidecar files (`_staged_*`, `_epoch_*`) never match. */
-  def listObjects(dir: String): Seq[String] = {
-    val d = new File(dir)
-    val name = d.getName
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.matches(
-        java.util.regex.Pattern.quote(name) + "\\.\\d+"))
-      .sortBy(f => f.getName.substring(name.length + 1).toInt)
-      .map(_.getPath).toSeq
+    * Sidecar files (`_staged_*`, `_epoch_*`, `_log`, `_lock`,
+    * `_vacuum`, the `_archive/` dir) never match. A `dir@v<k>` path
+    * is a SNAPSHOT: the listing is version k's object set resolved
+    * from the table's version log (GraftVersions), with superseded
+    * content served from the archive — every scan path funnels
+    * through this one listing, so the full read surface (pruning,
+    * agg/limit pushdown, clustered reads) works on old versions
+    * unchanged. */
+  def listObjects(dir: String): Seq[String] = GraftVersions.split(dir) match {
+    case (base, Some(v)) => GraftVersions.resolve(base, v)
+    case (d0, None) =>
+      val d = new File(d0)
+      val name = d.getName
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.matches(
+          java.util.regex.Pattern.quote(name) + "\\.\\d+"))
+        .sortBy(f => f.getName.substring(name.length + 1).toInt)
+        .map(_.getPath).toSeq
   }
 }
 
@@ -1088,7 +1097,14 @@ class GraftObjectTable(tableSchema: StructType, path: String)
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, path, options)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  /** Snapshots (`path@v<k>`) are immutable views: every mutation
+    * surface refuses them up front. */
+  private def requireWritable(op: String): Unit =
+    require(!GraftVersions.isSnapshot(path),
+      s"graft-objects: $op on snapshot $path — snapshots are read-only")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable("write")
     new GraftWriteBuilder(info.schema(), path,
       Option(info.options().get("clusterBy")),
       Option(info.options().get("bloomFilterColumns"))
@@ -1096,6 +1112,7 @@ class GraftObjectTable(tableSchema: StructType, path: String)
         .getOrElse(Set.empty),
       Option(info.options().get("bloomFilterFpp"))
         .map(_.toDouble).getOrElse(0.01))
+  }
 
   /** `DELETE FROM … WHERE p` as an OBJECT-LEVEL operation — the
     * reference's discipline (storage objects are the unit of work):
@@ -1117,36 +1134,51 @@ class GraftObjectTable(tableSchema: StructType, path: String)
     filters.forall(ObjectFormat.storageEvaluable(tableSchema, _))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    GraftObjectTable.listObjects(path).foreach { obj =>
-      val footer = ObjectFormat.readFooter(obj)
-      val mayMatch = footer.rowCount > 0 &&
-        filters.forall(ObjectFormat.mightMatch(_, footer))
-      if (mayMatch) {
-        val reader = new GraftObjectReader(obj, tableSchema, tableSchema,
-          filters, negated = true)
-        val enc = new ObjectFormat.ObjectEncoder(tableSchema)
-        var survivors = 0
-        try {
-          while (reader.next()) { enc.addInternal(reader.get()); survivors += 1 }
-        } finally reader.close()
-        val objFile = new File(obj)
-        if (survivors == 0) {
-          require(objFile.delete(), s"delete: cannot unlink $obj")
-        } else if (survivors < footer.rowCount) {
-          val staged = new File(objFile.getParentFile,
-            s"_staged_delete_${objFile.getName}")
-          enc.finish(staged.getPath)
-          Files.move(staged.toPath, objFile.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        } // survivors == rowCount: stats were conservative, nothing matched
+    requireWritable("DELETE")
+    GraftVersions.withTableLock(path) {
+      val v = GraftVersions.nextVersion(path)
+      val removed = Seq.newBuilder[String]
+      val rewritten = Seq.newBuilder[String]
+      GraftObjectTable.listObjects(path).foreach { obj =>
+        val footer = ObjectFormat.readFooter(obj)
+        val mayMatch = footer.rowCount > 0 &&
+          filters.forall(ObjectFormat.mightMatch(_, footer))
+        if (mayMatch) {
+          val reader = new GraftObjectReader(obj, tableSchema, tableSchema,
+            filters, negated = true)
+          val enc = new ObjectFormat.ObjectEncoder(tableSchema)
+          var survivors = 0
+          try {
+            while (reader.next()) { enc.addInternal(reader.get()); survivors += 1 }
+          } finally reader.close()
+          val objFile = new File(obj)
+          if (survivors == 0) {
+            GraftVersions.archiveMove(path, objFile, v)
+            removed += objFile.getName
+          } else if (survivors < footer.rowCount) {
+            // in-place rewrite keeps the name: archive the pre-image
+            // FIRST (a copy — the live file stays valid until the
+            // atomic replace), then swap content under the same seq
+            GraftVersions.archiveCopy(path, objFile, v)
+            val staged = new File(objFile.getParentFile,
+              s"_staged_delete_${objFile.getName}")
+            enc.finish(staged.getPath)
+            Files.move(staged.toPath, objFile.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            rewritten += objFile.getName
+          } // survivors == rowCount: stats conservative, nothing matched
+        }
       }
+      val (del, rw) = (removed.result(), rewritten.result())
+      if (del.nonEmpty || rw.nonEmpty)
+        GraftVersions.record(path, v, Nil, del, rw)
+      // a DELETE/TRUNCATE that empties the table must not strand it
+      // schema-less: persist the sidecar the catalog falls back to
+      if (GraftObjectTable.listObjects(path).isEmpty)
+        Files.write(Paths.get(path, "_schema.ddl"),
+          tableSchema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    // a DELETE/TRUNCATE that empties the table must not strand it
-    // schema-less: persist the sidecar the catalog falls back to
-    if (GraftObjectTable.listObjects(path).isEmpty)
-      Files.write(Paths.get(path, "_schema.ddl"),
-        tableSchema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** SQL UPDATE / MERGE INTO (and DELETE whose predicate falls outside
@@ -1159,8 +1191,10 @@ class GraftObjectTable(tableSchema: StructType, path: String)
     * rows, plus MERGE inserts), and commit swaps exactly the scanned
     * objects for the rewritten ones. */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable("row-level operation")
     () => new GraftRowLevelOperation(tableSchema, path, info.command())
+  }
 }
 
 /** One UPDATE/MERGE/DELETE command instance: the coordination channel
@@ -1302,35 +1336,37 @@ class GraftReplaceDataWrite(writeSchema: StructType, path: String,
     new GraftWriterFactory(writeSchema, path, "rl")
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new File(path)
-    val table = dir.getName
-    val affected = op.affectedObjects.toSet
-    def seqOf(p: String): Int =
-      new File(p).getName.substring(table.length + 1).toInt
-    val all = GraftObjectTable.listObjects(path)
-    val base = all.map(seqOf).maxOption.map(_ + 1).getOrElse(0)
-    // An empty write partition (e.g. every group pruned, or a skewed
-    // replacement plan) stages a zero-row object — drop it instead of
-    // renaming junk into the sequence.
-    val nonEmpty = messages.collect {
-      case GraftStagedObject(staged, _)
-          if ObjectFormat.readFooter(staged).rowCount > 0 => staged
-      case GraftStagedObject(staged, _) =>
-        new File(staged).delete(); null
-    }.filter(_ != null)
-    nonEmpty.zipWithIndex.foreach { case (staged, i) =>
-      val dst = new File(dir, s"$table.${base + i}")
-      if (!new File(staged).renameTo(dst))
-        throw new java.io.IOException(s"rename $staged -> $dst failed")
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftVersions.withTableLock(path) {
+      val dir = new File(path)
+      val table = dir.getName
+      val v = GraftVersions.nextVersion(path)
+      val affected = op.affectedObjects.toSet
+      val base = GraftVersions.nextSeq(path)
+      // An empty write partition (e.g. every group pruned, or a skewed
+      // replacement plan) stages a zero-row object — drop it instead of
+      // renaming junk into the sequence.
+      val nonEmpty = messages.collect {
+        case GraftStagedObject(staged, _)
+            if ObjectFormat.readFooter(staged).rowCount > 0 => staged
+        case GraftStagedObject(staged, _) =>
+          new File(staged).delete(); null
+      }.filter(_ != null)
+      val added = nonEmpty.zipWithIndex.map { case (staged, i) =>
+        val dst = new File(dir, s"$table.${base + i}")
+        if (!new File(staged).renameTo(dst))
+          throw new java.io.IOException(s"rename $staged -> $dst failed")
+        dst.getName
+      }
+      affected.foreach { obj =>
+        GraftVersions.archiveMove(path, new File(obj), v)
+      }
+      GraftVersions.record(path, v, added.toSeq,
+        affected.toSeq.map(new File(_).getName).sorted)
+      if (GraftObjectTable.listObjects(path).isEmpty)
+        Files.write(Paths.get(path, "_schema.ddl"),
+          writeSchema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    affected.foreach { obj =>
-      require(new File(obj).delete(), s"replace: cannot unlink $obj")
-    }
-    if (GraftObjectTable.listObjects(path).isEmpty)
-      Files.write(Paths.get(path, "_schema.ddl"),
-        writeSchema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -1410,30 +1446,40 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
     new GraftWriterFactory(writeSchema, path, "b", clusterBy,
       bloomCols, bloomFpp)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new File(path)
-    val table = dir.getName
-    val existing = GraftObjectTable.listObjects(path)
-    if (truncate) {
-      existing.foreach(p => new File(p).delete())
-      // an overwrite defines the schema anew; refresh any sidecar so
-      // sidecar-first resolution can't serve a stale generation
-      val sidecar = new File(dir, "_schema.ddl")
-      if (sidecar.isFile)
-        Files.write(sidecar.toPath, writeSchema.toDDL.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftVersions.withTableLock(path) {
+      val dir = new File(path)
+      val table = dir.getName
+      val v = GraftVersions.nextVersion(path)
+      val existing = GraftObjectTable.listObjects(path)
+      if (truncate) {
+        // the old generation stays materializable: archive, not delete
+        existing.foreach(p =>
+          GraftVersions.archiveMove(path, new File(p), v))
+        // an overwrite defines the schema anew; refresh any sidecar so
+        // sidecar-first resolution can't serve a stale generation
+        val sidecar = new File(dir, "_schema.ddl")
+        if (sidecar.isFile)
+          Files.write(sidecar.toPath, writeSchema.toDDL.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+      }
+      // max(live)+1, NOT existing.size: a size base would collide with
+      // (and silently replace) a surviving name once DELETE has left
+      // gaps in the sequence
+      val base = if (truncate) 0 else GraftVersions.nextSeq(path)
+      val staged = messages.flatMap {
+        case GraftStagedObject(s, _) => Seq(s)
+        case GraftStagedObjects(ss, _) => ss // clustered write: many per task
+      }
+      val added = staged.zipWithIndex.map { case (s, i) =>
+        val dst = new File(dir, s"$table.${base + i}")
+        if (!new File(s).renameTo(dst))
+          throw new java.io.IOException(s"rename $s -> $dst failed")
+        dst.getName
+      }
+      GraftVersions.record(path, v, added.toSeq,
+        if (truncate) existing.map(p => new File(p).getName) else Nil)
     }
-    val base = if (truncate) 0 else existing.size
-    val staged = messages.flatMap {
-      case GraftStagedObject(s, _) => Seq(s)
-      case GraftStagedObjects(ss, _) => ss // clustered write: many per task
-    }
-    staged.zipWithIndex.foreach { case (s, i) =>
-      val dst = new File(dir, s"$table.${base + i}")
-      if (!new File(s).renameTo(dst))
-        throw new java.io.IOException(s"rename $s -> $dst failed")
-    }
-  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftStagedObject(staged, _) => new File(staged).delete()
@@ -1478,43 +1524,54 @@ class GraftStreamingWrite(writeSchema: StructType, path: String)
     }
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new File(path)
-    val table = dir.getName
-    val marker = new File(dir, s"_epoch_$epochId")
-    val staged = messages.collect { case m: GraftStagedObject => m }
-    if (marker.exists()) {
-      // replay: complete any rename the crashed attempt didn't finish
-      val targets = // lines: "<partitionId> <objectName>"
-        new String(Files.readAllBytes(marker.toPath), "UTF-8")
-          .split("\n").filter(_.nonEmpty)
-          .map { l => val Array(p, o) = l.split(" ", 2); p.toInt -> o }.toMap
-      staged.foreach { case GraftStagedObject(s, pid) =>
-        val f = new File(s)
-        targets.get(pid) match {
-          case Some(obj) if !new File(dir, obj).exists() =>
-            if (!f.renameTo(new File(dir, obj)))
-              throw new java.io.IOException(s"replay rename $s -> $obj failed")
-          case _ => f.delete()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftVersions.withTableLock(path) {
+      val dir = new File(path)
+      val table = dir.getName
+      val marker = new File(dir, s"_epoch_$epochId")
+      val staged = messages.collect { case m: GraftStagedObject => m }
+      if (marker.exists()) {
+        // replay: complete any rename the crashed attempt didn't finish
+        val targets = // lines: "<partitionId> <objectName>"
+          new String(Files.readAllBytes(marker.toPath), "UTF-8")
+            .split("\n").filter(_.nonEmpty)
+            .map { l => val Array(p, o) = l.split(" ", 2); p.toInt -> o }.toMap
+        staged.foreach { case GraftStagedObject(s, pid) =>
+          val f = new File(s)
+          targets.get(pid) match {
+            case Some(obj) if !new File(dir, obj).exists() =>
+              if (!f.renameTo(new File(dir, obj)))
+                throw new java.io.IOException(s"replay rename $s -> $obj failed")
+            case _ => f.delete()
+          }
         }
-      }
-    } else {
-      val base = GraftObjectTable.listObjects(path).size
-      val targets = staged.zipWithIndex.map { case (m, i) =>
-        m -> s"$table.${base + i}"
-      }
-      val tmp = new File(dir, s"_epoch_$epochId.tmp")
-      Files.write(tmp.toPath, targets
-        .map { case (m, obj) => s"${m.partitionId} $obj" }
-        .mkString("\n").getBytes("UTF-8"))
-      if (!tmp.renameTo(marker)) // atomic commit point
-        throw new java.io.IOException(s"epoch marker $marker failed")
-      targets.foreach { case (GraftStagedObject(s, _), obj) =>
-        if (!new File(s).renameTo(new File(dir, obj)))
-          throw new java.io.IOException(s"rename $s -> $obj failed")
+        // a crash after the marker but before the log append leaves
+        // the epoch unversioned — repair on replay, exactly once
+        if (!GraftVersions.hasEpoch(path, epochId)) {
+          val v = GraftVersions.nextVersion(path)
+          GraftVersions.record(path, v, targets.values.toSeq.sorted,
+            Nil, Nil, Some(epochId))
+        }
+      } else {
+        val base = GraftVersions.nextSeq(path)
+        val targets = staged.zipWithIndex.map { case (m, i) =>
+          m -> s"$table.${base + i}"
+        }
+        val tmp = new File(dir, s"_epoch_$epochId.tmp")
+        Files.write(tmp.toPath, targets
+          .map { case (m, obj) => s"${m.partitionId} $obj" }
+          .mkString("\n").getBytes("UTF-8"))
+        if (!tmp.renameTo(marker)) // atomic commit point
+          throw new java.io.IOException(s"epoch marker $marker failed")
+        val v = GraftVersions.nextVersion(path)
+        targets.foreach { case (GraftStagedObject(s, _), obj) =>
+          if (!new File(s).renameTo(new File(dir, obj)))
+            throw new java.io.IOException(s"rename $s -> $obj failed")
+        }
+        GraftVersions.record(path, v, targets.map(_._2).toSeq,
+          Nil, Nil, Some(epochId))
       }
     }
-  }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

@@ -1,0 +1,188 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftObjectTable, GraftVersions}
+
+/** Table versioning: snapshots, VERSION AS OF time travel, vacuum
+  * retention, and the commit-serialization fixes that ride along
+  * (monotonic sequence allocation, append-after-delete collision).
+  */
+class GraftVersionsSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-versions").toString
+    spark.conf.set("spark.sql.catalog.gver", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gver.root", r)
+    r
+  }
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-ver-$tag").toString + "/t"
+
+  private def writeRange(dir: String, from: Int, until: Int,
+      mode: String): Unit = {
+    import SparkSpec.spark.implicits._
+    (from until until).map(i => (i.toLong, s"row$i")).toDF("k", "s")
+      .repartitionByRange(2, col("k"))
+      .write.format("graft-objects").mode(mode).save(dir)
+  }
+
+  private def keysAt(path: String): Seq[Long] =
+    spark.read.format("graft-objects").load(path)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("every version of an append/delete/overwrite chain stays " +
+      "exactly materializable via path@vN") {
+    val dir = freshDir("chain")
+    writeRange(dir, 0, 10, "overwrite") // v1: 0..9
+    writeRange(dir, 10, 15, "append")   // v2: 0..14
+    // v3: DELETE k >= 12 (partial rewrite of the tail object)
+    val t = new graft.sources.GraftObjectTable(
+      spark.read.format("graft-objects").load(dir).schema, dir)
+    t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("k", 12L)))
+    writeRange(dir, 100, 103, "overwrite") // v4: truncate to 100..102
+
+    assert(GraftVersions.currentVersion(dir) == 4)
+    assert(keysAt(s"$dir@v1") == (0L until 10L))
+    assert(keysAt(s"$dir@v2") == (0L until 15L))
+    assert(keysAt(s"$dir@v3") == (0L until 12L))
+    assert(keysAt(s"$dir@v4") == (100L until 103L))
+    assert(keysAt(dir) == (100L until 103L)) // live == latest
+  }
+
+  test("snapshot reads serve archived content even after the live " +
+      "objects are gone (content isolation, not name aliasing)") {
+    val dir = freshDir("isolate")
+    writeRange(dir, 0, 6, "overwrite")  // v1
+    writeRange(dir, 50, 53, "overwrite") // v2: truncate, fresh names
+    // live t.0/t.1 now hold 50..52; v1 must come from the archive
+    assert(keysAt(s"$dir@v1") == (0L until 6L))
+    val archived = new File(dir, "_archive").listFiles()
+    assert(archived != null && archived.nonEmpty,
+      "superseded generation must be archived, not deleted")
+  }
+
+  test("full pushdown surface works on a snapshot: filters, column " +
+      "pruning, footer aggregates") {
+    val dir = freshDir("pushdown")
+    writeRange(dir, 0, 20, "overwrite")
+    writeRange(dir, 20, 40, "append")
+    val snap = spark.read.format("graft-objects").load(s"$dir@v1")
+    assert(snap.filter(col("k") >= 15).count() == 5)
+    val agg = snap.agg(min("k"), max("k"), count(lit(1))).collect()(0)
+    assert(agg.getLong(0) == 0 && agg.getLong(1) == 19 &&
+      agg.getLong(2) == 20)
+  }
+
+  test("snapshots are read-only: writes and DELETE refuse") {
+    val dir = freshDir("ro")
+    writeRange(dir, 0, 5, "overwrite")
+    import SparkSpec.spark.implicits._
+    val ex = intercept[Exception] {
+      Seq((99L, "x")).toDF("k", "s").write.format("graft-objects")
+        .mode("append").save(s"$dir@v1")
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    assert(rootMsg(ex).contains("read-only"))
+  }
+
+  test("SQL time travel through the catalog: VERSION AS OF") {
+    root // force catalog registration
+    spark.sql("""CREATE TABLE gver.main.tt (k BIGINT, s STRING)
+                |USING `graft-objects`""".stripMargin)
+    spark.sql("INSERT INTO gver.main.tt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gver.main.tt VALUES (3, 'c')")
+    spark.sql("DELETE FROM gver.main.tt WHERE k = 1")
+    val now = spark.table("gver.main.tt")
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(now.toSeq == Seq(2L, 3L))
+    val v1 = spark.sql("SELECT k FROM gver.main.tt VERSION AS OF 1")
+      .collect().map(_.getLong(0)).sorted
+    assert(v1.toSeq == Seq(1L, 2L))
+    val v2 = spark.sql("SELECT k FROM gver.main.tt VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted
+    assert(v2.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("UPDATE through the catalog is a version: pre-image readable") {
+    root
+    spark.sql("""CREATE TABLE gver.main.up (k BIGINT, s STRING)
+                |USING `graft-objects`""".stripMargin)
+    spark.sql("INSERT INTO gver.main.up VALUES (1, 'a'), (2, 'b')")
+    spark.sql("UPDATE gver.main.up SET s = 'Z' WHERE k = 2")
+    val before = spark.sql(
+      "SELECT s FROM gver.main.up VERSION AS OF 1 WHERE k = 2")
+      .collect().map(_.getString(0))
+    assert(before.toSeq == Seq("b"))
+    val after = spark.sql("SELECT s FROM gver.main.up WHERE k = 2")
+      .collect().map(_.getString(0))
+    assert(after.toSeq == Seq("Z"))
+  }
+
+  test("vacuum drops only pre-floor versions; later ones stay exact") {
+    val dir = freshDir("vac")
+    writeRange(dir, 0, 5, "overwrite")   // v1
+    writeRange(dir, 0, 7, "overwrite")   // v2
+    writeRange(dir, 0, 9, "overwrite")   // v3
+    GraftVersions.vacuum(dir, keepFrom = 1)
+    intercept[Exception] { keysAt(s"$dir@v1") }
+    assert(keysAt(s"$dir@v2") == (0L until 7L))
+    assert(keysAt(s"$dir@v3") == (0L until 9L))
+  }
+
+  test("append after a gap-leaving DELETE cannot collide with a " +
+      "surviving object name") {
+    val dir = freshDir("gap")
+    writeRange(dir, 0, 12, "overwrite")
+    val t = new graft.sources.GraftObjectTable(
+      spark.read.format("graft-objects").load(dir).schema, dir)
+    // delete the FIRST range-partition object wholesale -> live names
+    // have a gap at the front; a size-based base would now collide
+    t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan("k", 6L)))
+    val before = keysAt(dir)
+    writeRange(dir, 200, 203, "append")
+    assert(keysAt(dir) == before ++ (200L until 203L),
+      "append must not replace a surviving object")
+    val names = GraftObjectTable.listObjects(dir)
+      .map(p => new File(p).getName)
+    assert(names.distinct.size == names.size)
+  }
+
+  test("concurrent appenders serialize on the commit lock: all " +
+      "objects land, none replaced") {
+    val dir = freshDir("conc")
+    writeRange(dir, 0, 2, "overwrite")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until 4).map { i => Future {
+      writeRange(dir, 10 * (i + 1), 10 * (i + 1) + 3, "append")
+    }}
+    writes.foreach(Await.result(_, Duration.Inf))
+    val ks = keysAt(dir)
+    assert(ks == (0L until 2L) ++
+      (1 to 4).flatMap(i => 10L * i until (10L * i + 3)))
+  }
+
+  test("version log survives table RENAME (history travels)") {
+    root
+    spark.sql("""CREATE TABLE gver.main.rn (k BIGINT, s STRING)
+                |USING `graft-objects`""".stripMargin)
+    spark.sql("INSERT INTO gver.main.rn VALUES (1, 'a')")
+    spark.sql("INSERT INTO gver.main.rn VALUES (2, 'b')")
+    spark.sql("ALTER TABLE gver.main.rn RENAME TO gver.main.rn2")
+    val v1 = spark.sql("SELECT k FROM gver.main.rn2 VERSION AS OF 1")
+      .collect().map(_.getLong(0))
+    assert(v1.toSeq == Seq(1L))
+  }
+}
