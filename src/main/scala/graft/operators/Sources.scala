@@ -417,6 +417,44 @@ object Sources extends QueryModule {
       |  max(o_totalprice)
       |FROM orders WHERE NOT (o_totalprice > 200000.0)""".stripMargin
 
+  /** Incremental delta read (GraftVersions `Delta`): ingest a first
+    * tranche of orders (version 1), append the rest (version 2), then
+    * read `@v1..2` — ONLY the objects that arrived after version 1,
+    * without any predicate on the data itself. This is the
+    * "process exactly what's new since the last run" primitive an
+    * incremental 100 TB pipeline checkpoints on (one int), replacing
+    * both full rescans and fragile ingest-time watermark columns. The
+    * oracle computes the same aggregate over the second tranche by
+    * predicate: the delta view must select the same rows by
+    * STRUCTURE (commit membership) that the oracle selects by VALUE. */
+  private val changesSince = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "objdelta") + "/orders"
+    val orders = Tables.orders(s, dir)
+    orders.filter(col("o_orderkey") <= 7500)
+      .repartitionByRange(2, col("o_orderkey"))
+      .write.format("graft-objects").mode("overwrite").save(out)
+    orders.filter(col("o_orderkey") > 7500)
+      .repartitionByRange(2, col("o_orderkey"))
+      .write.format("graft-objects").mode("append").save(out)
+    // address the last two commits relative to the CURRENT version so
+    // reruns over a pre-existing tmp table stay self-consistent (the
+    // log only ever grows)
+    val cur = graft.sources.GraftVersions.currentVersion(out)
+    s.read.format("graft-objects").load(s"$out@v${cur - 1}..$cur")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  private val changesSinceSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderkey > 7500
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** MERGE INTO through the catalog: matched rows get a status flag,
     * unmatched source rows are inserted — one ReplaceData plan whose
     * commit swaps only the objects holding matches (inserts land as
@@ -502,6 +540,8 @@ object Sources extends QueryModule {
       "MERGE INTO via group-based row-level rewrite (update + insert)"),
     "q_src_time_travel" -> Q(timeTravel, Some(timeTravelSql),
       "VERSION AS OF snapshot read: pre-DELETE state from the archive"),
+    "q_src_changes_since" -> Q(changesSince, Some(changesSinceSql),
+      "incremental delta view @vA..B: exactly the objects added since A"),
     "q_src_clustered_join" -> Q(clusteredJoin, Some(clusteredJoinSql),
       "value-clustered layout: storage-partitioned join + agg, zero shuffles"),
     "q_src_bloom_index" -> Q(bloomIndex, Some(bloomIndexSql),

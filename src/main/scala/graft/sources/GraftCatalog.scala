@@ -85,17 +85,19 @@ class GraftCatalog extends TableCatalog {
   /** Time travel: `SELECT … FROM graft.ns.t VERSION AS OF 3` — the
     * returned table is the immutable snapshot view `dir@v3`
     * (GraftVersions): version 3's object set, superseded content
-    * served from the table's archive. The snapshot's schema comes
-    * from its own first object when one exists (each object is
-    * self-describing — a snapshot taken before an ALTER TABLE reads
-    * with its generation's columns), falling back to the current
-    * sidecar for empty versions. */
+    * served from the table's archive. `VERSION AS OF '1..3'` is the
+    * incremental DELTA view instead: objects first added/rewritten in
+    * versions (1, 3], content as of 3 — the catalog face of
+    * `path@v1..3`. The view's schema comes from its own first object
+    * when one exists (each object is self-describing — a snapshot
+    * taken before an ALTER TABLE reads with its generation's
+    * columns), falling back to the current sidecar for empty views. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
-    require(version.forall(_.isDigit),
-      s"graft catalog: VERSION AS OF wants an integer version, got $version")
-    val snap = s"${dir.getPath}@v${version.toInt}"
+    require(version.matches("\\d+(\\.\\.\\d+)?"),
+      s"graft catalog: VERSION AS OF wants <k> or '<a>..<b>', got $version")
+    val snap = s"${dir.getPath}@v$version"
     val schema = GraftObjectTable.listObjects(snap).headOption
       .map(ObjectFormat.readSchema)
       .getOrElse(resolveSchema(ident, dir))

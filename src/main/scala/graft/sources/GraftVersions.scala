@@ -70,11 +70,24 @@ object GraftVersions {
   case class Commit(v: Int, add: Seq[String], del: Seq[String],
       rw: Seq[String], epoch: Option[Long])
 
-  private val AsOfRe = "^(.*)@v(\\d+)$".r
+  /** A version-suffixed read view. `Snapshot(k)` = `path@v<k>`, the
+    * table exactly as of version k. `Delta(a, b)` = `path@v<a>..<b>`,
+    * the INCREMENTAL view: objects first added (or rewritten) in
+    * versions (a, b] that are still live at b, content as of b — the
+    * "process only what arrived since the last run" primitive an
+    * incremental 100 TB pipeline schedules on (checkpoint = the last
+    * processed version number, a single int). `a = 0` degenerates to
+    * the full snapshot at b. */
+  sealed trait Ref { def to: Int }
+  final case class Snapshot(to: Int) extends Ref
+  final case class Delta(from: Int, to: Int) extends Ref
+
+  private val AsOfRe = "^(.*)@v(\\d+)(?:\\.\\.(\\d+))?$".r
 
   /** Split a possibly version-suffixed table path. */
-  def split(path: String): (String, Option[Int]) = path match {
-    case AsOfRe(base, v) => (base, Some(v.toInt))
+  def split(path: String): (String, Option[Ref]) = path match {
+    case AsOfRe(base, v, null) => (base, Some(Snapshot(v.toInt)))
+    case AsOfRe(base, a, b) => (base, Some(Delta(a.toInt, b.toInt)))
     case _ => (path, None)
   }
 
@@ -214,14 +227,15 @@ object GraftVersions {
 
   // ---- snapshot resolution -----------------------------------------
 
-  /** Object paths (live or archived) that make up version `v`, in
+  /** Object paths (live or archived) for a version reference, in
     * sequence order — the listing `listObjects` returns for a
-    * `path@v<k>` table. */
-  def resolve(dir: String, v: Int): Seq[String] = {
+    * `path@v<k>` / `path@v<a>..<b>` table. */
+  def resolve(dir: String, ref: Ref): Seq[String] = {
     val log = readLog(dir)
     require(log.nonEmpty,
       s"versions: $dir has no version log (no logged commit yet)")
     val latest = log.last.v
+    val v = ref.to
     require(v >= 1 && v <= latest,
       s"versions: $dir has versions 1..$latest, asked for $v")
     require(v > vacuumFloor(dir),
@@ -234,9 +248,21 @@ object GraftVersions {
       // live at this version
       live --= c.del.toSet; live ++= c.add
     }
+    val wanted = ref match {
+      case Snapshot(_) => live.toSeq
+      case Delta(from, _) =>
+        require(from >= 0 && from <= v,
+          s"versions: delta bounds must satisfy 0 <= $from <= $v")
+        // names whose content first appeared (add) or changed (rw)
+        // inside the window, still live at the window's end
+        val touched = log.iterator
+          .filter(c => c.v > from && c.v <= v)
+          .flatMap(c => c.add.iterator ++ c.rw.iterator).toSet
+        live.toSeq.filter(touched)
+    }
     val later = log.dropWhile(_.v <= v)
     val table = new File(dir).getName
-    live.toSeq
+    wanted
       .sortBy(n => n.substring(table.length + 1).toInt)
       .map { n =>
         later.find(c => c.del.contains(n) || c.rw.contains(n)) match {
@@ -263,6 +289,22 @@ object GraftVersions {
     }
     Files.write(vacuumFile(dir).toPath,
       keepFrom.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Commit history as data (the DESCRIBE HISTORY analog): one row
+    * per version with object-count deltas — driver-side metadata only
+    * (the log is names, never rows), sized in commits not data. */
+  def history(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = readLog(dir).map { c =>
+      org.apache.spark.sql.Row(c.v, c.add.size, c.del.size, c.rw.size,
+        c.epoch.map(Long.box).orNull)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "version INT, n_added INT, n_removed INT, n_rewritten INT, " +
+          "epoch BIGINT"))
   }
 
   /** Table rename support: re-prefix archived object names and log

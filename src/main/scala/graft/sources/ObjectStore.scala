@@ -1027,17 +1027,28 @@ class GraftObjectSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = pathOf(options)
-    // sidecar first: authoritative after ALTER TABLE (older objects
-    // are earlier generations, name-mapped at read)
-    val sidecar = new File(dir, "_schema.ddl")
-    if (sidecar.isFile)
-      StructType.fromDDL(new String(Files.readAllBytes(sidecar.toPath),
-        java.nio.charset.StandardCharsets.UTF_8))
-    else {
-      val first = GraftObjectTable.listObjects(dir).headOption
-        .getOrElse(throw new IllegalArgumentException(s"$dir: no objects"))
-      ObjectFormat.readSchema(first)
+    val (base, ref) = GraftVersions.split(dir)
+    // live sidecar first: authoritative after ALTER TABLE (older
+    // objects are earlier generations, name-mapped at read)
+    def liveSchema: StructType = {
+      val sidecar = new File(base, "_schema.ddl")
+      if (sidecar.isFile)
+        StructType.fromDDL(new String(Files.readAllBytes(sidecar.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else {
+        val first = GraftObjectTable.listObjects(base).headOption
+          .getOrElse(throw new IllegalArgumentException(s"$base: no objects"))
+        ObjectFormat.readSchema(first)
+      }
     }
+    if (ref.isDefined)
+      // a versioned view speaks with its own generation's schema when
+      // it has objects; an empty view (e.g. a no-change delta window)
+      // borrows the live schema so incremental pollers see an empty
+      // DataFrame, not an error
+      GraftObjectTable.listObjects(dir).headOption
+        .map(ObjectFormat.readSchema).getOrElse(liveSchema)
+    else liveSchema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -1056,7 +1067,7 @@ object GraftObjectTable {
     * agg/limit pushdown, clustered reads) works on old versions
     * unchanged. */
   def listObjects(dir: String): Seq[String] = GraftVersions.split(dir) match {
-    case (base, Some(v)) => GraftVersions.resolve(base, v)
+    case (base, Some(ref)) => GraftVersions.resolve(base, ref)
     case (d0, None) =>
       val d = new File(d0)
       val name = d.getName

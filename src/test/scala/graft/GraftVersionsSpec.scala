@@ -174,6 +174,58 @@ class GraftVersionsSpec extends SparkSpec {
       (1 to 4).flatMap(i => 10L * i until (10L * i + 3)))
   }
 
+  test("delta view @vA..B reads exactly what arrived in (A,B], " +
+      "content as of B; empty windows read empty") {
+    val dir = freshDir("delta")
+    writeRange(dir, 0, 6, "overwrite")  // v1
+    writeRange(dir, 6, 9, "append")     // v2
+    writeRange(dir, 9, 12, "append")    // v3
+    assert(keysAt(s"$dir@v1..3") == (6L until 12L))
+    assert(keysAt(s"$dir@v2..3") == (9L until 12L))
+    assert(keysAt(s"$dir@v0..2") == (0L until 9L)) // from 0 = snapshot
+    assert(keysAt(s"$dir@v1..1") == Seq.empty)     // no-change window
+  }
+
+  test("delta view excludes objects that arrived and died inside the " +
+      "window; rewrites count as changes") {
+    val dir = freshDir("deltamut")
+    writeRange(dir, 0, 6, "overwrite")  // v1: two objects
+    writeRange(dir, 6, 12, "append")    // v2: two more
+    val t = new graft.sources.GraftObjectTable(
+      spark.read.format("graft-objects").load(dir).schema, dir)
+    // v3: kills one v2 object whole (9..11), rewrites the other (6..8)
+    t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("k", 8L)))
+    // added-in-window objects that died in-window are not part of the
+    // delta at its end; the surviving rewritten one serves v3 content
+    assert(keysAt(s"$dir@v1..3") == Seq(6L, 7L))
+  }
+
+  test("history(): one row per version with object-count deltas") {
+    val dir = freshDir("hist")
+    writeRange(dir, 0, 6, "overwrite")
+    writeRange(dir, 6, 9, "append")
+    writeRange(dir, 0, 4, "overwrite")
+    val h = GraftVersions.history(spark, dir)
+      .orderBy(col("version")).collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(h(0).getInt(1) == 2 && h(0).getInt(2) == 0) // +2 objects
+    assert(h(1).getInt(1) == 2 && h(1).getInt(2) == 0)
+    assert(h(2).getInt(1) == 2 && h(2).getInt(2) == 4) // truncate
+  }
+
+  test("catalog delta: VERSION AS OF 'a..b' serves the increment") {
+    root
+    spark.sql("""CREATE TABLE gver.main.inc (k BIGINT, s STRING)
+                |USING `graft-objects`""".stripMargin)
+    spark.sql("INSERT INTO gver.main.inc VALUES (1, 'a')")
+    spark.sql("INSERT INTO gver.main.inc VALUES (2, 'b'), (3, 'c')")
+    val delta = spark.sql(
+      "SELECT k FROM gver.main.inc VERSION AS OF '1..2'")
+      .collect().map(_.getLong(0)).sorted
+    assert(delta.toSeq == Seq(2L, 3L))
+  }
+
   test("version log survives table RENAME (history travels)") {
     root
     spark.sql("""CREATE TABLE gver.main.rn (k BIGINT, s STRING)
