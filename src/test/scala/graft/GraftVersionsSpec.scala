@@ -226,6 +226,25 @@ class GraftVersionsSpec extends SparkSpec {
     assert(delta.toSeq == Seq(2L, 3L))
   }
 
+  test("a frozen delta view streams: readStream over @vA..B replays " +
+      "exactly the increment as micro-batches") {
+    val dir = freshDir("dstream")
+    writeRange(dir, 0, 6, "overwrite")  // v1
+    writeRange(dir, 6, 12, "append")    // v2
+    val schema = spark.read.format("graft-objects").load(dir).schema
+    val ckpt = Files.createTempDirectory("graft-dstream-ckpt").toString
+    val q = spark.readStream.format("graft-objects").schema(schema)
+      .load(s"$dir@v1..2")
+      .writeStream.format("memory").queryName("dstream_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dstream_sink")
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (6L until 12L))
+  }
+
   test("version log survives table RENAME (history travels)") {
     root
     spark.sql("""CREATE TABLE gver.main.rn (k BIGINT, s STRING)
