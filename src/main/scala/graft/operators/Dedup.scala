@@ -369,9 +369,52 @@ object Dedup extends QueryModule {
       |  SELECT 1 FROM documents c
       |  WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(d.text))""".stripMargin
 
+  /** The incremental-dedup shape composed with TABLE VERSIONING: the
+    * corpus is a SNAPSHOT of the versioned object store and the batch
+    * is the DELTA VIEW of what arrived after it (`@vBase..vNow` —
+    * selected by commit membership, no predicate on the data), so the
+    * "dedup only the new tranche against the frozen corpus" pipeline
+    * needs no ingest-time bookkeeping columns at all: the checkpoint
+    * is one version number. Same bloom-prefilter + broadcast-verify
+    * plan as q_dedup_incremental (corpus never exchanged; exactness
+    * from the verify join, never the bloom). The oracle reconstructs
+    * the same answer by VALUE predicate — structural selection must
+    * agree. */
+  private val incrementalVersionedQ = (s: SparkSession, dir: String) => {
+    val out = "/tmp/graft_dedupver_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "/documents"
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % 5 =!= 0).repartition(4)
+      .write.format("graft-objects").mode("overwrite").save(out)
+    val vBase = graft.sources.GraftVersions.currentVersion(out)
+    docs.filter(col("doc_id") % 5 === 0).repartition(2)
+      .write.format("graft-objects").mode("append").save(out)
+    val vNow = graft.sources.GraftVersions.currentVersion(out)
+    val corpus = s.read.format("graft-objects").load(s"$out@v$vBase")
+      .withColumn("text_hash", md5(col("text")))
+    val batch = s.read.format("graft-objects").load(s"$out@v$vBase..$vNow")
+      .withColumn("text_hash", md5(col("text")))
+    val bloom = corpus.stat.bloomFilter("text_hash", 1 << 20, 0.03)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val inBloom = udf((h: String) => h != null && bloomBc.value.mightContain(h))
+    val definitelyNew = batch.filter(!inBloom(col("text_hash")))
+    val probes = batch.filter(inBloom(col("text_hash")))
+    val confirmedDup = corpus
+      .join(broadcast(probes.select("text_hash").distinct()),
+        Seq("text_hash"), "left_semi")
+      .select("text_hash").distinct()
+    definitelyNew.select(col("doc_id"), col("text_hash"))
+      .unionAll(probes
+        .join(broadcast(confirmedDup), Seq("text_hash"), "left_anti")
+        .select(col("doc_id"), col("text_hash")))
+  }
+
   override val queries: Map[String, Q] = Map(
     "q_dedup_incremental" -> Q(incrementalQ, Some(incrementalSql),
       "batch-vs-corpus exact dedup via bloom prefilter + broadcast verify"),
+    "q_dedup_incremental_versioned" -> Q(incrementalVersionedQ,
+      Some(incrementalSql),
+      "delta-view batch vs snapshot corpus: versioned incremental dedup"),
     "q_dedup_clusters" -> Q(clustersQ, Some(clustersSql),
       "connected-components cluster ids over verified jaccard pairs"),
     "q_dedup_exact" -> Q(exactQ, Some(exactSql),
