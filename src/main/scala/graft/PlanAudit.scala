@@ -39,7 +39,9 @@ object PlanAudit {
       "q_tpch_q4", "q_tpch_q10", "q_tpch_q12", "q_tpch_q14",
       "q_win_pct_rank", "q_mm_resize",
       "q_dedup_incremental", "q_src_clustered_join",
-      "q_src_objstore_agg_filtered", "q_src_zorder")
+      "q_src_objstore_agg_filtered", "q_src_zorder",
+      "q_text_lm_score", "q_src_orc_roundtrip", "q_src_time_travel",
+      "q_src_changes_since", "q_dedup_incremental_versioned")
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else (Bench.headline ++ extras).distinct
