@@ -216,6 +216,41 @@ object Multimodal extends QueryModule {
     out
   }
 
+  /** 64-bit average hash (aHash) computed FROM BMP BYTES: parse the
+    * header, nearest-neighbor-sample the pixel grid to 8×8, convert
+    * each cell to 3×grayscale (b+g+r — no division, stays integer),
+    * and set bit j=y·8+x iff the cell is strictly brighter than the
+    * grid mean (`64·g3(j) > Σg3` — an exact integer comparison, so
+    * the hash is bit-stable everywhere). This is the standard
+    * image-near-dup fingerprint a multimodal curation pipeline buckets
+    * on; hamming-adjacent hashes would route through the simhash
+    * band-split join, equal hashes dedupe with a plain groupBy. */
+  private[graft] def aHashBmp(bytes: Array[Byte]): Long = {
+    require(hasTag(bytes, 0, "BM"), "bad BMP magic")
+    val off = leInt(bytes, 10)
+    val w = leInt(bytes, 18); val h = leInt(bytes, 22)
+    require(leShort(bytes, 28) == 24 && h > 0, "unsupported BMP variant")
+    val stride = (3 * w + 3) & ~3
+    val g3 = new Array[Long](64)
+    var sum3 = 0L
+    var j = 0
+    while (j < 64) {
+      val y2 = j / 8; val x2 = j % 8
+      val ys = y2 * h / 8; val xs = x2 * w / 8
+      val p = off + (h - 1 - ys) * stride + xs * 3 // bottom-up rows
+      g3(j) = (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
+      sum3 += g3(j)
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 64) {
+      if (64L * g3(j) > sum3) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
   /** Binary payload + typed metadata struct (schema is the contract).
     * Carrier bytes are the document text — meta/frames/stats treat the
     * payload as opaque, which is the point of a media column. */
@@ -387,7 +422,98 @@ object Multimodal extends QueryModule {
       |  MAX(length(text)) AS max_bytes
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Pattern-payload generator for the perceptual-hash demo: same BMP
+    * container as synthBmp, but the CONTENT is a doc-keyed binary
+    * stripe image — pixel(x,·,·) is bright (220) where bit
+    * `(x·8)/w` of `doc_id % 255` is set, dark (30) elsewhere. Unlike
+    * the linear gradient (whose aHash is structurally constant: a
+    * monotone ramp thresholded at its mean always splits 4/4), stripe
+    * content makes the hash a genuine function of the image, giving
+    * real near-identical clusters (docs sharing a stripe pattern). */
+  private[graft] def synthBmpPattern(id: Long): Array[Byte] = {
+    val w = bmpW(id); val h = bmpH(id)
+    val m = (id % 255).toInt
+    val stride = (3 * w + 3) & ~3
+    val bytes = new Array[Byte](54 + stride * h)
+    putTag(bytes, 0, "BM")
+    putLeInt(bytes, 2, bytes.length)
+    putLeInt(bytes, 10, 54); putLeInt(bytes, 14, 40)
+    putLeInt(bytes, 18, w); putLeInt(bytes, 22, h)
+    putLeShort(bytes, 26, 1); putLeShort(bytes, 28, 24)
+    putLeInt(bytes, 34, stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (((m >> (x * 8 / w)) & 1) == 1) 220 else 30
+        var c = 0
+        while (c < 3) {
+          bytes(54 + y * stride + x * 3 + c) = v.toByte; c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    bytes
+  }
+
+  /** Image dedup by perceptual hash: synthesize stripe-pattern image
+    * payloads, aHash each FROM BYTES (map-side, zero shuffles until
+    * the final small groupBy on the 8-byte hash), group equal hashes
+    * into near-identical-image clusters with a canonical keeper.
+    * Hamming-adjacent hashes would route through the simhash
+    * band-split join; equal hashes dedupe with this plain groupBy.
+    * The planted stripes make the hash closed-form for DuckDB: cell
+    * (x₂,·) samples pixel xs=(x₂·w)/8 whose stripe bit is
+    * (xs·8)/w, every row identical (8-bit pattern × 0x0101…01), and
+    * the threshold `8·v > Σv` keeps exactly the bright cells (unless
+    * all 8 samples are bright — then nothing exceeds the mean). The
+    * byte-walking kernel must reproduce those exact 64-bit values
+    * (MultimodalSpec additionally tampers a sampled pixel to prove
+    * the bytes are read). */
+  private val phashQ = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, aHashBmp(synthBmpPattern(id)))))
+      .toDF("doc_id", "phash")
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keep_doc_id"))
+  }
+
+  private val phashSql =
+    """WITH img AS (
+      |  SELECT doc_id, 4 + doc_id % 13 AS w, doc_id % 255 AS m
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |cell AS (
+      |  SELECT doc_id, w, m, unnest(range(0, 8)) AS x2 FROM img),
+      |cv AS (
+      |  SELECT doc_id, x2,
+      |    CASE WHEN ((m >> ((((x2 * w) // 8) * 8) // w)) & 1) = 1
+      |         THEN 220 ELSE 30 END AS v
+      |  FROM cell),
+      |s AS (SELECT doc_id, SUM(v) AS sv FROM cv GROUP BY 1),
+      |rb AS (
+      |  SELECT cv.doc_id,
+      |    CAST(SUM(CASE WHEN 8 * v > sv THEN 1 << x2 ELSE 0 END)
+      |      AS HUGEINT) AS rowbits
+      |  FROM cv JOIN s ON cv.doc_id = s.doc_id GROUP BY 1),
+      |hv AS (
+      |  SELECT doc_id,
+      |    rowbits * CAST(72340172838076673 AS HUGEINT) AS v FROM rb),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+      |         THEN v - CAST('18446744073709551616' AS HUGEINT)
+      |         ELSE v END AS BIGINT) AS phash
+      |  FROM hv)
+      |SELECT phash, COUNT(*) AS n_images, min(doc_id) AS keep_doc_id
+      |FROM ph GROUP BY phash""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_mm_phash_dedup" -> Q(phashQ, Some(phashSql),
+      "image near-dup clusters: aHash from decoded bytes, closed-form oracle"),
     "q_mm_meta" -> Q(metaQ, Some(metaSql),
       "binary media column + typed metadata struct projection"),
     "q_mm_decode" -> Q(decodeBmpQ, Some(decodeBmpSql),

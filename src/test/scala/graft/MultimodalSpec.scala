@@ -141,4 +141,26 @@ class MultimodalSpec extends SparkSpec {
       .select(sum(length(col("text")))).collect()(0).getLong(0)
     assert(total == expect)
   }
+
+  test("aHash reads sampled bytes: tampering a sampled pixel flips the " +
+      "hash, an unsampled one leaves it") {
+    val id = 12L // w=16, h=5: 8x8 grid samples even x only
+    val clean = Multimodal.aHashBmp(Multimodal.synthBmpPattern(id))
+    // the hash replicates one 8-bit row pattern up all 8 rows
+    val row = clean & 0xffL
+    assert((0 until 8).forall(r => ((clean >>> (8 * r)) & 0xffL) == row))
+    // brighten a SAMPLED dark pixel far above the stripe levels: the
+    // grid mean and at least that cell's verdict must move
+    val t = Multimodal.synthBmpPattern(id)
+    val w = 16; val stride = (3 * w + 3) & ~3
+    // pixel (x=0, stored row 0) is sampled by cell (0, 7) (bottom-up)
+    t(54) = 255.toByte; t(55) = 255.toByte; t(56) = 255.toByte
+    assert(Multimodal.aHashBmp(t) != clean,
+      "hash must be computed from pixel bytes")
+    // an x the half grid skips (odd x=1) leaves the hash unchanged
+    val sk = Multimodal.synthBmpPattern(id)
+    sk(54 + 3) = 255.toByte; sk(54 + 4) = 255.toByte; sk(54 + 5) = 255.toByte
+    assert(Multimodal.aHashBmp(sk) == clean,
+      "nearest-neighbor aHash must skip unsampled pixels")
+  }
 }
