@@ -113,6 +113,46 @@ object Sources extends QueryModule {
       |  min(ts) AS min_time, max(ts) AS max_time
       |FROM events WHERE event_type <> 'view' GROUP BY event_type""".stripMargin
 
+  /** Malformed-record ingest discipline (the fbwriter analog's error
+    * path): render events as CSV with a PLANTED parse failure on a
+    * deterministic subset (`event_id % 97 == 0` gets a non-numeric
+    * value field), read back under PERMISSIVE mode with a
+    * `columnNameOfCorruptRecord` column, and account: total rows, rows
+    * quarantined to the corrupt column, and the sum over clean rows.
+    * Real ingest jobs run exactly this shape — parse what parses,
+    * quarantine what doesn't, never drop silently. The oracle computes
+    * the expected split closed-form from the plant: the permissive
+    * parser must flag EXACTLY the planted rows. */
+  private val csvBadRecords = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "csvbad")
+    Tables.events(s, dir)
+      .select(concat_ws(",",
+        col("event_id"),
+        when(col("event_id") % 97 === 0, lit("NOT_A_NUMBER"))
+          .otherwise(col("value").cast("string")),
+        col("event_type")).as("line"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType),
+      StructField("event_type", StringType), StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("_bad")).as("n_bad"),
+        Ora.dsum(when(col("_bad").isNull, Ora.money(col("value"))))
+          .as("sum_good"))
+  }
+
+  private val csvBadRecordsSql =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(CASE WHEN event_id % 97 = 0 THEN 1 END) AS n_bad,
+      |  CAST(SUM(CASE WHEN event_id % 97 <> 0
+      |           THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    AS sum_good
+      |FROM events""".stripMargin
+
   // RID surfacing: deterministic dense record ids over the table key.
   private val rid = (s: SparkSession, dir: String) =>
     Tables.lineitem(s, dir)
@@ -552,6 +592,8 @@ object Sources extends QueryModule {
       "JSON encode/parse roundtrip (SFT_JSON analog)"),
     "q_src_orc_roundtrip" -> Q(orcRoundtrip, Some(orcRoundtripSql),
       "ORC rewrite + vectorized read-back (pluggable body format analog)"),
+    "q_src_csv_bad_records" -> Q(csvBadRecords, Some(csvBadRecordsSql),
+      "PERMISSIVE ingest: planted malformed rows quarantined, never dropped"),
     "q_src_rid" -> Q(rid, Some(ridSql),
       "deterministic RID surfacing (Record.RID analog)"),
     "q_src_relayout" -> Q(relayout, Some(relayoutSql),
