@@ -420,6 +420,57 @@ object Sources extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** runstats-as-data (GraftStats.profile): per-column row/null
+    * counts and min/max bounds answered ENTIRELY from object footers
+    * (zero body reads — the reference's runstats op), joined with an
+    * exact-NDV envelope check on the footer KMV estimate (exact
+    * below the sketch size, so o_orderstatus's 3 must be exact; the
+    * high-NDV keys must land within ±15%). The oracle recomputes
+    * every exact column from the raw table and expects TRUE for the
+    * envelope — the estimate itself never reaches the compare. */
+  private val statsProfile = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "objprofile") + "/orders"
+    Tables.orders(s, dir)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.format("graft-objects").mode("overwrite").save(out)
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val prof = graft.sources.GraftStats.profile(s, out, cols)
+    val t = s.read.format("graft-objects").load(out)
+    val exact = t.agg(
+      countDistinct(col("o_orderkey")).as("k1"),
+      countDistinct(col("o_custkey")).as("k2"),
+      countDistinct(col("o_totalprice")).as("k3"),
+      countDistinct(col("o_orderstatus")).as("k4"))
+      .select(expr("stack(4, 'o_orderkey', k1, 'o_custkey', k2, " +
+        "'o_totalprice', k3, 'o_orderstatus', k4) AS (col_name, exact_ndv)"))
+    prof.join(exact, Seq("col_name"))
+      .select(col("col_name"), col("row_count"), col("null_count"),
+        col("min_v"), col("max_v"),
+        (abs(col("ndv_est") - col("exact_ndv")) <=
+          col("exact_ndv") * 0.15).as("ndv_ok"))
+  }
+
+  private val statsProfileSql =
+    """SELECT 'o_orderkey' AS col_name, COUNT(*) AS row_count,
+      |  COUNT(*) - COUNT(o_orderkey) AS null_count,
+      |  CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+      |  CAST(max(o_orderkey) AS VARCHAR) AS max_v, TRUE AS ndv_ok
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+      |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR),
+      |  TRUE
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+      |  CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+      |  TRUE
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+      |  min(o_orderstatus), max(o_orderstatus), TRUE
+      |FROM orders""".stripMargin
+
   /** Time travel through the catalog (GraftVersions): build the table
     * (version 1), DELETE a price band (version 2), then read BOTH the
     * pre-delete snapshot via `VERSION AS OF 1` — served from the
@@ -594,6 +645,8 @@ object Sources extends QueryModule {
       "ORC rewrite + vectorized read-back (pluggable body format analog)"),
     "q_src_csv_bad_records" -> Q(csvBadRecords, Some(csvBadRecordsSql),
       "PERMISSIVE ingest: planted malformed rows quarantined, never dropped"),
+    "q_src_stats_profile" -> Q(statsProfile, Some(statsProfileSql),
+      "runstats-as-data: footer-only column profile + NDV envelope"),
     "q_src_rid" -> Q(rid, Some(ridSql),
       "deterministic RID surfacing (Record.RID analog)"),
     "q_src_relayout" -> Q(relayout, Some(relayoutSql),
