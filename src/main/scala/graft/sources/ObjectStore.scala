@@ -1012,6 +1012,23 @@ object ObjectStoreMaintenance {
     spark.read.format("graft-objects").load(dir)
       .repartition(target)
       .write.format("graft-objects").mode("overwrite").save(dir)
+
+  /** Compaction that PRESERVES a value-clustered layout: a clustered
+    * table accumulates multiple objects per key as appends arrive;
+    * this merges them back to one object per key (the storage-
+    * partitioned-join contract — footer min==max on the cluster
+    * column), so zero-shuffle reads keep working after maintenance.
+    * The rewrite is a truncate commit, so the pre-compaction
+    * generation stays time-travelable until vacuum. */
+  def compactClustered(spark: SparkSession, dir: String,
+      clusterCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    spark.read.format("graft-objects").load(dir)
+      .repartition(col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.format("graft-objects").option("clusterBy", clusterCol)
+      .mode("overwrite").save(dir)
+  }
 }
 
 /** `spark.read.format("graft-objects").load(dir)` — see ObjectFormat. */
@@ -1837,13 +1854,16 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
   private def maxObjectsPerTrigger: Option[Int] =
     Option(options.get("maxObjectsPerTrigger")).map(_.toInt)
 
+  private def maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+
   override def build(): Scan = (pushedAggs, readerAggGroups) match {
     case (Some(aggs), None) => new GraftFooterAggScan(aggs, aggFooters, path)
     case (Some(aggs), Some(groups)) =>
       new GraftPartialAggScan(fullSchema, accepted, groups, aggs, path)
     case _ => new GraftObjectScan(fullSchema, required, accepted, path,
       maxObjectsPerTrigger, limit, topN,
-      Option(options.get("clusteredBy")))
+      Option(options.get("clusteredBy")), maxBytesPerTrigger)
   }
 }
 
@@ -2079,7 +2099,8 @@ case class GraftClusteredPartition(paths: Seq[String], key: Any)
 class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int],
     limit: Option[Int] = None, topN: Option[PushedTopN] = None,
-    clusteredBy: Option[String] = None)
+    clusteredBy: Option[String] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -2298,7 +2319,7 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     * batch reads. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(fullSchema, readSchema_, pushed, path,
-      maxObjectsPerTrigger)
+      maxObjectsPerTrigger, maxBytesPerTrigger)
 
   /** runstats → CBO (SURVEY §4.1): the footer row counts the reference
     * keeps per object surface here as exact relation statistics, so
@@ -2445,7 +2466,8 @@ case class GraftObjectOffset(objectCount: Int) extends Offset {
 }
 
 class GraftMicroBatchStream(fullSchema: StructType, readSchema: StructType,
-    pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int])
+    pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = GraftObjectOffset(0)
@@ -2475,12 +2497,26 @@ class GraftMicroBatchStream(fullSchema: StructType, readSchema: StructType,
     availableNowCap = Some(GraftObjectTable.listObjects(path).size)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val all = availableNowCap
-      .getOrElse(GraftObjectTable.listObjects(path).size)
+    val objs = GraftObjectTable.listObjects(path)
+    val all = availableNowCap.getOrElse(objs.size)
     val s = start.asInstanceOf[GraftObjectOffset].objectCount
-    val end = limit match {
+    val byCount = limit match {
       case mf: ReadMaxFiles => math.min(all, s + mf.maxFiles())
       case _ => all
+    }
+    // `.option("maxBytesPerTrigger", n)`: byte-bounded admission (the
+    // object-store analog of the file source's option — ReadLimit has
+    // no bytes variant, so the bound applies here). Always admits at
+    // least one object so an oversized object cannot stall the stream.
+    val end = maxBytesPerTrigger match {
+      case Some(cap) =>
+        var e = s; var bytes = 0L
+        while (e < byCount && {
+          val sz = new File(objs(e)).length()
+          e == s || bytes + sz <= cap
+        }) { bytes += new File(objs(e)).length(); e += 1 }
+        e
+      case None => byCount
     }
     GraftObjectOffset(end)
   }

@@ -150,4 +150,42 @@ class ClusteredLayoutSpec extends SparkSpec {
       .select("o_orderkey", "o_custkey", "o_totalprice")
     assert(canon(got) == canon(exp))
   }
+
+  test("compactClustered merges multi-object keys back to one object " +
+      "per key; old generation stays time-travelable") {
+    val dir = tmp("graft-compact-clustered") + "/nation"
+    val nation = Tables.nation(spark, sf)
+    // two clustered appends -> two objects per key
+    nation.repartition(col("n_nationkey")).sortWithinPartitions("n_nationkey")
+      .write.format("graft-objects").option("clusterBy", "n_nationkey")
+      .mode("overwrite").save(dir)
+    nation.repartition(col("n_nationkey")).sortWithinPartitions("n_nationkey")
+      .write.format("graft-objects").option("clusterBy", "n_nationkey")
+      .mode("append").save(dir)
+    val keys = nation.select("n_nationkey").distinct().count()
+    assert(GraftObjectTable.listObjects(dir).size == 2 * keys)
+    val before = canon(spark.read.format("graft-objects").load(dir))
+
+    graft.sources.ObjectStoreMaintenance.compactClustered(
+      spark, dir, "n_nationkey")
+
+    // one object per key, every object single-key (footer min==max)
+    val objs = GraftObjectTable.listObjects(dir)
+    assert(objs.size == keys)
+    objs.foreach { o =>
+      val st = ObjectFormat.readFooter(o).stats("n_nationkey")
+      assert(ObjectFormat.cmpExact(st.min, st.max).contains(0))
+    }
+    // content identical (each row now present twice, same multiset)
+    assert(canon(spark.read.format("graft-objects").load(dir)) == before)
+    // the pre-compaction generation is a snapshot away
+    val v = graft.sources.GraftVersions.currentVersion(dir)
+    assert(canon(spark.read.format("graft-objects")
+      .load(s"$dir@v" + (v - 1))) == before)
+    // clustered read still reports the zero-shuffle layout
+    val agg = spark.read.format("graft-objects")
+      .option("clusteredBy", "n_nationkey").load(dir)
+      .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n"))
+    assert(shuffleCount(agg) == 0)
+  }
 }

@@ -388,4 +388,34 @@ class ObjectStoreFeaturesSpec extends SparkSpec {
     assert(sizes.size == 4,
       s"8 objects at 2 per trigger = 4 micro-batches, got $sizes")
   }
+
+  test("maxBytesPerTrigger bounds each micro-batch by object bytes " +
+      "and still drains the backlog") {
+    val dir = tmp("graft-admission-bytes"); val tgt = s"$dir/orders"
+    val orders = Tables.load(spark, sf, "orders")
+    orders.repartition(8).write.format("graft-objects").mode("overwrite").save(tgt)
+    val objs = GraftObjectTable.listObjects(tgt)
+    assert(objs.size == 8)
+    // cap ~= two objects per batch (objects are near-uniform here)
+    val cap = objs.map(p => new java.io.File(p).length()).sorted.apply(4) * 2
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-objects")
+      .option("maxBytesPerTrigger", cap.toString)
+      .load(tgt)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val n = df.count()
+        batchSizes.synchronized { batchSizes += n }
+        ()
+      }
+      .option("checkpointLocation", s"$dir/ckptb")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val sizes = batchSizes.synchronized(batchSizes.toList).filter(_ > 0)
+    assert(sizes.sum == orders.count(), "backlog must drain completely")
+    assert(sizes.size >= 4 && sizes.size <= 8,
+      s"byte cap of ~2 objects should take 4-8 bounded batches, got $sizes")
+  }
 }
