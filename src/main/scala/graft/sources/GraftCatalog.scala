@@ -5,8 +5,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,7 +35,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * listings + one footer read per schema resolution); all data motion
   * stays in the DSv2 scan/write/delete paths.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -219,11 +219,76 @@ class GraftCatalog extends TableCatalog {
     GraftVersions.renameTable(to.getPath, oldName, newName)
   }
 
+  // ---- SupportsNamespaces: the reference's pool model as SQL DDL ----
+  // A namespace = a directory level under the root (pool ≈ namespace,
+  // SURVEY §1.1); CREATE/SHOW/DROP NAMESPACE manage it. Metadata-only.
+
+  private def nsDir(namespace: Array[String]): File =
+    new File((root +: namespace).mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new File(root)
+    Option(r.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(d => Array(d.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = nsDir(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    // tables are directories too: nested namespaces are directories
+    // that do NOT hold a `_schema.ddl`/objects table layout
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        !new File(f, "_schema.ddl").isFile &&
+        GraftObjectTable.listObjects(f.getPath).isEmpty)
+      .map(f => namespace :+ f.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    nsDir(namespace).isDirectory
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(nsDir(namespace).toPath)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) return false
+    val tables = listTables(namespace)
+    if (tables.nonEmpty && !cascade)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty " +
+          s"(${tables.length} tables); use CASCADE")
+    tables.foreach(dropTable)
+    d.delete()
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val nsDir = new File((root +: namespace).mkString("/"))
-    if (!nsDir.isDirectory) throw new NoSuchNamespaceException(namespace)
-    Option(nsDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .map(d => Identifier.of(namespace, d.getName))
+    val d = nsDir(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    // a table directory holds a schema sidecar or objects; a bare
+    // directory is a (nested) namespace, not a table
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        (new File(f, "_schema.ddl").isFile ||
+          GraftObjectTable.listObjects(f.getPath).nonEmpty))
+      .map(f => Identifier.of(namespace, f.getName))
   }
 }

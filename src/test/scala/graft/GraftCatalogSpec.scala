@@ -130,4 +130,26 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gtest.life.t2")
     assert(!new File(s"$root/life/t2").exists())
   }
+
+  test("namespace DDL: CREATE/SHOW/DROP NAMESPACE manage pool dirs") {
+    spark.sql("CREATE NAMESPACE gtest.pool_a")
+    spark.sql("CREATE NAMESPACE gtest.pool_b")
+    val listed = spark.sql("SHOW NAMESPACES IN gtest").collect()
+      .map(_.getString(0)).toSet
+    assert(listed.contains("pool_a") && listed.contains("pool_b"))
+    spark.sql(
+      "CREATE TABLE gtest.pool_a.t (k BIGINT) USING `graft-objects`")
+    spark.sql("INSERT INTO gtest.pool_a.t VALUES (7)")
+    assert(spark.sql("SELECT * FROM gtest.pool_a.t").count() == 1)
+    // a table dir is not listed as a namespace
+    val nested = spark.sql("SHOW NAMESPACES IN gtest.pool_a").collect()
+    assert(nested.isEmpty)
+    // non-empty namespace refuses plain DROP, cascades on request
+    intercept[Exception] { spark.sql("DROP NAMESPACE gtest.pool_a") }
+    spark.sql("DROP NAMESPACE gtest.pool_a CASCADE")
+    spark.sql("DROP NAMESPACE gtest.pool_b")
+    val after = spark.sql("SHOW NAMESPACES IN gtest").collect()
+      .map(_.getString(0)).toSet
+    assert(!after.contains("pool_a") && !after.contains("pool_b"))
+  }
 }
