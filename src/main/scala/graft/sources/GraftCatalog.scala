@@ -104,6 +104,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftObjectTable(schema, snap)
   }
 
+  /** `TIMESTAMP AS OF <ts>`: Spark hands the instant as MICROseconds
+    * since epoch; resolve it to the latest version committed at or
+    * before it (commit wall-clocks live in the `_log` lines) and
+    * serve that snapshot. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!dir.isDirectory) throw new NoSuchTableException(ident)
+    val v = GraftVersions.versionAt(dir.getPath, timestamp / 1000L)
+    loadTable(ident, v.toString)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -66,9 +66,12 @@ object GraftVersions {
 
   /** One `_log` line. `rw` names kept their `<table>.<seq>` name but
     * changed content at this version (in-place partial-DELETE
-    * rewrite); their pre-image lives at `_archive/<name>@v<this>`. */
+    * rewrite); their pre-image lives at `_archive/<name>@v<this>`.
+    * `t` is the commit wall-clock (epoch millis; 0 for lines written
+    * before timestamps existed) — what TIMESTAMP AS OF resolves
+    * against. */
   case class Commit(v: Int, add: Seq[String], del: Seq[String],
-      rw: Seq[String], epoch: Option[Long])
+      rw: Seq[String], epoch: Option[Long], t: Long = 0L)
 
   /** A version-suffixed read view. `Snapshot(k)` = `path@v<k>`, the
     * table exactly as of version k. `Delta(a, b)` = `path@v<a>..<b>`,
@@ -103,7 +106,7 @@ object GraftVersions {
     ss.map(s => "\"" + s + "\"").mkString("[", ",", "]")
 
   private def enc(c: Commit): String =
-    s"""{"v":${c.v},"add":${jarr(c.add)},"del":${jarr(c.del)},""" +
+    s"""{"v":${c.v},"t":${c.t},"add":${jarr(c.add)},"del":${jarr(c.del)},""" +
       s""""rw":${jarr(c.rw)}""" +
       c.epoch.map(e => s""","epoch":$e""").getOrElse("") + "}"
 
@@ -121,8 +124,11 @@ object GraftVersions {
     require(vm.find(), s"versions: malformed log line: $line")
     val em = java.util.regex.Pattern
       .compile("\"epoch\":(-?\\d+)").matcher(line)
+    val tm = java.util.regex.Pattern
+      .compile("\"t\":(\\d+)").matcher(line)
     Commit(vm.group(1).toInt, field(line, "add"), field(line, "del"),
-      field(line, "rw"), if (em.find()) Some(em.group(1).toLong) else None)
+      field(line, "rw"), if (em.find()) Some(em.group(1).toLong) else None,
+      if (tm.find()) tm.group(1).toLong else 0L)
   }
 
   def readLog(dir: String): Seq[Commit] = {
@@ -186,7 +192,8 @@ object GraftVersions {
       val live = GraftObjectTable.listObjects(dir)
         .map(p => new File(p).getName)
       if (live.nonEmpty) {
-        appendLine(dir, enc(Commit(1, live, Nil, Nil, None)))
+        appendLine(dir, enc(Commit(1, live, Nil, Nil, None,
+          System.currentTimeMillis())))
         return 2
       }
     }
@@ -196,7 +203,8 @@ object GraftVersions {
   /** Append the commit line for version `v` (from `nextVersion`). */
   def record(dir: String, v: Int, add: Seq[String], del: Seq[String],
       rw: Seq[String] = Nil, epoch: Option[Long] = None): Unit =
-    appendLine(dir, enc(Commit(v, add, del, rw, epoch)))
+    appendLine(dir, enc(Commit(v, add, del, rw, epoch,
+      System.currentTimeMillis())))
 
   private def appendLine(dir: String, line: String): Unit =
     Files.write(logFile(dir).toPath,
@@ -291,6 +299,54 @@ object GraftVersions {
       keepFrom.toString.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** TIMESTAMP AS OF resolution: the latest version committed at or
+    * before `tsMillis`. Commits are wall-clock-ordered by appendix
+    * (serialized under the table lock), so a binary search would do;
+    * the log is small enough that a scan is clearer. */
+  def versionAt(dir: String, tsMillis: Long): Int = {
+    val log = readLog(dir)
+    require(log.nonEmpty,
+      s"versions: $dir has no version log (no logged commit yet)")
+    val at = log.filter(c => c.t != 0L && c.t <= tsMillis)
+    require(at.nonEmpty,
+      s"versions: $dir has no commit at or before timestamp $tsMillis " +
+        s"(earliest is ${log.find(_.t != 0L).map(_.t).getOrElse(0L)})")
+    at.last.v
+  }
+
+  /** Shallow-ish CLONE: materialize version `v` of `dir` as a brand-new
+    * independent table at `target` (content copied object-by-object,
+    * names re-prefixed to the target table name, fresh log with the
+    * clone as version 1). The 100 TB form would reference-count shared
+    * objects instead of copying; the semantics here are the ones that
+    * matter — the clone is a fully standalone table whose history
+    * starts at the snapshot. */
+  def cloneVersion(dir: String, v: Int, target: String): Unit = {
+    val paths = resolve(dir, Snapshot(v))
+    val srcTable = new File(dir).getName
+    val dstDir = new File(target)
+    val dstTable = dstDir.getName
+    require(!dstDir.exists() ||
+      GraftObjectTable.listObjects(target).isEmpty,
+      s"versions: clone target $target is not empty")
+    dstDir.mkdirs()
+    val seqRe = (java.util.regex.Pattern.quote(srcTable) +
+      "\\.(\\d+)(?:@v\\d+)?$").r
+    val added = paths.map { p =>
+      val name = new File(p).getName
+      val seq = seqRe.findFirstMatchIn(name)
+        .getOrElse(sys.error(s"versions: unparseable object name $name"))
+        .group(1)
+      val dst = new File(dstDir, s"$dstTable.$seq")
+      Files.copy(Paths.get(p), dst.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.getName
+    }
+    withTableLock(target) {
+      record(target, 1, added, Nil)
+    }
+  }
+
   /** Commit history as data (the DESCRIBE HISTORY analog): one row
     * per version with object-count deltas — driver-side metadata only
     * (the log is names, never rows), sized in commits not data. */
@@ -299,12 +355,12 @@ object GraftVersions {
     import scala.jdk.CollectionConverters._
     val rows = readLog(dir).map { c =>
       org.apache.spark.sql.Row(c.v, c.add.size, c.del.size, c.rw.size,
-        c.epoch.map(Long.box).orNull)
+        c.epoch.map(Long.box).orNull, c.t)
     }
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "version INT, n_added INT, n_removed INT, n_rewritten INT, " +
-          "epoch BIGINT"))
+          "epoch BIGINT, commit_ms BIGINT"))
   }
 
   /** Table rename support: re-prefix archived object names and log

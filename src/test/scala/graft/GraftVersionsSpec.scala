@@ -245,6 +245,46 @@ class GraftVersionsSpec extends SparkSpec {
     assert(got.toSeq == (6L until 12L))
   }
 
+  test("TIMESTAMP AS OF resolves to the latest commit at or before " +
+      "the instant") {
+    root
+    spark.sql("""CREATE TABLE gver.main.tsv (k BIGINT)
+                |USING `graft-objects`""".stripMargin)
+    spark.sql("INSERT INTO gver.main.tsv VALUES (1)")
+    Thread.sleep(25)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(25)
+    spark.sql("INSERT INTO gver.main.tsv VALUES (2)")
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(mid))
+    val rows = spark.sql(
+      s"SELECT k FROM gver.main.tsv TIMESTAMP AS OF '$lit'")
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(1L))
+    val now = spark.sql(
+      "SELECT k FROM gver.main.tsv").collect().map(_.getLong(0)).sorted
+    assert(now.toSeq == Seq(1L, 2L))
+  }
+
+  test("cloneVersion materializes an independent table from a snapshot") {
+    val dir = freshDir("clonesrc")
+    writeRange(dir, 0, 6, "overwrite")   // v1
+    writeRange(dir, 6, 9, "append")      // v2
+    val tgt = freshDir("clonedst")
+    GraftVersions.cloneVersion(dir, 1, tgt)
+    assert(keysAt(tgt) == (0L until 6L))
+    // independent: mutating the source leaves the clone alone
+    writeRange(dir, 100, 103, "overwrite")
+    assert(keysAt(tgt) == (0L until 6L))
+    // the clone's history starts at version 1 and grows on its own
+    assert(GraftVersions.currentVersion(tgt) == 1)
+    writeRange(tgt, 50, 52, "append")
+    assert(GraftVersions.currentVersion(tgt) == 2)
+    assert(keysAt(s"$tgt@v1") == (0L until 6L))
+  }
+
   test("version log survives table RENAME (history travels)") {
     root
     spark.sql("""CREATE TABLE gver.main.rn (k BIGINT, s STRING)
