@@ -103,6 +103,47 @@ object StreamOps extends QueryModule {
     s.table(name)
   }
 
+  /** Streaming → parquet FILE SINK (exactly-once via the sink's
+    * commit log, `_spark_metadata`): the stateless projection path a
+    * production pipeline uses to land a curated stream as columnar
+    * files. The read-back goes through the SAME metadata log (Spark's
+    * file-sink readers only trust committed files), so the oracle
+    * equality also proves no torn or duplicated batch output. APPEND
+    * mode with no aggregation — the file sink does not support
+    * COMPLETE — hence the map-only gate + projection shape. */
+  private val fileSink = (s: SparkSession, dir: String) => {
+    val out = "/tmp/graft_stream_sink_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // fresh sink per run: the file-sink log would otherwise dedupe
+    // re-run batches and double-count across Verify invocations
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(out))
+    val q = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 50.0)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckptDir())
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        max(col("ts")).as("last_ts"))
+  }
+
+  private val fileSinkSql =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  max(ts) AS last_ts
+      |FROM events
+      |WHERE event_type = 'purchase' AND value > 50.0
+      |GROUP BY user_id""".stripMargin
+
   // Tumbling 1-day windows per event type.
   private val tumbling = (s: SparkSession, dir: String) => {
     val agg = eventsStream(s, dir)
@@ -391,6 +432,8 @@ object StreamOps extends QueryModule {
   }
 
   override val queries: Map[String, Q] = Map(
+    "q_stream_file_sink" -> Q(fileSink, Some(fileSinkSql),
+      "exactly-once parquet file sink: commit-log read-back == batch"),
     "q_stream_curate" -> Q(curate, Some(curateSql),
       "streaming curation: gate -> stateful dedup -> per-source stats"),
     "q_stream_join" -> Q(streamJoin, Some(streamJoinSql),
