@@ -358,6 +358,49 @@ object StreamOps extends QueryModule {
     runToTable(s, joined, "append")
   }
 
+  /** Stream-stream LEFT OUTER join: unmatched purchases emit
+    * null-extended ONLY after the click-side watermark proves no
+    * future click can land in their interval — that eviction happens
+    * in the trailing no-data micro-batch AvailableNow runs after the
+    * data drains. The purchase side is pinned to `ts < 2024-01-28`
+    * (days before every fixture's stream end) so EVERY left row's
+    * no-match deadline provably passes the final watermark — the
+    * batch oracle and the streaming answer then agree exactly;
+    * without the pin, rows near the stream end would stay withheld
+    * in state (correct APPEND semantics, different answer). */
+  private val streamJoinOuter = (s: SparkSession, dir: String) => {
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      // watermark BEFORE the cutoff filter: the watermark node must
+      // see the full purchase stream (through 01-30) so the left
+      // side's own watermark passes the cutoff — filtering first
+      // would cap it at the cutoff and withhold the last hour's
+      // unmatched rows forever
+      .withWatermark("p_ts", "1 hour")
+      .filter(col("p_ts") < lit("2024-01-28").cast("timestamp"))
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= expr("p_ts - INTERVAL 1 DAY") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("user_id"), col("p_id"), col("p_ts"), col("c_ts"))
+    runToTable(s, joined, "append")
+  }
+
+  private val streamJoinOuterSql =
+    """SELECT e.user_id, e.event_id AS p_id, e.ts AS p_ts, c.ts AS c_ts
+      |FROM events e LEFT OUTER JOIN events c
+      |  ON c.event_type = 'click' AND e.user_id = c.user_id
+      |  AND c.ts >= e.ts - INTERVAL 1 DAY AND c.ts <= e.ts
+      |WHERE e.event_type = 'purchase'
+      |  AND e.ts < TIMESTAMP '2024-01-28 00:00:00'""".stripMargin
+
   private val streamJoinSql =
     """SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
       |FROM events p JOIN events c ON p.user_id = c.user_id
@@ -438,6 +481,8 @@ object StreamOps extends QueryModule {
       "streaming curation: gate -> stateful dedup -> per-source stats"),
     "q_stream_join" -> Q(streamJoin, Some(streamJoinSql),
       "stream-stream inner join (watermarked, time-range state expiry)"),
+    "q_stream_join_outer" -> Q(streamJoinOuter, Some(streamJoinOuterSql),
+      "stream-stream LEFT OUTER join: watermark-evicted null extension"),
     "q_stream_dedup_wm" -> Q(dedupWm, Some(dedupSql),
       "dropDuplicatesWithinWatermark: state bounded by watermark delay"),
     "q_stream_tumbling" -> Q(tumbling, Some(tumblingSql),
