@@ -446,7 +446,77 @@ object TextOps extends QueryModule {
        |GROUP BY label""".stripMargin
   }
 
+  /** Character-trigram language identification + evaluation against
+    * the corpus's labeled `lang` column: train per-language top-40
+    * trigram profiles from the labeled text (frequency rank,
+    * gram-ascending tiebreak), score each document by profile-hit
+    * occurrences, predict by argmax (language-ascending tiebreak),
+    * and emit the CONFUSION MATRIX — the quality gate a curation
+    * pipeline runs before trusting a language filter. Every number is
+    * an integer count and every tiebreak is total, so the result is
+    * exact across engines.
+    *
+    * 100 TB posture: the trigram explode is the one corpus-sized
+    * shuffle (profile build keyed (lang, gram)); the profiles
+    * themselves are 5×40 rows — broadcast back — and the per-doc
+    * argmax windows over ≤5 rows per doc. */
+  private val langidNgramQ = (s: SparkSession, dir: String) => {
+    val docs = Tables.documents(s, dir).filter(length(col("text")) >= 3)
+    val tri = docs.select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+      .as("g"))
+    val prof = tri.groupBy(col("lang").as("p_lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("p_lang"))
+          .orderBy(col("cnt").desc, col("g").asc)))
+      .filter(col("rk") <= 40).select(col("p_lang"), col("g"))
+    val scores = tri.join(broadcast(prof), Seq("g"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+    val pred = scores.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("p_lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("p_lang"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .groupBy(col("lang"),
+        coalesce(col("p_lang"), lit("und")).as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val langidNgramSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+      |tri AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, length(text) - 1),
+      |      i -> substr(text, i, 3))) AS g
+      |  FROM d),
+      |prof AS (
+      |  SELECT p_lang, g FROM (
+      |    SELECT lang AS p_lang, g, COUNT(*) AS cnt,
+      |      ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY COUNT(*) DESC, g ASC) AS rk
+      |    FROM tri GROUP BY lang, g) WHERE rk <= 40),
+      |sc AS (
+      |  SELECT t.doc_id, p.p_lang, COUNT(*) AS score
+      |  FROM tri t JOIN prof p ON t.g = p.g
+      |  GROUP BY t.doc_id, p.p_lang),
+      |pred AS (
+      |  SELECT doc_id, p_lang FROM (
+      |    SELECT doc_id, p_lang,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, p_lang ASC) AS rk
+      |    FROM sc) WHERE rk = 1)
+      |SELECT d.lang, COALESCE(p.p_lang, 'und') AS pred, COUNT(*) AS n
+      |FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_langid_confusion" -> Q(langidNgramQ, Some(langidNgramSql),
+      "trigram-profile language ID + confusion matrix vs labeled lang"),
     "q_pipeline_curate" -> Q(curateQ, Some(curateSql),
       "flagship composition: policy gate → exact dedup → embedding join"),
     "q_text_chunk" -> Q(chunkQ, Some(chunkSql),
