@@ -401,6 +401,47 @@ object StreamOps extends QueryModule {
       |WHERE e.event_type = 'purchase'
       |  AND e.ts < TIMESTAMP '2024-01-28 00:00:00'""".stripMargin
 
+  /** FULL OUTER stream-stream join: null extension on BOTH sides, so
+    * BOTH streams carry the cutoff pin (watermark node before the
+    * cutoff filter, as in the left-outer case) — an unmatched click
+    * needs the purchase-side watermark past its deadline and vice
+    * versa. Interval [c_ts, c_ts + 1 DAY] ∋ p_ts, i.e. the same
+    * purchase-after-click window seen from both sides. */
+  private val streamJoinFullOuter = (s: SparkSession, dir: String) => {
+    val cutoff = lit("2024-01-28").cast("timestamp")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+      .filter(col("p_ts") < cutoff)
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+      .filter(col("c_ts") < cutoff)
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= expr("c_ts + INTERVAL 1 DAY"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("c_user")).as("uid"),
+        col("p_id"), col("c_id"))
+    runToTable(s, joined, "append")
+  }
+
+  private val streamJoinFullOuterSql =
+    """SELECT COALESCE(e.user_id, c.user_id) AS uid,
+      |  e.event_id AS p_id, c.event_id AS c_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase'
+      |      AND ts < TIMESTAMP '2024-01-28 00:00:00') e
+      |FULL OUTER JOIN
+      |     (SELECT * FROM events WHERE event_type = 'click'
+      |      AND ts < TIMESTAMP '2024-01-28 00:00:00') c
+      |  ON e.user_id = c.user_id
+      |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 DAY""".stripMargin
+
   private val streamJoinSql =
     """SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
       |FROM events p JOIN events c ON p.user_id = c.user_id
@@ -483,6 +524,9 @@ object StreamOps extends QueryModule {
       "stream-stream inner join (watermarked, time-range state expiry)"),
     "q_stream_join_outer" -> Q(streamJoinOuter, Some(streamJoinOuterSql),
       "stream-stream LEFT OUTER join: watermark-evicted null extension"),
+    "q_stream_join_full_outer" -> Q(streamJoinFullOuter,
+      Some(streamJoinFullOuterSql),
+      "stream-stream FULL OUTER join: both sides watermark-evicted"),
     "q_stream_dedup_wm" -> Q(dedupWm, Some(dedupSql),
       "dropDuplicatesWithinWatermark: state bounded by watermark delay"),
     "q_stream_tumbling" -> Q(tumbling, Some(tumblingSql),
