@@ -307,7 +307,8 @@ object Sources extends QueryModule {
       |  AND l_quantity < 24""".stripMargin
 
   private val objstoreAggFilteredSql =
-    """SELECT o_orderstatus, COUNT(*) AS n, SUM(o_custkey) AS sum_cust,
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
       |  min(o_orderdate) AS min_date
       |FROM orders WHERE o_totalprice > 50000.0
@@ -609,7 +610,7 @@ object Sources extends QueryModule {
 
   private val zorderScanSql =
     """SELECT l_suppkey, COUNT(*) AS n_rows,
-      |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
       |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
       |FROM lineitem WHERE l_suppkey <= 3 GROUP BY l_suppkey""".stripMargin
 

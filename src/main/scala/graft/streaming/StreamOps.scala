@@ -511,7 +511,8 @@ object StreamOps extends QueryModule {
        |  WHERE n_tok BETWEEN 20 AND 90 AND rep_ratio <= 0.2 AND en_score >= 0.05),
        |ded AS (SELECT source, md5(text) AS h, MAX(n_tok) AS n_tok
        |        FROM gated GROUP BY 1, 2)
-       |SELECT source, COUNT(*) AS n_kept, SUM(n_tok) AS total_tokens
+       |SELECT source, COUNT(*) AS n_kept,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
        |FROM ded GROUP BY source""".stripMargin
   }
 

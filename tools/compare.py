@@ -81,6 +81,21 @@ def main():
                   f"{'OK' if len(srows) > 0 else 'EMPTY!'}")
             continue
         try:
+            # Type audit first: DuckDB HUGEINT (SUM of integers) and
+            # DECIMAL render/serialize differently from Spark's
+            # BIGINT/DOUBLE in the driver's hasher even when the values
+            # are equal — the r3 root cause of 4 hash_match fails. Fail
+            # loudly here so it can't pass locally and fail the driver.
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            exotic = [(c[0], c[1]) for c in desc
+                      if c[1] in ("HUGEINT", "UHUGEINT", "UBIGINT")
+                      or c[1].startswith("DECIMAL")]
+            if exotic:
+                print(f"[FAIL] {name}: oracle output has driver-unsafe "
+                      f"column types {exotic} — add CAST(... AS "
+                      f"BIGINT/DOUBLE) at the top level")
+                n_fail += 1
+                continue
             ores = con.execute(oracles[name])
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
