@@ -288,19 +288,91 @@ object Curation extends QueryModule {
 
   // ---- 5. semantic dedup (SemDeDup shape) ----
   //
-  // Same CC machinery, but the edges live in EMBEDDING space: cosine
-  // >= 0.45 pairs (the all-pairs verification baseline from
-  // q_dedup_cosine_pairs; at scale the edge list comes from the
-  // LSH/IVF bucketed candidates in Similarity.scala — identical
-  // downstream). Keep = min vec_id of each component.
+  // Same CC machinery, but the edges live in EMBEDDING space — and the
+  // candidate pairs come from an LSH-bucket BAND equi-join, never an
+  // all-pairs scan (the r3 scale-killer this replaces; Dedup.cosinePairs
+  // survives solely as the explicitly-scoped small-scale verification
+  // baseline for q_dedup_cosine_pairs).
+  //
+  // Threshold honesty: SemDeDup runs at HIGH cosine thresholds
+  // (near-duplicate semantics). At a weak threshold like the old 0.45
+  // no sublinear candidate generation can be exact — measured on this
+  // fixture, cos≈0.45 pairs sit at random-hyperplane bucket hamming up
+  // to 9/16, i.e. indistinguishable from chance (p_bit = 1-θ/π ≈ 0.65)
+  // — so the query now targets τ=0.9 over a planted-near-dup corpus:
+  // base embeddings ∪ exact clones (vec_id+10000) ∪ DETERMINISTICALLY
+  // PERTURBED near-clones (vec_id+20000, first 8 components ×1.5,
+  // cos ≥ 0.98, bucket hamming 0-3 — 9 of 20 nonzero, so the band
+  // path is genuinely exercised, not just hash equality).
+  //
+  // Recall is GUARANTEED, not sampled: a 16-bit bucket split into four
+  // 4-bit bands means hamming ≤ 3 ⇒ at least one band matches exactly
+  // (pigeonhole) ⇒ the pair surfaces as a candidate; CurationSpec
+  // asserts every planted pair's hamming ≤ 3 and that the edge plan
+  // contains no BroadcastNestedLoopJoin/CartesianProduct. Candidates
+  // are cosine-VERIFIED before the distinct, so exchanges past the
+  // band join carry verified matches only (the simhash discipline,
+  // Dedup.scala). 100 TB: 4 rows per vector into one equi-join
+  // keyed (band, value) — band-bucket density bounds candidates, the
+  // corpus is never crossed with itself. Keep = min vec_id per CC.
+  private val SemDim = 64
+  private val SemBits = 16
+  private val SemBands = 4 // 4 bands × 4 bits: exact-match guarantee ≤ 3-bit drift
+  private val SemTau = 0.9
+
+  /** Base ∪ exact clones ∪ perturbed near-clones — the planted ground
+    * truth both engines rebuild identically (float ×1.5 is exact in
+    * IEEE-754, so Spark and DuckDB agree bit-for-bit). */
+  private[graft] def semanticCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+    e.unionByName(q.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      .unionByName(q.select((col("vec_id") + 20000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i < 8, x * lit(1.5f)).otherwise(x)).as("embedding")))
+  }
+
+  private[graft] def semanticEdges(s: SparkSession, dir: String): DataFrame = {
+    val withB = semanticCorpus(s, dir)
+      .withColumn("bucket", graft.functions.VectorOps
+        .rhpBucket(col("embedding"), SemDim, SemBits))
+    val bandWidth = SemBits / SemBands
+    val bands = withB.select(col("vec_id"), col("embedding"),
+      explode(array((0 until SemBands).map(i => struct(lit(i).as("band"),
+        col("bucket").bitwiseAND(lit(((1L << bandWidth) - 1) << (i * bandWidth)))
+          .as("bv"))): _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"),
+        round(graft.functions.VectorOps.cosine(
+          col("x.embedding"), col("y.embedding")), 6).as("cos"))
+      .filter(col("cos") >= SemTau) // verify BEFORE distinct: exchanges carry matches only
+      .select(col("ida"), col("idb"))
+      .distinct()
+  }
+
   private val semanticQ = (s: SparkSession, dir: String) =>
-    Dedup.connectedComponents(
-        Dedup.cosinePairs(s, dir).select(col("ida"), col("idb")))
+    Dedup.connectedComponents(semanticEdges(s, dir))
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("kept", col("vec_id") === col("cluster_id"))
 
+  // Oracle: brute-force all-pairs over the SAME planted corpus (the
+  // closed-form ground truth the banded path must reproduce exactly).
   private val semanticSql =
-    """WITH RECURSIVE dots AS (
+    """WITH RECURSIVE corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding
+      |    FROM embeddings WHERE vec_id < 20
+      |  UNION ALL SELECT vec_id + 20000 AS vec_id,
+      |    list_transform(range(1, len(embedding)+1),
+      |      i -> CASE WHEN i <= 8
+      |           THEN CAST(embedding[i] * CAST(1.5 AS FLOAT) AS FLOAT)
+      |           ELSE embedding[i] END) AS embedding
+      |    FROM embeddings WHERE vec_id < 20),
+      |dots AS (
       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
       |    list_sum(list_transform(range(1, len(a.embedding)+1),
       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS ab,
@@ -308,9 +380,9 @@ object Curation extends QueryModule {
       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS aa,
       |    list_sum(list_transform(range(1, len(b.embedding)+1),
       |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS bb
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id),
       |pairs AS (SELECT ida, idb FROM dots
-      |          WHERE round(ab / (sqrt(aa) * sqrt(bb)), 6) >= 0.45),
+      |          WHERE round(ab / (sqrt(aa) * sqrt(bb)), 6) >= 0.9),
       |edges AS (SELECT ida AS a, idb AS b FROM pairs
       |          UNION SELECT idb, ida FROM pairs),
       |reach AS (SELECT a AS id, b AS peer FROM edges
@@ -443,7 +515,7 @@ object Curation extends QueryModule {
     "q_dedup_canonical" -> Q(canonicalQ, Some(canonicalSql),
       "canonical doc per near-dup cluster: longest member wins"),
     "q_sim_semantic_dedup" -> Q(semanticQ, Some(semanticSql),
-      "SemDeDup: CC over embedding cosine>=0.45 pairs, keep min vec_id"),
+      "SemDeDup: LSH band-join candidates, cosine>=0.9 verified, CC, keep min vec_id"),
     "q_sample_weighted_mix" -> Q(weightedMixQ, Some(weightedMixSql),
       "domain-mixture quotas filled deterministically by content hash"))
 }

@@ -76,7 +76,7 @@ class CurationSpec extends SparkSpec {
     }
   }
 
-  test("semantic dedup: kept iff component minimum; consistent with cosine pairs") {
+  test("semantic dedup: kept iff component minimum; planted triples clustered") {
     val out = run("q_sim_semantic_dedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(out.nonEmpty)
@@ -84,10 +84,52 @@ class CurationSpec extends SparkSpec {
       assert(cid <= vec)
       assert(kept == (vec == cid))
     }
-    // every clustered vec appears in some cosine pair
-    val paired = run("q_dedup_cosine_pairs").collect()
-      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
-    assert(out.forall { case (vec, _, _) => paired.contains(vec) })
+    // every planted triple {q, q+10000 exact clone, q+20000 perturbed
+    // near-clone} lands in one cluster labeled q, with only q kept
+    val byId = out.map(t => t._1 -> t).toMap
+    (0L until 20L).foreach { q =>
+      Seq(q, q + 10000, q + 20000).foreach { v =>
+        assert(byId.contains(v), s"vector $v missing from semantic dedup output")
+        assert(byId(v)._2 == q, s"vector $v labeled ${byId(v)._2}, expected $q")
+        assert(byId(v)._3 == (v == q))
+      }
+    }
+  }
+
+  test("semantic dedup edges: banded equi-join plan, never an all-pairs scan") {
+    val plan = graft.operators.Curation.semanticEdges(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"edge generation must be an equi-join on the band key:\n${plan.take(800)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected a hash-keyed join on (band, value):\n${plan.take(800)}")
+  }
+
+  test("semantic dedup recall precondition: planted pairs within band-guarantee hamming") {
+    // The 4×4-bit band split guarantees candidate generation for pairs
+    // at bucket hamming ≤ 3 (pigeonhole). Assert every planted pair is
+    // inside that envelope — the condition that makes the banded edge
+    // set EXACTLY reproduce the all-pairs oracle on this fixture.
+    import graft.functions.VectorOps
+    val e = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 20)
+      .withColumn("b0", VectorOps.rhpBucket(col("embedding"), 64, 16))
+      .withColumn("pe", transform(col("embedding"), (x, i) =>
+        when(i < 8, x * lit(1.5f)).otherwise(x)))
+      .withColumn("b2", VectorOps.rhpBucket(col("pe"), 64, 16))
+      .select(col("vec_id"), col("b0"), col("b2")).collect()
+    assert(e.length == 20)
+    var nonZero = 0
+    e.foreach { r =>
+      val ham = java.lang.Long.bitCount(r.getLong(1) ^ r.getLong(2))
+      assert(ham <= 3, s"vec ${r.getLong(0)}: near-clone hamming $ham breaks the band guarantee")
+      if (ham > 0) nonZero += 1
+    }
+    // the perturbation must actually move buckets for some vectors —
+    // otherwise the test only proves hash equality, not the band path
+    assert(nonZero >= 3, s"only $nonZero perturbed buckets differ; band path not exercised")
   }
 
   test("weighted mix: quotas honored per source, hash-deterministic") {
