@@ -511,9 +511,152 @@ object Multimodal extends QueryModule {
       |SELECT phash, COUNT(*) AS n_images, min(doc_id) AS keep_doc_id
       |FROM ph GROUP BY phash""".stripMargin
 
+  /** Grid-payload generator for HAMMING-ADJACENT perceptual-hash
+    * clustering: an 8×8 24bpp BMP whose pixels one-to-one cover the
+    * aHash sample grid, so the hash recovers a doc-derived 64-bit
+    * pattern exactly. Docs share a base pattern per group
+    * g = (doc_id/3) % 16; every 4th group member additionally flips
+    * 1 planted bit, every 8th flips 2 — near-identical-but-NOT-equal
+    * images (hash hamming 1-2) that a plain equal-hash groupBy can
+    * never cluster. Storage row sy holds pattern row (7-sy) so the
+    * bottom-up BMP read in aHashBmp lands bit j of the pattern at
+    * hash bit j. */
+  private[graft] def synthBmpGrid(id: Long): Array[Byte] = {
+    val t = id / 3; val g = (t % 16).toInt
+    var pattern = 0L
+    var j = 0
+    while (j < 64) {
+      val b = (13 * g + 29 * (j / 8)) % 256
+      if (((b >> (j % 8)) & 1) == 1) pattern ^= 1L << j
+      j += 1
+    }
+    if (t % 4 == 0) pattern ^= 1L << (id % 64).toInt
+    if (t % 8 == 0) pattern ^= 1L << ((id * 7 + 11) % 64).toInt
+    val w = 8; val h = 8
+    val stride = (3 * w + 3) & ~3
+    val bytes = new Array[Byte](54 + stride * h)
+    putTag(bytes, 0, "BM")
+    putLeInt(bytes, 2, bytes.length)
+    putLeInt(bytes, 10, 54); putLeInt(bytes, 14, 40)
+    putLeInt(bytes, 18, w); putLeInt(bytes, 22, h)
+    putLeShort(bytes, 26, 1); putLeShort(bytes, 28, 24)
+    putLeInt(bytes, 34, stride * h)
+    var sy = 0
+    while (sy < h) {
+      val py = 7 - sy // bottom-up: storage row sy = image row 7-sy
+      var x = 0
+      while (x < w) {
+        val v = if (((pattern >> (py * 8 + x)) & 1L) == 1L) 220 else 30
+        var c = 0
+        while (c < 3) {
+          bytes(54 + sy * stride + x * 3 + c) = v.toByte; c += 1
+        }
+        x += 1
+      }
+      sy += 1
+    }
+    bytes
+  }
+
+  /** Hamming-adjacent image dedup — the r3 gap closed: near-identical
+    * images whose hashes are CLOSE but unequal route through an 8×8-bit
+    * band-split self-join on the 64-bit aHash (pigeonhole: hamming ≤ 7
+    * ⇒ at least one byte-band equal — a THEOREM, so unlike cosine LSH
+    * this candidate generation is exact at every scale), hamming is
+    * verified on candidates only, and connected components label the
+    * clusters. 100 TB: 8 rows per image into one (band, value)
+    * equi-join; the corpus is never crossed with itself; CC runs over
+    * the verified edge list only. The oracle rebuilds every planted
+    * pattern closed-form, packs it through HUGEINT into the same
+    * signed 64-bit value, and clusters ALL hamming≤7 pairs by
+    * recursive CTE — exact equality proves the banded path loses no
+    * pair (MultimodalSpec additionally proves nonzero-hamming pairs
+    * cluster and the plan carries no nested-loop join). */
+  private val phashNearQ = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val imgs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, aHashBmp(synthBmpGrid(id)))))
+      .toDF("doc_id", "phash")
+    val bands = imgs.select(col("doc_id"), col("phash"),
+      explode(array((0 until 8).map(i => struct(lit(i).as("band"),
+        shiftright(col("phash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= 7)
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("kept", col("doc_id") === col("cluster_id"))
+  }
+
+  /** For MultimodalSpec: the verified hamming-adjacent pair list. */
+  private[graft] def phashNearPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, aHashBmp(synthBmpGrid(id)))))
+      .toDF("doc_id", "phash")
+    val bands = imgs.select(col("doc_id"), col("phash"),
+      explode(array((0 until 8).map(i => struct(lit(i).as("band"),
+        shiftright(col("phash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .filter(col("hamming") <= 7)
+      .distinct()
+  }
+
+  private val phashNearSql =
+    """WITH RECURSIVE img AS (
+      |  SELECT doc_id, doc_id // 3 AS t, (doc_id // 3) % 16 AS g
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |jb AS (SELECT doc_id, t, g, unnest(range(64)) AS j FROM img),
+      |bits AS (SELECT doc_id, j,
+      |  ((((13 * g + 29 * (j // 8)) % 256) >> CAST(j % 8 AS INT)) & 1
+      |   + CASE WHEN t % 4 = 0 AND j = doc_id % 64 THEN 1 ELSE 0 END
+      |   + CASE WHEN t % 8 = 0 AND j = (doc_id * 7 + 11) % 64 THEN 1 ELSE 0 END
+      |  ) % 2 AS b
+      |  FROM jb),
+      |pc AS (SELECT doc_id, SUM(b) AS k FROM bits GROUP BY 1),
+      |hv AS (SELECT bits.doc_id,
+      |  CAST(SUM(CASE WHEN b = 1 AND k > 0 AND k < 64
+      |       THEN CAST(power(2, j) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)
+      |    AS HUGEINT) AS v
+      |  FROM bits JOIN pc ON bits.doc_id = pc.doc_id GROUP BY 1),
+      |ph AS (SELECT doc_id,
+      |  CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+      |       THEN v - CAST('18446744073709551616' AS HUGEINT)
+      |       ELSE v END AS BIGINT) AS phash FROM hv),
+      |ham AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+      |        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |        WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+      |edges AS (SELECT ida AS a, idb AS b FROM ham
+      |          UNION SELECT idb, ida FROM ham),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e ON r.peer = e.a)
+      |SELECT id AS doc_id, least(id, min(peer)) AS cluster_id,
+      |  id = least(id, min(peer)) AS kept
+      |FROM reach GROUP BY id""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_mm_phash_dedup" -> Q(phashQ, Some(phashSql),
       "image near-dup clusters: aHash from decoded bytes, closed-form oracle"),
+    "q_mm_phash_near" -> Q(phashNearQ, Some(phashNearSql),
+      "hamming-adjacent image clusters: banded aHash join, CC over verified pairs"),
     "q_mm_meta" -> Q(metaQ, Some(metaSql),
       "binary media column + typed metadata struct projection"),
     "q_mm_decode" -> Q(decodeBmpQ, Some(decodeBmpSql),

@@ -163,4 +163,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHashBmp(sk) == clean,
       "nearest-neighbor aHash must skip unsampled pixels")
   }
+
+  test("hamming-adjacent phash: planted non-equal near-dups are found and clustered") {
+    val pairs = Multimodal.phashNearPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    // the planted 1-2-bit variants must surface as UNEQUAL near pairs —
+    // the case an equal-hash groupBy can never catch
+    val nonZero = pairs.count(_._3 > 0)
+    assert(nonZero > 0, "no nonzero-hamming pair found; band path untested")
+    assert(pairs.forall(_._3 <= 7))
+    // and those near-pairs really end up in one cluster
+    val clusters = run("q_mm_phash_near").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.filter(_._3 > 0).foreach { case (a, b, _) =>
+      assert(clusters(a) == clusters(b),
+        s"near pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("hamming-adjacent phash plan: banded equi-join, no nested-loop pairing") {
+    val plan = Multimodal.phashNearPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pair generation must be an equi-join on the hash band:\n${plan.take(800)}")
+  }
 }
