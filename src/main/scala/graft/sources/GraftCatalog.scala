@@ -283,12 +283,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = nsDir(namespace)
     if (!d.isDirectory) return false
     val tables = listTables(namespace)
-    if (tables.nonEmpty && !cascade)
+    val nested = listNamespaces(namespace)
+    if ((tables.nonEmpty || nested.nonEmpty) && !cascade)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty " +
-          s"(${tables.length} tables); use CASCADE")
+          s"(${tables.length} tables, ${nested.length} namespaces); use CASCADE")
+    // cascade: depth-first into nested namespaces, then own tables —
+    // and surface a failed delete instead of returning an ignored false
+    nested.foreach(n => dropNamespace(n, cascade = true))
     tables.foreach(dropTable)
-    d.delete()
+    if (!d.delete())
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")}: directory not removable " +
+          "(unexpected residual files)")
+    true
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

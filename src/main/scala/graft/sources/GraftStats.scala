@@ -31,8 +31,15 @@ object GraftStats {
       .map(ObjectFormat.readFooter)
     val rows = cols.map { c =>
       val rowCount = footers.map(_.rowCount.toLong).sum
-      val nullCount = footers.flatMap(_.stats.get(c))
-        .map(_.nullCount.toLong).sum
+      // exact only when EVERY footer carries stats for the column; an
+      // object whose footer omits them (e.g. all-null object) has an
+      // unknown null count, so the profile reports NULL rather than an
+      // undercount that reads as exact
+      val withStats = footers.flatMap(_.stats.get(c))
+      val nullCount: Any =
+        if (withStats.length == footers.length)
+          Long.box(withStats.map(_.nullCount.toLong).sum)
+        else null
       val bounds = footers.flatMap(_.stats.get(c))
         .filter(s => s.min != null && s.max != null)
       def render(v: Any): String = v match {

@@ -102,8 +102,22 @@ object GraftVersions {
 
   // ---- log encoding: one JSON object per line, names-only ----------
 
+  // The log is hand-encoded JSON with NO string escaping, and
+  // renameTable rewrites it with a raw prefix replace — both are only
+  // sound when object/table names can never contain a quote, comma,
+  // bracket, or backslash. Enforce that closed-world charset at every
+  // encode AND decode, so a hostile or accidental name fails loudly at
+  // commit time instead of silently corrupting version resolution.
+  private val NameOk = "^[A-Za-z0-9._@-]+$".r
+  private def checkName(s: String): String = {
+    require(NameOk.pattern.matcher(s).matches(),
+      s"versions: object name '$s' outside [A-Za-z0-9._@-]; " +
+        "refusing to write/read an unescapable log line")
+    s
+  }
+
   private def jarr(ss: Seq[String]): String =
-    ss.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    ss.map(s => "\"" + checkName(s) + "\"").mkString("[", ",", "]")
 
   private def enc(c: Commit): String =
     s"""{"v":${c.v},"t":${c.t},"add":${jarr(c.add)},"del":${jarr(c.del)},""" +
@@ -116,6 +130,7 @@ object GraftVersions {
     if (!m.find()) Seq.empty
     else m.group(1).split(",").toSeq.map(_.trim)
       .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\""))
+      .map(checkName)
   }
 
   private def dec(line: String): Commit = {
@@ -367,6 +382,7 @@ object GraftVersions {
     * entries from `oldName` to `newName` (object names embed the
     * table name — same contract the live rename honors). */
   def renameTable(dir: String, oldName: String, newName: String): Unit = {
+    checkName(oldName); checkName(newName)
     val ad = archiveDir(dir)
     Option(ad.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(oldName + "."))

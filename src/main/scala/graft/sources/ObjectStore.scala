@@ -2500,10 +2500,13 @@ class GraftMicroBatchStream(fullSchema: StructType, readSchema: StructType,
     val objs = GraftObjectTable.listObjects(path)
     val all = availableNowCap.getOrElse(objs.size)
     val s = start.asInstanceOf[GraftObjectOffset].objectCount
-    val byCount = limit match {
+    // clamp to the LIVE listing: availableNowCap (and `s` itself) are
+    // counts captured from earlier listings — a concurrent DELETE that
+    // shrinks the directory must not index past objs' end
+    val byCount = math.min(objs.size, limit match {
       case mf: ReadMaxFiles => math.min(all, s + mf.maxFiles())
       case _ => all
-    }
+    })
     // `.option("maxBytesPerTrigger", n)`: byte-bounded admission (the
     // object-store analog of the file source's option — ReadLimit has
     // no bytes variant, so the bound applies here). Always admits at
@@ -2511,14 +2514,17 @@ class GraftMicroBatchStream(fullSchema: StructType, readSchema: StructType,
     val end = maxBytesPerTrigger match {
       case Some(cap) =>
         var e = s; var bytes = 0L
-        while (e < byCount && {
+        var admit = true
+        while (e < byCount && admit) {
           val sz = new File(objs(e)).length()
-          e == s || bytes + sz <= cap
-        }) { bytes += new File(objs(e)).length(); e += 1 }
+          if (e == s || bytes + sz <= cap) { bytes += sz; e += 1 }
+          else admit = false
+        }
         e
       case None => byCount
     }
-    GraftObjectOffset(end)
+    // never regress the offset even if deletes shrank the listing
+    GraftObjectOffset(math.max(end, s))
   }
 
   override def reportLatestOffset(): Offset = latestOffset()

@@ -152,4 +152,18 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(!after.contains("pool_a") && !after.contains("pool_b"))
   }
+
+  test("DROP NAMESPACE CASCADE recurses into nested namespaces") {
+    spark.sql("CREATE NAMESPACE gtest.deep")
+    spark.sql("CREATE NAMESPACE gtest.deep.inner")
+    spark.sql(
+      "CREATE TABLE gtest.deep.inner.t (k BIGINT) USING `graft-objects`")
+    spark.sql("INSERT INTO gtest.deep.inner.t VALUES (3)")
+    // plain DROP refuses: the namespace holds a nested namespace even
+    // though it holds no direct tables
+    intercept[Exception] { spark.sql("DROP NAMESPACE gtest.deep") }
+    spark.sql("DROP NAMESPACE gtest.deep CASCADE")
+    assert(!new File(s"$root/deep").exists(),
+      "cascade must remove nested namespaces and their tables")
+  }
 }

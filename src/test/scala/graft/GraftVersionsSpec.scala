@@ -296,4 +296,17 @@ class GraftVersionsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(v1.toSeq == Seq(1L))
   }
+
+  test("log encoding rejects names the unescaped format cannot carry") {
+    // a quote/comma/bracket in an object name would silently corrupt
+    // the hand-encoded log; the charset guard must fail loudly instead
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vname").toString
+    Seq("""t".0""", "t,x.1", "t]x.2", "t\\x.3").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        graft.sources.GraftVersions.record(dir, 1, Seq(bad),
+          Seq.empty, Seq.empty, None)
+      }
+    }
+  }
 }
