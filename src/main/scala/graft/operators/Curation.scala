@@ -447,7 +447,18 @@ object Curation extends QueryModule {
     * and context count tables aggregate from the same exchange the
     * probe join uses (gram-keyed shuffles over gram TYPES, far
     * smaller than the corpus); V and the global mean are one-row
-    * crossJoin broadcast scalars, never a driver collect. */
+    * crossJoin broadcast scalars, never a driver collect.
+    *
+    * SKEW hardening (r3 advice closed): natural language grams are
+    * Zipf-distributed — at 100 TB the hottest contexts ("the", "of")
+    * would hash-partition a constant fraction of the CORPUS onto
+    * single reducers in the probe join. The probe therefore joins on
+    * SALTED keys: each corpus token carries a deterministic salt in
+    * [0, LmSalt), and the count tables are replicated LmSalt× (they
+    * are gram-TYPE-sized, so the replication is over the small side),
+    * spreading every hot gram across LmSalt reducers. Results are
+    * bit-identical — each token row matches exactly its salt replica. */
+  private val LmSalt = 16
   private val lmScoreQ = (s: SparkSession, dir: String) => {
     val big = Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
@@ -455,13 +466,19 @@ object Curation extends QueryModule {
       .select(col("doc_id"),
         when(col("pos") === 0, lit("<s>"))
           .otherwise(element_at(col("tk"), col("pos"))).as("prev"),
-        col("col").as("tok"))
+        col("col").as("tok"),
+        pmod(xxhash64(col("doc_id"), col("pos")), lit(LmSalt.toLong))
+          .as("salt"))
     val cb = big.groupBy(col("prev"), col("tok"))
       .agg(count(lit(1)).as("cb"))
     val cp = big.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+    val salts = sequence(lit(0L), lit(LmSalt - 1L))
+    val cbS = cb.withColumn("salt", explode(salts))
+    val cpS = cp.withColumn("salt", explode(salts))
     val v = big.agg((countDistinct(col("tok")) + 1).as("v"))
     val perDoc = big
-      .join(cb, Seq("prev", "tok")).join(cp, Seq("prev")).crossJoin(v)
+      .join(cbS, Seq("prev", "tok", "salt"))
+      .join(cpS, Seq("prev", "salt")).crossJoin(v)
       .withColumn("q", expr("(cp + v) * 1000000 div (cb + 1)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("q")).as("score_q"))

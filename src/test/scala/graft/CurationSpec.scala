@@ -132,6 +132,18 @@ class CurationSpec extends SparkSpec {
     assert(nonZero >= 3, s"only $nonZero perturbed buckets differ; band path not exercised")
   }
 
+  test("lm_score probe joins on salted gram keys (Zipf-skew spread)") {
+    val plan = run("q_text_lm_score").queryExecution.executedPlan.toString
+    // both probe joins must carry the salt in their equi-key list so a
+    // hot gram spans LmSalt reducers instead of one
+    val joinKeyLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("prev")).toSeq
+    assert(joinKeyLines.nonEmpty, s"no gram joins found:\n${plan.take(600)}")
+    joinKeyLines.foreach { l =>
+      assert(l.contains("salt"), s"gram join missing salt key: $l")
+    }
+  }
+
   test("weighted mix: quotas honored per source, hash-deterministic") {
     val out = run("q_sample_weighted_mix")
     val perSource = out.groupBy("source").count().collect()
