@@ -547,6 +547,46 @@ object Sources extends QueryModule {
       |FROM orders WHERE o_orderkey > 7500
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** ROW-level change feed (GraftVersions.changes — the CDF view the
+    * object-granularity delta read cannot express): ingest orders,
+    * row-level DELETE (partially-covered objects take the in-place
+    * rewrite path, fully-covered ones unlink), append a tranche, then
+    * ask for every inserted/deleted ROW in the window. Deletes must
+    * surface the pre-image rows reconstructed from the archive —
+    * including rows from REWRITTEN objects via the bounded exceptAll
+    * diff — and inserts exactly the appended tranche. The oracle
+    * reconstructs both sides by VALUE from the raw table; the feed
+    * must match by STRUCTURE (log membership + archive diff). */
+  private val changesRows = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    val out = s"$root/main/orders_cdf"
+    Tables.orders(s, dir)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.format("graft-objects").mode("overwrite").save(out)
+    val v0 = graft.sources.GraftVersions.currentVersion(out)
+    s.sql("DELETE FROM graft.main.orders_cdf WHERE o_totalprice > 200000.0")
+    Tables.orders(s, dir).filter(col("o_orderkey") <= 1000)
+      .repartition(1)
+      .write.format("graft-objects").mode("append").save(out)
+    val v = graft.sources.GraftVersions.currentVersion(out)
+    graft.sources.GraftVersions.changes(s, out, v0, v)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"))
+  }
+
+  private val changesRowsSql =
+    """SELECT 'delete' AS _change_type, COUNT(*) AS n,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_total
+      |FROM orders WHERE o_totalprice > 200000.0
+      |UNION ALL
+      |SELECT 'insert', COUNT(*), min(o_orderkey), max(o_orderkey),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
   /** MERGE INTO through the catalog: matched rows get a status flag,
     * unmatched source rows are inserted — one ReplaceData plan whose
     * commit swaps only the objects holding matches (inserts land as
@@ -634,6 +674,8 @@ object Sources extends QueryModule {
       "VERSION AS OF snapshot read: pre-DELETE state from the archive"),
     "q_src_changes_since" -> Q(changesSince, Some(changesSinceSql),
       "incremental delta view @vA..B: exactly the objects added since A"),
+    "q_src_changes_rows" -> Q(changesRows, Some(changesRowsSql),
+      "row-level change feed: inserted/deleted rows via log + archive diff"),
     "q_src_clustered_join" -> Q(clusteredJoin, Some(clusteredJoinSql),
       "value-clustered layout: storage-partitioned join + agg, zero shuffles"),
     "q_src_bloom_index" -> Q(bloomIndex, Some(bloomIndexSql),

@@ -146,11 +146,27 @@ object GraftVersions {
       if (tm.find()) tm.group(1).toLong else 0L)
   }
 
+  private def logDirFile(dir: String) = new File(dir, "_log.d")
+
   def readLog(dir: String): Seq[Commit] = {
     val f = logFile(dir)
-    if (!f.isFile) Seq.empty
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map(dec)
+    val appended =
+      if (!f.isFile) Seq.empty[Commit]
+      else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty).map(dec)
+    // optimistic commits live as one file per version under _log.d
+    // (see commitOptimistic); merge both channels ordered by version.
+    // A version present in both is one logical commit written through
+    // the locked path then compacted — the appended line wins.
+    val d = logDirFile(dir)
+    val perVersion =
+      Option(d.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isFile && f.getName.matches("\\d+"))
+        .sortBy(_.getName.toInt)
+        .map(vf => dec(new String(Files.readAllBytes(vf.toPath),
+          StandardCharsets.UTF_8).trim))
+    val seen = appended.map(_.v).toSet
+    (appended ++ perVersion.filterNot(c => seen(c.v))).sortBy(_.v)
   }
 
   /** Latest committed version; 0 = never logged (pre-versioning
@@ -230,6 +246,59 @@ object GraftVersions {
   def hasEpoch(dir: String, epoch: Long): Boolean =
     readLog(dir).exists(_.epoch.contains(epoch))
 
+  /** Thrown when `maxRetries` successive version claims were lost to
+    * concurrent committers. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** OPTIMISTIC cross-host commit — the protocol for writers that do
+    * NOT share the `_lock` file's advisory-lock semantics (object
+    * stores, NFS variants, separate hosts): no lock is ever taken.
+    *
+    * Each attempt reads the current version, lets `mk` build the
+    * commit for `v = current + 1` (stage data files FIRST — they are
+    * invisible until the log names them), and publishes by atomically
+    * hard-linking a staged temp file to `_log.d/<v>`. Link creation
+    * is atomic-exclusive on POSIX: if another writer claimed `v`
+    * first, this writer gets FileAlreadyExistsException, re-reads the
+    * log (now including the winner), and retries against the new tip
+    * — the Delta/Iceberg commit-loop shape. History is therefore
+    * SERIALIZED by construction: every version number names exactly
+    * one commit, and no commit is ever lost, only re-based.
+    *
+    * `mk` may be invoked several times (once per attempt) and must be
+    * idempotent in its side effects — stage under names derived from
+    * the attempt version or content, as the object writer does.
+    *
+    * Protocol constraint (documented, Delta-style): ALL concurrent
+    * writers of one table must use the SAME channel — either the
+    * locked append path or this optimistic path. A locked writer
+    * appends its version to `_log` without claiming `_log.d/<v>`, so
+    * racing it against an optimistic writer could mint the same
+    * version twice. Sequential migration between channels is safe
+    * (readLog merges both, ordered by version). */
+  def commitOptimistic(dir: String, maxRetries: Int = 50)
+      (mk: Int => Commit): Commit = {
+    val d = logDirFile(dir); d.mkdirs()
+    var tries = 0
+    while (tries < maxRetries) {
+      val v = currentVersion(dir) + 1
+      val c = mk(v)
+      require(c.v == v, s"versions: mk built v=${c.v}, expected $v")
+      val tmp = Files.createTempFile(d.toPath, s".v$v-", ".tmp")
+      try {
+        Files.write(tmp, (enc(c) + "\n").getBytes(StandardCharsets.UTF_8))
+        Files.createLink(d.toPath.resolve(v.toString), tmp)
+        return c
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tries += 1 // lost the race for v — re-read the tip, retry
+      } finally Files.deleteIfExists(tmp)
+    }
+    throw new CommitConflictException(
+      s"versions: lost $maxRetries successive version claims in $dir")
+  }
+
   /** MOVE a superseded live object into the archive (removal path). */
   def archiveMove(dir: String, obj: File, v: Int): Unit = {
     val ad = archiveDir(dir); ad.mkdirs()
@@ -293,6 +362,92 @@ object GraftVersions {
           case None => new File(dir, n).getPath
         }
       }
+  }
+
+  /** Object paths at a version, keyed by live object NAME. */
+  private def resolveNamed(dir: String, v: Int): Map[String, String] = {
+    val table = new File(dir).getName
+    resolve(dir, Snapshot(v)).map { p =>
+      val base = new File(p).getName
+      val name = base.lastIndexOf("@v") match {
+        case -1 => base
+        case i => base.substring(0, i)
+      }
+      name -> p
+    }.toMap
+  }
+
+  /** ROW-LEVEL change feed over the version log (the CDF analog the
+    * object-granularity `@vA..B` delta view cannot express): every row
+    * inserted or deleted between versions `from` and `to`, tagged with
+    * `_change_type` ('insert' | 'delete'). An UPDATE surfaces as its
+    * delete+insert pair — the canonical CDF encoding.
+    *
+    * The diff is METADATA-BOUNDED: the log names which objects were
+    * added, removed, or rewritten in the window, and only THOSE
+    * objects are read — added objects' rows are inserts and removed
+    * objects' pre-image rows are deletes outright (map-side, no
+    * exchange), while rewritten objects (same name, different content
+    * path) pay one multiset `exceptAll` each way over the rewritten
+    * rows only. At 100 TB the cost is proportional to the churn in
+    * the window, never the table — the same discipline as the delta
+    * view, extended to row granularity through the archive.
+    *
+    * Reading a specific object subset reuses the normal reader over a
+    * staging dir of hard links inside the table's `_cdf` sidecar
+    * (metadata-only, content shared; copies if the fs refuses links —
+    * underscore-prefixed dirs are invisible to object listing). */
+  def changes(spark: org.apache.spark.sql.SparkSession, dir: String,
+      from: Int, to: Int): org.apache.spark.sql.DataFrame = {
+    require(from >= 1 && to >= from,
+      s"versions: changes bounds must satisfy 1 <= $from <= $to")
+    val a = resolveNamed(dir, from)
+    val b = resolveNamed(dir, to)
+    val addedN = (b.keySet -- a.keySet).toSeq.sorted
+    val removedN = (a.keySet -- b.keySet).toSeq.sorted
+    val changedN = (a.keySet & b.keySet).toSeq.sorted
+      .filter(n => a(n) != b(n))
+    val cdfRoot = new File(dir, "_cdf")
+    // wipe prior stagings (best-effort; the dirs are links only)
+    def rmTree(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    rmTree(cdfRoot)
+    def stage(tag: String, names: Seq[String],
+        pick: Map[String, String]): File = {
+      val d = new File(cdfRoot, tag); d.mkdirs()
+      names.zipWithIndex.foreach { case (n, i) =>
+        val src = Paths.get(pick(n))
+        val dst = new File(d, s"${d.getName}.$i").toPath
+        try Files.createLink(dst, src)
+        catch { case _: UnsupportedOperationException =>
+          Files.copy(src, dst)
+        }
+      }
+      d
+    }
+    import org.apache.spark.sql.functions.lit
+    def readGroup(tag: String, names: Seq[String],
+        pick: Map[String, String]) = {
+      val d = stage(tag, names, pick)
+      spark.read.format("graft-objects").load(d.getPath)
+    }
+    // an empty group still needs the table schema: read the `to`
+    // snapshot's (always-resolvable) shape with a false filter
+    lazy val empty = spark.read.format("graft-objects")
+      .load(s"$dir@v$to").limit(0)
+    def grp(tag: String, names: Seq[String],
+        pick: Map[String, String]) =
+      if (names.isEmpty) empty else readGroup(tag, names, pick)
+    val inserts = grp("ins", addedN, b)
+      .unionByName(grp("chgb", changedN, b)
+        .exceptAll(grp("chga0", changedN, a)))
+    val deletes = grp("del", removedN, a)
+      .unionByName(grp("chga1", changedN, a)
+        .exceptAll(grp("chgb1", changedN, b)))
+    inserts.withColumn("_change_type", lit("insert"))
+      .unionByName(deletes.withColumn("_change_type", lit("delete")))
   }
 
   /** Drop archive content reachable only from versions <= `keepFrom`
@@ -398,5 +553,14 @@ object GraftVersions {
           .replace("\"" + oldName + ".", "\"" + newName + ".")
       Files.write(lf.toPath, rewritten.getBytes(StandardCharsets.UTF_8))
     }
+    val ld = logDirFile(dir)
+    Option(ld.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("\\d+"))
+      .foreach { f =>
+        val rewritten =
+          new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+            .replace("\"" + oldName + ".", "\"" + newName + ".")
+        Files.write(f.toPath, rewritten.getBytes(StandardCharsets.UTF_8))
+      }
   }
 }

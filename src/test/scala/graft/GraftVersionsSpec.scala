@@ -297,6 +297,63 @@ class GraftVersionsSpec extends SparkSpec {
     assert(v1.toSeq == Seq(1L))
   }
 
+  test("row-level change feed: UPDATE surfaces as delete+insert pair " +
+      "from the rewritten object's archive diff") {
+    root
+    spark.sql("""CREATE TABLE gver.main.cdf (k BIGINT, s STRING)
+                |USING `graft-objects`""".stripMargin)
+    spark.sql("INSERT INTO gver.main.cdf VALUES (1,'a'), (2,'b'), (3,'c')")
+    val dir = s"$root/main/cdf"
+    val v0 = graft.sources.GraftVersions.currentVersion(dir)
+    spark.sql("UPDATE gver.main.cdf SET s = 'B' WHERE k = 2")
+    val v1 = graft.sources.GraftVersions.currentVersion(dir)
+    assert(v1 > v0)
+    val ch = graft.sources.GraftVersions.changes(spark, dir, v0, v1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    // exactly the touched row, both directions; untouched rows silent
+    assert(ch == Set((2L, "b", "delete"), (2L, "B", "insert")), s"got $ch")
+  }
+
+  test("optimistic commit: two interleaved lock-free committers, " +
+      "serialized history, no lost commit") {
+    import graft.sources.GraftVersions
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-occ").toString
+    val perWriter = 20
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val done = new java.util.concurrent.CountDownLatch(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // two "hosts": no shared JVM monitor, no _lock file — only the
+    // atomic-exclusive _log.d/<v> link arbitrates
+    (0 until 2).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          try {
+            (0 until perWriter).foreach { i =>
+              GraftVersions.commitOptimistic(dir) { v =>
+                GraftVersions.Commit(v, Seq(s"t.w${w}i$i"), Nil, Nil,
+                  None, System.currentTimeMillis())
+              }
+            }
+          } catch { case t: Throwable => errs.add(t) }
+          finally done.countDown()
+        }
+      })
+    }
+    done.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(errs.isEmpty, s"committer failed: ${errs.peek()}")
+    val log = GraftVersions.readLog(dir)
+    // serialized: versions are exactly 1..40, each minted once
+    assert(log.map(_.v) == (1 to 2 * perWriter).toList,
+      s"history not serialized: ${log.map(_.v)}")
+    // no lost commit: every writer's every object is named
+    val added = log.flatMap(_.add).toSet
+    for (w <- 0 until 2; i <- 0 until perWriter)
+      assert(added.contains(s"t.w${w}i$i"), s"lost commit w${w}i$i")
+  }
+
   test("log encoding rejects names the unescaped format cannot carry") {
     // a quote/comma/bracket in an object name would silently corrupt
     // the hand-encoded log; the charset guard must fail loudly instead
