@@ -53,7 +53,15 @@ object Bench {
     "q_win_running_sum", "q_win_topk_per_group",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
     "q_sim_topk_brute", "q_sim_topk_brute_native",
-    "q_text_tfidf", "q_stream_tumbling")
+    "q_text_tfidf", "q_stream_tumbling",
+    // round-3/4 capabilities (r3 verdict: bench what was built):
+    // reader-tier agg pushdown, storage-partitioned join, time travel,
+    // perplexity gate, language-ID confusion. The three source queries
+    // time their READ phase; their one-off layout write runs as setup
+    // (load-time, like objectify's ingest — DuckDB likewise excludes
+    // its load).
+    "q_src_objstore_agg_filtered", "q_src_clustered_join_bucketed",
+    "q_src_time_travel", "q_text_lm_score", "q_text_langid_confusion")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates
@@ -179,7 +187,8 @@ object Bench {
     def force(name: String): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions",
         widthOverride.getOrElse(name, shuf))
-      SparkEntry.queries(name)(spark, dataDir)
+      graft.operators.Sources.benchReads
+        .getOrElse(name, SparkEntry.queries(name))(spark, dataDir)
         .write.mode("overwrite").format("noop").save()
     }
 
@@ -200,6 +209,13 @@ object Bench {
     val names0 = if (args.nonEmpty) headline.filter(args.contains)
                  else headline
     val names = names0.filter(SparkEntry.queries.contains)
+    names.foreach { n => // one-off layout writes (load-time, untimed)
+      graft.operators.Sources.benchSetups.get(n).foreach { setup =>
+        try setup(spark, dataDir) catch { case e: Throwable =>
+          System.err.println(s"[bench] setup $n failed: ${e.getMessage}")
+        }
+      }
+    }
     names.foreach { n => // warmup pass
       try force(n) catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")

@@ -6,9 +6,11 @@ import java.nio.file.{Files, Paths}
 import java.util
 
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A Spark `TableCatalog` over a root directory of graft object-store
@@ -35,7 +37,48 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * listings + one footer read per schema resolution); all data motion
   * stays in the DSv2 scan/write/delete paths.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+/** `graft_bucket(W, key)` = floorDiv(key, W) — the width-bucket
+  * transform the clustered object layout partitions by. Exposed
+  * through the catalog's FunctionCatalog face so Spark can resolve the
+  * `KeyGroupedPartitioning(graft_bucket(W, col))` a width-clustered
+  * scan reports, which is what lets two co-bucketed tables join
+  * storage-partitioned (shuffle-free) at HIGH key cardinality — the
+  * Iceberg bucket-SPJ shape, with a range bucket instead of a hash
+  * bucket because contiguity is what footer min/max can verify. */
+object GraftBucketFunction extends UnboundFunction {
+  // Named "bucket" because the scan reports the standard bucket(n,col)
+  // V2 transform (the shape Spark's SPJ machinery special-cases); the
+  // BOUND function's canonicalName is graft-specific, so a graft
+  // bucket never tests compatible with another catalog's bucketing.
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(width, key): floorDiv(key, width) contiguous range bucket"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"graft bucket wants (width, key), got ${inputType.catalogString}")
+    val widthType = inputType.fields(0).dataType
+    val keyType = inputType.fields(1).dataType
+    require(keyType == LongType || keyType == IntegerType,
+      s"graft bucket wants an integral key, got $keyType")
+    new ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DataType] = Array(widthType, keyType)
+      override def resultType(): DataType = LongType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.range_bucket.v1"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): java.lang.Long = {
+        def longAt(i: Int, dt: DataType): Long = dt match {
+          case LongType => input.getLong(i)
+          case _ => input.getInt(i).toLong
+        }
+        Math.floorDiv(longAt(1, keyType), longAt(0, widthType))
+      }
+    }
+  }
+}
+
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -55,6 +98,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new File((root +: ident.namespace() :+ ident.name()).mkString("/"))
 
   private def schemaSidecar(dir: File): File = new File(dir, "_schema.ddl")
+  private def propsSidecar(dir: File): File = new File(dir, "_props")
+
+  /** Table properties the object store understands as option defaults
+    * (TBLPROPERTIES → every later scan/write on the table). */
+  private val StorableProps = Set("clusterBy", "clusteredBy",
+    "clusterWidth", "bloomFilterColumns", "bloomFilterFpp")
+
+  private def readProps(dir: File): Map[String, String] = {
+    val f = propsSidecar(dir)
+    if (!f.isFile) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+
+  private def writeProps(dir: File, props: Map[String, String]): Unit =
+    if (props.nonEmpty)
+      Files.write(propsSidecar(dir).toPath,
+        props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  // ---- FunctionCatalog: the bucket transform used by SPJ ------------
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, GraftBucketFunction.name()))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == GraftBucketFunction.name()) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name() == GraftBucketFunction.name()
 
   /** Sidecar first: once ALTER TABLE has run, the sidecar is the
     * authoritative (evolved) schema and older objects' headers are
@@ -79,7 +155,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
-    new GraftObjectTable(resolveSchema(ident, dir), dir.getPath)
+    new GraftObjectTable(resolveSchema(ident, dir), dir.getPath,
+      readProps(dir))
   }
 
   /** Time travel: `SELECT … FROM graft.ns.t VERSION AS OF 3` — the
@@ -126,7 +203,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(dir.toPath)
     Files.write(schemaSidecar(dir).toPath,
       schema.toDDL.getBytes(StandardCharsets.UTF_8))
-    new GraftObjectTable(schema, dir.getPath)
+    // persist the option-default properties; a declared clusterBy also
+    // implies clusteredBy so plain SELECTs read the table AS clustered
+    import scala.jdk.CollectionConverters._
+    val kept = properties.asScala.toMap.filter {
+      case (k, _) => StorableProps.contains(k)
+    }
+    val full = kept.get("clusterBy") match {
+      case Some(c) if !kept.contains("clusteredBy") =>
+        kept + ("clusteredBy" -> c)
+      case _ => kept
+    }
+    writeProps(dir, full)
+    new GraftObjectTable(schema, dir.getPath, full)
   }
 
   /** Schema evolution, metadata-first (bodies are positional and

@@ -1096,9 +1096,24 @@ object GraftObjectTable {
   }
 }
 
-class GraftObjectTable(tableSchema: StructType, path: String)
+class GraftObjectTable(tableSchema: StructType, path: String,
+    defaults: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** Table-level option defaults (catalog `_props` sidecar): per-read/
+    * per-write options win; the stored table properties fill the rest.
+    * This is how a catalog SELECT — which passes no reader options —
+    * still reads a clustered table AS clustered. */
+  private def withDefaults(
+      options: CaseInsensitiveStringMap): CaseInsensitiveStringMap =
+    if (defaults.isEmpty) options
+    else {
+      val m = new util.HashMap[String, String]()
+      defaults.foreach { case (k, v) => m.put(k, v) }
+      options.entrySet().forEach(e => m.put(e.getKey, e.getValue))
+      new CaseInsensitiveStringMap(m)
+    }
 
   /** `_object` = the `<table>.<seq>` object a row came from — the
     * reference's object-level addressing surfaced as a Spark metadata
@@ -1124,7 +1139,7 @@ class GraftObjectTable(tableSchema: StructType, path: String)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableSchema, path, options)
+    new GraftScanBuilder(tableSchema, path, withDefaults(options))
   /** Snapshots (`path@v<k>`) are immutable views: every mutation
     * surface refuses them up front. */
   private def requireWritable(op: String): Unit =
@@ -1133,13 +1148,15 @@ class GraftObjectTable(tableSchema: StructType, path: String)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("write")
+    val opts = withDefaults(info.options())
     new GraftWriteBuilder(info.schema(), path,
-      Option(info.options().get("clusterBy")),
-      Option(info.options().get("bloomFilterColumns"))
+      Option(opts.get("clusterBy")),
+      Option(opts.get("bloomFilterColumns"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty),
-      Option(info.options().get("bloomFilterFpp"))
-        .map(_.toDouble).getOrElse(0.01))
+      Option(opts.get("bloomFilterFpp"))
+        .map(_.toDouble).getOrElse(0.01),
+      Option(opts.get("clusterWidth")).map(_.toLong))
   }
 
   /** `DELETE FROM … WHERE p` as an OBJECT-LEVEL operation — the
@@ -1412,14 +1429,15 @@ class GraftReplaceDataWrite(writeSchema: StructType, path: String,
   * object is durable. */
 class GraftWriteBuilder(writeSchema: StructType, path: String,
     clusterBy: Option[String] = None,
-    bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01)
+    bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
+    clusterWidth: Option[Long] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(writeSchema, path, doTruncate, clusterBy,
-        bloomCols, bloomFpp)
+        bloomCols, bloomFpp, clusterWidth)
     /** Streaming write: each micro-batch epoch commits its staged
       * objects onto the tail of the `<table>.<seq>` sequence — which is
       * exactly what makes the table readable as a stream (offset =
@@ -1446,7 +1464,8 @@ case class GraftStagedObjects(stagedPaths: Seq[String], partitionId: Int)
   * object-store CAS) to serialize the base — documented, not built. */
 class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
     clusterBy: Option[String] = None,
-    bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01)
+    bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
+    clusterWidth: Option[Long] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
@@ -1472,7 +1491,7 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
       }
     }
     new GraftWriterFactory(writeSchema, path, "b", clusterBy,
-      bloomCols, bloomFpp)
+      bloomCols, bloomFpp, clusterWidth)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftVersions.withTableLock(path) {
@@ -1610,7 +1629,8 @@ class GraftStreamingWrite(writeSchema: StructType, path: String)
 
 class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
     clusterBy: Option[String] = None,
-    bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01)
+    bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
+    clusterWidth: Option[Long] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     clusterBy match {
@@ -1648,8 +1668,22 @@ class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
           enc = new ObjectFormat.ObjectEncoder(writeSchema, bloomCols, bloomFpp)
           open = true
         }
+        // `clusterWidth`=W coarsens the rotation key to floorDiv(k, W):
+        // one object per CONTIGUOUS key bucket instead of one per key —
+        // the bounded-object-count form for high-cardinality cluster
+        // keys (integral columns only; contiguity is what lets the
+        // reader VERIFY the layout from footer min/max alone).
+        private val widthKey: Any => Any = clusterWidth match {
+          case None => identity
+          case Some(w) =>
+            require(dt == LongType || dt == IntegerType,
+              s"graft-objects: clusterWidth wants an integral column, $c is $dt")
+            k => if (k == null) null else Long.box(Math.floorDiv(
+              k match { case i: java.lang.Integer => i.longValue
+                        case l: java.lang.Long => l.longValue }, w))
+        }
         override def write(row: InternalRow): Unit = {
-          val key = if (row.isNullAt(idx)) null else row.get(idx, dt)
+          val key = widthKey(if (row.isNullAt(idx)) null else row.get(idx, dt))
           if (!open || key != currentKey) { rotate(); currentKey = key }
           enc.addInternal(row)
         }
@@ -1863,7 +1897,8 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
       new GraftPartialAggScan(fullSchema, accepted, groups, aggs, path)
     case _ => new GraftObjectScan(fullSchema, required, accepted, path,
       maxObjectsPerTrigger, limit, topN,
-      Option(options.get("clusteredBy")), maxBytesPerTrigger)
+      Option(options.get("clusteredBy")), maxBytesPerTrigger,
+      Option(options.get("clusterWidth")).map(_.toLong))
   }
 }
 
@@ -2100,7 +2135,8 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int],
     limit: Option[Int] = None, topN: Option[PushedTopN] = None,
     clusteredBy: Option[String] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    clusteredWidth: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -2164,7 +2200,11 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     * VERIFIED against footers; any violation falls back to normal
     * unknown partitioning (never wrong, just unoptimized). */
   private lazy val clusteredGroups: Option[Seq[(Any, Seq[String])]] =
-    GraftClustering.groups(selected, fullSchema, clusteredBy)
+    clusteredWidth match {
+      case Some(w) =>
+        GraftClustering.bucketGroups(selected, fullSchema, clusteredBy, w)
+      case None => GraftClustering.groups(selected, fullSchema, clusteredBy)
+    }
 
   /** Within a clustered partition every row carries the SAME cluster
     * key, so the partition is trivially sorted by it (a constant
@@ -2174,16 +2214,34 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     * shuffle-free AND sort-free on the cluster key. */
   override def outputOrdering(): Array[SortOrder] =
     clusteredGroups match {
-      case Some(_) => Array(Expressions.sort(
+      // width mode holds many keys per partition — no constant-column
+      // ordering claim; identity mode is one key per partition
+      case Some(_) if clusteredWidth.isEmpty => Array(Expressions.sort(
         Expressions.identity(clusteredBy.get), SortDirection.ASCENDING))
-      case None => Array.empty
+      case _ => Array.empty
     }
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     clusteredGroups match {
       case Some(groups) =>
+        // width mode reports a BUCKET transform (Iceberg-shape SPJ):
+        // the partition value is floorDiv(key, W), resolved through
+        // GraftCatalog's FunctionCatalog. The standard bucket(n, col)
+        // transform shape is load-bearing: Spark extracts the numeric
+        // argument into TransformExpression's numBucketsOpt, so the
+        // partitioning's leaf expressions are exactly the join column
+        // (a generic apply() keeps the literal as a leaf and the
+        // distribution check rejects it). Cross-catalog safety comes
+        // from the bound function's canonical name, which is what
+        // compatibility compares. Identity mode reports one key value
+        // per partition.
+        val expr = clusteredWidth match {
+          case Some(w) => Expressions.bucket(
+            math.toIntExact(w), clusteredBy.get)
+          case None => Expressions.identity(clusteredBy.get)
+        }
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(Expressions.identity(clusteredBy.get)), groups.size)
+          Array(expr), groups.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           planInputPartitions().length)
@@ -2456,6 +2514,44 @@ object GraftClustering {
             .map { case (k, ps) => (k, ps.map(_._1)) }
             .toSeq.sortBy(_._2.head)) // deterministic group order
         }
+      }
+    }
+
+  /** Width-bucketed grouping: an object belongs to bucket
+    * floorDiv(key, W). Buckets are CONTIGUOUS key ranges, so footer
+    * min/max alone verify the claim — floorDiv is monotone, hence
+    * bucket(min)==bucket(max) proves every row in between shares the
+    * bucket. This is what makes the clustered layout hold at
+    * high key cardinality: object count tracks #buckets, not #keys.
+    * Nulls are not bucketable (floorDiv of nothing) — any null in the
+    * cluster column disables the grouping (falls back to unknown
+    * partitioning, never wrong). */
+  def bucketGroups(selected: Seq[(String, ObjectFormat.Footer)],
+      fullSchema: StructType, clusteredBy: Option[String],
+      width: Long): Option[Seq[(Any, Seq[String])]] =
+    clusteredBy.flatMap { c =>
+      if (!fullSchema.fieldNames.contains(c)) None
+      else fullSchema(c).dataType match {
+        case LongType | IntegerType =>
+          def longOf(v: Any): Long = v match {
+            case i: java.lang.Integer => i.longValue
+            case l: java.lang.Long => l.longValue
+          }
+          def bucketOf(f: ObjectFormat.Footer): Option[Any] =
+            f.stats.get(c).flatMap { s =>
+              if (s.nullCount != 0 || s.min == null) None
+              else {
+                val lo = Math.floorDiv(longOf(s.min), width)
+                val hi = Math.floorDiv(longOf(s.max), width)
+                if (lo == hi) Some(Long.box(lo)) else None
+              }
+            }
+          val keyed = selected.map { case (p, f) => (p, bucketOf(f)) }
+          if (keyed.exists(_._2.isEmpty)) None
+          else Some(keyed.groupBy(_._2.get)
+            .map { case (k, ps) => (k, ps.map(_._1)) }
+            .toSeq.sortBy(_._2.head))
+        case _ => None
       }
     }
 }

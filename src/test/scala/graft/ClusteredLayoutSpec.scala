@@ -107,6 +107,72 @@ class ClusteredLayoutSpec extends SparkSpec {
     }
   }
 
+  test("width-bucketed clustering: bounded object count, catalog SPJ " +
+      "with zero shuffles at high key cardinality") {
+    // identity clustering = one object per KEY — right for low-
+    // cardinality keys, O(#keys) partitions otherwise (the r4 bench
+    // measured 13 s at sf0.1 from exactly that). Width mode buckets
+    // contiguous key ranges: object count tracks #buckets, the scan
+    // reports KeyGroupedPartitioning(graft_bucket(W, col)) resolved
+    // through the catalog's FunctionCatalog, and co-bucketed tables
+    // still join shuffle-free.
+    val W = 16L
+    val catRoot = tmp("graft-bspj")
+    spark.conf.set("spark.sql.catalog.gclu", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclu.root", catRoot)
+    spark.sql(
+      s"""CREATE TABLE gclu.main.o
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+         |USING `graft-objects`
+         |TBLPROPERTIES('clusterBy'='o_custkey','clusterWidth'='$W')"""
+        .stripMargin)
+    spark.sql(
+      s"""CREATE TABLE gclu.main.c (c_custkey BIGINT, c_name STRING)
+         |USING `graft-objects`
+         |TBLPROPERTIES('clusterBy'='c_custkey','clusterWidth'='$W')"""
+        .stripMargin)
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val customer = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    orders.repartition(4, expr(s"o_custkey div $W"))
+      .sortWithinPartitions("o_custkey")
+      .writeTo("gclu.main.o").append()
+    customer.repartition(4, expr(s"c_custkey div $W"))
+      .sortWithinPartitions("c_custkey")
+      .writeTo("gclu.main.c").append()
+
+    // object count is bucket-bounded, far below distinct keys
+    val nKeys = customer.select("c_custkey").distinct().count()
+    val oObjs = GraftObjectTable.listObjects(s"$catRoot/main/o").size
+    assert(oObjs > 1 && oObjs <= nKeys / 4,
+      s"width clustering must bound objects (got $oObjs for $nKeys keys)")
+
+    withSpjConf {
+      val joined = spark.table("gclu.main.o")
+        .join(spark.table("gclu.main.c"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).as("sum_total"),
+          min(col("c_name")).as("c_name"))
+      val n = shuffleCount(joined.select(col("o_custkey"), col("n_orders")))
+      assert(n <= 1, // SPJ elides the join shuffle; the final agg may keep one
+        s"bucketed SPJ must elide the join exchange, saw $n:\n" +
+          joined.queryExecution.executedPlan.toString.take(2000))
+      val joinOnly = spark.table("gclu.main.o")
+        .join(spark.table("gclu.main.c"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name")
+      assert(shuffleCount(joinOnly) == 0,
+        "the bucketed join itself must be shuffle-free:\n" +
+          joinOnly.queryExecution.executedPlan.toString.take(2000))
+      assert(canon(joinOnly) == canon(
+        orders.join(customer, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_custkey", "c_name")))
+    }
+  }
+
   test("aggregation on the cluster key runs without a shuffle") {
     val dir = tmp("graft-spagg"); val tgt = s"$dir/orders"
     val orders = Tables.load(spark, sf, "orders")

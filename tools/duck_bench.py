@@ -19,6 +19,9 @@ HEADLINE = [
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
     "q_sim_topk_brute", "q_sim_topk_brute_native",
     "q_text_tfidf", "q_stream_tumbling",
+    # round-3/4 capability rows (mirror graft.Bench.headline)
+    "q_src_objstore_agg_filtered", "q_src_clustered_join_bucketed",
+    "q_src_time_travel", "q_text_lm_score", "q_text_langid_confusion",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
