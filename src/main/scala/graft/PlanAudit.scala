@@ -41,7 +41,10 @@ object PlanAudit {
       "q_dedup_incremental", "q_src_clustered_join",
       "q_src_objstore_agg_filtered", "q_src_zorder",
       "q_text_lm_score", "q_src_orc_roundtrip", "q_src_time_travel",
-      "q_src_changes_since", "q_dedup_incremental_versioned")
+      "q_src_changes_since", "q_dedup_incremental_versioned",
+      // round-4 additions
+      "q_src_clustered_join_bucketed", "q_src_changes_rows",
+      "q_mm_phash_near", "q_text_langid_confusion")
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else (Bench.headline ++ extras).distinct

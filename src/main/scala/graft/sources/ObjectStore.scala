@@ -1156,7 +1156,8 @@ class GraftObjectTable(tableSchema: StructType, path: String,
         .getOrElse(Set.empty),
       Option(opts.get("bloomFilterFpp"))
         .map(_.toDouble).getOrElse(0.01),
-      Option(opts.get("clusterWidth")).map(_.toLong))
+      Option(opts.get("clusterWidth")).map(_.toLong),
+      Option(opts.get("commitMode")).contains("optimistic"))
   }
 
   /** `DELETE FROM … WHERE p` as an OBJECT-LEVEL operation — the
@@ -1430,14 +1431,15 @@ class GraftReplaceDataWrite(writeSchema: StructType, path: String,
 class GraftWriteBuilder(writeSchema: StructType, path: String,
     clusterBy: Option[String] = None,
     bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
-    clusterWidth: Option[Long] = None)
+    clusterWidth: Option[Long] = None,
+    optimistic: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(writeSchema, path, doTruncate, clusterBy,
-        bloomCols, bloomFpp, clusterWidth)
+        bloomCols, bloomFpp, clusterWidth, optimistic)
     /** Streaming write: each micro-batch epoch commits its staged
       * objects onto the tail of the `<table>.<seq>` sequence — which is
       * exactly what makes the table readable as a stream (offset =
@@ -1465,7 +1467,8 @@ case class GraftStagedObjects(stagedPaths: Seq[String], partitionId: Int)
 class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
     clusterBy: Option[String] = None,
     bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
-    clusterWidth: Option[Long] = None)
+    clusterWidth: Option[Long] = None,
+    optimistic: Boolean = false)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
@@ -1493,8 +1496,50 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
     new GraftWriterFactory(writeSchema, path, "b", clusterBy,
       bloomCols, bloomFpp, clusterWidth)
   }
+  /** `.option("commitMode", "optimistic")` — the LOCK-FREE append for
+    * writers that do not share `_lock`'s advisory semantics (separate
+    * hosts / object stores). Two atomic-exclusive claims replace the
+    * lock: each object NAME is claimed by hard-linking the staged file
+    * to `<table>.<seq>` (a loser gets FileAlreadyExistsException and
+    * probes the next sequence number), then the VERSION is claimed via
+    * GraftVersions.commitOptimistic's `_log.d/<v>` link. Append-only:
+    * an optimistic TRUNCATE would race the archive moves, and
+    * cross-host overwrite wants a coordinator anyway — refused. */
+  private def commitAppendOptimistic(
+      messages: Array[WriterCommitMessage]): Unit = {
+    require(!truncate,
+      "graft-objects: commitMode=optimistic supports append only")
+    val dir = new File(path)
+    val table = dir.getName
+    val staged = messages.flatMap {
+      case GraftStagedObject(s, _) => Seq(s)
+      case GraftStagedObjects(ss, _) => ss
+    }
+    var seq = GraftVersions.nextSeq(path)
+    val added = staged.map { s =>
+      var placed: String = null
+      while (placed == null) {
+        val dst = new File(dir, s"$table.$seq")
+        try {
+          Files.createLink(dst.toPath, Paths.get(s))
+          Files.delete(Paths.get(s))
+          placed = dst.getName
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => seq += 1
+        }
+      }
+      seq += 1
+      placed
+    }
+    GraftVersions.commitOptimistic(path) { v =>
+      GraftVersions.Commit(v, added.toSeq, Nil, Nil, None,
+        System.currentTimeMillis())
+    }
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftVersions.withTableLock(path) {
+    if (optimistic) commitAppendOptimistic(messages)
+    else GraftVersions.withTableLock(path) {
       val dir = new File(path)
       val table = dir.getName
       val v = GraftVersions.nextVersion(path)

@@ -418,4 +418,51 @@ class ObjectStoreFeaturesSpec extends SparkSpec {
     assert(sizes.size >= 4 && sizes.size <= 8,
       s"byte cap of ~2 objects should take 4-8 bounded batches, got $sizes")
   }
+
+  test("commitMode=optimistic: concurrent lock-free appenders, no lost " +
+      "rows, disjoint object names, serialized version history") {
+    val dir = tmp("graft-occ-write"); val tgt = s"$dir/t"
+    val nation = Tables.load(spark, sf, "nation")
+    // seed the table through the ordinary locked path
+    nation.write.format("graft-objects").mode("overwrite").save(tgt)
+    val writers = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val done = new java.util.concurrent.CountDownLatch(writers)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          try {
+            // distinct payload per writer so lost commits are visible
+            nation.withColumn("n_nationkey",
+                (col("n_nationkey") + lit(1000 * (w + 1))).cast("int"))
+              .repartition(2)
+              .write.format("graft-objects")
+              .option("commitMode", "optimistic")
+              .mode("append").save(tgt)
+          } catch { case t: Throwable => errs.add(t) }
+          finally done.countDown()
+        }
+      })
+    }
+    done.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(errs.isEmpty, s"optimistic appender failed: ${errs.peek()}")
+    // every writer's rows present exactly once
+    val out = spark.read.format("graft-objects").load(tgt)
+    assert(out.count() == nation.count() * (writers + 1))
+    (1 to writers).foreach { w =>
+      assert(out.filter(col("n_nationkey") >= 1000L * w &&
+        col("n_nationkey") < 1000L * w + 100).count() == nation.count(),
+        s"writer $w lost rows")
+    }
+    // object names disjoint (no silent replacement) and log serialized
+    val objs = GraftObjectTable.listObjects(tgt).map(p => new java.io.File(p).getName)
+    assert(objs.distinct.size == objs.size)
+    val log = graft.sources.GraftVersions.readLog(tgt)
+    assert(log.map(_.v) == (1 to log.size).toList,
+      s"version history must be consecutive, got ${log.map(_.v)}")
+    assert(log.flatMap(_.add).toSet.size == log.flatMap(_.add).size,
+      "no object may be committed twice")
+  }
 }
