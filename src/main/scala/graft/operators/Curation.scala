@@ -355,7 +355,7 @@ object Curation extends QueryModule {
   }
 
   private val semanticQ = (s: SparkSession, dir: String) =>
-    Dedup.connectedComponents(semanticEdges(s, dir))
+    Dedup.connectedComponentsStars(semanticEdges(s, dir))
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("kept", col("vec_id") === col("cluster_id"))
 

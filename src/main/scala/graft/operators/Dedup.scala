@@ -264,7 +264,7 @@ object Dedup extends QueryModule {
     * (cols ida, idb) — shared by the jaccard clusters below and the
     * embedding-space semantic dedup in Curation.scala. Returns
     * (id, label) where label = min id reachable in the component. */
-  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("idb"), col("ida")))
       .toDF("a", "b")
@@ -285,8 +285,84 @@ object Dedup extends QueryModule {
     labels
   }
 
+  /** Alternating large-star / small-star connected components — the
+    * O(log n)-round upgrade the min-label loop's doc promised (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * each round is two keyed aggregations + joins over the EDGE set;
+    * convergence is when the edge set is a stable forest of stars
+    * (every node linked directly to its component minimum), which the
+    * paper proves takes O(log n) alternations regardless of component
+    * DIAMETER — the regime (long chains) where min-label propagation's
+    * O(diameter) rounds degrade. Per-round driver work is one
+    * count+hash fingerprint action, same bounded discipline as the
+    * min-label loop but exponentially fewer rounds on deep graphs.
+    *
+    *  - large-star: for every node u with neighbor set N(u), link each
+    *    LARGER neighbor v > u to m = min(N(u) ∪ {u}).
+    *  - small-star: link each smaller-or-equal neighbor (and u itself)
+    *    to m, dropping self-loops.
+    *
+    * Output contract identical to [[connectedComponents]]: (id, label)
+    * with label = min id reachable — DedupPropertySpec proves
+    * equivalence against the min-label loop on random graphs, and the
+    * three CC consumers (jaccard clusters, semantic dedup, pHash
+    * near-dup) stay oracle-exact through it. */
+  private[graft] def connectedComponentsStars(pairs: DataFrame): DataFrame = {
+    var edges = pairs
+      .select(col("ida").cast("long").as("a"), col("idb").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    def bidir(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    // one aggregation computes m(u) = min(N(u) ∪ {u}); the join fans
+    // the constant back over u's edges — no collect_list, so a
+    // high-degree hub never materializes its neighbor array
+    def withMin(nbrs: DataFrame): DataFrame = {
+      val mins = nbrs.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+      nbrs.join(mins, "a")
+    }
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+    def largeStar(e: DataFrame): DataFrame =
+      canon(withMin(bidir(e)).filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")))
+    def smallStar(e: DataFrame): DataFrame = {
+      val sm = withMin(bidir(e).filter(col("b") <= col("a")))
+      canon(sm.select(col("b").as("a"), col("m").as("b"))
+        .unionAll(sm.select(col("a"), col("m").as("b"))))
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent AND overflow-free under ANSI
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    var stable = false
+    while (!stable) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      stable = nfp == fp
+      fp = nfp
+      edges = next
+    }
+    // converged: stars — every edge links a node to its component min.
+    // Labels: min over incident edges (center labels itself).
+    bidir(edges)
+      .groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), col("a")).as("label"))
+      .select(col("id"), col("label"))
+  }
+
   private val clustersQ = (s: SparkSession, dir: String) =>
-    connectedComponents(jaccardPairs(s, dir, 0.7).select(col("ida"), col("idb")))
+    connectedComponentsStars(jaccardPairs(s, dir, 0.7).select(col("ida"), col("idb")))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
 
   /** The verified-jaccard cluster labeling, for composition (canonical

@@ -591,7 +591,7 @@ object Multimodal extends QueryModule {
       .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= 7)
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
       .distinct()
-    Dedup.connectedComponents(pairs)
+    Dedup.connectedComponentsStars(pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("kept", col("doc_id") === col("cluster_id"))
   }

@@ -83,6 +83,33 @@ class DedupSpec extends SparkSpec {
       s"semi + anti must both broadcast:\n${plan.take(1500)}")
   }
 
+  test("large-star/small-star CC equals min-label propagation on random " +
+      "graphs and converges fast on a deep chain") {
+    val s = spark
+    import s.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { trial =>
+      val n = 40 + trial * 30
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("ida", "idb")
+      val stars = labelsOf(graft.operators.Dedup.connectedComponentsStars(edges))
+      val minl = labelsOf(graft.operators.Dedup.connectedComponents(edges))
+      assert(stars == minl, s"trial $trial: algorithms disagree")
+      // labels really are component minima: every label labels itself
+      stars.values.foreach(l => assert(stars(l) == l))
+    }
+    // a 256-node path: diameter 255 (min-label would need ~255 rounds);
+    // the alternating rounds must label the whole chain with node 0
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val lab = labelsOf(graft.operators.Dedup.connectedComponentsStars(chain))
+    assert(lab.size == 256 && lab.values.forall(_ == 0L),
+      "deep chain must collapse to one component labeled 0")
+  }
+
   test("cosine pairs: bounded by 1, above threshold, deterministic rerun") {
     val once = run("q_dedup_cosine_pairs").collect()
     once.foreach { r =>
