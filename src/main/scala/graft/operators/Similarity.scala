@@ -186,9 +186,13 @@ object Similarity extends QueryModule {
     * cells×dim partials — the corpus is never shuffled. */
   private def trainIvf(e: DataFrame): DataFrame = {
     // deterministic seed sample → cells 0..NCells-1 (row_number runs on
-    // NCells rows post-limit, not the corpus)
+    // NCells rows post-limit, not the corpus). Seed key is md5 of the
+    // id string — a seeded pseudo-random order BOTH engines can
+    // compute, which is what lets ivfSql rebuild the whole training
+    // run (r4: xxhash64 has no DuckDB counterpart and kept this query
+    // rows-only)
     val wSeed = Window.orderBy(col("hk"), col("vec_id"))
-    var cents = e.withColumn("hk", xxhash64(col("vec_id")))
+    var cents = e.withColumn("hk", md5(col("vec_id").cast("string")))
       .orderBy(col("hk"), col("vec_id")).limit(NCells)
       .withColumn("cell", row_number().over(wSeed) - 1)
       .select(col("cell"), col("embedding").cast("array<double>").as("centroid"))
@@ -237,6 +241,139 @@ object Similarity extends QueryModule {
     val e = Tables.embeddings(s, dir)
     ivfRanked(e, e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+  }
+
+  /** Full DuckDB oracle for the multiprobe-LSH ANN query (r4 — this
+    * was the suite's last rows-only batch query): the ±1 hyperplane
+    * sign matrix is deterministic (seeded), so the oracle carries it —
+    * and the 697 probe masks — as VALUES literals (the generated-SQL
+    * pattern simhashSql established) and rebuilds bucket assignment,
+    * probe expansion, the bucket equi-join, exact cosine, and the
+    * top-5 window from first principles. Sign-boundary float risk is
+    * negligible: projections are O(1)-magnitude sums of 64 products;
+    * a cross-engine summation-order flip would need |proj| ≲ 1e-12. */
+  private def annLshSql: String = {
+    val signs = VectorOps.signsFor(Dim, NBits, 42L)
+    val signRows = (for (k <- 0 until NBits; d <- 0 until Dim)
+      yield s"($k,${d + 1},${signs(k)(d).toInt})").mkString(",")
+    val maskRows = probeMasks(NBits, Probe).map(m => s"($m)").mkString(",")
+    s"""WITH signs(plane, dim, sgn) AS (VALUES $signRows),
+       |masks(m) AS (VALUES $maskRows),
+       |proj AS (
+       |  SELECT e.vec_id, s.plane,
+       |    SUM(s.sgn * CAST(e.embedding[s.dim] AS DOUBLE)) AS p
+       |  FROM embeddings e, signs s GROUP BY 1, 2),
+       |b AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN p > 0 THEN CAST(power(2, plane) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |probes AS (
+       |  SELECT q.vec_id AS qid, xor(q.bucket, m.m) AS bucket
+       |  FROM b q, masks m WHERE q.vec_id < 20),
+       |cand AS (
+       |  SELECT p.qid, c.vec_id FROM probes p JOIN b c USING (bucket)),
+       |scored AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |    round(
+       |      list_sum(list_transform(range(1, len(a.embedding)+1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+       |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+       |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+       |      6) AS cos
+       |  FROM cand
+       |  JOIN embeddings a ON cand.qid = a.vec_id
+       |  JOIN embeddings c ON cand.vec_id = c.vec_id)
+       |SELECT qid, vec_id, cos, rnk FROM (
+       |  SELECT qid, vec_id, cos, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Full DuckDB oracle for the IVF ANN query (r4 — with md5 seeding
+    * both engines share, the ENTIRE training run is SQL-expressible):
+    * seed sample by md5 order, both Lloyd rounds UNROLLED as CTE
+    * chains (assignment = argmax cosine with ties to the smallest
+    * cell = one window rank; recomputation = the same 1e-6-quantized
+    * long-sum mean the Spark side uses, so centroids agree exactly),
+    * then probe-cell selection, the cell equi-join, exact cosine
+    * rerank, and the top-5 window. Generated per Lloyd round from one
+    * template — the SQL mirrors trainIvf/assignCells/ivfRanked
+    * structurally. */
+  private def ivfSql: String = {
+    // one Lloyd round: centroids (cell,pos,m) + norms from the given
+    // centroid CTE; emits assignN over raw doubles
+    def assignCte(n: Int, centSrc: String): String =
+      s"""cn$n AS (SELECT cell, sqrt(SUM(m * m)) AS nrm
+         |  FROM $centSrc GROUP BY 1),
+         |dot$n AS (
+         |  SELECT ev.vec_id, c.cell, SUM(ev.v * c.m) AS d
+         |  FROM ev JOIN $centSrc c ON ev.pos = c.pos GROUP BY 1, 2),
+         |assign$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell, row_number() OVER (
+         |      PARTITION BY d.vec_id
+         |      ORDER BY d.d / (en.nrm * cn$n.nrm) DESC, d.cell ASC) AS rn
+         |    FROM dot$n d JOIN en ON d.vec_id = en.vec_id
+         |    JOIN cn$n ON d.cell = cn$n.cell)
+         |  WHERE rn = 1)""".stripMargin
+    def recomputeCte(n: Int, fromAssign: String): String =
+      s"""c$n AS (
+         |  SELECT a.cell, ev.pos,
+         |    CAST(SUM(CAST(round(ev.v * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / 1e6 / COUNT(*) AS m
+         |  FROM $fromAssign a JOIN ev ON a.vec_id = ev.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)),
+       |en AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ev GROUP BY 1),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |    vec_id
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCells),
+       |c0 AS (
+       |  SELECT s.cell, ev.pos, ev.v AS m
+       |  FROM seeds s JOIN ev ON s.vec_id = ev.vec_id),
+       |${assignCte(0, "c0")},
+       |${recomputeCte(1, "assign0")},
+       |${assignCte(1, "c1")},
+       |${recomputeCte(2, "assign1")},
+       |${assignCte(2, "c2")},
+       |qdot AS (
+       |  SELECT ev.vec_id AS qid, c.cell, SUM(ev.v * c.m) AS d
+       |  FROM ev JOIN c2 c ON ev.pos = c.pos
+       |  WHERE ev.vec_id < 20 GROUP BY 1, 2),
+       |qcells AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, q.cell, row_number() OVER (
+       |      PARTITION BY q.qid
+       |      ORDER BY q.d / (en.nrm * cn2.nrm) DESC, q.cell ASC) AS pr
+       |    FROM qdot q JOIN en ON q.qid = en.vec_id
+       |    JOIN cn2 ON q.cell = cn2.cell)
+       |  WHERE pr <= $NProbe),
+       |cand AS (
+       |  SELECT qc.qid, a.vec_id
+       |  FROM qcells qc JOIN assign2 a ON qc.cell = a.cell),
+       |dots AS (
+       |  SELECT cand.qid, cand.vec_id, SUM(qa.v * ca.v) AS d
+       |  FROM cand
+       |  JOIN ev qa ON cand.qid = qa.vec_id
+       |  JOIN ev ca ON cand.vec_id = ca.vec_id AND qa.pos = ca.pos
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT dots.qid, dots.vec_id,
+       |    round(dots.d / (eq.nrm * ec.nrm), 6) AS cos
+       |  FROM dots JOIN en eq ON dots.qid = eq.vec_id
+       |  JOIN en ec ON dots.vec_id = ec.vec_id)
+       |SELECT qid, vec_id, cos, rnk FROM (
+       |  SELECT qid, vec_id, cos, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5""".stripMargin
   }
 
   /** Corpus + an exact clone (vec_id + 10000) of each query vector —
@@ -495,10 +632,10 @@ object Similarity extends QueryModule {
       "brute-force cosine top-10 (TakeOrderedAndProject merge)"),
     "q_sim_topk_per_query" -> Q(perQueryQ, Some(perQuerySql),
       "batch top-3 per query via broadcast + window rank"),
-    "q_sim_ann_lsh" -> Q(annQ, None,
+    "q_sim_ann_lsh" -> Q(annQ, Some(annLshSql),
       "LSH multiprobe ANN top-5: exploded probe-bucket equi-join"),
-    "q_sim_ann_ivf" -> Q(ivfQ, None,
-      "IVF ANN: k-means cells + nprobe search (rows-only; recall in spec)"),
+    "q_sim_ann_ivf" -> Q(ivfQ, Some(ivfSql),
+      "IVF ANN: k-means cells + nprobe search (full training-run oracle)"),
     "q_sim_ann_lsh_planted" -> Q(annLshPlantedQ, Some(plantedSql),
       "LSH ANN vs planted exact-duplicate ground truth (oracle-checked)"),
     "q_sim_ann_ivf_planted" -> Q(annIvfPlantedQ, Some(plantedSql),
