@@ -137,7 +137,50 @@ object Sampling extends QueryModule {
         col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Epoch-deterministic training-order shuffle — the "global shuffle
+    * per epoch" a training loader needs, WITHOUT a global sort: each
+    * document is assigned a shard by an epoch-seeded content hash
+    * (map-side) and ordered WITHIN its shard by a second hash draw, so
+    * the permutation is a pure function of (epoch, doc_id): identical
+    * across runs, partitionings, and engines, and a different-but-
+    * equally-uniform order every epoch. The only exchange is the shard
+    * key (one shuffle); readers stream shards independently — at
+    * 100 TB that is "write N shard files per epoch", never "sort the
+    * corpus". Changing the epoch literal reshuffles everything; the
+    * spec checks two epochs produce different orders and identical
+    * membership. */
+  private val NumShards = 8
+  private val Epoch = 3
+  private def epochShuffleQ(epoch: Int): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s: SparkSession, dir: String) => {
+      val hk = md5(concat_ws(":", lit(epoch), col("doc_id")))
+      val shard = (conv(substring(md5(concat_ws("#", lit(epoch),
+        col("doc_id"))), 1, 4), 16, 10).cast("long") % NumShards).cast("int")
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("hk"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), shard.as("shard"), hk.as("hk"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("shard"), col("rn"), col("doc_id"))
+    }
+
+  private def epochShuffleSql(epoch: Int): String =
+    s"""SELECT shard, rn, doc_id FROM (
+       |  SELECT doc_id,
+       |    CAST(CAST(('0x' || substring(md5($epoch || '#' || doc_id), 1, 4))
+       |         AS BIGINT) % $NumShards AS INT) AS shard,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY CAST(('0x' || substring(md5($epoch || '#' || doc_id), 1, 4)) AS BIGINT) % $NumShards
+       |      ORDER BY md5($epoch || ':' || doc_id), doc_id) AS rn
+       |  FROM documents)""".stripMargin
+
+  /** For SamplingSpec: the same shuffle at another epoch. */
+  private[graft] def epochShuffleAt(epoch: Int): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    epochShuffleQ(epoch)
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_epoch_shuffle" -> Q(epochShuffleQ(Epoch), Some(epochShuffleSql(Epoch)),
+      "epoch-deterministic training-order shuffle: hash shard + in-shard rank"),
     "q_sample_hash" -> Q(hashSample, Some(hashSampleSql),
       "deterministic hash-Bernoulli sample (map-only, nesting rates)"),
     "q_sample_fixed_n" -> Q(fixedN, Some(fixedNSql),

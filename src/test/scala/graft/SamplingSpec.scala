@@ -63,6 +63,29 @@ class SamplingSpec extends SparkSpec {
     assert(exchanges == 1, s"want 1 hash exchange, got $exchanges")
   }
 
+  test("epoch shuffle: same membership, different order per epoch, " +
+      "single shard exchange") {
+    import org.apache.spark.sql.functions.col
+    def run(e: Int) = graft.operators.Sampling.epochShuffleAt(e)(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val e3 = run(3); val e4 = run(4)
+    // every doc appears exactly once in every epoch
+    assert(e3.map(_._3).sorted.toSeq == e4.map(_._3).sorted.toSeq)
+    assert(e3.map(_._3).distinct.length == e3.length)
+    // the permutation actually changes between epochs
+    val pos3 = e3.map(t => t._3 -> (t._1, t._2)).toMap
+    val moved = e4.count(t => pos3(t._3) != ((t._1, t._2)))
+    assert(moved > e4.length / 2,
+      s"epoch change must reshuffle most docs, moved only $moved/${e4.length}")
+    // rerun-deterministic
+    assert(run(3).toSeq == e3.toSeq)
+    // one exchange: the shard-key window shuffle (plus nothing global)
+    val plan = graft.operators.Sampling.epochShuffleAt(3)(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort allowed in the epoch shuffle:\n${plan.take(600)}")
+  }
+
   test("hash sample plan: filter is map-side (single agg exchange only)") {
     val plan = run("q_sample_hash").queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).length
