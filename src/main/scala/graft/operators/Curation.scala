@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   * eval-set gram list (eval sets are tiny by construction) so the probe
   * is a map-side hash semi-join; no corpus shuffle at all. (3) is pure
   * per-row regex — map-only, zero shuffles, fully codegen'd. (4)/(5)
-  * run CC over the EDGE list only (near-dup pairs ≪ corpus; same
-  * fixpoint loop as q_dedup_clusters), then one window over cluster
+  * run CC over the EDGE list only (near-dup pairs ≪ corpus; the
+  * alternating large-star/small-star rounds from Dedup — O(log n)
+  * regardless of component diameter), then one window over cluster
   * members. (6) is the stratified-sample shape: one shuffle on the
   * domain key; quotas are a broadcast-size literal map. All six are
   * pure column expressions — no UDFs, nothing leaves whole-stage
