@@ -407,16 +407,26 @@ object GraftVersions {
     val removedN = (a.keySet -- b.keySet).toSeq.sorted
     val changedN = (a.keySet & b.keySet).toSeq.sorted
       .filter(n => a(n) != b(n))
+    // Per-CALL staging dir: a concurrent changes() on the same table
+    // must not wipe links a previously returned (lazily evaluated)
+    // DataFrame still reads. Stale stagings are bounded — links only —
+    // and reaped on JVM exit plus opportunistically here (only dirs
+    // older than an hour, so no live reader can lose its links).
     val cdfRoot = new File(dir, "_cdf")
-    // wipe prior stagings (best-effort; the dirs are links only)
     def rmTree(f: File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
       f.delete()
     }
-    rmTree(cdfRoot)
+    val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    Option(cdfRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.lastModified() < cutoff)
+      .foreach(rmTree)
+    val callRoot = new File(cdfRoot,
+      java.util.UUID.randomUUID().toString.take(8))
+    sys.addShutdownHook { try rmTree(callRoot) catch { case _: Throwable => } }
     def stage(tag: String, names: Seq[String],
         pick: Map[String, String]): File = {
-      val d = new File(cdfRoot, tag); d.mkdirs()
+      val d = new File(callRoot, tag); d.mkdirs()
       names.zipWithIndex.foreach { case (n, i) =>
         val src = Paths.get(pick(n))
         val dst = new File(d, s"${d.getName}.$i").toPath
