@@ -1881,8 +1881,16 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
           .filter { case (_, f) =>
             f.rowCount > 0 && accepted.forall(ObjectFormat.mightMatch(_, f))
           }
-        if (GraftClustering.groups(sel, fullSchema, cOpt).isDefined)
-          return false
+        // same refusal for both layout modes: identity (one key per
+        // object) and width-bucketed (r4) — a bucketed GROUP BY on the
+        // cluster key also rides the KeyGroupedPartitioning
+        val clustered =
+          Option(options.get("clusterWidth")).map(_.toLong) match {
+            case Some(w) =>
+              GraftClustering.bucketGroups(sel, fullSchema, cOpt, w)
+            case None => GraftClustering.groups(sel, fullSchema, cOpt)
+          }
+        if (clustered.isDefined) return false
       }
     }
     if (footerTier) {
