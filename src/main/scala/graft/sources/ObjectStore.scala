@@ -1021,13 +1021,22 @@ object ObjectStoreMaintenance {
     * The rewrite is a truncate commit, so the pre-compaction
     * generation stays time-travelable until vacuum. */
   def compactClustered(spark: SparkSession, dir: String,
-      clusterCol: String): Unit = {
-    import org.apache.spark.sql.functions.col
-    spark.read.format("graft-objects").load(dir)
-      .repartition(col(clusterCol))
-      .sortWithinPartitions(clusterCol)
-      .write.format("graft-objects").option("clusterBy", clusterCol)
-      .mode("overwrite").save(dir)
+      clusterCol: String, width: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val keyed = width match {
+      // width-bucketed layout (r4): re-cluster on the bucket, one
+      // object per bucket after arbitrary appends
+      case Some(w) => spark.read.format("graft-objects").load(dir)
+        .repartition(expr(s"$clusterCol div $w"))
+        .sortWithinPartitions(clusterCol)
+      case None => spark.read.format("graft-objects").load(dir)
+        .repartition(col(clusterCol))
+        .sortWithinPartitions(clusterCol)
+    }
+    val writer = keyed.write.format("graft-objects")
+      .option("clusterBy", clusterCol)
+    width.foreach(w => writer.option("clusterWidth", w.toString))
+    writer.mode("overwrite").save(dir)
   }
 }
 

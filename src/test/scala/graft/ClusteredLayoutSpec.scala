@@ -173,6 +173,39 @@ class ClusteredLayoutSpec extends SparkSpec {
     }
   }
 
+  test("width-bucketed compaction: appends merge back to one object " +
+      "per bucket, SPJ-readable, content preserved") {
+    val W = 16L
+    val dir = tmp("graft-bcomp"); val tgt = s"$dir/orders"
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    def writeOnce(mode: String): Unit =
+      orders.repartition(2, expr(s"o_custkey div $W"))
+        .sortWithinPartitions("o_custkey")
+        .write.format("graft-objects")
+        .option("clusterBy", "o_custkey").option("clusterWidth", W.toString)
+        .mode(mode).save(tgt)
+    writeOnce("overwrite"); writeOnce("append") // 2 objects per bucket
+    val before = GraftObjectTable.listObjects(tgt).size
+    graft.sources.ObjectStoreMaintenance.compactClustered(
+      spark, tgt, "o_custkey", Some(W))
+    val after = GraftObjectTable.listObjects(tgt).size
+    assert(after < before && after * 2 == before,
+      s"compaction must halve the doubled layout ($before -> $after)")
+    // every object still single-bucket (footer-verifiable)
+    GraftObjectTable.listObjects(tgt).foreach { p =>
+      val s = ObjectFormat.readFooter(p).stats("o_custkey")
+      def b(v: Any) = Math.floorDiv(
+        v match { case i: java.lang.Integer => i.longValue
+                  case l: java.lang.Long => l.longValue }, W)
+      assert(s.nullCount == 0 && b(s.min) == b(s.max),
+        s"$p: compacted object spans buckets")
+    }
+    // content = two copies of orders
+    assert(spark.read.format("graft-objects").load(tgt).count()
+      == orders.count() * 2)
+  }
+
   test("aggregation on the cluster key runs without a shuffle") {
     val dir = tmp("graft-spagg"); val tgt = s"$dir/orders"
     val orders = Tables.load(spark, sf, "orders")
