@@ -654,6 +654,63 @@ object Sources extends QueryModule {
         Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"))
   }
 
+  /** STREAMING change feed (the CDC face of the version log): offsets
+    * are VERSION numbers; `.option("changeFeed", "true")` turns commit
+    * history into a stream of inserted/deleted rows (object-granular:
+    * a rewrite emits full pre-image deletes + post-image inserts — the
+    * file-level CDC encoding). The fixture writes orders WIDTH-
+    * CLUSTERED on o_orderkey (W=1000) so object membership is a pure
+    * function of the VALUES — which is exactly what makes the
+    * object-granular event stream closed-form for the oracle: DELETE
+    * o_orderkey<=1500 provably unlinks bucket 0 (keys ≤999, footer
+    * max<=1500) and rewrites bucket 1 (keys 1000..1999), so deletes =
+    * all rows ≤1999 and inserts = the bucket-1 post-image (1501..1999)
+    * plus the appended tranche (≤500). AvailableNow drains the feed
+    * from the captured pre-op version into a memory sink. */
+  private val changeFeedStream = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    val out = s"$root/main/orders_cdfs"
+    Tables.orders(s, dir)
+      .repartition(4, expr("o_orderkey div 1000"))
+      .sortWithinPartitions("o_orderkey")
+      .write.format("graft-objects")
+      .option("clusterBy", "o_orderkey").option("clusterWidth", "1000")
+      .mode("overwrite").save(out)
+    val v0 = graft.sources.GraftVersions.currentVersion(out)
+    s.sql("DELETE FROM graft.main.orders_cdfs WHERE o_orderkey <= 1500")
+    Tables.orders(s, dir).filter(col("o_orderkey") <= 500)
+      .repartition(1)
+      .write.format("graft-objects").mode("append").save(out)
+    val feed = s.readStream.format("graft-objects")
+      .option("changeFeed", "true")
+      .option("startingVersion", v0.toString)
+      .load(out)
+    val sink = "cdfs_sink_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = feed.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cdfs-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"))
+  }
+
+  private val changeFeedStreamSql =
+    """SELECT 'delete' AS _change_type, COUNT(*) AS n,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_total
+      |FROM orders WHERE o_orderkey <= 1999
+      |UNION ALL
+      |SELECT 'insert', COUNT(*), min(o_orderkey), max(o_orderkey),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |FROM (SELECT * FROM orders WHERE o_orderkey BETWEEN 1501 AND 1999
+      |      UNION ALL SELECT * FROM orders WHERE o_orderkey <= 500)""".stripMargin
+
   private val changesRowsSql =
     """SELECT 'delete' AS _change_type, COUNT(*) AS n,
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
@@ -770,6 +827,8 @@ object Sources extends QueryModule {
       "incremental delta view @vA..B: exactly the objects added since A"),
     "q_src_changes_rows" -> Q(changesRows, Some(changesRowsSql),
       "row-level change feed: inserted/deleted rows via log + archive diff"),
+    "q_stream_change_feed" -> Q(changeFeedStream, Some(changeFeedStreamSql),
+      "streaming CDC: version-number offsets, insert/delete row events"),
     "q_src_clustered_join" -> Q(clusteredJoin, Some(clusteredJoinSql),
       "value-clustered layout: storage-partitioned join + agg, zero shuffles"),
     "q_src_clustered_join_bucketed" -> Q(clusteredBucketed,

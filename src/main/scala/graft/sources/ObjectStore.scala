@@ -1052,6 +1052,12 @@ class GraftObjectSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    if (Option(options.get("changeFeed")).contains("true"))
+      return GraftChangeFeed.feedSchema(inferDataSchema(options))
+    inferDataSchema(options)
+  }
+
+  private def inferDataSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = pathOf(options)
     val (base, ref) = GraftVersions.split(dir)
     // live sidecar first: authoritative after ALTER TABLE (older
@@ -1079,7 +1085,12 @@ class GraftObjectSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftObjectTable(schema, properties.get("path"))
+    if (Option(properties.get("changeFeed")).contains("true"))
+      new GraftChangeFeedTable(
+        StructType(schema.dropRight(2)), // strip the feed's meta columns
+        properties.get("path"),
+        Option(properties.get("startingVersion")).map(_.toInt))
+    else new GraftObjectTable(schema, properties.get("path"))
 }
 
 object GraftObjectTable {
@@ -2943,4 +2954,141 @@ class GraftObjectReader(path: String, fullSchema: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------------
+// Streaming CHANGE FEED over the version log (r4) — CDC for the object
+// store: `.option("changeFeed", "true")` on a readStream turns the
+// table's commit history into a stream of inserted/deleted rows, with
+// STREAM OFFSETS = VERSION NUMBERS. Each micro-batch covers the
+// commits in (startVersion, endVersion]; added objects stream their
+// rows as inserts, removed objects stream their archived pre-image as
+// deletes, and an in-place rewrite emits its full pre-image as deletes
+// plus its post-image as inserts (object-granular CDC — the file-level
+// encoding Delta-style change feeds use; the row-minimal diff is the
+// batch-side GraftVersions.changes). Replay is deterministic: a
+// version's events are a pure function of the log + archive, so
+// checkpoint recovery re-emits identical batches (until VACUUM drops
+// the archive floor, which fails loudly rather than silently
+// under-reporting).
+// ---------------------------------------------------------------------
+
+/** Offset = committed version number. */
+case class GraftVersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+object GraftChangeFeed {
+  /** Data columns + the feed's metadata pair. */
+  def feedSchema(data: StructType): StructType =
+    StructType(data.fields :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_version", IntegerType, nullable = false))
+}
+
+class GraftChangeFeedTable(dataSchema: StructType, path: String,
+    startingVersion: Option[Int])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-changes:$path"
+  override def schema(): StructType = GraftChangeFeed.feedSchema(dataSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType =
+          GraftChangeFeed.feedSchema(dataSchema)
+        override def description(): String = s"GraftChangeFeed path=$path"
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new GraftChangesMicroBatchStream(dataSchema, path, startingVersion)
+      }
+    }
+}
+
+case class GraftChangePartition(objPath: String, insert: Boolean,
+    version: Int) extends InputPartition
+
+class GraftChangesMicroBatchStream(dataSchema: StructType, path: String,
+    startingVersion: Option[Int]) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
+
+  // AvailableNow pins the drain target at trigger time: versions
+  // committed after the pin wait for the next run
+  private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GraftVersions.currentVersion(path))
+
+  override def initialOffset(): Offset =
+    GraftVersionOffset(
+      startingVersion.getOrElse(GraftVersions.currentVersion(path)))
+  override def latestOffset(): Offset =
+    GraftVersionOffset(availableNowCap
+      .getOrElse(GraftVersions.currentVersion(path)))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = latestOffset()
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[GraftVersionOffset].v
+    val b = end.asInstanceOf[GraftVersionOffset].v
+    if (b <= a) return Array.empty
+    require(a >= GraftVersions.vacuumFloor(path),
+      s"graft-changes: versions <= ${GraftVersions.vacuumFloor(path)} " +
+        s"vacuumed; cannot stream changes from $a")
+    val log = GraftVersions.readLog(path)
+    // an object's content AS OF version v: live unless a LATER commit
+    // removed or rewrote the name (then the archive holds the v-image)
+    def contentAsOf(name: String, v: Int): String =
+      log.find(c => c.v > v &&
+        (c.del.contains(name) || c.rw.contains(name))) match {
+        case Some(c) =>
+          new File(new File(path, "_archive"), s"$name@v${c.v}").getPath
+        case None => new File(path, name).getPath
+      }
+    def preImage(name: String, v: Int): String =
+      new File(new File(path, "_archive"), s"$name@v$v").getPath
+    log.filter(c => c.v > a && c.v <= b).flatMap { c =>
+      c.add.map(n =>
+        GraftChangePartition(contentAsOf(n, c.v), insert = true, c.v)) ++
+      c.del.map(n =>
+        GraftChangePartition(preImage(n, c.v), insert = false, c.v)) ++
+      c.rw.flatMap(n => Seq(
+        GraftChangePartition(preImage(n, c.v), insert = false, c.v),
+        GraftChangePartition(contentAsOf(n, c.v), insert = true, c.v)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangeReaderFactory(dataSchema)
+}
+
+class GraftChangeReaderFactory(dataSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[GraftChangePartition]
+    val inner = new GraftObjectReader(cp.objPath, dataSchema, dataSchema,
+      Array.empty)
+    val n = dataSchema.length
+    val ct = UTF8String.fromString(if (cp.insert) "insert" else "delete")
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val r = inner.get()
+        val out = new GenericInternalRow(n + 2)
+        var i = 0
+        while (i < n) { out.update(i, r.get(i, dataSchema(i).dataType)); i += 1 }
+        out.update(n, ct)
+        out.update(n + 1, cp.version)
+        out
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
 }

@@ -419,6 +419,49 @@ class ObjectStoreFeaturesSpec extends SparkSpec {
       s"byte cap of ~2 objects should take 4-8 bounded batches, got $sizes")
   }
 
+  test("change feed: version-number offsets, insert/delete events, " +
+      "checkpoint restart resumes exactly after consumed versions") {
+    val dir = tmp("graft-cdc"); val tgt = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val nation = Tables.load(spark, sf, "nation")
+    nation.write.format("graft-objects").mode("overwrite").save(tgt) // v1
+    def drain(sink: String): Array[(String, Int)] = {
+      // foreachBatch, not the memory sink: memory cannot RECOVER from
+      // a checkpoint, and checkpoint resumption is the point here
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+      val q = spark.readStream.format("graft-objects")
+        .option("changeFeed", "true").option("startingVersion", "0")
+        .load(tgt)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("_change_type", "_version").collect()
+            .foreach(r => got.add((r.getString(0), r.getInt(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toArray
+    }
+    val first = drain("cdc_a")
+    assert(first.count(_._1 == "insert") == nation.count(),
+      "initial drain must stream every ingested row as an insert")
+    assert(first.forall(_._2 == 1) && first.forall(_._1 == "insert"))
+    // more history: append (v2), then truncate-overwrite (v3 = del+add)
+    nation.limit(5).write.format("graft-objects").mode("append").save(tgt)
+    nation.limit(3).write.format("graft-objects").mode("overwrite").save(tgt)
+    val second = drain("cdc_b")
+    assert(second.forall(t => t._2 == 2 || t._2 == 3),
+      s"restart must resume AFTER version 1, got versions ${second.map(_._2).distinct.toSeq}")
+    // v2: 5 inserts; v3: deletes of the 30 pre-truncate rows + 3 inserts
+    assert(second.count(t => t._1 == "insert" && t._2 == 2) == 5)
+    assert(second.count(t => t._1 == "delete" && t._2 == 3)
+      == nation.count() + 5)
+    assert(second.count(t => t._1 == "insert" && t._2 == 3) == 3)
+  }
+
   test("commitMode=optimistic: concurrent lock-free appenders, no lost " +
       "rows, disjoint object names, serialized version history") {
     val dir = tmp("graft-occ-write"); val tgt = s"$dir/t"
