@@ -30,6 +30,7 @@ object SparkEntry {
     graft.operators.Extensions,
     graft.operators.Skew,
     graft.operators.Sampling,
+    graft.operators.TimeSeries,
     graft.operators.Curation,
     graft.operators.TpchMore)
 

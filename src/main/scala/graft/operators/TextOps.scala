@@ -95,6 +95,79 @@ object TextOps extends QueryModule {
       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
       |  FROM scored) WHERE rnk <= 3""".stripMargin
 
+  /** BM25 top-k retrieval over the inverted-index shape — the ranking
+    * companion to `q_text_index_search` (boolean) and `q_text_tfidf`
+    * (tf-idf). Okapi BM25 with k1 = 1.2, b = 0.75, with one variation
+    * chosen for cross-engine exactness: the idf term uses the raw
+    * Robertson odds ratio (N - df + 0.5)/(df + 0.5) instead of its
+    * logarithm, so every per-(doc,term) score is a ratio of two exact
+    * BIGINT products (both constants are rational: k1+1 = 11/5,
+    * k1·(1-b) = 3/10, k1·b = 9/10; multiplying through by 10·D clears
+    * all denominators) quantized once by a single floor-division —
+    * no float accumulation order anywhere, like the lm-score gate.
+    *
+    * 100 TB posture: the corpus explode is map-side and the
+    * query-term filter runs BEFORE any aggregation, so the only
+    * shuffles carry query-term hits (≤ |terms| rows per doc), never
+    * the corpus; df is |terms| rows (broadcast); N and D are one-row
+    * crossJoin scalars; the final ranking is a TakeOrdered top-20,
+    * not a global sort. At real scale the same plan serves any |terms|
+    * ≪ vocabulary; a huge query set would swap the broadcast for a
+    * term-keyed shuffle join with an identical plan shape. */
+  private val Bm25Terms = Seq("table", "spark", "merge")
+  private val bm25Q = (s: SparkSession, dir: String) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+    val scal = docs.agg(countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("d_tot"))
+    val hits = docs.filter(col("term").isin(Bm25Terms: _*))
+    val tfs = hits.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = hits.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tfs.join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(scal))
+      .withColumn("q", expr(
+        """(22 * d_tot * tf * (2 * n_docs - 2 * df + 1)) * 1000000 div
+          |((10 * d_tot * tf + 3 * d_tot + 9 * dl * n_docs) * (2 * df + 1))"""
+          .stripMargin))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("q")).as("score_q"))
+      .select(col("doc_id"), col("dl"), col("n_terms"), col("score_q"),
+        round(col("score_q") / 1e6, 4).as("bm25"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val bm25Sql = {
+    val list = Bm25Terms.map("'" + _ + "'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |docs AS (
+       |  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
+       |scal AS (
+       |  SELECT COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS d_tot
+       |  FROM docs),
+       |hits AS (SELECT * FROM docs WHERE term IN ($list)),
+       |tfs AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |        FROM hits GROUP BY 1, 2, 3),
+       |dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+       |        FROM hits GROUP BY 1),
+       |q AS (
+       |  SELECT tfs.doc_id, tfs.dl,
+       |    (22 * d_tot * tf * (2 * n_docs - 2 * df + 1)) * 1000000 //
+       |    ((10 * d_tot * tf + 3 * d_tot + 9 * dl * n_docs) * (2 * df + 1))
+       |      AS q
+       |  FROM tfs JOIN dfs ON tfs.term = dfs.term, scal)
+       |SELECT doc_id, dl, COUNT(*) AS n_terms,
+       |  CAST(SUM(q) AS BIGINT) AS score_q,
+       |  round(CAST(SUM(q) AS BIGINT) / 1e6, 4) AS bm25
+       |FROM q GROUP BY 1, 2
+       |ORDER BY score_q DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   // Language-ID heuristic: stopword-hit ratio (lexicon-join pattern).
   private val langidQ = (s: SparkSession, dir: String) =>
     Tables.documents(s, dir)
@@ -527,6 +600,8 @@ object TextOps extends QueryModule {
       "sequence packing: docs → fixed-token-budget bins, shard-parallel"),
     "q_text_index_search" -> Q(searchQ, Some(searchSql),
       "term lookup via inverted-index semi-join == full LIKE scan"),
+    "q_text_bm25_topk" -> Q(bm25Q, Some(bm25Sql),
+      "Okapi BM25 top-20 retrieval, integer-exact rational scoring"),
     "q_text_tokens" -> Q(tokensQ, Some(tokensSql),
       "token counting: whitespace + regex word pieces"),
     "q_text_tf" -> Q(tfQ, Some(tfSql), "global term/document frequency top-20"),

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series reshaping over the `events` stream table — the batch
+  * side of the engine's temporal story (SURVEY §2.5 sessionization and
+  * §2.3 as-of join are the neighbors; these are the resample /
+  * interpolate shapes every metrics pipeline needs).
+  *
+  * 100 TB posture: both queries are a single hash shuffle keyed on
+  * `user_id` (the natural series key) followed by key-local work —
+  * the hourly grid is GENERATED map-side from each key's own bounds
+  * (`sequence()` after a per-key min/max aggregate), never built as a
+  * global calendar and never joined across keys, so output scales
+  * with Σ per-key spans and the plan is embarrassingly parallel over
+  * series. LOCF uses a running `last(ignoreNulls)` window per key —
+  * at 100 TB a series whose span outgrows one task would range-
+  * partition on (user_id, time-chunk) and carry one boundary row per
+  * chunk, the standard prefix-scan split; at the fixture scale one
+  * partition per key is the plan you want.
+  *
+  * Determinism: `value` doubles are carried (min/max/argmax), never
+  * summed; the only sums are decimal-cast (2-decimal money-style) —
+  * the Ora discipline — so both engines produce identical bits.
+  */
+object TimeSeries extends QueryModule {
+
+  // ---- 1. hourly gap-fill + last-observation-carried-forward ----
+  //
+  // Per user: a dense hourly grid from their first to last event hour;
+  // hours with no events get n_events = 0 and the LOCF value of the
+  // latest earlier event. The "last observation in each hour" is the
+  // row_number()=1 row by (ts, event_id) DESC — event_id breaks exact
+  // timestamp ties deterministically.
+  private val gapfillQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"),
+        date_trunc("hour", col("ts")).as("h"))
+    val bounds = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = bounds.select(col("user_id"),
+      explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val inHour = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = ev
+      .withColumn("rn", row_number().over(inHour))
+      .groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") === 1, col("value"))).as("last_v"))
+    val locf = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_v"), ignoreNulls = true).over(locf).as("value_locf"),
+        col("n_events").isNull.as("gap_filled"))
+  }
+
+  private val gapfillSql =
+    """WITH ev AS (
+      |  SELECT user_id, ts, value, event_id, date_trunc('hour', ts) AS h
+      |  FROM events WHERE user_id < 8),
+      |bounds AS (
+      |  SELECT user_id, min(h) AS lo, max(h) AS hi FROM ev GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |  FROM bounds),
+      |hourly AS (
+      |  SELECT user_id, h, COUNT(*) AS n_events,
+      |    max(CASE WHEN rn = 1 THEN value END) AS last_v
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, h
+      |          ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+      |  GROUP BY 1, 2)
+      |SELECT g.user_id, g.h,
+      |  COALESCE(hh.n_events, 0) AS n_events,
+      |  last_value(hh.last_v IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+      |  hh.n_events IS NULL AS gap_filled
+      |FROM grid g LEFT JOIN hourly hh
+      |  ON g.user_id = hh.user_id AND g.h = hh.h""".stripMargin
+
+  // ---- 2. 6-hour OHLC resample ----
+  //
+  // Downsample each user's value series to 6-hour bars: open (first by
+  // ts), high, low, close (last by ts), event count, and a decimal-
+  // exact volume sum. The open/close picks use bidirectional
+  // row_number() with event_id tiebreaks; high/low are plain min/max
+  // (exact on carried doubles); the sum goes through DECIMAL so
+  // engine-side accumulation order cannot leak into the bits.
+  private val ohlcQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .withColumn("bar",
+        timestamp_seconds(floor(unix_timestamp(col("ts")) / 21600) * 21600))
+    val asc = Window.partitionBy(col("user_id"), col("bar"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("user_id"), col("bar"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col("user_id"), col("bar"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("volume"))
+  }
+
+  private val ohlcSql =
+    """WITH ev AS (
+      |  SELECT user_id, ts, value, event_id,
+      |    make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+      |      * 21600 * 1000000) AS bar
+      |  FROM events WHERE user_id < 8),
+      |rk AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, bar
+      |      ORDER BY ts ASC, event_id ASC) AS ra,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, bar
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM ev)
+      |SELECT user_id, bar, COUNT(*) AS n_events,
+      |  max(CASE WHEN ra = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rd = 1 THEN value END) AS close,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+      |FROM rk GROUP BY 1, 2""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_ts_gapfill" -> Q(gapfillQ, Some(gapfillSql),
+      "hourly gap-fill per series: dense grid + LOCF interpolation"),
+    "q_ts_resample_ohlc" -> Q(ohlcQ, Some(ohlcSql),
+      "6-hour OHLC downsample per series, decimal-exact volume"))
+}
