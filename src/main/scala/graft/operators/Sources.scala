@@ -805,7 +805,54 @@ object Sources extends QueryModule {
       "q_src_clustered_join_bucketed" -> clusteredBucketedRead,
       "q_src_time_travel" -> timeTravelRead)
 
+  /** CHECK-constraint gate end-to-end (GraftChecks): a catalog table
+    * declares named predicates as TBLPROPERTIES; an INSERT of the raw
+    * corpus FAILS inside the writer tasks and commits nothing, the
+    * pre-filtered INSERT lands, and the read-back aggregates prove
+    * exactly the constraint-satisfying rows exist. `rejected_all`
+    * carries the first INSERT's observed refusal into the compared
+    * output so the oracle also asserts the gate actually fired. */
+  private val constraintGate = (s: SparkSession, dir: String) => {
+    graftCatalogRoot(s)
+    s.sql("DROP TABLE IF EXISTS graft.main.docs_gated")
+    s.sql("""CREATE TABLE graft.main.docs_gated
+            |(doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+            |TBLPROPERTIES (
+            |  'check.len' = 'n_chars BETWEEN 60 AND 520',
+            |  'check.lang' = 'lang IN (''en'',''de'',''fr'',''es'')')"""
+      .stripMargin)
+    Tables.documents(s, dir).createOrReplaceTempView("docs_src")
+    val rejected =
+      try {
+        s.sql("""INSERT INTO graft.main.docs_gated
+                |SELECT doc_id, lang, source, n_chars FROM docs_src"""
+          .stripMargin)
+        false
+      } catch { case _: Throwable => true }
+    s.sql("""INSERT INTO graft.main.docs_gated
+            |SELECT doc_id, lang, source, n_chars FROM docs_src
+            |WHERE n_chars BETWEEN 60 AND 520
+            |  AND lang IN ('en','de','fr','es')""".stripMargin)
+    s.sql("""SELECT lang, COUNT(*) AS n_rows,
+            |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            |FROM graft.main.docs_gated GROUP BY lang""".stripMargin)
+      .withColumn("rejected_all", lit(rejected))
+  }
+
+  private val constraintGateSql =
+    """SELECT lang, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  true AS rejected_all
+      |FROM documents
+      |WHERE n_chars BETWEEN 60 AND 520
+      |  AND lang IN ('en','de','fr','es')
+      |GROUP BY lang""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_src_constraint_gate" -> Q(constraintGate, Some(constraintGateSql),
+      "CHECK-constraint write gate: violating INSERT refused atomically"),
     "q_src_zorder" -> Q(zorderScan, Some(zorderScanSql),
       "Z-ordered multi-dimension object layout: second-key filter prunes"),
     "q_src_objstore_agg" -> Q(objstoreAgg, Some(objstoreAggSql),

@@ -101,9 +101,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def propsSidecar(dir: File): File = new File(dir, "_props")
 
   /** Table properties the object store understands as option defaults
-    * (TBLPROPERTIES → every later scan/write on the table). */
+    * (TBLPROPERTIES → every later scan/write on the table). `check.*`
+    * keys are CHECK constraints (GraftChecks): named write-path
+    * data-quality predicates enforced inside every writer task. */
   private val StorableProps = Set("clusterBy", "clusteredBy",
     "clusterWidth", "bloomFilterColumns", "bloomFilterFpp")
+
+  private def storable(key: String): Boolean =
+    StorableProps.contains(key) || key.startsWith(GraftChecks.Prefix)
 
   private def readProps(dir: File): Map[String, String] = {
     val f = propsSidecar(dir)
@@ -119,6 +124,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Files.write(propsSidecar(dir).toPath,
         props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
           .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    else Files.deleteIfExists(propsSidecar(dir).toPath)
 
   // ---- FunctionCatalog: the bucket transform used by SPJ ------------
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
@@ -207,7 +213,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // implies clusteredBy so plain SELECTs read the table AS clustered
     import scala.jdk.CollectionConverters._
     val kept = properties.asScala.toMap.filter {
-      case (k, _) => StorableProps.contains(k)
+      case (k, _) => storable(k)
     }
     val full = kept.get("clusterBy") match {
       case Some(c) if !kept.contains("clusteredBy") =>
@@ -226,11 +232,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *  - RENAME COLUMN: sidecar + a header-DDL patch per object (names
     *    live only in headers; bodies and footers are untouched).
     * Type changes are refused: they would reinterpret stored bytes. */
+  /** Adding a CHECK constraint to a table that already holds data
+    * validates the existing rows first (the Delta discipline): one
+    * distributed count of `pred <=> false` rows — refused when any
+    * violate, so a stored constraint always means EVERY row satisfies
+    * it, past and future. */
+  private def validateExistingRows(dir: File, name: String,
+      sql: String): Unit = {
+    if (GraftObjectTable.listObjects(dir.getPath).isEmpty) return
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bad = spark.read.format("graft-objects").load(dir.getPath)
+      .where(org.apache.spark.sql.functions.expr(sql)
+        .eqNullSafe(org.apache.spark.sql.functions.lit(false)))
+      .count()
+    require(bad == 0,
+      s"ALTER: $bad existing rows violate CHECK '$name' ($sql); " +
+        "constraint not added")
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
     var schema = resolveSchema(ident, dir)
+    var props = readProps(dir)
+    var propsChanged = false
     changes.foreach {
+      case set: TableChange.SetProperty =>
+        require(storable(set.property()),
+          s"graft catalog: unsupported table property ${set.property()}")
+        if (set.property().startsWith(GraftChecks.Prefix)) {
+          // reject malformed predicates at ALTER time, then existing data
+          GraftChecks.compile(schema,
+            Map(set.property().substring(GraftChecks.Prefix.length)
+              -> set.value()))
+          validateExistingRows(dir,
+            set.property().substring(GraftChecks.Prefix.length), set.value())
+        }
+        props += set.property() -> set.value(); propsChanged = true
+      case rm: TableChange.RemoveProperty =>
+        props -= rm.property(); propsChanged = true
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft catalog: nested ADD COLUMN is not supported")
@@ -270,7 +310,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     Files.write(schemaSidecar(dir).toPath,
       schema.toDDL.getBytes(StandardCharsets.UTF_8))
-    new GraftObjectTable(schema, dir.getPath)
+    if (propsChanged) writeProps(dir, props)
+    new GraftObjectTable(schema, dir.getPath, props)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -1177,7 +1177,8 @@ class GraftObjectTable(tableSchema: StructType, path: String,
       Option(opts.get("bloomFilterFpp"))
         .map(_.toDouble).getOrElse(0.01),
       Option(opts.get("clusterWidth")).map(_.toLong),
-      Option(opts.get("commitMode")).contains("optimistic"))
+      Option(opts.get("commitMode")).contains("optimistic"),
+      GraftChecks.compile(info.schema(), GraftChecks.fromOptions(opts)))
   }
 
   /** `DELETE FROM … WHERE p` as an OBJECT-LEVEL operation — the
@@ -1259,7 +1260,14 @@ class GraftObjectTable(tableSchema: StructType, path: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable("row-level operation")
-    () => new GraftRowLevelOperation(tableSchema, path, info.command())
+    // CHECK constraints ride along so an UPDATE/MERGE rewrite cannot
+    // introduce rows the append path would have refused
+    val checkSqls = defaults.collect {
+      case (k, v) if k.startsWith(GraftChecks.Prefix) =>
+        k.substring(GraftChecks.Prefix.length) -> v
+    }
+    () => new GraftRowLevelOperation(tableSchema, path, info.command(),
+      checkSqls)
   }
 }
 
@@ -1280,7 +1288,8 @@ class GraftObjectTable(tableSchema: StructType, path: String,
   * non-transactional caveat as the batch append base — a manifest/CAS
   * would close it on a real object store). */
 class GraftRowLevelOperation(schema: StructType, path: String,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    checkSqls: Map[String, String] = Map.empty) extends RowLevelOperation {
 
   private val affected =
     java.util.Collections.newSetFromMap(
@@ -1310,7 +1319,8 @@ class GraftRowLevelOperation(schema: StructType, path: String,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftReplaceDataWrite(info.schema(), path,
-            GraftRowLevelOperation.this)
+            GraftRowLevelOperation.this,
+            GraftChecks.compile(info.schema(), checkSqls))
       }
     }
 }
@@ -1394,12 +1404,13 @@ class GraftGroupScan(schema: StructType, pruning: Array[Filter],
   * affected generation. Sequence numbers never recycle, so a reader
   * listing mid-commit sees well-formed objects either way. */
 class GraftReplaceDataWrite(writeSchema: StructType, path: String,
-    op: GraftRowLevelOperation) extends BatchWrite {
+    op: GraftRowLevelOperation,
+    checks: Seq[GraftCheck] = Nil) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
-    new GraftWriterFactory(writeSchema, path, "rl")
+    new GraftWriterFactory(writeSchema, path, "rl", checks = checks)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -1452,14 +1463,15 @@ class GraftWriteBuilder(writeSchema: StructType, path: String,
     clusterBy: Option[String] = None,
     bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
     clusterWidth: Option[Long] = None,
-    optimistic: Boolean = false)
+    optimistic: Boolean = false,
+    checks: Seq[GraftCheck] = Nil)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(writeSchema, path, doTruncate, clusterBy,
-        bloomCols, bloomFpp, clusterWidth, optimistic)
+        bloomCols, bloomFpp, clusterWidth, optimistic, checks)
     /** Streaming write: each micro-batch epoch commits its staged
       * objects onto the tail of the `<table>.<seq>` sequence — which is
       * exactly what makes the table readable as a stream (offset =
@@ -1467,7 +1479,7 @@ class GraftWriteBuilder(writeSchema: StructType, path: String,
       * a readStream out of it. Exactly-once at the object level: see
       * GraftStreamingWrite's epoch-marker commit protocol. */
     override def toStreaming: StreamingWrite =
-      new GraftStreamingWrite(writeSchema, path)
+      new GraftStreamingWrite(writeSchema, path, checks)
   }
 }
 
@@ -1488,7 +1500,8 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
     clusterBy: Option[String] = None,
     bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
     clusterWidth: Option[Long] = None,
-    optimistic: Boolean = false)
+    optimistic: Boolean = false,
+    checks: Seq[GraftCheck] = Nil)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
@@ -1514,7 +1527,7 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
       }
     }
     new GraftWriterFactory(writeSchema, path, "b", clusterBy,
-      bloomCols, bloomFpp, clusterWidth)
+      bloomCols, bloomFpp, clusterWidth, checks)
   }
   /** `.option("commitMode", "optimistic")` — the LOCK-FREE append for
     * writers that do not share `_lock`'s advisory semantics (separate
@@ -1618,7 +1631,8 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
   * Readers only ever list `<table>.<seq>` names, so markers and staged
   * files are invisible; epochs are serial (single streaming writer per
   * table — same single-writer contract as batch append). */
-class GraftStreamingWrite(writeSchema: StructType, path: String)
+class GraftStreamingWrite(writeSchema: StructType, path: String,
+    checks: Seq[GraftCheck] = Nil)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -1628,10 +1642,11 @@ class GraftStreamingWrite(writeSchema: StructType, path: String)
     // (StreamingWrite is not serializable; the factory ships to tasks)
     val schema = writeSchema
     val dir = path
+    val cks = checks
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
-        new GraftWriterFactory(schema, dir, s"e${epochId}_")
+        new GraftWriterFactory(schema, dir, s"e${epochId}_", checks = cks)
           .createWriter(partitionId, taskId)
     }
   }
@@ -1695,15 +1710,19 @@ class GraftStreamingWrite(writeSchema: StructType, path: String)
 class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
     clusterBy: Option[String] = None,
     bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
-    clusterWidth: Option[Long] = None)
+    clusterWidth: Option[Long] = None,
+    checks: Seq[GraftCheck] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     clusterBy match {
       case None => new DataWriter[InternalRow] {
         private val staged = s"$path/_staged_$tag${partitionId}_$taskId"
+        private val check = GraftChecks.enforcer(checks)
         private val enc =
           new ObjectFormat.ObjectEncoder(writeSchema, bloomCols, bloomFpp)
-        override def write(row: InternalRow): Unit = enc.addInternal(row)
+        override def write(row: InternalRow): Unit = {
+          check(row); enc.addInternal(row)
+        }
         override def commit(): WriterCommitMessage = {
           enc.finish(staged)
           GraftStagedObject(staged, partitionId)
@@ -1719,6 +1738,7 @@ class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
         * `repartition(col).sortWithinPartitions(col)` to get one
         * object per key rather than one per key-run. */
       case Some(c) => new DataWriter[InternalRow] {
+        private val check = GraftChecks.enforcer(checks)
         private val idx = writeSchema.fieldIndex(c)
         private val dt = writeSchema(idx).dataType
         private var enc: ObjectFormat.ObjectEncoder = _
@@ -1748,6 +1768,7 @@ class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
                         case l: java.lang.Long => l.longValue }, w))
         }
         override def write(row: InternalRow): Unit = {
+          check(row)
           val key = widthKey(if (row.isNullAt(idx)) null else row.get(idx, dt))
           if (!open || key != currentKey) { rotate(); currentKey = key }
           enc.addInternal(row)

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** CHECK constraints (GraftChecks): write-path data-quality gates
+  * stored as `check.<name>` table properties and enforced per-row
+  * inside every DSv2 writer task. Claims proven here:
+  *  - a violating append FAILS naming the constraint and commits
+  *    NOTHING (staged-rename atomicity);
+  *  - SQL-standard semantics: NULL predicate passes, only FALSE
+  *    rejects;
+  *  - ALTER TABLE SET TBLPROPERTIES validates existing rows before
+  *    accepting a new constraint, and UNSET lifts enforcement;
+  *  - the row-level rewrite path (UPDATE) enforces the same gates;
+  *  - the direct (non-catalog) path enforces `check.*` write options.
+  */
+class ConstraintSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-constraints").toString
+    spark.conf.set("spark.sql.catalog.graftck", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftck.root", r)
+    r
+  }
+
+  private def failureOf(body: => Unit): String =
+    try { body; "" }
+    catch { case e: Throwable =>
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    }
+
+  test("violating append fails naming the constraint and commits nothing") {
+    root
+    spark.sql(
+      """CREATE TABLE graftck.main.gated (id BIGINT, qty DOUBLE)
+        |TBLPROPERTIES ('check.qty_range' = 'qty BETWEEN 0 AND 25')"""
+        .stripMargin)
+    val msg = failureOf(spark.sql(
+      "INSERT INTO graftck.main.gated VALUES (1, 10.0), (2, 99.0)"))
+    assert(msg.contains("qty_range"), s"wrong failure: $msg")
+    assert(spark.table("graftck.main.gated").count() === 0,
+      "failed write must leave no partial data")
+    spark.sql("INSERT INTO graftck.main.gated VALUES (1, 10.0), (2, 25.0)")
+    assert(spark.table("graftck.main.gated").count() === 2)
+  }
+
+  test("NULL predicate passes (SQL-standard CHECK), FALSE rejects") {
+    root
+    spark.sql(
+      """CREATE TABLE graftck.main.nullable (id BIGINT, qty DOUBLE)
+        |TBLPROPERTIES ('check.pos' = 'qty > 0')""".stripMargin)
+    // NULL qty → predicate UNKNOWN → row passes
+    spark.sql("INSERT INTO graftck.main.nullable VALUES (1, CAST(NULL AS DOUBLE))")
+    assert(spark.table("graftck.main.nullable").count() === 1)
+    assert(failureOf(spark.sql(
+      "INSERT INTO graftck.main.nullable VALUES (2, -1.0)")).contains("pos"))
+  }
+
+  test("ALTER SET validates existing rows; UNSET lifts enforcement") {
+    root
+    spark.sql("CREATE TABLE graftck.main.evolve (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftck.main.evolve VALUES (1, 5), (2, 50)")
+    // existing row 50 violates → refused
+    val msg = failureOf(spark.sql(
+      """ALTER TABLE graftck.main.evolve
+        |SET TBLPROPERTIES ('check.small' = 'v < 10')""".stripMargin))
+    assert(msg.contains("existing rows violate"), s"wrong failure: $msg")
+    // a constraint the data satisfies is accepted and then enforces
+    spark.sql(
+      """ALTER TABLE graftck.main.evolve
+        |SET TBLPROPERTIES ('check.small' = 'v < 100')""".stripMargin)
+    assert(failureOf(spark.sql(
+      "INSERT INTO graftck.main.evolve VALUES (3, 500)")).contains("small"))
+    spark.sql(
+      "ALTER TABLE graftck.main.evolve UNSET TBLPROPERTIES ('check.small')")
+    spark.sql("INSERT INTO graftck.main.evolve VALUES (3, 500)")
+    assert(spark.table("graftck.main.evolve").count() === 3)
+  }
+
+  test("UPDATE cannot rewrite rows into violation") {
+    root
+    spark.sql(
+      """CREATE TABLE graftck.main.upd (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('check.cap' = 'v <= 100')""".stripMargin)
+    spark.sql("INSERT INTO graftck.main.upd VALUES (1, 5), (2, 50)")
+    val msg = failureOf(spark.sql(
+      "UPDATE graftck.main.upd SET v = v * 10 WHERE id = 2"))
+    assert(msg.contains("cap"), s"wrong failure: $msg")
+    // table unchanged by the failed rewrite
+    assert(spark.table("graftck.main.upd")
+      .agg(sum(col("v"))).head.getLong(0) === 55)
+    spark.sql("UPDATE graftck.main.upd SET v = v + 50 WHERE id = 2")
+    assert(spark.table("graftck.main.upd")
+      .agg(max(col("v"))).head.getLong(0) === 100)
+  }
+
+  test("direct-path writes enforce check.* options; malformed SQL refused") {
+    val dir = Files.createTempDirectory("graft-ck-direct").toString + "/t"
+    val df = Tables.nation(spark, sf)
+    val msg = failureOf(
+      df.write.format("graft-objects")
+        .option("check.key_range", "n_nationkey < 10")
+        .mode("overwrite").save(dir))
+    assert(msg.contains("key_range"), s"wrong failure: $msg")
+    assert(failureOf(
+      df.write.format("graft-objects")
+        .option("check.bad", "no_such_column > 0")
+        .mode("overwrite").save(dir)).nonEmpty)
+    df.write.format("graft-objects")
+      .option("check.key_range", "n_nationkey < 1000")
+      .mode("overwrite").save(dir)
+    assert(spark.read.format("graft-objects").load(dir).count() === df.count())
+  }
+}
