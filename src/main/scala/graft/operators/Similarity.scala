@@ -243,6 +243,193 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("qid"), col("embedding").as("qe")))
   }
 
+  /** 5. Product quantization (PQ) ANN — the third scale path: where
+    * LSH prunes by bucket and IVF by cell, PQ compresses every vector
+    * to `PqSub` one-byte codes (here 4-bit: `PqK`=16 centroids per
+    * subspace) so the WHOLE corpus can be scanned in cache-resident
+    * form — 64 float dims become 8 small ints, a 32× shrink. Train:
+    * per subspace, k-means over the 8-dim slices (same md5-seeded
+    * deterministic sample and 1e-6-quantized long-sum means as IVF, so
+    * both engines derive bit-identical codebooks). Encode: per vector
+    * per subspace, the argmin-L2 codebook cell — MAP-SIDE via a
+    * broadcast codebook fold, corpus never shuffled. Search (ADC —
+    * asymmetric distance computation): each query precomputes a
+    * `PqSub`×`PqK` distance table to the codebook; a vector's
+    * approximate distance is the sum of `PqSub` table lookups at its
+    * codes — one map pass over codes, no per-vector float math.
+    *
+    * 100 TB posture: codes are computed at ingest (one map pass, like
+    * the stored LSH bucket / IVF cell columns); the ADC scan touches
+    * only the code column (8 ints/vector), the dt tables ride the
+    * broadcast, and the final top-k is a per-query window whose input
+    * a real deployment would pre-prune per partition (the bounded-heap
+    * trick Sampling's `_scalable` twin proves); composing PQ inside
+    * IVF cells (IVF-PQ) = applying this scan after the cell probe
+    * join. Training exchanges carry subs×cells×dim partials only.
+    *
+    * Exactness: codebooks agree bit-for-bit across engines (quantized
+    * means); distances are 8-term double sums whose cross-engine
+    * accumulation-order risk is the same negligible boundary case
+    * ivfSql documents; ranks compare on ROUNDED distance with vec_id
+    * tiebreaks so sub-1e-6 drift cannot reorder. */
+  private val PqSub = 8
+  private val PqSubDim = Dim / PqSub
+  private val PqK = 16
+  private val PqLloyd = 2
+
+  /** Codebook rows (sub, cell, spos, m) collapsed to ONE broadcastable
+    * row: array of (sub, cell, centroid[PqSubDim]) sorted by
+    * (sub, cell) — the fold order that makes argmin ties break to the
+    * smallest cell. */
+  private def pqCbArr(cb: DataFrame): DataFrame =
+    cb.groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("spos"), col("m")))),
+        x => x("m")).as("centroid"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cell"),
+        col("centroid")))).as("cb"))
+
+  /** Squared-L2 from a vector's sub-slice to a codebook centroid,
+    * as a SQL-expr fragment over lambda vars `s`/`c`. */
+  private def pqDistExpr(vecCol: String): String =
+    s"""aggregate(zip_with(slice($vecCol, c.sub * $PqSubDim + 1, $PqSubDim),
+       |  c.centroid, (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+       |  cast(0 as double), (x, y) -> x + y)""".stripMargin
+
+  /** Encode map-side: per subspace, fold the broadcast codebook to the
+    * argmin-L2 cell (strict < keeps the first = smallest cell on
+    * ties). No shuffle — the corpus streams past once. */
+  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame =
+    e.crossJoin(broadcast(pqCbArr(cb)))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${PqSub - 1}), s ->
+           |  aggregate(
+           |    transform(filter(cb, c -> c.sub = s),
+           |      c -> struct(${pqDistExpr("embedding")} as d, c.cell as cell)),
+           |    struct(cast(1e18 as double) as d, -1 as cell),
+           |    (acc, x) -> if(x.d < acc.d, x, acc)).cell)""".stripMargin))
+      .select(col("vec_id"), col("embedding"), col("codes"))
+
+  /** Per-subspace k-means: deterministic seeds (the PqK smallest
+    * md5(vec_id) vectors donate all their slices), then PqLloyd rounds
+    * of map-side encode + quantized-long-mean recompute. The recompute
+    * explodes slices FROM the encoded rows (no join back), so the only
+    * exchange per round carries subs×cells×spos partials. */
+  private def trainPq(e: DataFrame): DataFrame = {
+    val wSeed = Window.orderBy(col("hk"), col("vec_id"))
+    var cb = e.withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id")).limit(PqK)
+      .withColumn("cell", row_number().over(wSeed) - 1)
+      .select(col("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select((col("pos") / PqSubDim).cast("int").as("sub"), col("cell"),
+        (col("pos") % PqSubDim).as("spos"), col("v").as("m"))
+    for (_ <- 0 until PqLloyd) {
+      cb = pqEncode(e, cb)
+        .select(col("codes"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .select((col("pos") / PqSubDim).cast("int").as("sub"),
+          (col("pos") % PqSubDim).as("spos"), col("v"),
+          element_at(col("codes"),
+            (col("pos") / PqSubDim).cast("int") + 1).as("cell"))
+        .groupBy(col("sub"), col("cell"), col("spos"))
+        .agg((sum(round(col("v") * 1e6).cast("long"))
+          .cast("double") / 1e6 / count(lit(1))).as("m"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** ADC search: broadcast per-query distance tables (as a lookup map
+    * keyed sub*PqK+cell), one map pass over the corpus codes summing
+    * PqSub lookups, rank per query on the ROUNDED distance. */
+  private def pqAdcRanked(e: DataFrame, queries: DataFrame): DataFrame = {
+    val cb = trainPq(e)
+    val codes = pqEncode(e, cb).select(col("vec_id"), col("codes"))
+    val qdt = queries.crossJoin(broadcast(pqCbArr(cb)))
+      .withColumn("dt", expr(
+        s"""map_from_entries(transform(cb, c ->
+           |  struct(c.sub * $PqK + c.cell, ${pqDistExpr("qe")})))"""
+          .stripMargin))
+      .select(col("qid"), col("dt"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codes.crossJoin(broadcast(qdt))
+      .withColumn("adist", round(expr(
+        s"""aggregate(sequence(0, ${PqSub - 1}), cast(0 as double),
+           |  (acc, s) -> acc +
+           |    element_at(dt, s * $PqK + element_at(codes, s + 1)))"""
+          .stripMargin), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rnk"))
+  }
+
+  private val pqQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    pqAdcRanked(e, e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+  }
+
+  /** Full DuckDB oracle: the whole PQ pipeline is SQL-expressible with
+    * `sub` as one extra grouping key — seed slices, PqLloyd unrolled
+    * assign/recompute rounds (quantized-long-sum means ⇒ codebooks
+    * match Spark bit-for-bit), final encode, per-query distance
+    * tables, the 8-lookup ADC sum, and the top-5 window on rounded
+    * distance. Mirrors trainPq/pqEncode/pqAdcRanked structurally. */
+  private def pqSql: String = {
+    def assignCte(n: Int): String =
+      s"""dist$n AS (
+         |  SELECT sv.vec_id, sv.sub, c.cell,
+         |    SUM((sv.v - c.m) * (sv.v - c.m)) AS d
+         |  FROM sv JOIN cb$n c ON sv.sub = c.sub AND sv.spos = c.spos
+         |  GROUP BY 1, 2, 3),
+         |asg$n AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d ASC, cell ASC) AS rn
+         |    FROM dist$n) WHERE rn = 1)""".stripMargin
+    def recomputeCte(n: Int): String =
+      s"""cb${n + 1} AS (
+         |  SELECT a.sub, a.cell, sv.spos,
+         |    CAST(SUM(CAST(round(sv.v * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / 1e6 / COUNT(*) AS m
+         |  FROM asg$n a JOIN sv
+         |    ON a.vec_id = sv.vec_id AND a.sub = sv.sub
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    s"""WITH sv AS (
+       |  SELECT vec_id, CAST((i - 1) // $PqSubDim AS INT) AS sub,
+       |    (i - 1) % $PqSubDim AS spos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings
+       |  CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |    vec_id
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK),
+       |cb0 AS (
+       |  SELECT sv.sub, s.cell, sv.spos, sv.v AS m
+       |  FROM seeds s JOIN sv ON s.vec_id = sv.vec_id),
+       |${assignCte(0)},
+       |${recomputeCte(0)},
+       |${assignCte(1)},
+       |${recomputeCte(1)},
+       |${assignCte(2)},
+       |qdt AS (
+       |  SELECT sv.vec_id AS qid, sv.sub, c.cell,
+       |    SUM((sv.v - c.m) * (sv.v - c.m)) AS d
+       |  FROM sv JOIN cb2 c ON sv.sub = c.sub AND sv.spos = c.spos
+       |  WHERE sv.vec_id < 20 GROUP BY 1, 2, 3),
+       |adist AS (
+       |  SELECT q.qid, a.vec_id, round(SUM(q.d), 6) AS adist
+       |  FROM asg2 a JOIN qdt q ON a.sub = q.sub AND a.cell = q.cell
+       |  GROUP BY 1, 2)
+       |SELECT qid, vec_id, adist, rnk FROM (
+       |  SELECT qid, vec_id, adist, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rnk
+       |  FROM adist) WHERE rnk <= 5""".stripMargin
+  }
+
   /** Full DuckDB oracle for the multiprobe-LSH ANN query (r4 — this
     * was the suite's last rows-only batch query): the ±1 hyperplane
     * sign matrix is deterministic (seeded), so the oracle carries it —
@@ -636,6 +823,8 @@ object Similarity extends QueryModule {
       "LSH multiprobe ANN top-5: exploded probe-bucket equi-join"),
     "q_sim_ann_ivf" -> Q(ivfQ, Some(ivfSql),
       "IVF ANN: k-means cells + nprobe search (full training-run oracle)"),
+    "q_sim_ann_pq" -> Q(pqQ, Some(pqSql),
+      "PQ ANN: per-subspace codebooks + ADC code-scan (full training oracle)"),
     "q_sim_ann_lsh_planted" -> Q(annLshPlantedQ, Some(plantedSql),
       "LSH ANN vs planted exact-duplicate ground truth (oracle-checked)"),
     "q_sim_ann_ivf_planted" -> Q(annIvfPlantedQ, Some(plantedSql),

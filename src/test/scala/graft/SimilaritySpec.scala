@@ -128,6 +128,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ ADC: self achieves the minimal approximate distance, codes dense") {
+    import org.apache.spark.sql.functions._
+    val df = run("q_sim_ann_pq").cache()
+    // ADC distance of a query to ITSELF sums the per-subspace minima of
+    // its distance table — no other vector can score lower, so self is
+    // always retrieved and always carries the rank-1 distance
+    val self = df.filter(col("vec_id") === col("qid"))
+      .select(col("qid"), col("adist"))
+    val best = df.filter(col("rnk") === 1)
+      .select(col("qid"), col("adist").as("bd"))
+    assert(self.count() === 20)
+    assert(self.join(best, "qid")
+      .filter(col("adist") =!= col("bd")).count() === 0)
+    // exactly 5 ranked rows per query, distances non-decreasing in rank
+    val perQ = df.groupBy(col("qid")).agg(count(lit(1)).as("n"))
+    assert(perQ.filter(col("n") =!= 5).count() === 0)
+    val mono = df.as("a").join(df.as("b"),
+      col("a.qid") === col("b.qid") &&
+        col("a.rnk") === col("b.rnk") - 1)
+      .filter(col("a.adist") > col("b.adist"))
+    assert(mono.count() === 0)
+    df.unpersist()
+  }
+
   test("int8 quantization: error bounded by scale/2 on every vector, no shuffle") {
     val df = run("q_vec_quantize")
     val rows = df.collect()
