@@ -31,6 +31,7 @@ object SparkEntry {
     graft.operators.Skew,
     graft.operators.Sampling,
     graft.operators.TimeSeries,
+    graft.operators.Graph,
     graft.operators.Curation,
     graft.operators.TpchMore)
 

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative graph compute — the Pregel-shaped workload class beside
+  * Dedup's connected components: weighted PageRank over the trade
+  * graph (customer nation → supplier nation, one edge per lineitem).
+  *
+  * Two-phase 100 TB posture: deriving the weighted edge list is the
+  * corpus-scale work — three equi-joins and one groupBy(src, dst)
+  * whose map-side partials collapse the fact table to |nations|² edge
+  * rows; the rank loop then runs on that aggregated graph, one
+  * hash-shuffle of edge contributions per iteration (contributions
+  * are computed on the edge list only — the corpus is touched once,
+  * ever). With a billion-node graph the same loop holds: ranks and
+  * edges co-partition on the node key, each iteration is one
+  * edges⋈ranks shuffle, and per-iteration `localCheckpoint` keeps the
+  * plan from growing with the iteration count.
+  *
+  * Determinism discipline: ranks are micro-units (1e6 = rank 1.0) in
+  * LONG arithmetic; the damping step is exact — d = 17/20, so each
+  * edge contributes `(17 * r * w) div (20 * wout)` (floor division,
+  * identical in both engines) and the teleport term is the exact
+  * integer 150000. No float accumulation anywhere until the final
+  * display column. */
+object Graph extends QueryModule {
+
+  private val PrIters = 5
+
+  private val pagerankQ = (s: SparkSession, dir: String) => {
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"),
+        col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ew = edges.join(outW, "src").localCheckpoint()
+    val nodes = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("node"), col("n_name"))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 0 until PrIters) {
+      val contrib = ew
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("(17 * r * w) div (20 * wout)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      ranks = nodes.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + coalesce(col("cin"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    val w = Window.orderBy(col("rank_q").desc, col("n_name").asc)
+    ranks.join(nodes, "node")
+      .select(col("n_name"), col("r").as("rank_q"),
+        round(col("r") / 1e6, 6).as("rank"))
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  private def pagerankSql: String = {
+    def iterCte(n: Int): String =
+      s"""r${n + 1} AS (
+         |  SELECT n.n_nationkey AS node,
+         |    150000 + COALESCE(CAST(SUM(
+         |      (17 * r.r * e.w) // (20 * e.wout)) AS BIGINT), 0) AS r
+         |  FROM nation n
+         |  LEFT JOIN ew e ON e.dst = n.n_nationkey
+         |  LEFT JOIN r$n r ON r.node = e.src
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |    COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |ew AS (
+       |  SELECT e.src, e.dst, e.w, o.wout
+       |  FROM edges e
+       |  JOIN (SELECT src, SUM(w) AS wout FROM edges GROUP BY 1) o
+       |    ON e.src = o.src),
+       |r0 AS (SELECT n_nationkey AS node, CAST(1000000 AS BIGINT) AS r
+       |       FROM nation),
+       |${(0 until PrIters).map(iterCte).mkString(",\n")}
+       |SELECT n.n_name, CAST(rf.r AS BIGINT) AS rank_q,
+       |  round(rf.r / 1e6, 6) AS rank,
+       |  row_number() OVER (ORDER BY rf.r DESC, n.n_name ASC) AS rnk
+       |FROM r$PrIters rf JOIN nation n ON rf.node = n.n_nationkey"""
+      .stripMargin
+  }
+
+  override val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> Q(pagerankQ, Some(pagerankSql),
+      "weighted PageRank on the trade graph: integer-exact damped iterations"))
+}
