@@ -521,7 +521,83 @@ object Curation extends QueryModule {
       |    <= CAST(2 * total_q AS HUGEINT) * CAST(n_tok AS HUGEINT) AS keep
       |FROM per, tot""".stripMargin
 
+  /** Cross-document boilerplate passage removal — the CCNet paragraph-
+    * dedup shape adapted to this corpus (texts carry no newlines, so
+    * the passage unit is a fixed `ChunkTok`-token window, stride =
+    * width): a chunk whose exact text recurs in MORE than one document
+    * is boilerplate; every occurrence except the lexicographically
+    * first (doc_id, position) is dropped and documents are rebuilt
+    * from their surviving chunks in order. Within-doc repeats are NOT
+    * touched (that is q_text_repetition's job) — this gate removes
+    * shared headers/footers/navigation across the corpus.
+    *
+    * 100 TB posture: chunking is map-side; the dup-stats aggregate
+    * groups on chunk TEXT with map-side partials, so the exchange
+    * carries distinct-chunk partials and a million-fold repeated
+    * footer collapses per task before it travels. The occurrence join
+    * + first-occurrence window also key on chunk — a real corpus'
+    * mega-hot chunks would salt this window's key exactly like the
+    * lm-score probe (the count is per-chunk, so a two-level
+    * salted-then-merge rank works); documented, not needed at fixture
+    * skew. Rebuild is one doc_id shuffle. */
+  private val ChunkTok = 3
+  private val chunkDedupQ = (s: SparkSession, dir: String) => {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        size(col("tk")).as("n_toks"),
+        expr(
+          s"""transform(sequence(0, cast(ceil(size(tk) / ${ChunkTok}.0) as int) - 1),
+             |  i -> array_join(slice(tk, i * $ChunkTok + 1, $ChunkTok), ' '))"""
+            .stripMargin).as("cs"))
+      .select(col("doc_id"), size(col("cs")).as("n_chunks"),
+        posexplode(col("cs")).as(Seq("ci", "chunk")))
+    val stats = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val wFirst = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id").asc, col("ci").asc)
+    chunks.join(stats, "chunk")
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("ndocs") === 1 || col("rn") === 1)
+      .groupBy(col("doc_id"), col("n_chunks"))
+      .agg(count(lit(1)).as("n_kept"),
+        (col("n_chunks") - count(lit(1))).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ci"), col("chunk")))),
+          x => x("chunk")), " ").as("cleaned_text"))
+  }
+
+  private val chunkDedupSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) > 0),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    CAST(ceil(len(tk) / ${ChunkTok}.0) AS INT) AS n_chunks,
+       |    i - 1 AS ci,
+       |    array_to_string(
+       |      tk[(i - 1) * $ChunkTok + 1 : (i - 1) * $ChunkTok + $ChunkTok],
+       |      ' ') AS chunk
+       |  FROM toks CROSS JOIN unnest(
+       |    range(1, CAST(ceil(len(tk) / ${ChunkTok}.0) AS INT) + 1)) AS t(i)),
+       |stats AS (
+       |  SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs
+       |  FROM chunks GROUP BY 1),
+       |occ AS (
+       |  SELECT c.doc_id, c.n_chunks, c.ci, c.chunk, s.ndocs,
+       |    row_number() OVER (PARTITION BY c.chunk
+       |      ORDER BY c.doc_id ASC, c.ci ASC) AS rn
+       |  FROM chunks c JOIN stats s USING (chunk))
+       |SELECT doc_id, n_chunks, COUNT(*) AS n_kept,
+       |  n_chunks - COUNT(*) AS n_dropped,
+       |  string_agg(chunk, ' ' ORDER BY ci) AS cleaned_text
+       |FROM occ WHERE ndocs = 1 OR rn = 1
+       |GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_chunk_dedup" -> Q(chunkDedupQ, Some(chunkDedupSql),
+      "cross-doc boilerplate passage removal: keep-first chunk dedup + rebuild"),
     "q_text_lm_score" -> Q(lmScoreQ, Some(lmScoreSql),
       "bigram-LM perplexity gate: integer-exact inverse-probability score"),
     "q_text_repetition" -> Q(repetitionQ, Some(repetitionSql),
