@@ -61,7 +61,11 @@ object Bench {
     // (load-time, like objectify's ingest — DuckDB likewise excludes
     // its load).
     "q_src_objstore_agg_filtered", "q_src_clustered_join_bucketed",
-    "q_src_time_travel", "q_text_lm_score", "q_text_langid_confusion")
+    "q_src_time_travel", "q_text_lm_score", "q_text_langid_confusion",
+    // round-4 additions: PQ ANN (train+encode+ADC), BM25 retrieval,
+    // iterative PageRank, cross-doc passage dedup, time-series gap-fill
+    "q_sim_ann_pq", "q_text_bm25_topk", "q_graph_pagerank",
+    "q_text_chunk_dedup", "q_ts_gapfill")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

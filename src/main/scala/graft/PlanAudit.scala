@@ -44,7 +44,8 @@ object PlanAudit {
       "q_src_changes_since", "q_dedup_incremental_versioned",
       // round-4 additions
       "q_src_clustered_join_bucketed", "q_src_changes_rows",
-      "q_mm_phash_near", "q_text_langid_confusion")
+      "q_mm_phash_near", "q_text_langid_confusion",
+      "q_ts_resample_ohlc", "q_src_constraint_gate")
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else (Bench.headline ++ extras).distinct

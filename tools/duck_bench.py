@@ -22,6 +22,9 @@ HEADLINE = [
     # round-3/4 capability rows (mirror graft.Bench.headline)
     "q_src_objstore_agg_filtered", "q_src_clustered_join_bucketed",
     "q_src_time_travel", "q_text_lm_score", "q_text_langid_confusion",
+    # round-4 additions (mirror graft.Bench.headline)
+    "q_sim_ann_pq", "q_text_bm25_topk", "q_graph_pagerank",
+    "q_text_chunk_dedup", "q_ts_gapfill",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
