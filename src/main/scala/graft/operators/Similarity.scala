@@ -168,6 +168,9 @@ object Similarity extends QueryModule {
     val centsArr = cents
       .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
         .as("cents"))
+    // passes through any extra input columns (e.g. PQ codes for the
+    // combined IVF-PQ layout) alongside the assigned cell
+    val keep = data.columns.toSeq
     data.crossJoin(broadcast(centsArr))
       .withColumn("best", aggregate(
         col("cents"),
@@ -178,7 +181,7 @@ object Similarity extends QueryModule {
             struct(c.as("c"), ct.getField("cell").as("cell")))
             .otherwise(acc)
         }))
-      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      .select(keep.map(col) :+ col("best.cell").as("cell"): _*)
   }
 
   /** Deterministic IVF training: seeded sample → `LloydIters` k-means
@@ -423,6 +426,168 @@ object Similarity extends QueryModule {
        |adist AS (
        |  SELECT q.qid, a.vec_id, round(SUM(q.d), 6) AS adist
        |  FROM asg2 a JOIN qdt q ON a.sub = q.sub AND a.cell = q.cell
+       |  GROUP BY 1, 2)
+       |SELECT qid, vec_id, adist, rnk FROM (
+       |  SELECT qid, vec_id, adist, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rnk
+       |  FROM adist) WHERE rnk <= 5""".stripMargin
+  }
+
+  /** 6. IVF-PQ — the two scale paths COMPOSED, the production ANN
+    * layout (coarse inverted cells prune WHICH vectors to score, PQ
+    * codes make scoring them cheap): corpus rows carry both a cell id
+    * and 8 PQ codes from ONE map pass (assignCells chains after
+    * pqEncode — both are broadcast folds); a query probes its NProbe
+    * nearest cells and ADC-scores ONLY candidates in those cells.
+    * This variant scores raw-vector codebooks (IVF-PQ-flat); the
+    * residual-encoding refinement would train PQ on (x − centroid)
+    * with the same machinery. At 100 TB both columns are materialized
+    * at ingest and the scan touches NProbe/NCells of the corpus, 8
+    * bytes per vector. */
+  private val ivfpqQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cents = trainIvf(e)
+    val cb = trainPq(e)
+    val enc = assignCells(pqEncode(e, cb), cents)
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val qcells = qs.crossJoin(broadcast(cents))
+      .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("qc").desc, col("cell").asc)))
+      .filter(col("pr") <= NProbe)
+      .select(col("qid"), col("cell"))
+    val qdt = qs.crossJoin(broadcast(pqCbArr(cb)))
+      .withColumn("dt", expr(
+        s"""map_from_entries(transform(cb, c ->
+           |  struct(c.sub * $PqK + c.cell, ${pqDistExpr("qe")})))"""
+          .stripMargin))
+      .select(col("qid"), col("dt"))
+    val probes = qcells.join(qdt, "qid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    enc.join(broadcast(probes), Seq("cell"))
+      .withColumn("adist", round(expr(
+        s"""aggregate(sequence(0, ${PqSub - 1}), cast(0 as double),
+           |  (acc, s) -> acc +
+           |    element_at(dt, s * $PqK + element_at(codes, s + 1)))"""
+          .stripMargin), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rnk"))
+  }
+
+  /** Composed oracle: the ivfSql training chain (cells + corpus
+    * assignment + query probe cells) and the pqSql training chain
+    * (codebooks + corpus codes + query distance tables, CTEs prefixed
+    * `p`) side by side, then candidates = probed cells and ADC over
+    * candidates only. */
+  private def ivfpqSql: String = {
+    def iAssign(n: Int, centSrc: String): String =
+      s"""cn$n AS (SELECT cell, sqrt(SUM(m * m)) AS nrm
+         |  FROM $centSrc GROUP BY 1),
+         |dot$n AS (
+         |  SELECT ev.vec_id, c.cell, SUM(ev.v * c.m) AS d
+         |  FROM ev JOIN $centSrc c ON ev.pos = c.pos GROUP BY 1, 2),
+         |assign$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell, row_number() OVER (
+         |      PARTITION BY d.vec_id
+         |      ORDER BY d.d / (en.nrm * cn$n.nrm) DESC, d.cell ASC) AS rn
+         |    FROM dot$n d JOIN en ON d.vec_id = en.vec_id
+         |    JOIN cn$n ON d.cell = cn$n.cell)
+         |  WHERE rn = 1)""".stripMargin
+    def iRecompute(n: Int, fromAssign: String): String =
+      s"""c$n AS (
+         |  SELECT a.cell, ev.pos,
+         |    CAST(SUM(CAST(round(ev.v * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / 1e6 / COUNT(*) AS m
+         |  FROM $fromAssign a JOIN ev ON a.vec_id = ev.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+    def pAssign(n: Int): String =
+      s"""pdist$n AS (
+         |  SELECT sv.vec_id, sv.sub, c.cell,
+         |    SUM((sv.v - c.m) * (sv.v - c.m)) AS d
+         |  FROM sv JOIN pcb$n c ON sv.sub = c.sub AND sv.spos = c.spos
+         |  GROUP BY 1, 2, 3),
+         |pasg$n AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d ASC, cell ASC) AS rn
+         |    FROM pdist$n) WHERE rn = 1)""".stripMargin
+    def pRecompute(n: Int): String =
+      s"""pcb${n + 1} AS (
+         |  SELECT a.sub, a.cell, sv.spos,
+         |    CAST(SUM(CAST(round(sv.v * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / 1e6 / COUNT(*) AS m
+         |  FROM pasg$n a JOIN sv
+         |    ON a.vec_id = sv.vec_id AND a.sub = sv.sub
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings
+       |  CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)),
+       |en AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ev GROUP BY 1),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |    vec_id
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCells),
+       |c0 AS (
+       |  SELECT s.cell, ev.pos, ev.v AS m
+       |  FROM seeds s JOIN ev ON s.vec_id = ev.vec_id),
+       |${iAssign(0, "c0")},
+       |${iRecompute(1, "assign0")},
+       |${iAssign(1, "c1")},
+       |${iRecompute(2, "assign1")},
+       |${iAssign(2, "c2")},
+       |qdot AS (
+       |  SELECT ev.vec_id AS qid, c.cell, SUM(ev.v * c.m) AS d
+       |  FROM ev JOIN c2 c ON ev.pos = c.pos
+       |  WHERE ev.vec_id < 20 GROUP BY 1, 2),
+       |qcells AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, q.cell, row_number() OVER (
+       |      PARTITION BY q.qid
+       |      ORDER BY q.d / (en.nrm * cn2.nrm) DESC, q.cell ASC) AS pr
+       |    FROM qdot q JOIN en ON q.qid = en.vec_id
+       |    JOIN cn2 ON q.cell = cn2.cell)
+       |  WHERE pr <= $NProbe),
+       |sv AS (
+       |  SELECT vec_id, CAST((pos - 1) // $PqSubDim AS INT) AS sub,
+       |    (pos - 1) % $PqSubDim AS spos, v
+       |  FROM ev),
+       |pseeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |    vec_id
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK),
+       |pcb0 AS (
+       |  SELECT sv.sub, s.cell, sv.spos, sv.v AS m
+       |  FROM pseeds s JOIN sv ON s.vec_id = sv.vec_id),
+       |${pAssign(0)},
+       |${pRecompute(0)},
+       |${pAssign(1)},
+       |${pRecompute(1)},
+       |${pAssign(2)},
+       |qdt AS (
+       |  SELECT sv.vec_id AS qid, sv.sub, c.cell,
+       |    SUM((sv.v - c.m) * (sv.v - c.m)) AS d
+       |  FROM sv JOIN pcb2 c ON sv.sub = c.sub AND sv.spos = c.spos
+       |  WHERE sv.vec_id < 20 GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT qc.qid, a.vec_id
+       |  FROM qcells qc JOIN assign2 a ON qc.cell = a.cell),
+       |adist AS (
+       |  SELECT c.qid, c.vec_id, round(SUM(q.d), 6) AS adist
+       |  FROM cand c
+       |  JOIN pasg2 a ON a.vec_id = c.vec_id
+       |  JOIN qdt q ON q.qid = c.qid
+       |    AND q.sub = a.sub AND q.cell = a.cell
        |  GROUP BY 1, 2)
        |SELECT qid, vec_id, adist, rnk FROM (
        |  SELECT qid, vec_id, adist, row_number() OVER (
@@ -825,6 +990,8 @@ object Similarity extends QueryModule {
       "IVF ANN: k-means cells + nprobe search (full training-run oracle)"),
     "q_sim_ann_pq" -> Q(pqQ, Some(pqSql),
       "PQ ANN: per-subspace codebooks + ADC code-scan (full training oracle)"),
+    "q_sim_ann_ivfpq" -> Q(ivfpqQ, Some(ivfpqSql),
+      "IVF-PQ: cell-probe pruning + ADC over candidates (composed oracle)"),
     "q_sim_ann_lsh_planted" -> Q(annLshPlantedQ, Some(plantedSql),
       "LSH ANN vs planted exact-duplicate ground truth (oracle-checked)"),
     "q_sim_ann_ivf_planted" -> Q(annIvfPlantedQ, Some(plantedSql),
