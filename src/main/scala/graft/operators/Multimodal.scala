@@ -39,6 +39,8 @@ object Multimodal extends QueryModule {
       channels: Int, mean_b: Double, mean_g: Double, mean_r: Double)
   final case class WavRow(doc_id: Long, sample_rate: Int, n_channels: Int,
       bits: Int, n_samples: Int, mean_amp: Double)
+  final case class FrameFeat(doc_id: Long, frame: Long, f_len: Long,
+      energy_q: Long, zcr: Long, peak: Long)
 
   // ---- little-endian packing shared by synth + parse ----------------
   private def putLeInt(b: Array[Byte], off: Int, v: Int): Unit = {
@@ -177,6 +179,60 @@ object Multimodal extends QueryModule {
       i += 1
     }
     WavRow(id, rate, channels, bits, n, sum.toDouble / (n * channels))
+  }
+
+  /** A second planted WAV family for FEATURE extraction: the decode
+    * query's near-constant ramp has degenerate energy/zero-crossing
+    * structure, so this one carries a deterministic pseudo-noise tone —
+    * sample i = ((id·31 + i·17) mod 401) − 200 — that both the byte
+    * kernel and the closed-form oracle can reproduce exactly. Same
+    * canonical RIFF layout as synthWav. */
+  private[graft] def synthWavTone(id: Long): Array[Byte] = {
+    val n = wavN(id); val rate = wavRate(id)
+    val dataSize = n * 2
+    val bytes = new Array[Byte](44 + dataSize)
+    putTag(bytes, 0, "RIFF"); putLeInt(bytes, 4, 36 + dataSize)
+    putTag(bytes, 8, "WAVE"); putTag(bytes, 12, "fmt ")
+    putLeInt(bytes, 16, 16)
+    putLeShort(bytes, 20, 1)
+    putLeShort(bytes, 22, 1)
+    putLeInt(bytes, 24, rate)
+    putLeInt(bytes, 28, rate * 2)
+    putLeShort(bytes, 32, 2)
+    putLeShort(bytes, 34, 16)
+    putTag(bytes, 36, "data"); putLeInt(bytes, 40, dataSize)
+    var i = 0
+    while (i < n) {
+      putLeShort(bytes, 44 + i * 2, (((id * 31 + i * 17) % 401) - 200).toInt)
+      i += 1
+    }
+    bytes
+  }
+
+  /** Framed audio features FROM THE BYTES (frame = 32 samples, hop =
+    * frame, last frame partial): per frame the integer energy Σx², the
+    * strict zero-crossing count (x_{i-1}·x_i < 0 within the frame) and
+    * the peak |x| — the classic VAD/segmentation trio, computed in
+    * exact integer arithmetic so the oracle matches bit-for-bit. */
+  private[graft] def wavFrameFeats(id: Long, bytes: Array[Byte]): Seq[FrameFeat] = {
+    require(hasTag(bytes, 0, "RIFF") && hasTag(bytes, 8, "WAVE"),
+      s"doc $id: bad RIFF header")
+    require(leShort(bytes, 34) == 16 && leShort(bytes, 22) == 1,
+      s"doc $id: feature kernel wants 16-bit mono")
+    val n = leInt(bytes, 40) / 2
+    val F = 32
+    (0 until n).grouped(F).zipWithIndex.map { case (idx, f) =>
+      var energy = 0L; var zcr = 0L; var peak = 0L
+      var prev = 0L; var first = true
+      idx.foreach { i =>
+        val x = leShort(bytes, 44 + i * 2).toShort.toLong
+        energy += x * x
+        if (!first && prev * x < 0) zcr += 1
+        if (math.abs(x) > peak) peak = math.abs(x)
+        prev = x; first = false
+      }
+      FrameFeat(id, f.toLong, idx.size.toLong, energy, zcr, peak)
+    }.toSeq
   }
 
   /** Nearest-neighbor resize: parse the source BMP, resample into a
@@ -339,6 +395,44 @@ object Multimodal extends QueryModule {
       |  n AS n_samples,
       |  round((amp * n + n // 2) * 1.0 / n, 6) AS mean_amp
       |FROM au""".stripMargin
+
+  /** Audio feature extraction: synth tone payloads → byte kernel →
+    * framed energy/ZCR/peak/RMS. Map-side end to end (the per-doc
+    * flatMap is the mapPartitions-kernel pattern every media op here
+    * uses); at 100 TB this is the embarrassingly-parallel
+    * feature-extraction pass before audio dedup/filtering. */
+  private val audioFeaturesQ = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBytes(id, synthWavTone(id))))
+    media.flatMap(m => wavFrameFeats(m.doc_id, m.media)).toDF()
+      .select(col("doc_id"), col("frame"), col("f_len"),
+        col("energy_q"), col("zcr"), col("peak"),
+        round(sqrt(col("energy_q").cast("double") / col("f_len")), 6)
+          .as("rms"))
+  }
+
+  private val audioFeaturesSql =
+    """WITH au AS (
+      |  SELECT doc_id, CAST(64 + doc_id % 100 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |sm AS (
+      |  SELECT doc_id, i,
+      |    ((doc_id * 31 + i * 17) % 401) - 200 AS x,
+      |    i // 32 AS frame
+      |  FROM au CROSS JOIN unnest(range(0, n)) AS t(i)),
+      |zc AS (
+      |  SELECT doc_id, frame, i, x,
+      |    lag(x) OVER (PARTITION BY doc_id, frame ORDER BY i) AS px
+      |  FROM sm)
+      |SELECT doc_id, frame, COUNT(*) AS f_len,
+      |  CAST(SUM(x * x) AS BIGINT) AS energy_q,
+      |  CAST(COUNT(*) FILTER (WHERE px * x < 0) AS BIGINT) AS zcr,
+      |  max(abs(x)) AS peak,
+      |  round(sqrt(CAST(SUM(x * x) AS BIGINT) * 1.0 / COUNT(*)), 6) AS rms
+      |FROM zc GROUP BY 1, 2""".stripMargin
 
   /** Image resize: synth → half-size nearest-neighbor resize (target
     * dims derived from the PARSED header, min 2) → decode the resized
@@ -663,6 +757,8 @@ object Multimodal extends QueryModule {
       "real 24bpp BMP decode (header parse + per-channel pixel means) over planted payloads"),
     "q_mm_decode_wav" -> Q(decodeWavQ, Some(decodeWavSql),
       "real 16-bit PCM WAV decode (RIFF parse + sample stats) over planted payloads"),
+    "q_mm_audio_features" -> Q(audioFeaturesQ, Some(audioFeaturesSql),
+      "framed audio features from bytes: energy/ZCR/peak/RMS, integer-exact"),
     "q_mm_resize" -> Q(resizeQ, Some(resizeSql),
       "nearest-neighbor BMP resize (re-encode + re-decode), closed-form oracle"),
     "q_mm_frames" -> Q(frameQ, Some(frameSql),

@@ -84,6 +84,19 @@ class MultimodalSpec extends SparkSpec {
   }
 
 
+  test("audio features read sample bytes: a tampered sample shifts its frame only") {
+    val id = 44L * 3 + 1
+    val clean = Multimodal.wavFrameFeats(id, Multimodal.synthWavTone(id))
+    assert(clean.nonEmpty && clean.map(_.f_len).sum == 64 + id % 100)
+    // flip one sample in frame 1 to an extreme value
+    val tampered = Multimodal.synthWavTone(id)
+    tampered(44 + 33 * 2) = 0x00.toByte
+    tampered(44 + 33 * 2 + 1) = 0x7f.toByte // sample 33 -> +32512
+    val t = Multimodal.wavFrameFeats(id, tampered)
+    assert(t(1).energy_q != clean(1).energy_q && t(1).peak == 32512L)
+    assert(t.head == clean.head, "frame 0 must be untouched")
+  }
+
   test("resize: samples the source bytes (tampered pixel shifts the resized mean)") {
     val id = 12L // w=16 -> w2=8, h=furthest from degenerate
     val src = Multimodal.synthBmp(id)
