@@ -1153,6 +1153,13 @@ class GraftObjectTable(tableSchema: StructType, path: String,
     })
   override def name(): String = s"graft-objects:$path"
   override def schema(): StructType = tableSchema
+  /** Surface the stored option defaults (clustering, blooms, CHECK
+    * constraints) through `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    defaults.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,

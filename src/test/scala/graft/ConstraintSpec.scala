@@ -97,6 +97,16 @@ class ConstraintSpec extends SparkSpec {
       .agg(max(col("v"))).head.getLong(0) === 100)
   }
 
+  test("SHOW TBLPROPERTIES surfaces stored constraints") {
+    root
+    spark.sql(
+      """CREATE TABLE graftck.main.shown (id BIGINT)
+        |TBLPROPERTIES ('check.id_pos' = 'id > 0')""".stripMargin)
+    val props = spark.sql("SHOW TBLPROPERTIES graftck.main.shown")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("check.id_pos").contains("id > 0"))
+  }
+
   test("direct-path writes enforce check.* options; malformed SQL refused") {
     val dir = Files.createTempDirectory("graft-ck-direct").toString + "/t"
     val df = Tables.nation(spark, sf)
