@@ -516,7 +516,40 @@ object StreamOps extends QueryModule {
        |FROM ded GROUP BY source""".stripMargin
   }
 
+  /** Stream-STATIC enrichment join — the lookup shape every ingest
+    * pipeline runs (stream rows decorated with a dimension/profile
+    * table): stateless, APPEND mode, no watermark needed; the static
+    * side re-resolves per micro-batch (so a dimension refresh is
+    * picked up at the next batch) and BROADCASTS, so the stream side
+    * never shuffles. Here the profile is a per-user aggregate of the
+    * same events table — the "historical context" enrichment. */
+  private val streamStaticJoin = (s: SparkSession, dir: String) => {
+    val profile = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hist"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("sum_hist"))
+    val enriched = eventsStream(s, dir)
+      .filter(col("event_id") < 2000)
+      .join(broadcast(profile), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("n_hist"), col("sum_hist"))
+    runToTable(s, enriched, "append")
+  }
+
+  private val streamStaticJoinSql =
+    """WITH prof AS (
+      |  SELECT user_id, COUNT(*) AS n_hist,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_hist
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.user_id, e.event_type, e.value,
+      |  p.n_hist, p.sum_hist
+      |FROM events e JOIN prof p ON e.user_id = p.user_id
+      |WHERE e.event_id < 2000""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_stream_static_join" -> Q(streamStaticJoin, Some(streamStaticJoinSql),
+      "stream-static broadcast enrichment join (append, stateless)"),
     "q_stream_file_sink" -> Q(fileSink, Some(fileSinkSql),
       "exactly-once parquet file sink: commit-log read-back == batch"),
     "q_stream_curate" -> Q(curate, Some(curateSql),
