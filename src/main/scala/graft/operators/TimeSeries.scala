@@ -134,7 +134,43 @@ object TimeSeries extends QueryModule {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
       |FROM rk GROUP BY 1, 2""".stripMargin
 
+  // ---- 3. trailing time-RANGE moving window ----
+  //
+  // Per event row: count and decimal-exact sum of the same user's
+  // events in the trailing hour INCLUSIVE — a RANGE frame over the
+  // physical microsecond timestamp (not a row frame: peers are
+  // time-defined, so bursts and gaps are handled correctly). One
+  // shuffle on the series key; each key's frame scan is linear
+  // (two-pointer) in both engines. Microsecond epoch ordering on the
+  // Spark side == DuckDB's `RANGE INTERVAL 1 HOUR PRECEDING` over the
+  // raw timestamp, since the fixtures carry micros precision.
+  private val movingQ = (s: SparkSession, dir: String) => {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast("decimal(12,2)")).over(w)
+          .cast("double"))
+  }
+
+  private val movingSql =
+    """SELECT user_id, event_id, ts, value,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+      |    AS sum_1h
+      |FROM events WHERE user_id < 8
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+      .stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_moving_1h" -> Q(movingQ, Some(movingSql),
+      "trailing 1-hour RANGE-frame count/sum per series (time-defined peers)"),
     "q_ts_gapfill" -> Q(gapfillQ, Some(gapfillSql),
       "hourly gap-fill per series: dense grid + LOCF interpolation"),
     "q_ts_resample_ohlc" -> Q(ohlcQ, Some(ohlcSql),
