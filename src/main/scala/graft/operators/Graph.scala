@@ -46,7 +46,7 @@ object Graph extends QueryModule {
     val nodes = Tables.nation(s, dir)
       .select(col("n_nationkey").as("node"), col("n_name"))
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 0 until PrIters) {
+    for (it <- 1 to PrIters) {
       val contrib = ew
         .join(ranks, col("src") === col("node"))
         .select(col("dst"),
@@ -56,7 +56,12 @@ object Graph extends QueryModule {
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(150000L) + coalesce(col("cin"), lit(0L))).as("r"))
-        .localCheckpoint()
+      // Eager per-round checkpoint: measured FASTER than letting all
+      // rounds compile into one deep plan (25-row materialization is
+      // ~free; Catalyst re-optimizing a 5×-nested join tree is not —
+      // 1.09 s vs 1.33 s at sf0.1), and it pins lineage for
+      // long-horizon runs.
+      ranks = ranks.localCheckpoint()
     }
     val w = Window.orderBy(col("rank_q").desc, col("n_name").asc)
     ranks.join(nodes, "node")
