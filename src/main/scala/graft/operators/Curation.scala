@@ -553,13 +553,19 @@ object Curation extends QueryModule {
             .stripMargin).as("cs"))
       .select(col("doc_id"), size(col("cs")).as("n_chunks"),
         posexplode(col("cs")).as(Seq("ci", "chunk")))
-    val stats = chunks.groupBy(col("chunk"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    // "recurs in more than one doc" ⟺ min(doc_id) ≠ max(doc_id) over
+    // the chunk's occurrences — windows on the SAME partitioning as
+    // the first-occurrence rank, so the dup test costs no extra
+    // exchange (the r4 first cut aggregated ndocs separately and
+    // joined back: one more corpus shuffle for the same answer).
+    val wAll = Window.partitionBy(col("chunk"))
     val wFirst = Window.partitionBy(col("chunk"))
       .orderBy(col("doc_id").asc, col("ci").asc)
-    chunks.join(stats, "chunk")
+    chunks
+      .withColumn("multi",
+        min(col("doc_id")).over(wAll) =!= max(col("doc_id")).over(wAll))
       .withColumn("rn", row_number().over(wFirst))
-      .filter(col("ndocs") === 1 || col("rn") === 1)
+      .filter(!col("multi") || col("rn") === 1)
       .groupBy(col("doc_id"), col("n_chunks"))
       .agg(count(lit(1)).as("n_kept"),
         (col("n_chunks") - count(lit(1))).as("n_dropped"),
