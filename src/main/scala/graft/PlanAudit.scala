@@ -45,7 +45,9 @@ object PlanAudit {
       // round-4 additions
       "q_src_clustered_join_bucketed", "q_src_changes_rows",
       "q_mm_phash_near", "q_text_langid_confusion",
-      "q_ts_resample_ohlc", "q_src_constraint_gate")
+      "q_ts_resample_ohlc", "q_src_constraint_gate",
+      "q_sim_ann_ivfpq", "q_dedup_fuzzy_names", "q_ts_moving_1h",
+      "q_src_index_incremental", "q_mm_audio_features")
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else (Bench.headline ++ extras).distinct
