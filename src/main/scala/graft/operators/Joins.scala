@@ -276,7 +276,65 @@ object Joins extends QueryModule {
       |FROM fact JOIN dim ON fact.grp IS NOT DISTINCT FROM dim.grp
       |GROUP BY fact.grp""".stripMargin
 
+  /** SCD2 interval-validity join — the slowly-changing-dimension
+    * lookup every warehouse runs: build each customer's order-priority
+    * HISTORY as half-open validity intervals ([order date, next order
+    * date); NULL = still open; same-date ties yield empty intervals
+    * that match nothing, so the last order of a date prevails), then
+    * find the priority PREVAILING at each lineitem's ship date.
+    *
+    * Plan shape at scale: the history build is one dim-sized window
+    * (custkey shuffle of ORDERS, not facts); the fact join is an EQUI
+    * hash join on custkey with the interval condition as a residual
+    * filter — never a nested loop — and the per-customer interval
+    * count bounds the residual work. Ship date ≥ its own order date ≥
+    * the first interval start, so every line matches exactly once
+    * (the intervals partition the timeline from the first order on). */
+  private val scd2 = (s: SparkSession, dir: String) => {
+    val wh = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val hist = Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("prio"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(wh).as("valid_to"))
+    val fact = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_shipdate"),
+        col("l_quantity"))
+    fact.join(hist,
+      fact("custkey") === hist("custkey") &&
+        col("l_shipdate") >= col("valid_from") &&
+        (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(fact("custkey")).as("n_custs"),
+        Ora.dsum(Ora.money(col("l_quantity"))).as("sum_qty"))
+  }
+
+  private val scd2Sql =
+    """WITH hist AS (
+      |  SELECT o_custkey AS custkey, o_orderpriority AS prio,
+      |    o_orderdate AS valid_from,
+      |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+      |  FROM orders),
+      |fact AS (
+      |  SELECT o.o_custkey AS custkey, l.l_shipdate, l.l_quantity
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT h.prio, COUNT(*) AS n_lines,
+      |  COUNT(DISTINCT f.custkey) AS n_custs,
+      |  CAST(SUM(CAST(f.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_qty
+      |FROM fact f JOIN hist h ON f.custkey = h.custkey
+      |  AND f.l_shipdate >= h.valid_from
+      |  AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+      |GROUP BY h.prio""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_join_scd2" -> Q(scd2, Some(scd2Sql),
+      "SCD2 interval-validity join: equi key + residual range, dim-only window"),
     "q_join_q3" -> Q(q3, Some(q3Sql),
       "TPC-H Q3 skeleton: 3-table join, grouped revenue, top-10"),
     "q_join_q5" -> Q(q5, Some(q5Sql),
