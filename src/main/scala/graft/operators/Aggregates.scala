@@ -79,6 +79,39 @@ object Aggregates extends QueryModule {
     """SELECT COUNT(DISTINCT l_partkey) AS n_part_exact, TRUE AS approx_ok
       |FROM lineitem""".stripMargin
 
+  /** MERGEABLE sketches — the systems story beyond one-shot
+    * approx_count_distinct: per-group HLL sketches are built once
+    * (Datasketches binary blobs), then UNIONED to answer a coarser
+    * rollup WITHOUT re-touching the data — at 100 TB this is how
+    * per-partition/day sketches roll up to monthly/global cardinality
+    * in metadata only. Envelope oracle: each tier's estimate must
+    * land within 5% of its exact distinct count; the exact counts and
+    * booleans are the compared output. */
+  private val hllUnionQ = (s: SparkSession, dir: String) => {
+    val perFlag = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+    val global = Tables.lineitem(s, dir)
+      .agg(countDistinct(col("l_partkey")).as("n_exact_g"))
+    perFlag
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_g"),
+        sum(when(
+          abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+            col("n_exact") * lit(0.05), 0L).otherwise(1L))
+          .as("n_tier_violations"))
+      .crossJoin(global)
+      .select(col("n_exact_g"),
+        (abs(col("est_g") - col("n_exact_g")) <=
+          col("n_exact_g") * lit(0.05)).as("union_ok"),
+        (col("n_tier_violations") === 0L).as("tiers_ok"))
+  }
+
+  private val hllUnionSql =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_exact_g,
+      |  TRUE AS union_ok, TRUE AS tiers_ok
+      |FROM lineitem""".stripMargin
+
   // Approx percentile (Greenwald–Khanna summary) under the same
   // envelope discipline: accuracy=10000 guarantees rank error ≤ n/10⁴,
   // so the estimate provably lies within the exact p45..p55 band — the
@@ -261,6 +294,8 @@ object Aggregates extends QueryModule {
       "global exact count-distinct"),
     "q_agg_approx_cd" -> Q(approxCd, Some(approxCdSql),
       "HLL++ count-distinct sketch, oracle-checked via exact-count envelope"),
+    "q_agg_hll_union" -> Q(hllUnionQ, Some(hllUnionSql),
+      "mergeable HLL sketches: per-group build + union rollup, envelope oracle"),
     "q_agg_approx_pctl" -> Q(approxPctlQ, Some(approxPctlSql),
       "GK approx percentile, oracle-checked via exact-band envelope"),
     "q_agg_rollup" -> Q(rollupQ, Some(rollupSql), "GROUP BY ROLLUP"),
