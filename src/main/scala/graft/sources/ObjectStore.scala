@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
-import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider, TruncatableTable}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
@@ -1119,7 +1119,8 @@ object GraftObjectTable {
 class GraftObjectTable(tableSchema: StructType, path: String,
     defaults: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with TruncatableTable {
 
   /** Table-level option defaults (catalog `_props` sidecar): per-read/
     * per-write options win; the stored table properties fill the rest.
@@ -1172,6 +1173,29 @@ class GraftObjectTable(tableSchema: StructType, path: String,
   private def requireWritable(op: String): Unit =
     require(!GraftVersions.isSnapshot(path),
       s"graft-objects: $op on snapshot $path — snapshots are read-only")
+
+  /** SQL `TRUNCATE TABLE` — a versioned metadata operation like every
+    * other mutation here: live objects move to the archive under a new
+    * version (the pre-truncate state stays time-travelable and
+    * VACUUM-able), and a removals-only commit line lands in the log.
+    * The schema sidecar is written first so resolution survives the
+    * last object leaving. */
+  override def truncateTable(): Boolean = {
+    requireWritable("TRUNCATE TABLE")
+    GraftVersions.withTableLock(path) {
+      val dir = new File(path)
+      val v = GraftVersions.nextVersion(path)
+      val existing = GraftObjectTable.listObjects(path)
+      val sidecar = new File(dir, "_schema.ddl")
+      if (!sidecar.isFile)
+        Files.write(sidecar.toPath, tableSchema.toDDL.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      existing.foreach(p => GraftVersions.archiveMove(path, new File(p), v))
+      GraftVersions.record(path, v, Nil,
+        existing.map(p => new File(p).getName))
+    }
+    true
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable("write")

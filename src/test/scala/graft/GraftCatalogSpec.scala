@@ -100,9 +100,16 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("TRUNCATE TABLE empties via the delete path; table stays queryable") {
     val path = mkTable("trunc", "lineitem")
+    val before = spark.sql("SELECT COUNT(*) AS n FROM gtest.trunc.lineitem")
+      .collect()(0).getLong(0)
+    val v = graft.sources.GraftVersions.currentVersion(path)
     spark.sql("TRUNCATE TABLE gtest.trunc.lineitem")
     assert(graft.sources.GraftObjectTable.listObjects(path).isEmpty,
       "truncate must unlink every object")
+    // TruncatableTable is VERSIONED: the pre-truncate generation stays
+    // time-travelable from the archive
+    assert(spark.read.format("graft-objects").load(s"$path@v$v")
+      .count() == before, "pre-truncate snapshot must survive")
     // schema still resolves (sidecar written on the fly is absent here,
     // but the catalog table was created by a path write; re-insert works)
     spark.sql(
