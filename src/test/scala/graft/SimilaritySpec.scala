@@ -107,6 +107,16 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("PQ encode/ADC never shuffle the corpus; IVF-PQ joins stay broadcast") {
+    for (q <- Seq("q_sim_ann_pq", "q_sim_ann_ivfpq")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(vec_id"),
+        s"$q: encode/scoring must not exchange the corpus by vec_id")
+      assert(!plan.contains("SortMergeJoin"), q)
+    }
+  }
+
   test("planted exact-duplicate ground truth: both ANN paths retrieve the clone") {
     Seq("q_sim_ann_lsh_planted", "q_sim_ann_ivf_planted").foreach { q =>
       val rows = run(q).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
