@@ -700,6 +700,81 @@ object Sources extends QueryModule {
         Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"))
   }
 
+  /** CDC REPLICATION end-to-end: the change feed applied. A mirror
+    * table is seeded from the source's v0 snapshot; the source then
+    * takes a DELETE and an append; the streaming change feed (version
+    * offsets) drains into `foreachBatch`, where each micro-batch is
+    * NETTED per key (latest version wins; within a version the
+    * post-image insert beats the pre-image delete) and applied to the
+    * mirror as one keyed MERGE (DELETE / UPDATE / INSERT clauses).
+    * The compared output is the MIRROR's content — equality with the
+    * closed-form final source state proves replication converged.
+    * Idempotent by construction (keyed MERGE), so micro-batch replay
+    * after a crash re-applies harmlessly — the Delta-style CDC-apply
+    * contract. */
+  private val cdcApply = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    s.sql("DROP TABLE IF EXISTS graft.main.orders_cdc_src")
+    s.sql("DROP TABLE IF EXISTS graft.main.orders_cdc_mirror")
+    val src = s"$root/main/orders_cdc_src"
+    val mirror = s"$root/main/orders_cdc_mirror"
+    val orders = Tables.orders(s, dir)
+    orders.repartition(4, expr("o_orderkey div 1000"))
+      .sortWithinPartitions("o_orderkey")
+      .write.format("graft-objects")
+      .option("clusterBy", "o_orderkey").option("clusterWidth", "1000")
+      .mode("overwrite").save(src)
+    val v0 = graft.sources.GraftVersions.currentVersion(src)
+    s.read.format("graft-objects").load(src)
+      .write.format("graft-objects").mode("overwrite").save(mirror)
+    s.sql("DELETE FROM graft.main.orders_cdc_src WHERE o_orderkey <= 1500")
+    orders.filter(col("o_orderkey") <= 500).repartition(1)
+      .write.format("graft-objects").mode("append").save(src)
+    val feed = s.readStream.format("graft-objects")
+      .option("changeFeed", "true")
+      .option("startingVersion", v0.toString)
+      .load(src)
+    val cols = orders.columns.toSeq
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val w = Window.partitionBy(col("o_orderkey"))
+          .orderBy(col("_version").desc, col("_change_type").desc)
+        batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn", "_version")
+          .createOrReplaceTempView("cdc_net")
+        ss.sql(
+          s"""MERGE INTO graft.main.orders_cdc_mirror m
+             |USING cdc_net n ON m.o_orderkey = n.o_orderkey
+             |WHEN MATCHED AND n._change_type = 'delete' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET
+             |  ${cols.map(c => s"m.$c = n.$c").mkString(", ")}
+             |WHEN NOT MATCHED AND n._change_type = 'insert' THEN
+             |  INSERT (${cols.mkString(", ")})
+             |  VALUES (${cols.map("n." + _).mkString(", ")})""".stripMargin)
+        ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-cdc-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+            |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+            |    AS sum_total
+            |FROM graft.main.orders_cdc_mirror
+            |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  private val cdcApplySql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |    AS sum_total
+      |FROM orders WHERE o_orderkey > 1500 OR o_orderkey <= 500
+      |GROUP BY o_orderpriority""".stripMargin
+
   private val changeFeedStreamSql =
     """SELECT 'delete' AS _change_type, COUNT(*) AS n,
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
@@ -938,6 +1013,8 @@ object Sources extends QueryModule {
       "row-level change feed: inserted/deleted rows via log + archive diff"),
     "q_stream_change_feed" -> Q(changeFeedStream, Some(changeFeedStreamSql),
       "streaming CDC: version-number offsets, insert/delete row events"),
+    "q_stream_cdc_apply" -> Q(cdcApply, Some(cdcApplySql),
+      "CDC replication: change feed netted per key + MERGEd into a mirror"),
     "q_src_clustered_join" -> Q(clusteredJoin, Some(clusteredJoinSql),
       "value-clustered layout: storage-partitioned join + agg, zero shuffles"),
     "q_src_clustered_join_bucketed" -> Q(clusteredBucketed,
