@@ -301,7 +301,10 @@ object Similarity extends QueryModule {
   /** Encode map-side: per subspace, fold the broadcast codebook to the
     * argmin-L2 cell (strict < keeps the first = smallest cell on
     * ties). No shuffle — the corpus streams past once. */
-  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame =
+  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
+    // passes through extra input columns (e.g. the IVF cell for the
+    // residual IVF-PQ layout), like assignCells
+    val keep = e.columns.toSeq
     e.crossJoin(broadcast(pqCbArr(cb)))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${PqSub - 1}), s ->
@@ -310,7 +313,8 @@ object Similarity extends QueryModule {
            |      c -> struct(${pqDistExpr("embedding")} as d, c.cell as cell)),
            |    struct(cast(1e18 as double) as d, -1 as cell),
            |    (acc, x) -> if(x.d < acc.d, x, acc)).cell)""".stripMargin))
-      .select(col("vec_id"), col("embedding"), col("codes"))
+      .select(keep.map(col) :+ col("codes"): _*)
+  }
 
   /** Per-subspace k-means: deterministic seeds (the PqK smallest
     * md5(vec_id) vectors donate all their slices), then PqLloyd rounds
@@ -477,6 +481,194 @@ object Similarity extends QueryModule {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("vec_id"), col("adist"), col("rnk"))
+  }
+
+  /** 7. RESIDUAL IVF-PQ — the true FAISS encoding: PQ codebooks are
+    * trained on the RESIDUALS (x − centroid of x's cell), which are
+    * far more compressible than raw vectors (the coarse quantizer has
+    * already removed the cell mean), and each query builds a distance
+    * table PER PROBED CELL from its own residual (qe − centroid).
+    * Everything stays map-side over broadcast centroids/codebooks:
+    * residual derivation, PQ training explodes, encoding, and the
+    * per-(query, cell) ADC tables (NProbe×|queries| rows). */
+  private def ivfResiduals(e: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
+        .as("cents"))
+    assignCells(e.select(col("vec_id"), col("embedding")), cents)
+      .crossJoin(broadcast(centsArr))
+      .withColumn("rv", expr(
+        """zip_with(cast(embedding as array<double>),
+          |  filter(cents, c -> c.cell = cell)[0].centroid,
+          |  (a, b) -> a - b)""".stripMargin))
+      .select(col("vec_id"), col("rv").as("embedding"), col("cell"))
+  }
+
+  private val ivfpqResidualQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cents = trainIvf(e)
+    val resid = ivfResiduals(e, cents) // vec_id, residual embedding, cell
+    val cb = trainPq(resid.select(col("vec_id"), col("embedding")))
+    val enc = pqEncode(resid, cb)
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val centsArr = cents
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
+        .as("cents"))
+    // probe cells per query, then one distance table per (query, cell)
+    // from the query's residual AGAINST THAT CELL
+    val qcells = qs.crossJoin(broadcast(cents))
+      .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("qc").desc, col("cell").asc)))
+      .filter(col("pr") <= NProbe)
+      .select(col("qid"), col("qe"), col("cell"))
+    val qdt = qcells.crossJoin(broadcast(centsArr))
+      .withColumn("qrv", expr(
+        """zip_with(cast(qe as array<double>),
+          |  filter(cents, c -> c.cell = cell)[0].centroid,
+          |  (a, b) -> a - b)""".stripMargin))
+      .crossJoin(broadcast(pqCbArr(cb)))
+      .withColumn("dt", expr(
+        s"""map_from_entries(transform(cb, c ->
+           |  struct(c.sub * $PqK + c.cell, ${pqDistExpr("qrv")})))"""
+          .stripMargin))
+      .select(col("qid"), col("cell"), col("dt"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    enc.join(broadcast(qdt), Seq("cell"))
+      .withColumn("adist", round(expr(
+        s"""aggregate(sequence(0, ${PqSub - 1}), cast(0 as double),
+           |  (acc, s) -> acc +
+           |    element_at(dt, s * $PqK + element_at(codes, s + 1)))"""
+          .stripMargin), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rnk"))
+  }
+
+  /** Residual oracle: the IVF chain unchanged; the PQ chain runs over
+    * `rsv` (per-dimension residuals from the final cell assignment),
+    * and the ADC tables key on (query, probed cell, subspace, code)
+    * since each probed cell has its own query residual. */
+  private def ivfpqResidualSql: String = {
+    def pAssign(n: Int): String =
+      s"""pdist$n AS (
+         |  SELECT rsv.vec_id, rsv.sub, c.cell,
+         |    SUM((rsv.v - c.m) * (rsv.v - c.m)) AS d
+         |  FROM rsv JOIN pcb$n c ON rsv.sub = c.sub AND rsv.spos = c.spos
+         |  GROUP BY 1, 2, 3),
+         |pasg$n AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d ASC, cell ASC) AS rn
+         |    FROM pdist$n) WHERE rn = 1)""".stripMargin
+    def pRecompute(n: Int): String =
+      s"""pcb${n + 1} AS (
+         |  SELECT a.sub, a.cell, rsv.spos,
+         |    CAST(SUM(CAST(round(rsv.v * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / 1e6 / COUNT(*) AS m
+         |  FROM pasg$n a JOIN rsv
+         |    ON a.vec_id = rsv.vec_id AND a.sub = rsv.sub
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    def iAssign(n: Int, centSrc: String): String =
+      s"""cn$n AS (SELECT cell, sqrt(SUM(m * m)) AS nrm
+         |  FROM $centSrc GROUP BY 1),
+         |dot$n AS (
+         |  SELECT ev.vec_id, c.cell, SUM(ev.v * c.m) AS d
+         |  FROM ev JOIN $centSrc c ON ev.pos = c.pos GROUP BY 1, 2),
+         |assign$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell, row_number() OVER (
+         |      PARTITION BY d.vec_id
+         |      ORDER BY d.d / (en.nrm * cn$n.nrm) DESC, d.cell ASC) AS rn
+         |    FROM dot$n d JOIN en ON d.vec_id = en.vec_id
+         |    JOIN cn$n ON d.cell = cn$n.cell)
+         |  WHERE rn = 1)""".stripMargin
+    def iRecompute(n: Int, fromAssign: String): String =
+      s"""c$n AS (
+         |  SELECT a.cell, ev.pos,
+         |    CAST(SUM(CAST(round(ev.v * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / 1e6 / COUNT(*) AS m
+         |  FROM $fromAssign a JOIN ev ON a.vec_id = ev.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings
+       |  CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)),
+       |en AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ev GROUP BY 1),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |    vec_id
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCells),
+       |c0 AS (
+       |  SELECT s.cell, ev.pos, ev.v AS m
+       |  FROM seeds s JOIN ev ON s.vec_id = ev.vec_id),
+       |${iAssign(0, "c0")},
+       |${iRecompute(1, "assign0")},
+       |${iAssign(1, "c1")},
+       |${iRecompute(2, "assign1")},
+       |${iAssign(2, "c2")},
+       |qdot AS (
+       |  SELECT ev.vec_id AS qid, c.cell, SUM(ev.v * c.m) AS d
+       |  FROM ev JOIN c2 c ON ev.pos = c.pos
+       |  WHERE ev.vec_id < 20 GROUP BY 1, 2),
+       |qcells AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, q.cell, row_number() OVER (
+       |      PARTITION BY q.qid
+       |      ORDER BY q.d / (en.nrm * cn2.nrm) DESC, q.cell ASC) AS pr
+       |    FROM qdot q JOIN en ON q.qid = en.vec_id
+       |    JOIN cn2 ON q.cell = cn2.cell)
+       |  WHERE pr <= $NProbe),
+       |rsv AS (
+       |  SELECT ev.vec_id, CAST((ev.pos - 1) // $PqSubDim AS INT) AS sub,
+       |    (ev.pos - 1) % $PqSubDim AS spos, ev.v - c.m AS v
+       |  FROM ev JOIN assign2 a ON ev.vec_id = a.vec_id
+       |  JOIN c2 c ON c.cell = a.cell AND c.pos = ev.pos),
+       |pseeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |    vec_id
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK),
+       |pcb0 AS (
+       |  SELECT rsv.sub, s.cell, rsv.spos, rsv.v AS m
+       |  FROM pseeds s JOIN rsv ON s.vec_id = rsv.vec_id),
+       |${pAssign(0)},
+       |${pRecompute(0)},
+       |${pAssign(1)},
+       |${pRecompute(1)},
+       |${pAssign(2)},
+       |qrv AS (
+       |  SELECT ev.vec_id AS qid, qc.cell AS pcell,
+       |    CAST((ev.pos - 1) // $PqSubDim AS INT) AS sub,
+       |    (ev.pos - 1) % $PqSubDim AS spos, ev.v - c.m AS v
+       |  FROM ev JOIN qcells qc ON ev.vec_id = qc.qid
+       |  JOIN c2 c ON c.cell = qc.cell AND c.pos = ev.pos),
+       |qdt AS (
+       |  SELECT q.qid, q.pcell, q.sub, c.cell,
+       |    SUM((q.v - c.m) * (q.v - c.m)) AS d
+       |  FROM qrv q JOIN pcb2 c ON q.sub = c.sub AND q.spos = c.spos
+       |  GROUP BY 1, 2, 3, 4),
+       |cand AS (
+       |  SELECT qc.qid, a.vec_id, qc.cell
+       |  FROM qcells qc JOIN assign2 a ON qc.cell = a.cell),
+       |adist AS (
+       |  SELECT cd.qid, cd.vec_id, round(SUM(q.d), 6) AS adist
+       |  FROM cand cd
+       |  JOIN pasg2 a ON a.vec_id = cd.vec_id
+       |  JOIN qdt q ON q.qid = cd.qid AND q.pcell = cd.cell
+       |    AND q.sub = a.sub AND q.cell = a.cell
+       |  GROUP BY 1, 2)
+       |SELECT qid, vec_id, adist, rnk FROM (
+       |  SELECT qid, vec_id, adist, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rnk
+       |  FROM adist) WHERE rnk <= 5""".stripMargin
   }
 
   /** Composed oracle: the ivfSql training chain (cells + corpus
@@ -992,6 +1184,8 @@ object Similarity extends QueryModule {
       "PQ ANN: per-subspace codebooks + ADC code-scan (full training oracle)"),
     "q_sim_ann_ivfpq" -> Q(ivfpqQ, Some(ivfpqSql),
       "IVF-PQ: cell-probe pruning + ADC over candidates (composed oracle)"),
+    "q_sim_ann_ivfpq_residual" -> Q(ivfpqResidualQ, Some(ivfpqResidualSql),
+      "residual IVF-PQ: codebooks on x - centroid, per-cell ADC tables"),
     "q_sim_ann_lsh_planted" -> Q(annLshPlantedQ, Some(plantedSql),
       "LSH ANN vs planted exact-duplicate ground truth (oracle-checked)"),
     "q_sim_ann_ivf_planted" -> Q(annIvfPlantedQ, Some(plantedSql),
