@@ -182,7 +182,75 @@ object Windows extends QueryModule {
       |  COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end
       |FROM sids GROUP BY user_id, session_id""".stripMargin
 
+  /** Funnel analysis — the ordered-event-pattern classic (the
+    * MATCH_RECOGNIZE shape Spark lacks, expressed as staged firsts):
+    * per user, the first 'view', the first 'click' strictly AFTER that
+    * view, the first 'purchase' strictly after that click; the funnel
+    * counts users surviving each stage plus the end-to-end conversion
+    * rate. Each stage is one user-keyed aggregate joined forward —
+    * shuffles carry |users| rows, never events, and the joins
+    * broadcast at dim scale. */
+  private val funnelQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(broadcast(v), "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(c), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+      .select(col("n_view"), col("n_click_after"), col("n_purchase_after"),
+        round(col("n_purchase_after") / col("n_view"), 6).as("conversion"))
+  }
+
+  private val funnelSql =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click_after,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase_after,
+      |  round((SELECT COUNT(*) FROM p) * 1.0 /
+      |        (SELECT COUNT(*) FROM v), 6) AS conversion""".stripMargin
+
+  /** Equi-width histogram per group — binning done arithmetically
+    * (bin = floor(value/5) capped at 9) so both engines bin the same
+    * doubles identically; one partial-agg shuffle of groups×bins. */
+  private val histogramQ = (s: SparkSession, dir: String) =>
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        least(floor(col("value") / 5.0), lit(9.0)).cast("int").as("bin"),
+        col("value"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+
+  private val histogramSql =
+    """SELECT event_type,
+      |  CAST(least(floor(value / 5.0), 9.0) AS INT) AS bin,
+      |  COUNT(*) AS n, min(value) AS min_v, max(value) AS max_v
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_funnel" -> Q(funnelQ, Some(funnelSql),
+      "funnel analysis: staged firsts (view -> click -> purchase) + conversion"),
+    "q_agg_histogram" -> Q(histogramQ, Some(histogramSql),
+      "equi-width histogram per group, arithmetic binning"),
     "q_win_sessionize" -> Q(sessionizeQ, Some(sessionizeSql),
       "batch sessionization: 30-min-gap sessions via lag + running sum"),
     "q_win_rank" -> Q(rankQ, Some(rankSql),
