@@ -47,7 +47,9 @@ object PlanAudit {
       "q_mm_phash_near", "q_text_langid_confusion",
       "q_ts_resample_ohlc", "q_src_constraint_gate",
       "q_sim_ann_ivfpq", "q_dedup_fuzzy_names", "q_ts_moving_1h",
-      "q_src_index_incremental", "q_mm_audio_features")
+      "q_src_index_incremental", "q_mm_audio_features",
+      "q_join_scd2", "q_agg_hll_union", "q_win_funnel",
+      "q_agg_histogram", "q_sim_ann_ivfpq_residual")
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else (Bench.headline ++ extras).distinct

@@ -108,7 +108,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("PQ encode/ADC never shuffle the corpus; IVF-PQ joins stay broadcast") {
-    for (q <- Seq("q_sim_ann_pq", "q_sim_ann_ivfpq")) {
+    for (q <- Seq("q_sim_ann_pq", "q_sim_ann_ivfpq",
+        "q_sim_ann_ivfpq_residual")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("hashpartitioning(vec_id"),
