@@ -984,7 +984,67 @@ object Sources extends QueryModule {
       |FROM terms GROUP BY term
       |ORDER BY n_postings DESC, term ASC LIMIT 30""".stripMargin
 
+  /** Incremental MATERIALIZED-VIEW maintenance — the aggregate twin of
+    * the index case: an additive per-group rollup (counts + decimal
+    * sums) lives as a catalog table; an append refreshes it by
+    * aggregating ONLY the `@vA..B` delta and MERGEing the partials in
+    * (counts add, sums add, mins/maxes widen). Oracle equality vs a
+    * full recompute over the unioned corpus proves refresh ≡ rebuild —
+    * additive aggregates never need the base table again. */
+  private val mvIncremental = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    s.sql("DROP TABLE IF EXISTS graft.main.docs_mv_src")
+    s.sql("DROP TABLE IF EXISTS graft.main.docs_mv")
+    val srcDir = s"$root/main/docs_mv_src"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def rollup(d: DataFrame): DataFrame = d
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+    docs.repartition(4).write.format("graft-objects")
+      .mode("overwrite").save(srcDir)
+    val v1 = graft.sources.GraftVersions.currentVersion(srcDir)
+    rollup(s.read.format("graft-objects").load(srcDir))
+      .write.format("graft-objects").mode("overwrite")
+      .save(s"$root/main/docs_mv")
+    docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("lang"),
+        col("n_chars"))
+      .repartition(1).write.format("graft-objects")
+      .mode("append").save(srcDir)
+    val v2 = graft.sources.GraftVersions.currentVersion(srcDir)
+    rollup(s.read.format("graft-objects").load(s"$srcDir@v$v1..$v2"))
+      .createOrReplaceTempView("mv_delta")
+    s.sql("""MERGE INTO graft.main.docs_mv t USING mv_delta d
+            |ON t.lang = d.lang
+            |WHEN MATCHED THEN UPDATE SET
+            |  n_docs = t.n_docs + d.n_docs,
+            |  sum_chars = t.sum_chars + d.sum_chars,
+            |  first_doc = least(t.first_doc, d.first_doc),
+            |  last_doc = greatest(t.last_doc, d.last_doc)
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("""SELECT lang, n_docs, CAST(sum_chars AS BIGINT) AS sum_chars,
+            |  first_doc, last_doc
+            |FROM graft.main.docs_mv""".stripMargin)
+  }
+
+  private val mvIncrementalSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, lang, n_chars FROM documents
+      |  WHERE doc_id < 40)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM corpus GROUP BY lang""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_src_mv_incremental" -> Q(mvIncremental, Some(mvIncrementalSql),
+      "incremental materialized-view refresh: delta-only agg + MERGE == rebuild"),
     "q_src_index_incremental" -> Q(indexIncremental,
       Some(indexIncrementalSql),
       "incremental index maintenance: delta-only tokenize + MERGE == rebuild"),
