@@ -246,7 +246,66 @@ object Windows extends QueryModule {
       |  COUNT(*) AS n, min(value) AS min_v, max(value) AS max_v
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Strict-adjacency sequence pattern (the MATCH_RECOGNIZE row-
+    * pattern shape, funnel's stricter sibling): count per-user
+    * occurrences of view → click → purchase as THREE CONSECUTIVE
+    * events in the user's stream — lead() twice over one user-keyed
+    * sort, so detection is a single window pass, no joins. */
+  private val seqPatternQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("event_type") === "view" &&
+        col("t1") === "click" && col("t2") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_patterns"),
+        min(col("ts")).as("first_at"))
+  }
+
+  private val seqPatternSql =
+    """WITH m AS (
+      |  SELECT user_id, ts, event_type,
+      |    lead(event_type, 1) OVER w AS t1,
+      |    lead(event_type, 2) OVER w AS t2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      |SELECT user_id, COUNT(*) AS n_patterns, min(ts) AS first_at
+      |FROM m
+      |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      |GROUP BY user_id""".stripMargin
+
+  /** Deterministic per-group MODE — Spark's and DuckDB's builtin
+    * `mode()` both break ties arbitrarily, so the exact form is a
+    * count + rank with an explicit value tiebreak (the only mode a
+    * cross-engine contract can state). */
+  private val modeQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"),
+        col("n").as("mode_n"))
+  }
+
+  private val modeSql =
+    """SELECT user_id, event_type AS mode_type, n AS mode_n FROM (
+      |  SELECT user_id, event_type, COUNT(*) AS n,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+      |  FROM events GROUP BY 1, 2) WHERE rk = 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_seq_pattern" -> Q(seqPatternQ, Some(seqPatternSql),
+      "strict-adjacency row pattern (view,click,purchase) via double lead"),
+    "q_agg_mode" -> Q(modeQ, Some(modeSql),
+      "deterministic per-group mode: count + rank with value tiebreak"),
     "q_win_funnel" -> Q(funnelQ, Some(funnelSql),
       "funnel analysis: staged firsts (view -> click -> purchase) + conversion"),
     "q_agg_histogram" -> Q(histogramQ, Some(histogramSql),
