@@ -1042,7 +1042,35 @@ object Sources extends QueryModule {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM corpus GROUP BY lang""".stripMargin
 
+  /** Hive-style directory partitioning end-to-end as an oracled query
+    * (PartitionPruningSpec proves the pruning physically; this makes
+    * the capability part of the compared surface): events written
+    * `partitionBy(event_type)`, read back with a partition filter that
+    * lists ONLY the matching directories, joined to a second partition
+    * for a cross-partition aggregate. */
+  private val partitionedWrite = (s: SparkSession, dir: String) => {
+    val out = "/tmp/graft_parted_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Tables.events(s, dir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val parted = s.read.parquet(out)
+    parted.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Ora.dsum(Ora.money(col("value"))).as("sum_value"))
+  }
+
+  private val partitionedWriteSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY event_type""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_src_partitioned_write" -> Q(partitionedWrite,
+      Some(partitionedWriteSql),
+      "hive-style partitionBy write + partition-pruned filtered read-back"),
     "q_src_mv_incremental" -> Q(mvIncremental, Some(mvIncrementalSql),
       "incremental materialized-view refresh: delta-only agg + MERGE == rebuild"),
     "q_src_index_incremental" -> Q(indexIncremental,
