@@ -60,6 +60,41 @@ object Sampling extends QueryModule {
        |WHERE substr($hkeySql, 1, 1) IN ('0', '1')
        |GROUP BY l_returnflag""".stripMargin
 
+  /** Train/validation/test split — the ML-pipeline staple done the
+    * only way that survives reruns and late-arriving data: assignment
+    * is a PURE FUNCTION of the row's content hash (first two hex chars
+    * = 256 buckets; <204 train ≈ 80%, <230 val ≈ 10%, rest test), so
+    * the split is stable across runs, machines, and partitionings, a
+    * row never migrates between splits as the corpus grows, and the
+    * assignment is a map-only expression that composes with pushdown.
+    * Output = per-split counts + decimal-exact sums (the fractions
+    * land within binomial noise of 80/10/10 — the exact realized
+    * counts are the compared contract). */
+  // bucket compare done on the 2-hex-char PREFIX STRING ('cc' = 204,
+  // 'e6' = 230): md5 hex is lowercase 0-9a-f, so lexicographic order
+  // IS numeric order and both engines compare binary-identically
+  private val splitExpr =
+    when(substring(hkey, 1, 2) < "cc", "train")
+      .when(substring(hkey, 1, 2) < "e6", "val")
+      .otherwise("test")
+
+  private val trainTestSplit = (s: SparkSession, dir: String) =>
+    Tables.lineitem(s, dir)
+      .withColumn("split", splitExpr)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        Ora.dsum(Ora.money(col("l_quantity"))).as("sum_qty"))
+
+  private val trainTestSplitSql =
+    s"""SELECT CASE
+       |  WHEN substr($hkeySql, 1, 2) < 'cc' THEN 'train'
+       |  WHEN substr($hkeySql, 1, 2) < 'e6' THEN 'val'
+       |  ELSE 'test' END AS split,
+       |  COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   // 2. Fixed-N uniform sample: deterministic "random" 100 rows.
   private val fixedN = (s: SparkSession, dir: String) =>
     Tables.lineitem(s, dir)
@@ -181,6 +216,8 @@ object Sampling extends QueryModule {
   override val queries: Map[String, Q] = Map(
     "q_sample_epoch_shuffle" -> Q(epochShuffleQ(Epoch), Some(epochShuffleSql(Epoch)),
       "epoch-deterministic training-order shuffle: hash shard + in-shard rank"),
+    "q_sample_train_test_split" -> Q(trainTestSplit, Some(trainTestSplitSql),
+      "content-hash 80/10/10 train/val/test split: rerun-stable, map-only"),
     "q_sample_hash" -> Q(hashSample, Some(hashSampleSql),
       "deterministic hash-Bernoulli sample (map-only, nesting rates)"),
     "q_sample_fixed_n" -> Q(fixedN, Some(fixedNSql),

@@ -483,6 +483,60 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vec_id"), col("adist"), col("rnk"))
   }
 
+  /** 8. k-NN classification — the application layer on top of vector
+    * search: each query vector takes the majority label of its 5
+    * nearest corpus neighbors (exact cosine here; at scale the
+    * neighbor set comes from any of the ANN paths above — the vote is
+    * the same). Vote ties break to the smaller label; neighbor ties
+    * to the smaller vec_id — fully deterministic cross-engine. */
+  private val knnClassifyQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wN = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wV = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label").asc)
+    e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rnk", row_number().over(wN))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wV))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+  }
+
+  private val knnClassifySql =
+    """WITH qs AS (
+      |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      |  WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT qs.qid, e.vec_id, e.label,
+      |    round(
+      |      list_sum(list_transform(range(1, len(e.embedding)+1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, len(qs.qe)+1),
+      |           i -> CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE))))),
+      |      6) AS cos
+      |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.qid),
+      |top5 AS (
+      |  SELECT qid, label FROM (
+      |    SELECT qid, label, row_number() OVER (
+      |      PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+      |    FROM scored) WHERE rnk <= 5),
+      |votes AS (
+      |  SELECT qid, label, COUNT(*) AS votes FROM top5 GROUP BY 1, 2)
+      |SELECT qid, label AS pred_label, votes FROM (
+      |  SELECT qid, label, votes, row_number() OVER (
+      |    PARTITION BY qid ORDER BY votes DESC, label ASC) AS vr
+      |  FROM votes) WHERE vr = 1""".stripMargin
+
   /** 7. RESIDUAL IVF-PQ — the true FAISS encoding: PQ codebooks are
     * trained on the RESIDUALS (x − centroid of x's cell), which are
     * far more compressible than raw vectors (the coarse quantizer has
@@ -1186,6 +1240,8 @@ object Similarity extends QueryModule {
       "IVF-PQ: cell-probe pruning + ADC over candidates (composed oracle)"),
     "q_sim_ann_ivfpq_residual" -> Q(ivfpqResidualQ, Some(ivfpqResidualSql),
       "residual IVF-PQ: codebooks on x - centroid, per-cell ADC tables"),
+    "q_sim_knn_classify" -> Q(knnClassifyQ, Some(knnClassifySql),
+      "k-NN majority-vote classification over the embedding corpus"),
     "q_sim_ann_lsh_planted" -> Q(annLshPlantedQ, Some(plantedSql),
       "LSH ANN vs planted exact-duplicate ground truth (oracle-checked)"),
     "q_sim_ann_ivf_planted" -> Q(annIvfPlantedQ, Some(plantedSql),
