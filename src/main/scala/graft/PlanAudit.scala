@@ -49,7 +49,10 @@ object PlanAudit {
       "q_sim_ann_ivfpq", "q_dedup_fuzzy_names", "q_ts_moving_1h",
       "q_src_index_incremental", "q_mm_audio_features",
       "q_join_scd2", "q_agg_hll_union", "q_win_funnel",
-      "q_agg_histogram", "q_sim_ann_ivfpq_residual")
+      "q_agg_histogram", "q_sim_ann_ivfpq_residual",
+      "q_src_mv_incremental", "q_src_partitioned_write",
+      "q_win_seq_pattern", "q_agg_mode", "q_sim_knn_classify",
+      "q_sample_train_test_split", "q_stream_cdc_apply")
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else (Bench.headline ++ extras).distinct
