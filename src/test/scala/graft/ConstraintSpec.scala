@@ -97,6 +97,33 @@ class ConstraintSpec extends SparkSpec {
       .agg(max(col("v"))).head.getLong(0) === 100)
   }
 
+  test("streaming writes enforce checks; failed epoch commits nothing") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("graft-ck-stream-src").toString
+    val dst = Files.createTempDirectory("graft-ck-stream").toString + "/t"
+    Tables.nation(spark, sf).write.mode("overwrite").parquet(src)
+    def run(pred: String): String = failureOf {
+      val q = spark.readStream
+        .schema(Tables.nation(spark, sf).schema).parquet(src)
+        .writeStream.format("graft-objects")
+        .option("path", dst)
+        .option("check.gate", pred)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ck-stream-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // violating epoch fails naming the constraint, no objects land
+    assert(run("n_nationkey < 10").contains("gate"))
+    assert(graft.sources.GraftObjectTable.listObjects(dst).isEmpty,
+      "aborted epoch must leave no committed objects")
+    // satisfied constraint streams through
+    assert(run("n_nationkey < 1000") === "")
+    assert(spark.read.format("graft-objects").load(dst).count() ===
+      Tables.nation(spark, sf).count())
+  }
+
   test("SHOW TBLPROPERTIES surfaces stored constraints") {
     root
     spark.sql(
