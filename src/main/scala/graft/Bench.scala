@@ -40,6 +40,18 @@ import java.nio.file.{Files, Path, Paths}
   * OFF (`--use-cls` on/off, SURVEY §3.2), measured on the Q6-shape
   * query by toggling parquet filter pushdown (OFF = every object fully
   * scanned = the reference's client-side-processing mode).
+  *
+  * Storm defense (r4 verdict #1): the BENCH_r04 artifact was captured
+  * during a host futex storm (`jvm_stime_ratio` 0.53 — kernel time
+  * comparable to user time, a state BASELINE.md defines as "rerun")
+  * and read 2.49x while clean-host runs of the same HEAD measured
+  * 1.69x. The capture process, not the engine, was what failed. So the
+  * timed sweep now self-checks: each attempt measures the utime/stime
+  * DELTA over its own timed window (ingest/warmup excluded), and if
+  * the ratio exceeds STORM_RATIO the whole sweep is discarded and
+  * re-run (bounded at MAX_ATTEMPTS, keeping the attempt with the
+  * lowest ratio). Every attempt's ratio is emitted in the JSON line so
+  * a reader can see what the artifact survived.
   */
 object Bench {
 
@@ -220,53 +232,14 @@ object Bench {
         }
       }
     }
-    names.foreach { n => // warmup pass
-      try force(n) catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
-      }
-    }
-    System.gc() // drain warmup garbage outside the timed window
-    val results = names.map(n => n -> best3(n))
 
-    // Per-job floor: the cost of scheduling + running the SMALLEST
-    // possible query (5-row region scan through the noop sink). Every
-    // per-query number above includes this constant; it is what makes
-    // sub-100ms DuckDB queries incomparable per-query at 60 MB scale
-    // (the constant vanishes into scan time at production scale).
-    val floor = {
-      def tiny(): Double = {
-        val t = System.nanoTime()
-        spark.read.parquet(s"$dataDir/region.parquet")
-          .write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t) / 1e9
-      }
-      tiny() // warm
-      Seq(tiny(), tiny(), tiny()).min
-    }
-
-    // Pushdown on/off pair (reference `--use-cls` on/off) on the Q6
-    // selectivity query: OFF disables parquet predicate pushdown, so
-    // min/max object pruning stops and every object is fully scanned.
-    val pushdown =
-      if (SparkEntry.queries.contains("q6_selective_agg")) {
-        def pair(on: Boolean): Double = {
-          spark.conf.set("spark.sql.parquet.filterPushdown", on.toString)
-          try { force("q6_selective_agg"); best3("q6_selective_agg") }
-          finally spark.conf.set("spark.sql.parquet.filterPushdown", "true")
-        }
-        val on = pair(on = true)
-        val off = pair(on = false)
-        f""","pushdown":{"q6_on":$on%.6f,"q6_off":$off%.6f}"""
-      } else ""
-
-    // ---- same headline sweep through the custom DSv2 object store ----
-    // (r2 verdict: the graft-objects path was correctness-proven but
-    // never timed). Tables.objectStoreRoot reroutes every Tables.* read
-    // through `format("graft-objects")`; ingest is timed separately,
-    // like the parquet objectify above. The streaming query reads a
-    // parquet file stream (not the object source) and is excluded
-    // rather than reported as a fake pair.
-    val (ingestObjSec, resultsObj) =
+    // Object-store ingest (load-time, once): the DSv2 sweep re-runs the
+    // same headline against `format("graft-objects")` (r2 verdict: the
+    // path was correctness-proven but never timed). The streaming query
+    // reads a parquet file stream (not the object source) and is
+    // excluded rather than reported as a fake pair.
+    val objNames = names.filterNot(_ == "q_stream_tumbling")
+    val (ingestObjSec, objRoot) =
       try {
         val t = System.nanoTime()
         val shm = Paths.get("/dev/shm")
@@ -278,44 +251,128 @@ object Bench {
         graft.sources.ObjectStoreIngest.ingest(spark, sfDir, base.toString,
           objects = layout.map { case (n, k, _) => n -> k }.toMap.withDefaultValue(1),
           rangeCols = layout.collect { case (n, _, Some(c)) => n -> c }.toMap)
-        val ing = (System.nanoTime() - t) / 1e9
-        val objNames = names.filterNot(_ == "q_stream_tumbling")
-        Tables.objectStoreRoot = Some(base.toString)
-        try {
-          objNames.foreach { n =>
-            try force(n) catch { case e: Throwable =>
-              System.err.println(s"[bench] obj warmup $n failed: ${e.getMessage}")
-            }
-          }
-          System.gc()
-          (ing, objNames.map(n => n -> best3(n)))
-        } finally Tables.objectStoreRoot = None
+        ((System.nanoTime() - t) / 1e9, Some(base.toString))
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] object-store sweep failed: ${e.getMessage}")
-        (0.0, Seq.empty[(String, Double)])
+        System.err.println(s"[bench] object-store ingest failed: ${e.getMessage}")
+        (0.0, None)
       }
-    val qsObj = resultsObj.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Warmup both routes once (session/codegen/broadcast warmup — a
+    // retried attempt re-measures the same warm state the first did).
+    names.foreach { n =>
+      try force(n) catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
+    }
+    objRoot.foreach { root =>
+      Tables.objectStoreRoot = Some(root)
+      try objNames.foreach { n =>
+        try force(n) catch { case e: Throwable =>
+          System.err.println(s"[bench] obj warmup $n failed: ${e.getMessage}")
+        }
+      } finally Tables.objectStoreRoot = None
+    }
 
-    // Self-diagnosis for the intermittent host futex storm documented in
-    // BASELINE.md ("Round 3: host futex-storm episodes"): a healthy run
-    // is utime-dominated; a storm run burns multiples of utime in KERNEL
-    // time (measured 12:1). Emitting this JVM's own /proc utime/stime
-    // lets any pathological-looking BENCH_r{N}.json be read against the
-    // host condition it ran under.
-    val cpuSplit =
+    /** This JVM's cumulative (utime, stime) seconds from /proc. A
+      * healthy run is utime-dominated; a futex-storm run burns
+      * multiples of utime in KERNEL time (measured 12:1 in r3). */
+    def cpuTimes(): (Double, Double) =
       try {
         val stat = new String(Files.readAllBytes(
           Paths.get("/proc/self/stat"))).split("\\) ").last.split(" ")
         val hz = 100.0 // Linux USER_HZ
-        val ut = stat(11).toDouble / hz // field 14, after the comm split
-        val st = stat(12).toDouble / hz
-        f""","jvm_utime_s":$ut%.1f,"jvm_stime_s":$st%.1f,"jvm_stime_ratio":${st / math.max(ut, 0.1)}%.2f"""
-      } catch { case _: Throwable => "" }
+        (stat(11).toDouble / hz, stat(12).toDouble / hz) // fields 14/15
+      } catch { case _: Throwable => (0.0, 0.0) }
+
+    /** One complete timed sweep: parquet route, per-job floor, the
+      * pushdown on/off pair, and the object-store route. `ratio` is
+      * the stime/utime DELTA over exactly this attempt's window. */
+    case class Attempt(results: Seq[(String, Double)], floor: Double,
+                       pushdown: String, resultsObj: Seq[(String, Double)],
+                       ratio: Double)
+    def sweep(): Attempt = {
+      System.gc() // drain prior-attempt/warmup garbage outside the window
+      val (ut0, st0) = cpuTimes()
+      val results = names.map(n => n -> best3(n))
+
+      // Per-job floor: the cost of scheduling + running the SMALLEST
+      // possible query (5-row region scan through the noop sink). Every
+      // per-query number above includes this constant; it is what makes
+      // sub-100ms DuckDB queries incomparable per-query at 60 MB scale
+      // (the constant vanishes into scan time at production scale).
+      val floor = {
+        def tiny(): Double = {
+          val t = System.nanoTime()
+          spark.read.parquet(s"$dataDir/region.parquet")
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        tiny() // warm
+        Seq(tiny(), tiny(), tiny()).min
+      }
+
+      // Pushdown on/off pair (reference `--use-cls` on/off) on the Q6
+      // selectivity query: OFF disables parquet predicate pushdown, so
+      // min/max object pruning stops and every object is fully scanned.
+      val pushdown =
+        if (SparkEntry.queries.contains("q6_selective_agg")) {
+          def pair(on: Boolean): Double = {
+            spark.conf.set("spark.sql.parquet.filterPushdown", on.toString)
+            try { force("q6_selective_agg"); best3("q6_selective_agg") }
+            finally spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+          }
+          val on = pair(on = true)
+          val off = pair(on = false)
+          f""","pushdown":{"q6_on":$on%.6f,"q6_off":$off%.6f}"""
+        } else ""
+
+      val resultsObj = objRoot match {
+        case Some(root) =>
+          Tables.objectStoreRoot = Some(root)
+          try objNames.map(n => n -> best3(n))
+          finally Tables.objectStoreRoot = None
+        case None => Seq.empty[(String, Double)]
+      }
+
+      val (ut1, st1) = cpuTimes()
+      Attempt(results, floor, pushdown, resultsObj,
+        (st1 - st0) / math.max(ut1 - ut0, 0.1))
+    }
+
+    // Retry-until-clean (r4 verdict #1): a single storm capture must not
+    // become the round's acceptance artifact when the engine itself is
+    // healthy. Bounded so a genuinely sick host still emits SOMETHING —
+    // with every attempt's ratio on record.
+    val STORM_RATIO = 0.3
+    val MAX_ATTEMPTS = 3
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+    var attempt = sweep()
+    attempts += attempt
+    while (attempt.ratio > STORM_RATIO && attempts.size < MAX_ATTEMPTS) {
+      System.err.println(
+        f"[bench] attempt ${attempts.size} stime_ratio ${attempt.ratio}%.2f > $STORM_RATIO (host storm) — discarding and re-running")
+      attempt = sweep()
+      attempts += attempt
+    }
+    val best = attempts.minBy(a => (a.ratio, a.results.map(_._2).sum))
+    val Attempt(results, floor, pushdown, resultsObj, sweepRatio) = best
+
+    val qsObj = resultsObj.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val ratios = attempts.map(a => f"${a.ratio}%.2f").mkString("[", ",", "]")
+
+    // JVM-lifetime utime/stime (includes ingest + warmup + all
+    // attempts) so any pathological artifact can still be read against
+    // the host condition it ran under; `jvm_stime_ratio` is the KEPT
+    // attempt's own timed-window ratio — the number the storm gate
+    // enforced.
+    val cpuSplit = {
+      val (ut, st) = cpuTimes()
+      f""","jvm_utime_s":$ut%.1f,"jvm_stime_s":$st%.1f,"jvm_stime_ratio":$sweepRatio%.2f,"attempt_stime_ratios":$ratios"""
+    }
 
     println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_obj":$qsObj,"ingest_obj_sec":$ingestObjSec,"sf":"$sfDir","ingest_sec":$ingestSec,"floor_sec":$floor%.4f$pushdown$cpuSplit}""")
     spark.stop()
