@@ -188,19 +188,23 @@ object Windows extends QueryModule {
     * view, the first 'purchase' strictly after that click; the funnel
     * counts users surviving each stage plus the end-to-end conversion
     * rate. Each stage is one user-keyed aggregate joined forward —
-    * shuffles carry |users| rows, never events, and the joins
-    * broadcast at dim scale. */
+    * shuffles carry |users| rows, never events. The stage joins carry
+    * NO broadcast hint (r4 verdict): the build side is a per-user
+    * aggregate whose cardinality grows with the user population, so a
+    * forced broadcast is a driver/executor OOM at 100x users. Left to
+    * the planner it broadcasts at fixture scale (AQE/size stats) and
+    * degrades to a user_id equi-join at scale — both correct. */
   private val funnelQ = (s: SparkSession, dir: String) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_type"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val c = ev.filter(col("event_type") === "click")
-      .join(broadcast(v), "user_id")
+      .join(v, "user_id")
       .filter(col("ts") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
     val p = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(c), "user_id")
+      .join(c, "user_id")
       .filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
     v.agg(count(lit(1)).as("n_view"))

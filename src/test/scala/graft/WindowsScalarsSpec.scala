@@ -38,6 +38,20 @@ class WindowsScalarsSpec extends SparkSpec {
     byBrand.foreach { case (b, rs) => assert(rs.length <= 3, b) }
   }
 
+  test("funnel: stage joins carry no broadcast hint (user-cardinality build sides)") {
+    val df = run("q_win_funnel")
+    // the logical plan must contain no hint nodes: the stage build sides
+    // are per-user aggregates, so a forced broadcast would OOM at 100x
+    // users — broadcast-vs-shuffle is the planner's call from size stats
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint") && !logical.contains("UnresolvedHint"),
+      s"funnel carries a join-strategy hint:\n$logical")
+    val r = df.collect()
+    assert(r.length == 1)
+    val (nv, nc, np) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(nv >= nc && nc >= np && np > 0, s"funnel not monotone: $nv/$nc/$np")
+  }
+
   test("scalar strings: derived cols consistent with inputs") {
     val rows = run("q_scalar_strings").collect()
     assert(rows.nonEmpty)
