@@ -346,12 +346,14 @@ object Similarity extends QueryModule {
     cb
   }
 
-  /** ADC search: broadcast per-query distance tables (as a lookup map
-    * keyed sub*PqK+cell), one map pass over the corpus codes summing
-    * PqSub lookups, rank per query on the ROUNDED distance. */
-  private def pqAdcRanked(e: DataFrame, queries: DataFrame): DataFrame = {
-    val cb = trainPq(e)
-    val codes = pqEncode(e, cb).select(col("vec_id"), col("codes"))
+  /** ADC search over already-encoded codes: broadcast per-query
+    * distance tables (as a lookup map keyed sub*PqK+cell), one map
+    * pass over the corpus codes summing PqSub lookups, rank per query
+    * on the ROUNDED distance. Shared by the train-at-query-time path
+    * and the stored-index path — only WHERE `codes`/`cb` come from
+    * differs. */
+  private def pqAdcScan(codes: DataFrame, cb: DataFrame,
+                        queries: DataFrame): DataFrame = {
     val qdt = queries.crossJoin(broadcast(pqCbArr(cb)))
       .withColumn("dt", expr(
         s"""map_from_entries(transform(cb, c ->
@@ -369,6 +371,11 @@ object Similarity extends QueryModule {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("vec_id"), col("adist"), col("rnk"))
+  }
+
+  private def pqAdcRanked(e: DataFrame, queries: DataFrame): DataFrame = {
+    val cb = trainPq(e)
+    pqAdcScan(pqEncode(e, cb).select(col("vec_id"), col("codes")), cb, queries)
   }
 
   private val pqQ = (s: SparkSession, dir: String) => {
@@ -1058,6 +1065,20 @@ object Similarity extends QueryModule {
         .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), Dim, NBits))
         .repartitionByRange(8, col("bucket"))
         .write.format("graft-objects").mode("overwrite").save(s"$root/corpus")
+      // PQ sidecar (r4 verdict #2): the production FAISS layout stores
+      // the 8×4-bit codes — train once at ingest over the plain corpus
+      // (the pqSql oracle's training set), persist the codebook (tiny)
+      // and the per-vector codes (8 small ints — the 32× shrink that
+      // makes the ADC scan cache-resident), so query time never runs
+      // pqEncode over the corpus again.
+      val plain = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val pqCb = trainPq(plain)
+      pqCb.coalesce(1).write.format("graft-objects")
+        .mode("overwrite").save(s"$root/pq_codebook")
+      val storedCb = s.read.format("graft-objects").load(s"$root/pq_codebook")
+      pqEncode(plain, storedCb).select(col("vec_id"), col("codes"))
+        .repartitionByRange(4, col("vec_id"))
+        .write.format("graft-objects").mode("overwrite").save(s"$root/pq_codes")
       root
     })
 
@@ -1117,6 +1138,22 @@ object Similarity extends QueryModule {
         .orderBy(col("rnk").asc)))
       .filter(col("r2") === 1)
       .select(col("qid"), col("vec_id").as("best"))
+  }
+
+  /** PQ ADC search over the STORED index: the codebook comes from the
+    * persisted sidecar (tiny, broadcast into the per-query distance
+    * tables) and the corpus side is a plain object-store scan of the
+    * stored 8-int `codes` column — the `embedding` column is never
+    * read on the corpus side and no pqEncode/trainPq runs at query
+    * time (AnnIndexSpec asserts both). Identical output to
+    * q_sim_ann_pq, so it shares the full-training oracle. */
+  private val annPqIndexedQ = (s: SparkSession, dir: String) => {
+    val root = annIndexRoot(s, dir)
+    val cb = s.read.format("graft-objects").load(s"$root/pq_codebook")
+    val codes = s.read.format("graft-objects").load(s"$root/pq_codes")
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    pqAdcScan(codes, cb, queries)
   }
 
   /** Same query through the native codegen Expression (functions/
@@ -1249,5 +1286,7 @@ object Similarity extends QueryModule {
     "q_sim_ann_lsh_indexed" -> Q(annLshIndexedQ, Some(plantedSql),
       "LSH ANN over the MATERIALIZED bucket index (stored column, oracle-checked)"),
     "q_sim_ann_ivf_indexed" -> Q(annIvfIndexedQ, Some(plantedSql),
-      "IVF ANN over the MATERIALIZED cell index (stored column + centroids, oracle-checked)"))
+      "IVF ANN over the MATERIALIZED cell index (stored column + centroids, oracle-checked)"),
+    "q_sim_ann_pq_indexed" -> Q(annPqIndexedQ, Some(pqSql),
+      "PQ ADC over MATERIALIZED codes + codebook sidecar (no query-time encode, full-training oracle)"))
 }

@@ -57,6 +57,36 @@ class AnnIndexSpec extends SparkSpec {
       }
   }
 
+  test("indexed PQ: stored codes scanned, no query-time encode/train over corpus") {
+    // layout: codes sidecar holds exactly (vec_id, 8 codes in [0,16)),
+    // one row per corpus vector; codebook sidecar holds 8 subs x 16
+    // cells x 8 positions
+    val codes = spark.read.format("graft-objects").load(s"$root/pq_codes")
+    assert(codes.columns.toSet == Set("vec_id", "codes"))
+    assert(codes.count() == Tables.embeddings(spark, sf).count())
+    assert(codes.filter(size(col("codes")) =!= 8).count() == 0)
+    val cb = spark.read.format("graft-objects").load(s"$root/pq_codebook")
+    assert(cb.select("sub", "cell", "spos").distinct().count() == 8L * 16 * 8)
+
+    val df = run("q_sim_ann_pq_indexed")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftObjectScan"),
+      s"indexed PQ must read the object-store sidecars:\n${plan.take(600)}")
+    // corpus side = codes only: the encode fold's signature is an L2
+    // slice over the corpus `embedding` column — its absence (while the
+    // query side's slice(qe…) remains) proves no pqEncode at query time;
+    // no md5 means no trainPq seed pass either
+    assert(!plan.contains("slice(embedding"),
+      "query plan must not re-encode the corpus embeddings")
+    assert(!plan.contains("md5("), "query plan must not re-train the codebook")
+    // identical output to the train-at-query-time path (same oracle)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    val ref = run("q_sim_ann_pq").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(got == ref, "stored-code ADC must equal the full-training path")
+  }
+
   test("AnnTopKRewrite consumes the stored bucket column and prunes objects") {
     // The production registration path: a session built with
     // spark.sql.extensions=GraftExtensions injects the rule into the
