@@ -168,6 +168,73 @@ object TextOps extends QueryModule {
        |ORDER BY score_q DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // BM25 over a STORED index (r4 verdict #3): q_text_bm25_topk rebuilds
+  // tf/df from the corpus on every run; a real search deployment pays
+  // that cost ONCE at ingest. The index is three object-store tables:
+  //   postings  (term, doc_id, dl, tf)  — range-partitioned on term, so
+  //             a term-IN probe prunes whole objects via footer min/max
+  //   terms     (term, df)              — one row per vocab term (tiny)
+  //   stats     (n_docs, d_tot)         — one row
+  // All three are additive under append (tf/df/counts add, like the
+  // MERGE maintenance q_src_index_incremental proves ≡ rebuild), so a
+  // 100 TB index stays fresh at delta cost. Query-time work is then
+  // ∝ the probed posting lists: filter → broadcast-join the per-term
+  // df → score → per-doc sum → top-20. No corpus scan, no tokenize,
+  // no df aggregation at query time.
+  // ------------------------------------------------------------------
+
+  private val bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per session × sfDir) the stored BM25 index; ingest-time
+    * work, like the ANN index root. */
+  private[graft] def bm25IndexRoot(s: SparkSession, dir: String): String =
+    bm25IndexCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(col("tk")).as("term"))
+      docs.groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .repartitionByRange(8, col("term"))
+        .write.format("graft-objects").mode("overwrite").save(s"$root/postings")
+      s.read.format("graft-objects").load(s"$root/postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .coalesce(1)
+        .write.format("graft-objects").mode("overwrite").save(s"$root/terms")
+      docs.agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("d_tot"))
+        .coalesce(1)
+        .write.format("graft-objects").mode("overwrite").save(s"$root/stats")
+      root
+    })
+
+  /** Identical scoring (and oracle) to bm25Q, but every input comes
+    * from the stored index — retrieval cost ∝ posting lists, not the
+    * corpus (TextOpsSpec asserts no documents scan in the plan). */
+  private val bm25IndexedQ = (s: SparkSession, dir: String) => {
+    val root = bm25IndexRoot(s, dir)
+    val post = s.read.format("graft-objects").load(s"$root/postings")
+      .filter(col("term").isin(Bm25Terms: _*))
+    val dfs = s.read.format("graft-objects").load(s"$root/terms")
+      .filter(col("term").isin(Bm25Terms: _*))
+    val scal = s.read.format("graft-objects").load(s"$root/stats")
+    post.join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(scal))
+      .withColumn("q", expr(
+        """(22 * d_tot * tf * (2 * n_docs - 2 * df + 1)) * 1000000 div
+          |((10 * d_tot * tf + 3 * d_tot + 9 * dl * n_docs) * (2 * df + 1))"""
+          .stripMargin))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("q")).as("score_q"))
+      .select(col("doc_id"), col("dl"), col("n_terms"), col("score_q"),
+        round(col("score_q") / 1e6, 4).as("bm25"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   // Language-ID heuristic: stopword-hit ratio (lexicon-join pattern).
   private val langidQ = (s: SparkSession, dir: String) =>
     Tables.documents(s, dir)
@@ -600,6 +667,8 @@ object TextOps extends QueryModule {
       "sequence packing: docs → fixed-token-budget bins, shard-parallel"),
     "q_text_index_search" -> Q(searchQ, Some(searchSql),
       "term lookup via inverted-index semi-join == full LIKE scan"),
+    "q_text_bm25_indexed" -> Q(bm25IndexedQ, Some(bm25Sql),
+      "BM25 over the STORED postings index: cost ∝ posting lists, no corpus scan"),
     "q_text_bm25_topk" -> Q(bm25Q, Some(bm25Sql),
       "Okapi BM25 top-20 retrieval, integer-exact rational scoring"),
     "q_text_tokens" -> Q(tokensQ, Some(tokensSql),

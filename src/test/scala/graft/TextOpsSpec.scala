@@ -126,6 +126,29 @@ class TextOpsSpec extends SparkSpec {
       "policy gate must be map-only")
   }
 
+  test("indexed BM25: scores only stored posting rows, no corpus scan, equals rebuild path") {
+    val df = run("q_text_bm25_indexed")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftObjectScan"),
+      s"must read the stored index:\n${plan.take(600)}")
+    // retrieval cost ∝ posting lists: the documents table (and hence
+    // tokenize/explode/df aggregation) must be absent from the plan
+    assert(!plan.contains("documents"),
+      "indexed BM25 must not scan the documents table")
+    assert(!plan.toLowerCase.contains("explode"),
+      "indexed BM25 must not re-tokenize at query time")
+    // term-IN probes reach the postings scan as pushed filters (the
+    // postings objects are term-ranged, so footer min/max prunes)
+    assert(plan.contains("PushedFilters: [In(term") ||
+      plan.contains("In(term,"),
+      s"term probe must push into the postings scan:\n${plan.take(1200)}")
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ref = run("q_text_bm25_topk").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == ref, "stored-index BM25 must equal the corpus-rebuild path")
+  }
+
   test("sequence packing: bins partition the corpus, budget respected at starts") {
     val rows = run("q_text_pack_sequences").collect()
     val totalDocs = rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
