@@ -278,11 +278,52 @@ object GraftVersions {
     * version twice. Sequential migration between channels is safe
     * (readLog merges both, ordered by version). */
   def commitOptimistic(dir: String, maxRetries: Int = 50)
+      (mk: Int => Commit): Commit =
+    commitValidated(dir, readVersion = -1, readSet = Set.empty, maxRetries)(mk)
+
+  /** Thrown when an interleaved commit invalidated this writer's read
+    * set — the write-write conflict Delta/Iceberg surface as
+    * ConcurrentModificationException. NOT retried internally: the
+    * writer's staged result is based on stale bytes, so only the
+    * CALLER can recover, by re-reading the new tip and rebuilding. */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** `commitOptimistic` plus READ-SET VALIDATION (r4 verdict #5): the
+    * version-claim link serializes history, but a row-level MERGE that
+    * staged its output from a snapshot read can still lose an update —
+    * writer B claims the next version with output built from bytes
+    * writer A rewrote in between. Callers that rebase rather than
+    * rebuild declare the snapshot they read (`readVersion`) and the
+    * object names their staged result depends on (`readSet`, for a
+    * MERGE: every object it scanned); each claim attempt then checks
+    * the commits that landed in (readVersion, tip] — if any deleted or
+    * rewrote a read object, the staged result is stale and the commit
+    * ABORTS with ConcurrentWriteException (nothing published — staged
+    * data files are invisible until the log names them). Disjoint
+    * interleaved commits rebase safely: the histories commute, so the
+    * claim proceeds against the new tip. `readVersion = -1` skips
+    * validation (blind appends — content-addressed inserts — commute
+    * with everything). */
+  def commitValidated(dir: String, readVersion: Int,
+      readSet: Set[String], maxRetries: Int = 50)
       (mk: Int => Commit): Commit = {
     val d = logDirFile(dir); d.mkdirs()
     var tries = 0
     while (tries < maxRetries) {
-      val v = currentVersion(dir) + 1
+      val cur = currentVersion(dir)
+      if (readVersion >= 0 && cur > readVersion && readSet.nonEmpty) {
+        val clash = readLog(dir).iterator
+          .filter(c => c.v > readVersion && c.v <= cur)
+          .flatMap(c => c.del.iterator ++ c.rw.iterator)
+          .toSet.intersect(readSet)
+        if (clash.nonEmpty)
+          throw new ConcurrentWriteException(
+            s"versions: commits ${readVersion + 1}..$cur rewrote/deleted " +
+              s"objects this writer read (${clash.toSeq.sorted.take(5).mkString(", ")}" +
+              s"${if (clash.size > 5) ", …" else ""}); re-read v$cur and rebuild")
+      }
+      val v = cur + 1
       val c = mk(v)
       require(c.v == v, s"versions: mk built v=${c.v}, expected $v")
       val tmp = Files.createTempFile(d.toPath, s".v$v-", ".tmp")

@@ -354,6 +354,99 @@ class GraftVersionsSpec extends SparkSpec {
       assert(added.contains(s"t.w${w}i$i"), s"lost commit w${w}i$i")
   }
 
+  test("validated commit: interleaved rewrite of the read set aborts, " +
+      "disjoint interleave rebases") {
+    import graft.sources.GraftVersions
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-occv").toString
+    GraftVersions.commitOptimistic(dir) { v =>
+      GraftVersions.Commit(v, Seq("t.0"), Nil, Nil, None,
+        System.currentTimeMillis()) }
+    // writer A read t.0 at v1; an interleaved commit rewrites t.0 ⇒
+    // A's staged result is stale and MUST abort (nothing published)
+    GraftVersions.commitOptimistic(dir) { v =>
+      GraftVersions.Commit(v, Nil, Nil, Seq("t.0"), None,
+        System.currentTimeMillis()) }
+    intercept[GraftVersions.ConcurrentWriteException] {
+      GraftVersions.commitValidated(dir, readVersion = 1, Set("t.0")) { v =>
+        GraftVersions.Commit(v, Seq("t.1"), Nil, Nil, None,
+          System.currentTimeMillis()) }
+    }
+    assert(GraftVersions.currentVersion(dir) == 2, "abort must publish nothing")
+    // an interleaved commit touching OTHER objects commutes: rebase
+    val c = GraftVersions.commitValidated(dir, readVersion = 2,
+      Set("t.unrelated")) { v =>
+      GraftVersions.Commit(v, Seq("t.1"), Nil, Nil, None,
+        System.currentTimeMillis()) }
+    assert(c.v == 3)
+  }
+
+  test("validated commit: two interleaved replace-object writers on the " +
+      "same key lose no update") {
+    import graft.sources.GraftVersions
+    val base = java.nio.file.Files.createTempDirectory("graft-occm")
+    val dir = base.toString
+    def now = System.currentTimeMillis()
+    // seed: counter object at value 0 (every later writer has a
+    // nonempty read set, so validation is always armed)
+    GraftVersions.commitOptimistic(dir) { v =>
+      java.nio.file.Files.writeString(base.resolve(s"t.seed"), "0")
+      GraftVersions.Commit(v, Seq("t.seed"), Nil, Nil, None, now) }
+    def state(): (Int, String, Int) = {
+      val rv = GraftVersions.currentVersion(dir)
+      val cur = GraftVersions.readLog(dir).filter(_.v <= rv).last.add.head
+      (rv, cur, java.nio.file.Files.readString(base.resolve(cur)).trim.toInt)
+    }
+    val perWriter = 10
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val done = new java.util.concurrent.CountDownLatch(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val aborts = new java.util.concurrent.atomic.AtomicInteger
+    (0 until 2).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          try {
+            // each increment is a MERGE shape: read the counter object,
+            // stage a replacement, commit del(old)+add(new) declaring
+            // the read; on conflict re-read the new tip and REBUILD
+            (0 until perWriter).foreach { _ =>
+              var committed = false
+              while (!committed) {
+                val (rv, prev, old) = state()
+                try {
+                  GraftVersions.commitValidated(dir, rv, Set(prev)) { v =>
+                    val name = s"t.w${w}v$v"
+                    java.nio.file.Files.writeString(
+                      base.resolve(name), (old + 1).toString)
+                    GraftVersions.Commit(v, Seq(name), Seq(prev), Nil,
+                      None, now)
+                  }
+                  committed = true
+                } catch {
+                  case _: GraftVersions.ConcurrentWriteException =>
+                    aborts.incrementAndGet() // stale read — rebuild
+                }
+              }
+            }
+          } catch { case t: Throwable => errs.add(t) }
+          finally done.countDown()
+        }
+      })
+    }
+    done.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    // every successful increment minted exactly one version...
+    val log = GraftVersions.readLog(dir)
+    assert(log.map(_.v) == (1 to 2 * perWriter + 1).toList,
+      s"history not serialized: ${log.map(_.v)}")
+    // ...and NO update was lost: the final counter saw all 20
+    val (_, _, fin) = state()
+    assert(fin == 2 * perWriter,
+      s"lost updates: final counter $fin of ${2 * perWriter} " +
+        s"(${aborts.get()} validated aborts)")
+  }
+
   test("log encoding rejects names the unescaped format cannot carry") {
     // a quote/comma/bracket in an object name would silently corrupt
     // the hand-encoded log; the charset guard must fail loudly instead
