@@ -92,8 +92,20 @@ object StreamOps extends QueryModule {
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
-    * memory sink and return the sink table. */
+    * memory sink and return the sink table.
+    *
+    * Every stateful query here runs on the RocksDB state store (r4
+    * verdict #6): the default HDFS-backed provider keeps ALL state
+    * keys on-heap per partition — fine at fixture scale, an
+    * unbounded-key OOM at 100 TB where dedup/session/join state spans
+    * hundreds of millions of keys. RocksDB keeps a bounded block cache
+    * in memory and spills the key space to executor-local disk with
+    * incremental checkpointing to the query's checkpoint location, so
+    * state scales with disk, not heap. Stateless queries read no state
+    * store and ignore the conf. */
   private def runToTable(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode)
