@@ -1738,6 +1738,17 @@ class GraftStreamingWrite(writeSchema: StructType, path: String,
     }
 }
 
+object GraftWriterFactory {
+  /** Identity-clustered writes mint one object PER DISTINCT KEY — the
+    * O(#keys) layout wall (measured at 13 s for a 60k-key fixture
+    * before width buckets existed). Beyond this many objects in one
+    * task the write REFUSES rather than silently building a layout
+    * whose listing/footer costs dwarf any pruning win; the error names
+    * the fix (`clusterWidth`). Width-bucketed writes are exempt — their
+    * object count is bounded by keyspace/W by construction. */
+  val MaxIdentityClusterObjectsPerTask = 4096
+}
+
 class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
     clusterBy: Option[String] = None,
     bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
@@ -1781,6 +1792,15 @@ class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
           s"$path/_staged_$tag${partitionId}_${taskId}_s$segment"
         private def rotate(): Unit = {
           if (open) { enc.finish(stagedName); staged += stagedName; segment += 1 }
+          if (clusterWidth.isEmpty &&
+              segment > GraftWriterFactory.MaxIdentityClusterObjectsPerTask)
+            throw new IllegalStateException(
+              s"graft-objects: identity-clustered write on '$c' exceeded " +
+                s"${GraftWriterFactory.MaxIdentityClusterObjectsPerTask} objects " +
+                "in one task (one object per distinct key — the O(#keys) " +
+                "layout wall). Bucket contiguous keys with "
+                + """.option("clusterWidth", W) or cluster on a """ +
+                "lower-cardinality column.")
           enc = new ObjectFormat.ObjectEncoder(writeSchema, bloomCols, bloomFpp)
           open = true
         }

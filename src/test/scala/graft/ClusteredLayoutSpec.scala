@@ -287,4 +287,29 @@ class ClusteredLayoutSpec extends SparkSpec {
       .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n"))
     assert(shuffleCount(agg) == 0)
   }
+
+  test("identity clustering refuses past the per-task object cap; " +
+      "width buckets absorb the same cardinality") {
+    val cap = graft.sources.GraftWriterFactory.MaxIdentityClusterObjectsPerTask
+    val keys = spark.range(cap + 10L).withColumnRenamed("id", "k")
+    val dir = tmp("graft-ndvguard")
+    val e = intercept[Exception] {
+      keys.coalesce(1).sortWithinPartitions("k")
+        .write.format("graft-objects").option("clusterBy", "k")
+        .mode("overwrite").save(s"$dir/ident")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("O(#keys)")),
+      s"refusal must name the layout wall, got: ${msgs(e).mkString(" | ")}")
+    // the documented fix absorbs the same key count: bounded objects
+    keys.coalesce(1).sortWithinPartitions("k")
+      .write.format("graft-objects").option("clusterBy", "k")
+      .option("clusterWidth", "1024")
+      .mode("overwrite").save(s"$dir/width")
+    val objs = GraftObjectTable.listObjects(s"$dir/width")
+    assert(objs.size <= (cap + 10) / 1024 + 1, s"width layout ${objs.size} objects")
+    assert(spark.read.format("graft-objects").load(s"$dir/width").count() ==
+      cap + 10)
+  }
 }
