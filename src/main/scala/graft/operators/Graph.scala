@@ -25,7 +25,16 @@ import org.apache.spark.sql.functions._
   * edge contributes `(17 * r * w) div (20 * wout)` (floor division,
   * identical in both engines) and the teleport term is the exact
   * integer 150000. No float accumulation anywhere until the final
-  * display column. */
+  * display column.
+  *
+  * MAGNITUDE BOUND (documented contract): the widest intermediate,
+  * 17·r·w, stays inside BIGINT while r·w ≲ 5·10¹⁷ — with micro-unit
+  * ranks summing to |V|·10⁶, safe for any graph whose hottest edge
+  * weight × hottest rank is below that (here |V|=25, w ≤ |lineitem|).
+  * Both engines fail LOUDLY beyond it (Spark 4 ANSI default throws on
+  * overflow; DuckDB errors) rather than diverging silently; a graph
+  * past the bound re-normalizes ranks to sum 10⁶ or drops to double
+  * arithmetic with the identical loop. */
 object Graph extends QueryModule {
 
   private val PrIters = 5

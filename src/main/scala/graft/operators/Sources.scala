@@ -736,22 +736,32 @@ object Sources extends QueryModule {
       .load(src)
     val cols = orders.columns.toSeq
     val q = feed.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
+        // net per key: latest version wins; within a version the
+        // post-image insert beats the pre-image delete — by EXPLICIT
+        // priority, not change-type string ordering (a future
+        // update_preimage/postimage value must not silently re-rank)
         val w = Window.partitionBy(col("o_orderkey"))
-          .orderBy(col("_version").desc, col("_change_type").desc)
+          .orderBy(col("_version").desc,
+            when(col("_change_type") === "insert", 1).otherwise(0).desc)
+        // batch-scoped view name: concurrent runs over the same session
+        // must not clobber each other's nets
+        val net = s"cdc_net_${batchId}_" +
+          java.util.UUID.randomUUID().toString.take(8)
         batch.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn", "_version")
-          .createOrReplaceTempView("cdc_net")
+          .createOrReplaceTempView(net)
         ss.sql(
           s"""MERGE INTO graft.main.orders_cdc_mirror m
-             |USING cdc_net n ON m.o_orderkey = n.o_orderkey
+             |USING $net n ON m.o_orderkey = n.o_orderkey
              |WHEN MATCHED AND n._change_type = 'delete' THEN DELETE
              |WHEN MATCHED THEN UPDATE SET
              |  ${cols.map(c => s"m.$c = n.$c").mkString(", ")}
              |WHEN NOT MATCHED AND n._change_type = 'insert' THEN
              |  INSERT (${cols.mkString(", ")})
              |  VALUES (${cols.map("n." + _).mkString(", ")})""".stripMargin)
+        ss.catalog.dropTempView(net)
         ()
       }
       .option("checkpointLocation", java.nio.file.Files
@@ -903,7 +913,17 @@ object Sources extends QueryModule {
                 |SELECT doc_id, lang, source, n_chars FROM docs_src"""
           .stripMargin)
         false
-      } catch { case _: Throwable => true }
+      } catch { case t: Throwable =>
+        // count the refusal ONLY if it is the CHECK gate by name — an
+        // unrelated failure (analysis error, catalog misconfig) must
+        // not masquerade as the constraint firing
+        def msgs(e: Throwable): Seq[String] =
+          if (e == null) Nil
+          else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+        val m = msgs(t).mkString(" | ")
+        m.contains("CHECK constraint") &&
+          (m.contains("'len'") || m.contains("'lang'"))
+      }
     s.sql("""INSERT INTO graft.main.docs_gated
             |SELECT doc_id, lang, source, n_chars FROM docs_src
             |WHERE n_chars BETWEEN 60 AND 520
@@ -1049,7 +1069,18 @@ object Sources extends QueryModule {
     * lists ONLY the matching directories, joined to a second partition
     * for a cross-partition aggregate. */
   private val partitionedWrite = (s: SparkSession, dir: String) => {
-    val out = "/tmp/graft_parted_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // per-run temp dir (JVM-exit cleaned): a fixed path would race two
+    // concurrent runs over the same fixtures on mode("overwrite")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-parted").toString
+    sys.addShutdownHook {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists)
+      } catch { case _: Throwable => }
+    }
     Tables.events(s, dir)
       .write.mode("overwrite").partitionBy("event_type").parquet(out)
     val parted = s.read.parquet(out)

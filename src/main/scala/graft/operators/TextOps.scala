@@ -106,6 +106,17 @@ object TextOps extends QueryModule {
     * all denominators) quantized once by a single floor-division —
     * no float accumulation order anywhere, like the lm-score gate.
     *
+    * MAGNITUDE BOUND (documented contract): the widest intermediate,
+    * 22·d_tot·tf·(2·n_docs−2·df+1)·10⁶, stays inside BIGINT only
+    * while d_tot·tf·n_docs ≲ 4·10¹² — the oracle-comparable corpus
+    * range. Both engines fail LOUDLY beyond it rather than diverging
+    * silently: Spark 4 runs ANSI mode by default (overflow throws
+    * SparkArithmeticException; no session here disables it) and DuckDB
+    * errors on BIGINT overflow. A 100 TB deployment swaps the rational
+    * for double-precision scoring with the identical plan shape —
+    * ranking needs no cross-engine bit-exactness, only this oracle
+    * does.
+    *
     * 100 TB posture: the corpus explode is map-side and the
     * query-term filter runs BEFORE any aggregation, so the only
     * shuffles carry query-term hits (≤ |terms| rows per doc), never

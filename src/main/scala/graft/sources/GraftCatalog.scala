@@ -107,6 +107,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val StorableProps = Set("clusterBy", "clusteredBy",
     "clusterWidth", "bloomFilterColumns", "bloomFilterFpp")
 
+  /** Keys Spark's DDL layer injects into createTable properties on its
+    * own (never typed by the user) — ignored, not errors. */
+  private val SparkReservedProps: Set[String] = Set(
+    org.apache.spark.sql.connector.catalog.TableCatalog.PROP_PROVIDER,
+    org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION,
+    org.apache.spark.sql.connector.catalog.TableCatalog.PROP_COMMENT,
+    org.apache.spark.sql.connector.catalog.TableCatalog.PROP_OWNER,
+    org.apache.spark.sql.connector.catalog.TableCatalog.PROP_EXTERNAL,
+    org.apache.spark.sql.connector.catalog.TableCatalog.PROP_IS_MANAGED_LOCATION,
+    "transient_lastDdlTime")
+
   private def storable(key: String): Boolean =
     StorableProps.contains(key) || key.startsWith(GraftChecks.Prefix)
 
@@ -206,15 +217,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(partitions.isEmpty,
       "graft catalog: partition transforms are not supported " +
         "(objects are the partitioning unit)")
+    import scala.jdk.CollectionConverters._
+    // CREATE and ALTER agree on property handling: Spark-reserved keys
+    // (provider/location/owner/… — injected by the engine, not the
+    // user) are ignored, but an unknown USER key throws here exactly
+    // as alterTable SET does — a typo'd 'check.len' must not silently
+    // vanish at CREATE only to "work" differently at ALTER
+    val userProps = properties.asScala.toMap.filter {
+      case (k, _) => !SparkReservedProps.contains(k)
+    }
+    userProps.keys.find(!storable(_)).foreach { k =>
+      throw new IllegalArgumentException(
+        s"graft catalog: unsupported table property $k")
+    }
+    // compile check.* NOW (schema is in hand): a malformed CHECK
+    // declared at CREATE fails the CREATE, not the first write
+    GraftChecks.compile(schema, userProps.collect {
+      case (k, v) if k.startsWith(GraftChecks.Prefix) =>
+        k.substring(GraftChecks.Prefix.length) -> v
+    })
     Files.createDirectories(dir.toPath)
     Files.write(schemaSidecar(dir).toPath,
       schema.toDDL.getBytes(StandardCharsets.UTF_8))
     // persist the option-default properties; a declared clusterBy also
     // implies clusteredBy so plain SELECTs read the table AS clustered
-    import scala.jdk.CollectionConverters._
-    val kept = properties.asScala.toMap.filter {
-      case (k, _) => storable(k)
-    }
+    val kept = userProps
     val full = kept.get("clusterBy") match {
       case Some(c) if !kept.contains("clusteredBy") =>
         kept + ("clusteredBy" -> c)

@@ -59,6 +59,23 @@ class ConstraintSpec extends SparkSpec {
       "INSERT INTO graftck.main.nullable VALUES (2, -1.0)")).contains("pos"))
   }
 
+  test("CREATE compiles check.* and rejects unknown properties, like ALTER") {
+    root
+    // malformed predicate fails the CREATE itself, not the first write
+    val bad = failureOf(spark.sql(
+      """CREATE TABLE graftck.main.badck (id BIGINT, qty DOUBLE)
+        |TBLPROPERTIES ('check.broken' = 'no_such_col > 0')""".stripMargin))
+    assert(bad.nonEmpty, "malformed CHECK must fail at CREATE")
+    assert(!new java.io.File(s"$root/main/badck").isDirectory,
+      "failed CREATE must leave no table dir")
+    // unknown user property throws at CREATE exactly as alterTable SET
+    val unk = failureOf(spark.sql(
+      """CREATE TABLE graftck.main.badprop (id BIGINT)
+        |TBLPROPERTIES ('chekc.typo' = 'id > 0')""".stripMargin))
+    assert(unk.contains("unsupported table property"),
+      s"typo'd property must not silently vanish: $unk")
+  }
+
   test("ALTER SET validates existing rows; UNSET lifts enforcement") {
     root
     spark.sql("CREATE TABLE graftck.main.evolve (id BIGINT, v BIGINT)")
