@@ -766,3 +766,58 @@ object Multimodal extends QueryModule {
     "q_mm_stats" -> Q(statsQ, Some(statsSql),
       "per-media-type resource accounting"))
 }
+
+/** Pluggable media-decode kernels (the r4 verdict's extension point):
+  * the oracle-checked operators above are constrained to codecs whose
+  * output is a CLOSED-FORM function of doc_id (BMP/WAV over planted
+  * bytes), but a production pipeline meets JPEG/PNG/FLAC/MP4. This
+  * registry is the seam where real codecs plug in WITHOUT touching the
+  * engine: a kernel is any `Dataset[MediaBytes] ⇒ DataFrame` — the
+  * same per-partition batch shape every built-in uses (one iterator
+  * per partition; amortize codec setup per batch, never per row;
+  * embarrassingly parallel, no shuffle introduced by decode itself).
+  *
+  * Built-ins register the BMP/WAV parsers at load; MultimodalSpec
+  * registers a real JPEG kernel over `javax.imageio` (JDK-bundled, no
+  * external dependency) and proves round-trip dimension recovery —
+  * spec-only because lossy pixel output has no DuckDB closed form.
+  * Kernels are format-keyed so ingest can route a mixed corpus by its
+  * media-type column: `formats().map(f => decode(f, slice(f)))`. */
+object MediaKernels {
+  import org.apache.spark.sql.Dataset
+  import Multimodal.MediaBytes
+
+  type Kernel = Dataset[MediaBytes] => DataFrame
+
+  private val kernels =
+    new java.util.concurrent.ConcurrentHashMap[String, Kernel]()
+
+  /** Register (or replace) the decode kernel for a format key. */
+  def register(format: String, k: Kernel): Unit = kernels.put(format, k)
+
+  def formats: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    kernels.keySet.asScala.toSet
+  }
+
+  /** Decode a media column through the registered kernel. */
+  def decode(format: String, media: Dataset[MediaBytes]): DataFrame = {
+    val k = kernels.get(format)
+    require(k != null,
+      s"media kernels: no decoder registered for '$format' " +
+        s"(have: ${formats.toSeq.sorted.mkString(", ")})")
+    k(media)
+  }
+
+  // built-in kernels: the same parsers the oracle-checked queries run
+  register("bmp", ds => {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(m =>
+      Multimodal.parseBmp(m.doc_id, m.media))).toDF()
+  })
+  register("wav", ds => {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(m =>
+      Multimodal.parseWav(m.doc_id, m.media))).toDF()
+  })
+}

@@ -202,4 +202,53 @@ class MultimodalSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"pair generation must be an equi-join on the hash band:\n${plan.take(800)}")
   }
+
+  test("kernel registry: built-ins route by format; a real ImageIO JPEG " +
+      "kernel plugs in and recovers dimensions") {
+    import graft.operators.MediaKernels
+    import graft.operators.Multimodal.MediaBytes
+    val s = spark
+    import s.implicits._
+    assert(Set("bmp", "wav").subsetOf(MediaKernels.formats))
+    // built-in routing: registry("bmp") ≡ the oracle-checked parser
+    val ids = (0L until 12L).toSeq
+    val bmp = ids.map(id => MediaBytes(id, Multimodal.synthBmp(id))).toDS()
+    val viaRegistry = MediaKernels.decode("bmp", bmp)
+      .select("doc_id", "width", "height").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(viaRegistry == ids.map(id =>
+      (id, 4 + (id % 13).toInt, 3 + (id % 7).toInt)).toSet)
+    // a REAL lossy codec plugs in without touching the engine: encode
+    // per-doc-sized JPEGs with the JDK's ImageIO, register a kernel
+    // that ImageIO-decodes per partition, recover the planted dims
+    def jpegBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 37 + y * 101) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer")
+      bos.toByteArray
+    }
+    MediaKernels.register("jpeg", ds => {
+      import ds.sparkSession.implicits._
+      ds.mapPartitions(_.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.media))
+        (m.doc_id, img.getWidth, img.getHeight)
+      }).toDF("doc_id", "width", "height")
+    })
+    val jpgs = ids.map(id =>
+      MediaBytes(id, jpegBytes(5 + (id % 9).toInt, 4 + (id % 5).toInt))).toDS()
+    val got = MediaKernels.decode("jpeg", jpgs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == ids.map(id =>
+      (id, 5 + (id % 9).toInt, 4 + (id % 5).toInt)).toSet,
+      "JPEG kernel must recover every planted dimension")
+    // unknown format refuses with the available set
+    val e = intercept[IllegalArgumentException] {
+      MediaKernels.decode("mp4", bmp)
+    }
+    assert(e.getMessage.contains("no decoder registered"))
+  }
 }
