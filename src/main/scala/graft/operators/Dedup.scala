@@ -64,6 +64,54 @@ object Dedup extends QueryModule {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-SOURCE contamination matrix — the dataset-level question a
+    * training-data curator asks before mixing corpora ("how much of
+    * source B is already in source A?"): exact 3-gram-shingle Jaccard
+    * between every source pair. The per-source DISTINCT collapses the
+    * corpus to (vocabulary × sources) BEFORE any pairing, so the one
+    * shingle-keyed self-join fans out at most |sources|² rows per
+    * shingle — cost ∝ shared vocabulary, never corpus². At a scale
+    * where even the distinct shingle sets are huge, the same matrix
+    * downgrades to the minhash signatures q_dedup_minhash_lsh already
+    * maintains (union the per-doc signatures per source); this query
+    * is the exact form those estimates are verified against. */
+  private val crossSourceQ = (s: SparkSession, dir: String) => {
+    val sh = shingled(Tables.documents(s, dir)
+        .select(col("source"), col("text")))
+      .select(col("source"), explode(col("sh")).as("s")).distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.select(col("source").as("src_a"), col("s"))
+      .join(sh.select(col("source").as("src_b"), col("s")), Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("na"), col("nb"),
+        round(col("n_shared") /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  private val crossSourceSql =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS tk FROM documents),
+      |sh0 AS (
+      |  SELECT source, unnest(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM toks),
+      |sh AS (SELECT DISTINCT source, s FROM sh0),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.src_a, i.src_b, i.n_shared, na.n AS na, nb.n AS nb,
+      |  round(i.n_shared * 1.0 / (na.n + nb.n - i.n_shared), 6) AS jaccard
+      |FROM inter i
+      |JOIN sizes na ON i.src_a = na.source
+      |JOIN sizes nb ON i.src_b = nb.source""".stripMargin
+
   private val exactSql =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
       |  COUNT(*) AS n_copies
@@ -565,6 +613,8 @@ object Dedup extends QueryModule {
       "delta-view batch vs snapshot corpus: versioned incremental dedup"),
     "q_dedup_clusters" -> Q(clustersQ, Some(clustersSql),
       "connected-components cluster ids over verified jaccard pairs"),
+    "q_dedup_cross_source_overlap" -> Q(crossSourceQ, Some(crossSourceSql),
+      "source×source contamination matrix: exact shingle Jaccard between corpus slices"),
     "q_dedup_exact" -> Q(exactQ, Some(exactSql),
       "exact dedup: md5 hash-group, keep min doc_id"),
     "q_dedup_jaccard_pairs" -> Q(

@@ -981,6 +981,105 @@ object Similarity extends QueryModule {
        |  FROM scored) WHERE rnk <= 5""".stripMargin
   }
 
+  /** Recall@5 of the multiprobe-LSH index against the EXACT brute-force
+    * top-5 — the eval harness every ANN deployment runs before trusting
+    * an index (and re-runs as the corpus drifts). Both arms use the
+    * identical rounded-cosine + vec_id tiebreak, so the top-5 SETS are
+    * deterministic in both engines and recall is exactly defined; the
+    * oracle rebuilds BOTH arms (the sign-matrix/probe-mask LSH pipeline
+    * annLshSql established, plus the 20×N exact scan) and intersects.
+    * Per-query output (n_hit, recall) rather than one average: the
+    * distribution is what tells you WHICH queries the index fails.
+    * Scale: the brute arm is the expensive one by design — 20 probe
+    * queries × corpus, the same bounded evaluation budget a production
+    * recall audit uses (sampled queries, never all-pairs). */
+  private val annRecallQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val lsh = annQ(s, dir).select(col("qid"), col("vec_id"))
+    val q20 = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val bf = e.crossJoin(broadcast(q20))
+      .select(col("qid"), col("vec_id"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"))
+    val hits = bf.join(lsh, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    q20.select(col("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall_at_5"))
+  }
+
+  private def annRecallSql: String = {
+    val signs = VectorOps.signsFor(Dim, NBits, 42L)
+    val signRows = (for (k <- 0 until NBits; d <- 0 until Dim)
+      yield s"($k,${d + 1},${signs(k)(d).toInt})").mkString(",")
+    val maskRows = probeMasks(NBits, Probe).map(m => s"($m)").mkString(",")
+    s"""WITH signs(plane, dim, sgn) AS (VALUES $signRows),
+       |masks(m) AS (VALUES $maskRows),
+       |proj AS (
+       |  SELECT e.vec_id, s.plane,
+       |    SUM(s.sgn * CAST(e.embedding[s.dim] AS DOUBLE)) AS p
+       |  FROM embeddings e, signs s GROUP BY 1, 2),
+       |b AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN p > 0 THEN CAST(power(2, plane) AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |probes AS (
+       |  SELECT q.vec_id AS qid, xor(q.bucket, m.m) AS bucket
+       |  FROM b q, masks m WHERE q.vec_id < 20),
+       |cand AS (
+       |  SELECT p.qid, c.vec_id FROM probes p JOIN b c USING (bucket)),
+       |nrm AS (
+       |  SELECT vec_id, sqrt(list_sum(list_transform(
+       |    range(1, len(embedding)+1),
+       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+       |    AS nrm
+       |  FROM embeddings),
+       |lscored AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |    round(list_sum(list_transform(range(1, len(a.embedding)+1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (qn.nrm * cn.nrm), 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings a ON cand.qid = a.vec_id
+       |  JOIN embeddings c ON cand.vec_id = c.vec_id
+       |  JOIN nrm qn ON cand.qid = qn.vec_id
+       |  JOIN nrm cn ON cand.vec_id = cn.vec_id),
+       |lsh AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+       |    FROM lscored) WHERE rnk <= 5),
+       |bscored AS (
+       |  SELECT a.vec_id AS qid, c.vec_id,
+       |    round(list_sum(list_transform(range(1, len(a.embedding)+1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (qn.nrm * cn.nrm), 6) AS cos
+       |  FROM embeddings a
+       |  JOIN nrm qn ON a.vec_id = qn.vec_id
+       |  CROSS JOIN embeddings c
+       |  JOIN nrm cn ON c.vec_id = cn.vec_id
+       |  WHERE a.vec_id < 20),
+       |bf AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+       |    FROM bscored) WHERE rnk <= 5),
+       |hits AS (
+       |  SELECT bf.qid, COUNT(*) AS n_hit
+       |  FROM bf JOIN lsh ON bf.qid = lsh.qid AND bf.vec_id = lsh.vec_id
+       |  GROUP BY 1)
+       |SELECT q.vec_id AS qid, COALESCE(h.n_hit, 0) AS n_hit,
+       |  round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall_at_5
+       |FROM embeddings q LEFT JOIN hits h ON q.vec_id = h.qid
+       |WHERE q.vec_id < 20""".stripMargin
+  }
+
   /** Corpus + an exact clone (vec_id + 10000) of each query vector —
     * the planted ground truth that makes ANN top-k SQL-expressible:
     * excluding self, the nearest neighbor of query q IS clone q+10000
@@ -1269,6 +1368,8 @@ object Similarity extends QueryModule {
       "batch top-3 per query via broadcast + window rank"),
     "q_sim_ann_lsh" -> Q(annQ, Some(annLshSql),
       "LSH multiprobe ANN top-5: exploded probe-bucket equi-join"),
+    "q_sim_ann_recall" -> Q(annRecallQ, Some(annRecallSql),
+      "recall@5 eval: LSH index vs exact brute-force top-5, per query"),
     "q_sim_ann_ivf" -> Q(ivfQ, Some(ivfSql),
       "IVF ANN: k-means cells + nprobe search (full training-run oracle)"),
     "q_sim_ann_pq" -> Q(pqQ, Some(pqSql),

@@ -168,7 +168,65 @@ object TimeSeries extends QueryModule {
       |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
       .stripMargin
 
+  // ---- 4. rolling z-score anomaly flags -------------------------
+  //
+  // Per user, each event is scored against the 10 PRECEDING events
+  // (never itself — the trailing-baseline discipline that keeps the
+  // detector causal/streamable): flag when |x − μ| > 2σ. Entirely
+  // INTEGER-EXACT: with cents c = round(value·100), window sums
+  // s1 = Σc, s2 = Σc², the test (x−μ)² > 4σ² multiplies through by n²
+  // to (n·x − s1)² > 4·(n·s2 − s1²) — BIGINT-safe (n ≤ 10, |c| ≤ 10⁶
+  // ⇒ widest term ≲ 4·10¹⁴) and identical bits in both engines; no
+  // sqrt, no float accumulation. One hash shuffle on the series key,
+  // then key-local window sums — same posture as every query above.
+  // Warmup rows (fewer than 5 priors) are unflaggable by contract.
+  private val anomalyQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-10, -1)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("n", count(col("c")).over(w))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .filter(col("n") >= 5)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("c") / 100.0, 2).as("value"),
+        col("n").as("n_window"),
+        ((col("n") * col("c") - col("s1")) * (col("n") * col("c") - col("s1")) >
+          lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
+          .as("is_anomaly"))
+      .filter(col("is_anomaly"))
+  }
+
+  private val anomalySql =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE user_id < 40),
+      |wsum AS (
+      |  SELECT user_id, ts, event_id, c,
+      |    COUNT(c) OVER w AS n, SUM(c) OVER w AS s1,
+      |    SUM(c * c) OVER w AS s2
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, ts, round(c / 100.0, 2) AS value,
+      |  n AS n_window,
+      |  (n * c - CAST(s1 AS BIGINT)) * (n * c - CAST(s1 AS BIGINT)) >
+      |    4 * (n * CAST(s2 AS BIGINT) - CAST(s1 AS BIGINT) * CAST(s1 AS BIGINT))
+      |    AS is_anomaly
+      |FROM wsum
+      |WHERE n >= 5
+      |  AND (n * c - CAST(s1 AS BIGINT)) * (n * c - CAST(s1 AS BIGINT)) >
+      |    4 * (n * CAST(s2 AS BIGINT) - CAST(s1 AS BIGINT) * CAST(s1 AS BIGINT))"""
+      .stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_anomaly" -> Q(anomalyQ, Some(anomalySql),
+      "rolling z-score outliers: integer-exact (n·x−s1)² > 4(n·s2−s1²) trailing test"),
     "q_ts_moving_1h" -> Q(movingQ, Some(movingSql),
       "trailing 1-hour RANGE-frame count/sum per series (time-defined peers)"),
     "q_ts_gapfill" -> Q(gapfillQ, Some(gapfillSql),

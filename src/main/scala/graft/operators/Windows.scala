@@ -305,7 +305,57 @@ object Windows extends QueryModule {
       |      ORDER BY COUNT(*) DESC, event_type ASC) AS rk
       |  FROM events GROUP BY 1, 2) WHERE rk = 1""".stripMargin
 
+  /** Weekly cohort retention — the product-analytics matrix beside the
+    * funnel: users cohorted by first-active week; for each (cohort,
+    * week-offset) cell, how many came back and what fraction of the
+    * cohort that is. Three stages, each one user- or cohort-keyed
+    * hash shuffle over ALREADY-AGGREGATED rows: distinct (user, week)
+    * activity (≤ users × weeks), per-user first week, then the cell
+    * counts; cohort sizes join back on the cohort key (broadcast at
+    * dim scale, equi-join at any scale). Offsets are integer day
+    * arithmetic on week-truncated timestamps — no float anywhere
+    * except the final display ratio, rounded identically in both
+    * engines. */
+  private val retentionQ = (s: SparkSession, dir: String) => {
+    val wk = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val first = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_cohort"))
+    wk.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort")) / 7).cast("long"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        round(col("n_active") / col("n_cohort"), 6).as("retention"))
+  }
+
+  private val retentionSql =
+    """WITH wk AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |first AS (
+      |  SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort, COUNT(*) AS n_cohort FROM first GROUP BY 1),
+      |cells AS (
+      |  SELECT f.cohort,
+      |    date_diff('day', f.cohort, wk.wk) // 7 AS week_offset,
+      |    COUNT(*) AS n_active
+      |  FROM wk JOIN first f ON wk.user_id = f.user_id
+      |  GROUP BY 1, 2)
+      |SELECT c.cohort, c.week_offset, c.n_active, s.n_cohort,
+      |  round(c.n_active * 1.0 / s.n_cohort, 6) AS retention
+      |FROM cells c JOIN sizes s ON c.cohort = s.cohort""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_retention" -> Q(retentionQ, Some(retentionSql),
+      "weekly cohort retention matrix: distinct activity → first-week cohorts → cell ratios"),
     "q_win_seq_pattern" -> Q(seqPatternQ, Some(seqPatternSql),
       "strict-adjacency row pattern (view,click,purchase) via double lead"),
     "q_agg_mode" -> Q(modeQ, Some(modeSql),
