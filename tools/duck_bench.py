@@ -25,6 +25,11 @@ HEADLINE = [
     # round-4 additions (mirror graft.Bench.headline)
     "q_sim_ann_pq", "q_text_bm25_topk", "q_graph_pagerank",
     "q_text_chunk_dedup", "q_ts_gapfill",
+    # round-5 stored-index twins (mirror graft.Bench.headline). NOTE:
+    # their oracle SQL is the full-rebuild pipeline (DuckDB has no
+    # stored index to read), so the per-query pair is rebuild-vs-read —
+    # compare them against the rebuild rows, not each other.
+    "q_sim_ann_pq_indexed", "q_text_bm25_indexed",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
