@@ -52,7 +52,10 @@ object PlanAudit {
       "q_agg_histogram", "q_sim_ann_ivfpq_residual",
       "q_src_mv_incremental", "q_src_partitioned_write",
       "q_win_seq_pattern", "q_agg_mode", "q_sim_knn_classify",
-      "q_sample_train_test_split", "q_stream_cdc_apply")
+      "q_sample_train_test_split", "q_stream_cdc_apply",
+      // round-5 additions
+      "q_graph_triangles", "q_ts_anomaly", "q_win_retention",
+      "q_dedup_cross_source_overlap", "q_sim_ann_recall")
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else (Bench.headline ++ extras).distinct
