@@ -283,7 +283,41 @@ object Aggregates extends QueryModule {
     s.sql(groupingSetsSql)
   }
 
+  /** Co-purchase pair mining — the market-basket co-occurrence shape
+    * (the support count of the apriori/FP-growth first pass): part
+    * pairs that appear together in ≥2 orders, top-20 by support. The
+    * pairing self-join is keyed on the ORDER — fan-out is bounded by
+    * order size squared (≤13² here; basket-bounded at any scale),
+    * never by part popularity — and the distinct pre-pass collapses
+    * repeated lines of the same part first. Exchanges carry
+    * (order, part) then pair partials; the final top-20 is a
+    * TakeOrdered with full deterministic tiebreaks. */
+  private val copurchaseQ = (s: SparkSession, dir: String) => {
+    val li = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    li.select(col("okey"), col("pk").as("part_a"))
+      .join(li.select(col("okey"), col("pk").as("part_b")), Seq("okey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
+  private val copurchaseSql =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
+      |FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 2
+      |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_copurchase" -> Q(copurchaseQ, Some(copurchaseSql),
+      "market-basket pair support: order-keyed pairing, basket-bounded fan-out"),
     "q_agg_grouping_sets" -> Q(groupingSetsQ, Some(groupingSetsSql),
       "GROUPING SETS + grouping() markers (portable SQL text)"),
     "q_agg_group_multi" -> Q(groupMulti, Some(groupMultiSql),

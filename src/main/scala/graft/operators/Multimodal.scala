@@ -501,6 +501,58 @@ object Multimodal extends QueryModule {
       |  md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_checksum
       |FROM idx""".stripMargin
 
+  /** Scene-cut detection — the video-segmentation pass frame sampling
+    * feeds: every 64-byte frame's energy (byte-value sum, integer-
+    * exact) is compared to its predecessor per video; a jump above the
+    * threshold marks a cut. Energy extraction is a map-side 64-way
+    * fold per frame (no shuffle — the same per-frame feature shape as
+    * the audio energy/ZCR kernel); the only exchange is the per-video
+    * lag window, keyed on doc_id. At 100 TB each video's frames stay
+    * in one task unless a single video outgrows it — then the same
+    * chunk-boundary split the gap-fill LOCF documents applies. */
+  private val SceneCutThresh = 250
+  private val sceneCutsQ = (s: SparkSession, dir: String) => {
+    val frames = mediaTable(s, dir)
+      .filter(col("meta.media_type") === "video" && col("meta.n_bytes") >= 128)
+      .select(col("doc_id"), col("media").cast("string").as("txt"),
+        explode(expr("sequence(0, CAST(meta.n_bytes / 64 AS INT) - 1)"))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("""aggregate(sequence(1, 64), 0L, (acc, i) ->
+               |  acc + ascii(substring(txt, frame_idx * 64 + i, 1)))"""
+          .stripMargin).as("energy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
+    frames
+      .withColumn("delta", col("energy") - lag(col("energy"), 1).over(w))
+      .filter(abs(col("delta")) > SceneCutThresh)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("energy"), col("delta"))
+  }
+
+  private val sceneCutsSql =
+    s"""WITH v AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 = 2 AND length(text) >= 128),
+       |f AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, CAST(floor(length(text) / 64) AS BIGINT)))
+       |      AS frame_idx
+       |  FROM v),
+       |e AS (
+       |  SELECT doc_id, frame_idx,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> ord(substring(text, CAST(frame_idx * 64 + i AS INT), 1))))
+       |      AS energy
+       |  FROM f),
+       |d AS (
+       |  SELECT doc_id, frame_idx, CAST(energy AS BIGINT) AS energy,
+       |    CAST(energy - lag(energy) OVER (
+       |      PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS delta
+       |  FROM e)
+       |SELECT doc_id, frame_idx, energy, delta
+       |FROM d WHERE abs(delta) > $SceneCutThresh""".stripMargin
+
   // Per-media-type resource accounting (the pipeline-planning query).
   private val statsQ = (s: SparkSession, dir: String) =>
     mediaTable(s, dir)
@@ -763,6 +815,8 @@ object Multimodal extends QueryModule {
       "nearest-neighbor BMP resize (re-encode + re-decode), closed-form oracle"),
     "q_mm_frames" -> Q(frameQ, Some(frameSql),
       "frame sampling: every 4th 64-byte block of video payloads"),
+    "q_mm_scene_cuts" -> Q(sceneCutsQ, Some(sceneCutsSql),
+      "scene-cut detection: integer frame-energy deltas over a per-video lag window"),
     "q_mm_stats" -> Q(statsQ, Some(statsSql),
       "per-media-type resource accounting"))
 }

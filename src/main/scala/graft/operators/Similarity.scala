@@ -1336,6 +1336,83 @@ object Similarity extends QueryModule {
         count(lit(1)).as("n_dims"),
         max(col("cnt")).as("n_vecs"))
 
+  /** Centroid silhouette — the cluster-quality eval beside recall@5
+    * (the ANN eval): per vector, a = Euclidean distance to its OWN
+    * label centroid, b = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b); reported per label as the quantized mean plus
+    * the misfit count (s < 0 ⇒ the vector sits closer to a foreign
+    * centroid — the rows a curator relabels or drops). Plan: one
+    * partial-agg exchange builds the labels×dim centroid table
+    * (quantized long-sum means, bit-identical cross-engine), which
+    * collapses to ONE broadcast row; every distance is then a map-side
+    * fold over the |labels| centroids — the corpus is never joined or
+    * shuffled for scoring, and the final rollup is |labels| rows.
+    * Per-vector s quantizes to 1e-6 ints BEFORE the mean so the
+    * rollup sum is order-insensitive; sqrt is IEEE-exact in both
+    * engines (the 64-term sums carry the same negligible boundary
+    * risk ivfSql documents). */
+  private val silhouetteQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(round(col("v").cast("double") * 1e6).cast("long"))
+        .cast("double") / 1e6 / count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("centroid"))
+      .agg(array_sort(collect_list(struct(col("label"), col("centroid"))))
+        .as("cb"))
+    e.select(col("vec_id"), col("label").as("lbl"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dists", expr(
+        """transform(cb, c -> struct(c.label as l,
+          |  sqrt(aggregate(zip_with(embedding, c.centroid,
+          |    (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+          |    cast(0 as double), (p, q) -> p + q)) as d))""".stripMargin))
+      .withColumn("a", expr("filter(dists, x -> x.l = lbl)[0].d"))
+      .withColumn("b", expr(
+        "array_min(transform(filter(dists, x -> x.l != lbl), x -> x.d))"))
+      .withColumn("s_q",
+        round((col("b") - col("a")) / greatest(col("a"), col("b")) * 1e6)
+          .cast("long"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("s_q")) / count(lit(1)) / 1e6, 6).as("avg_silhouette"),
+        sum(when(col("s_q") < 0, 1L).otherwise(0L)).as("n_misfit"))
+      .select(col("lbl").as("label"), col("n_vecs"),
+        col("avg_silhouette"), col("n_misfit"))
+  }
+
+  private val silhouetteSql =
+    """WITH ev AS (
+      |  SELECT vec_id, label, t.i - 1 AS pos,
+      |    CAST(embedding[t.i] AS DOUBLE) AS v
+      |  FROM embeddings,
+      |    LATERAL unnest(generate_series(1, len(embedding))) AS t(i)),
+      |p AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CAST(round(v * 1e6) AS BIGINT)) AS DOUBLE)
+      |      / 1e6 / COUNT(*) AS m
+      |  FROM ev GROUP BY 1, 2),
+      |d AS (
+      |  SELECT ev.vec_id, ev.label AS lbl, p.label AS cl,
+      |    sqrt(SUM((ev.v - p.m) * (ev.v - p.m))) AS d
+      |  FROM ev JOIN p ON ev.pos = p.pos GROUP BY 1, 2, 3),
+      |ab AS (
+      |  SELECT vec_id, lbl,
+      |    MIN(CASE WHEN cl = lbl THEN d END) AS a,
+      |    MIN(CASE WHEN cl <> lbl THEN d END) AS b
+      |  FROM d GROUP BY 1, 2),
+      |sq AS (
+      |  SELECT lbl,
+      |    CAST(round((b - a) / greatest(a, b) * 1e6) AS BIGINT) AS s_q
+      |  FROM ab)
+      |SELECT lbl AS label, COUNT(*) AS n_vecs,
+      |  round(CAST(SUM(s_q) AS BIGINT) / COUNT(*) / 1e6, 6) AS avg_silhouette,
+      |  CAST(SUM(CASE WHEN s_q < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+      |FROM sq GROUP BY 1""".stripMargin
+
   private val centroidSql =
     """WITH e AS (
       |  SELECT label, t.i - 1 AS pos, embedding[t.i] AS v
@@ -1356,6 +1433,8 @@ object Similarity extends QueryModule {
       |FROM p GROUP BY label""".stripMargin
 
   override val queries: Map[String, Q] = Map(
+    "q_vec_silhouette" -> Q(silhouetteQ, Some(silhouetteSql),
+      "centroid silhouette per label: map-side scoring vs one broadcast centroid row"),
     "q_vec_centroid" -> Q(centroidQ, Some(centroidSql),
       "per-label mean embedding (order-insensitive, partial-agg shuffle)"),
     "q_vec_quantize" -> Q(quantQ, Some(quantSql),

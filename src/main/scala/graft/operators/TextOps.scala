@@ -246,6 +246,45 @@ object TextOps extends QueryModule {
       .limit(20)
   }
 
+  /** Positional phrase search — the inverted-index algorithm boolean
+    * term search can't do: "spark merge" matches only where the terms
+    * are ADJACENT. Tokens explode once with their positions; each
+    * phrase term filters its posting rows BEFORE any join (posting-
+    * list cost, the BM25 discipline); adjacency is then one equi-join
+    * on (doc_id, position) with the second term's positions shifted by
+    * −1 — the classic offset-intersection of positional posting lists,
+    * an n-way chain for an n-word phrase. Exchanges carry only the two
+    * filtered posting lists. At index scale the same query reads a
+    * stored positional postings table exactly as q_text_bm25_indexed
+    * reads its frequency postings. */
+  private val PhraseW1 = "spark"
+  private val PhraseW2 = "merge"
+  private val phraseQ = (s: SparkSession, dir: String) => {
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+    val a = pos.filter(col("w") === PhraseW1).select(col("doc_id"), col("p"))
+    val b = pos.filter(col("w") === PhraseW2)
+      .select(col("doc_id"), (col("p") - 1).as("p"))
+    a.join(b, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("p")).cast("long").as("first_pos"))
+  }
+
+  private val phraseSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i - 1 AS p, tk[i] AS w
+       |  FROM toks CROSS JOIN unnest(range(1, len(tk) + 1)) AS t(i)),
+       |a AS (SELECT doc_id, p FROM pos WHERE w = '$PhraseW1'),
+       |b AS (SELECT doc_id, p - 1 AS p FROM pos WHERE w = '$PhraseW2')
+       |SELECT a.doc_id, COUNT(*) AS n_hits,
+       |  CAST(MIN(a.p) AS BIGINT) AS first_pos
+       |FROM a JOIN b ON a.doc_id = b.doc_id AND a.p = b.p
+       |GROUP BY 1""".stripMargin
+
   // Language-ID heuristic: stopword-hit ratio (lexicon-join pattern).
   private val langidQ = (s: SparkSession, dir: String) =>
     Tables.documents(s, dir)
@@ -678,6 +717,8 @@ object TextOps extends QueryModule {
       "sequence packing: docs → fixed-token-budget bins, shard-parallel"),
     "q_text_index_search" -> Q(searchQ, Some(searchSql),
       "term lookup via inverted-index semi-join == full LIKE scan"),
+    "q_text_phrase_search" -> Q(phraseQ, Some(phraseSql),
+      "positional phrase match: offset-intersection of filtered posting lists"),
     "q_text_bm25_indexed" -> Q(bm25IndexedQ, Some(bm25Sql),
       "BM25 over the STORED postings index: cost ∝ posting lists, no corpus scan"),
     "q_text_bm25_topk" -> Q(bm25Q, Some(bm25Sql),

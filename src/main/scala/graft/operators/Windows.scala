@@ -353,7 +353,60 @@ object Windows extends QueryModule {
       |  round(c.n_active * 1.0 / s.n_cohort, 6) AS retention
       |FROM cells c JOIN sizes s ON c.cohort = s.cohort""".stripMargin
 
+  /** Last-touch attribution — the conversion-credit companion to the
+    * funnel: each purchase is credited to the user's most recent
+    * view/click within a 3-day lookback, else 'none'. ONE pass, one
+    * user-keyed shuffle: a trailing `last(…, ignoreNulls)` window
+    * carries the latest touch's type and epoch-millis forward (two
+    * window columns, provably from the SAME row: both are null exactly
+    * when the row isn't a touch), so no self-join of purchases against
+    * touches ever happens — the classic O(purchases × touches) join
+    * shape collapses into the sort the window already pays. Millis
+    * arithmetic keeps the lookback integer-exact. */
+  private val attributionQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchMs = when(col("event_type") =!= "purchase", unix_millis(col("ts")))
+    ev.withColumn("t_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("t_ms", last(touchMs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("t_ms").isNotNull &&
+          unix_millis(col("ts")) - col("t_ms") <= 3L * 24 * 3600 * 1000,
+          col("t_type")).otherwise(lit("none")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+  }
+
+  private val attributionSql =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type, value FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |t AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |      THEN event_type END IGNORE NULLS) OVER w AS t_type,
+      |    last_value(CASE WHEN event_type <> 'purchase'
+      |      THEN epoch_ms(ts) END IGNORE NULLS) OVER w AS t_ms
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT CASE WHEN t_ms IS NOT NULL AND epoch_ms(ts) - t_ms <= 259200000
+      |         THEN t_type ELSE 'none' END AS channel,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_attribution" -> Q(attributionQ, Some(attributionSql),
+      "last-touch attribution: trailing ignoreNulls window, no purchase×touch join"),
     "q_win_retention" -> Q(retentionQ, Some(retentionSql),
       "weekly cohort retention matrix: distinct activity → first-week cohorts → cell ratios"),
     "q_win_seq_pattern" -> Q(seqPatternQ, Some(seqPatternSql),

@@ -70,6 +70,68 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("attribution: channels closed set, every purchase credited exactly once") {
+    val rows = run("q_win_attribution").collect()
+    val channels = rows.map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("view", "click", "none")),
+      s"unexpected channels: $channels")
+    val total = rows.map(_.getLong(1)).sum
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(total == purchases,
+      s"credited $total of $purchases purchases — attribution must partition them")
+  }
+
+  test("copurchase: canonical pairs, support >= 2, non-increasing") {
+    val rows = run("q_agg_copurchase").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonical")
+      assert(r.getLong(2) >= 2, "support threshold violated")
+    }
+    val supports = rows.map(_.getLong(2)).toSeq
+    assert(supports == supports.sortBy(-_), "top-k not ordered by support")
+  }
+
+  test("phrase search: every reported hit is a real token adjacency") {
+    val rows = run("q_text_phrase_search").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute from the raw text: count adjacent (spark, merge) pairs
+    val truth = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        val hits = toks.indices.dropRight(1)
+          .filter(i => toks(i) == "spark" && toks(i + 1) == "merge")
+        r.getLong(0) -> hits
+      }.filter(_._2.nonEmpty).toMap
+    assert(rows.keySet == truth.keySet, "hit doc sets differ")
+    truth.foreach { case (doc, hits) =>
+      assert(rows(doc) == ((hits.length.toLong, hits.head.toLong)),
+        s"doc $doc: got ${rows(doc)}, want (${hits.length}, ${hits.head})")
+    }
+  }
+
+  test("silhouette: all vectors scored, averages in [-1,1], misfits bounded") {
+    val rows = run("q_vec_silhouette").collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.embeddings(spark, sf).count(), "every vector scored once")
+    rows.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s >= -1.0 && s <= 1.0, s"avg silhouette $s out of range")
+      assert(r.getLong(3) <= r.getLong(1), "misfits exceed label size")
+    }
+  }
+
+  test("scene cuts: deltas exceed threshold, first frame never a cut") {
+    val rows = run("q_mm_scene_cuts").collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(3)) > 250, "delta under threshold")
+      assert(r.getLong(1) >= 1, "frame 0 has no predecessor to cut from")
+      val e = r.getLong(2)
+      assert(e >= 0 && e <= 64L * 255, s"energy $e outside byte-sum bounds")
+    }
+  }
+
   test("ann recall eval: one row per probe query, self always retrieved") {
     val rows = run("q_sim_ann_recall").collect()
     assert(rows.length == 20, "one row per probe query")
