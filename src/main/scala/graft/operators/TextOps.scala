@@ -285,6 +285,43 @@ object TextOps extends QueryModule {
        |FROM a JOIN b ON a.doc_id = b.doc_id AND a.p = b.p
        |GROUP BY 1""".stripMargin
 
+  /** BPE merge-candidate counting — the first round of byte-pair-
+    * encoding vocabulary induction (the real tokenizer-training
+    * kernel): count every adjacent character pair across the corpus,
+    * weighted by occurrence; the top pair is what BPE would merge
+    * first. The trick that makes round 1 EMBARRASSINGLY cheap at
+    * 100 TB: aggregate the corpus to (word, freq) FIRST (the word
+    * vocabulary is tiny next to the corpus), then explode character
+    * pairs from the vocabulary only, multiplying by freq — the pair
+    * exchange carries |vocab|×|word_len| rows, never corpus tokens.
+    * Later BPE rounds rewrite the (word, freq) table with the merged
+    * symbol and repeat — same plan per round. */
+  private val bpePairsQ = (s: SparkSession, dir: String) => {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  private val bpePairsSql =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |pairs AS (
+      |  SELECT substring(w, CAST(i AS INT), 2) AS pair, freq
+      |  FROM words CROSS JOIN unnest(range(1, length(w))) AS t(i))
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+      |FROM pairs GROUP BY 1
+      |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
   // Language-ID heuristic: stopword-hit ratio (lexicon-join pattern).
   private val langidQ = (s: SparkSession, dir: String) =>
     Tables.documents(s, dir)
@@ -717,6 +754,8 @@ object TextOps extends QueryModule {
       "sequence packing: docs → fixed-token-budget bins, shard-parallel"),
     "q_text_index_search" -> Q(searchQ, Some(searchSql),
       "term lookup via inverted-index semi-join == full LIKE scan"),
+    "q_text_bpe_pairs" -> Q(bpePairsQ, Some(bpePairsSql),
+      "BPE round-1 merge candidates: pair counts from the (word,freq) vocab, not the corpus"),
     "q_text_phrase_search" -> Q(phraseQ, Some(phraseSql),
       "positional phrase match: offset-intersection of filtered posting lists"),
     "q_text_bm25_indexed" -> Q(bm25IndexedQ, Some(bm25Sql),

@@ -201,7 +201,9 @@ object TimeSeries extends QueryModule {
       .filter(col("is_anomaly"))
   }
 
-  private val anomalySql =
+  /** Shared with the streaming twin (StreamOps.q_stream_anomaly): the
+    * two execution modes must give the same answer on the same data. */
+  private[graft] val anomalySql =
     """WITH c AS (
       |  SELECT user_id, ts, event_id,
       |    CAST(round(value * 100) AS BIGINT) AS c

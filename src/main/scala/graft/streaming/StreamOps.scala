@@ -343,6 +343,59 @@ object StreamOps extends QueryModule {
     }
   }
 
+  final case class AnomEv(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, c: Long)
+  final case class AnomRing(cents: Seq[Long])
+  final case class AnomHit(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, c: Long, n_window: Long)
+
+  /** STREAMING twin of the batch rolling z-score detector
+    * (TimeSeries.q_ts_anomaly, same oracle): per user, each event is
+    * tested against a ring buffer of its 10 most recent predecessors
+    * held in flatMapGroupsWithState state — the buffer IS the whole
+    * per-key state (≤10 longs), so state size is keys×10, not history.
+    * The integer test is byte-for-byte the batch one:
+    * (n·x − s1)² > 4·(n·s2 − s1²), and the final `value` column is
+    * computed by the same Spark round() the batch plan uses. Events
+    * sort by (ts, event_id) WITHIN each micro-batch group (bounded
+    * by the batch, not the stream); the single-batch invariant
+    * eventsStream documents makes that the full-series order here,
+    * while a production multi-batch run would carry watermark-late
+    * rows to the next trigger exactly like the dedup queries. */
+  private val streamAnomaly = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val evs: Dataset[AnomEv] = eventsStream(s, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .as[AnomEv]
+    val flagged = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomRing, AnomHit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: org.apache.spark.sql.streaming.GroupState[AnomRing]) =>
+          var ring = if (state.exists) state.get.cents.toVector else Vector.empty[Long]
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomHit]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val n = ring.size.toLong
+            if (n >= 5) {
+              val s1 = ring.sum
+              val s2 = ring.map(x => x * x).sum
+              val lhs = n * e.c - s1
+              if (lhs * lhs > 4L * (n * s2 - s1 * s1))
+                out += AnomHit(user, e.event_id, e.ts, e.c, n)
+            }
+            ring = (ring :+ e.c).takeRight(10)
+          }
+          state.update(AnomRing(ring))
+          out.iterator
+      }
+    runToTable(s, flagged.toDF(), "append")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("c") / 100.0, 2).as("value"),
+        col("n_window"), lit(true).as("is_anomaly"))
+  }
+
   /** Stream-stream inner join: each purchase joined to the same user's
     * clicks in the preceding day. Both sides carry watermarks and the
     * join has a time-range condition — the two ingredients that let the
@@ -560,6 +613,9 @@ object StreamOps extends QueryModule {
       |WHERE e.event_id < 2000""".stripMargin
 
   override val queries: Map[String, Q] = Map(
+    "q_stream_anomaly" -> Q(streamAnomaly,
+      Some(graft.operators.TimeSeries.anomalySql),
+      "streaming rolling z-score detector: 10-deep ring-buffer state, batch-equal"),
     "q_stream_static_join" -> Q(streamStaticJoin, Some(streamStaticJoinSql),
       "stream-static broadcast enrichment join (append, stateless)"),
     "q_stream_file_sink" -> Q(fileSink, Some(fileSinkSql),

@@ -132,6 +132,35 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly equals the batch detector row-for-row") {
+    def canon(name: String) = run(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(canon("q_stream_anomaly") == canon("q_ts_anomaly"),
+      "ring-buffer streaming state must reproduce the batch window exactly")
+  }
+
+  test("bpe pairs: counts non-increasing, top pair verified against raw text") {
+    val rows = run("q_text_bpe_pairs").collect()
+    assert(rows.length == 20)
+    val ns = rows.map(_.getLong(1)).toSeq
+    assert(ns == ns.sortBy(-_), "not ordered by count")
+    rows.foreach(r => assert(r.getString(0).length == 2))
+    // recompute the champion from raw text (corpus is small at sf0.001)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).split(" ").filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    val champion = counts.toSeq.sortBy { case (p, n) => (-n, p) }.head
+    assert((rows(0).getString(0), rows(0).getLong(1)) == champion,
+      s"top pair ${rows(0).getString(0)} disagrees with raw-text $champion")
+  }
+
   test("ann recall eval: one row per probe query, self always retrieved") {
     val rows = run("q_sim_ann_recall").collect()
     assert(rows.length == 20, "one row per probe query")
