@@ -1103,6 +1103,43 @@ object GraftObjectTable {
     * through this one listing, so the full read surface (pruning,
     * agg/limit pushdown, clustered reads) works on old versions
     * unchanged. */
+  /** Objects METADATA table — the Iceberg `table$files` / Delta
+    * `DESCRIBE DETAIL` analog: one row per live object with its row
+    * count, byte size, and per-column min/max/null-count rendered from
+    * the footer, as a normal DataFrame (composable with any filter/
+    * agg/join). Footer reads are DISTRIBUTED — object paths
+    * parallelize and each task opens only footers (tail bytes), so the
+    * query costs #objects footer reads regardless of data size; at
+    * 800k objects that is a few MB of I/O spread over the cluster,
+    * never a driver loop. Works on any `path@vN` snapshot because the
+    * listing funnels through the same version-resolved listObjects. */
+  def objectsMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{StructType => ST, StructField => SF,
+      StringType => S, LongType => L, MapType}
+    val paths = listObjects(dir)
+    val schema = ST(Seq(
+      SF("object_name", S), SF("n_rows", L), SF("n_bytes", L),
+      SF("col_min", MapType(S, S)), SF("col_max", MapType(S, S)),
+      SF("col_nulls", MapType(S, L))))
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .map { p =>
+        val f = ObjectFormat.readFooter(p)
+        def render(a: Any): String = a match {
+          case null => null
+          case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+          case v => String.valueOf(v)
+        }
+        org.apache.spark.sql.Row(
+          new File(p).getName, f.rowCount.toLong, new File(p).length(),
+          f.stats.map { case (c, st) => c -> render(st.min) },
+          f.stats.map { case (c, st) => c -> render(st.max) },
+          f.stats.map { case (c, st) => c -> st.nullCount.toLong })
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   def listObjects(dir: String): Seq[String] = GraftVersions.split(dir) match {
     case (base, Some(ref)) => GraftVersions.resolve(base, ref)
     case (d0, None) =>

