@@ -82,7 +82,11 @@ object Bench {
     // materialized PQ codes (no query-time train/encode) and BM25 over
     // the maintained inverted index (no corpus scan). The index builds
     // happen once in warmup (ingest-time work, like objectify).
-    "q_sim_ann_pq_indexed", "q_text_bm25_indexed")
+    "q_sim_ann_pq_indexed", "q_text_bm25_indexed",
+    // round-5 capability families: iterative graph (triangles),
+    // integer-exact anomaly windows, cohort retention, market-basket
+    "q_graph_triangles", "q_ts_anomaly",
+    "q_win_retention", "q_agg_copurchase")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

@@ -332,13 +332,20 @@ object Sources extends QueryModule {
     * result to a DuckDB oracle over the raw tables). */
   private[graft] val clusteredJoinSetup = (s: SparkSession, dir: String) => {
     val base = tmpDir(dir, "clustered")
+    // This is the deliberate one-object-per-key demonstration layout
+    // (its bucketed twin below is the scale path), so it explicitly
+    // raises the identity-cluster object cap that would otherwise
+    // refuse the write at sf0.1's ~15k keys over 4 tasks — the opt-in
+    // that documents "yes, I want O(#keys) objects here".
     Tables.orders(s, dir)
       .repartition(col("o_custkey")).sortWithinPartitions("o_custkey")
       .write.format("graft-objects").option("clusterBy", "o_custkey")
+      .option("maxObjectsPerTask", "1000000")
       .mode("overwrite").save(s"$base/orders")
     Tables.customer(s, dir)
       .repartition(col("c_custkey")).sortWithinPartitions("c_custkey")
       .write.format("graft-objects").option("clusterBy", "c_custkey")
+      .option("maxObjectsPerTask", "1000000")
       .mode("overwrite").save(s"$base/customer")
   }
 

@@ -1035,6 +1035,11 @@ object ObjectStoreMaintenance {
     }
     val writer = keyed.write.format("graft-objects")
       .option("clusterBy", clusterCol)
+      // compaction PRESERVES an existing layout choice, never makes
+      // one — the identity-cluster object cap is a write-time design
+      // gate and must not refuse maintenance of a table that already
+      // opted into one-object-per-key
+      .option("maxObjectsPerTask", Int.MaxValue.toString)
     width.foreach(w => writer.option("clusterWidth", w.toString))
     writer.mode("overwrite").save(dir)
   }
@@ -1246,7 +1251,9 @@ class GraftObjectTable(tableSchema: StructType, path: String,
         .map(_.toDouble).getOrElse(0.01),
       Option(opts.get("clusterWidth")).map(_.toLong),
       Option(opts.get("commitMode")).contains("optimistic"),
-      GraftChecks.compile(info.schema(), GraftChecks.fromOptions(opts)))
+      GraftChecks.compile(info.schema(), GraftChecks.fromOptions(opts)),
+      Option(opts.get("maxObjectsPerTask")).map(_.toInt)
+        .getOrElse(GraftWriterFactory.MaxIdentityClusterObjectsPerTask))
   }
 
   /** `DELETE FROM … WHERE p` as an OBJECT-LEVEL operation — the
@@ -1532,14 +1539,16 @@ class GraftWriteBuilder(writeSchema: StructType, path: String,
     bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
     clusterWidth: Option[Long] = None,
     optimistic: Boolean = false,
-    checks: Seq[GraftCheck] = Nil)
+    checks: Seq[GraftCheck] = Nil,
+    maxObjectsPerTask: Int = GraftWriterFactory.MaxIdentityClusterObjectsPerTask)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(writeSchema, path, doTruncate, clusterBy,
-        bloomCols, bloomFpp, clusterWidth, optimistic, checks)
+        bloomCols, bloomFpp, clusterWidth, optimistic, checks,
+        maxObjectsPerTask)
     /** Streaming write: each micro-batch epoch commits its staged
       * objects onto the tail of the `<table>.<seq>` sequence — which is
       * exactly what makes the table readable as a stream (offset =
@@ -1569,7 +1578,8 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
     bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
     clusterWidth: Option[Long] = None,
     optimistic: Boolean = false,
-    checks: Seq[GraftCheck] = Nil)
+    checks: Seq[GraftCheck] = Nil,
+    maxObjectsPerTask: Int = GraftWriterFactory.MaxIdentityClusterObjectsPerTask)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
@@ -1595,7 +1605,7 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
       }
     }
     new GraftWriterFactory(writeSchema, path, "b", clusterBy,
-      bloomCols, bloomFpp, clusterWidth, checks)
+      bloomCols, bloomFpp, clusterWidth, checks, maxObjectsPerTask)
   }
   /** `.option("commitMode", "optimistic")` — the LOCK-FREE append for
     * writers that do not share `_lock`'s advisory semantics (separate
@@ -1790,7 +1800,8 @@ class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
     clusterBy: Option[String] = None,
     bloomCols: Set[String] = Set.empty, bloomFpp: Double = 0.01,
     clusterWidth: Option[Long] = None,
-    checks: Seq[GraftCheck] = Nil)
+    checks: Seq[GraftCheck] = Nil,
+    maxObjectsPerTask: Int = GraftWriterFactory.MaxIdentityClusterObjectsPerTask)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     clusterBy match {
@@ -1829,15 +1840,15 @@ class GraftWriterFactory(writeSchema: StructType, path: String, tag: String,
           s"$path/_staged_$tag${partitionId}_${taskId}_s$segment"
         private def rotate(): Unit = {
           if (open) { enc.finish(stagedName); staged += stagedName; segment += 1 }
-          if (clusterWidth.isEmpty &&
-              segment > GraftWriterFactory.MaxIdentityClusterObjectsPerTask)
+          if (clusterWidth.isEmpty && segment > maxObjectsPerTask)
             throw new IllegalStateException(
               s"graft-objects: identity-clustered write on '$c' exceeded " +
-                s"${GraftWriterFactory.MaxIdentityClusterObjectsPerTask} objects " +
-                "in one task (one object per distinct key — the O(#keys) " +
-                "layout wall). Bucket contiguous keys with "
-                + """.option("clusterWidth", W) or cluster on a """ +
-                "lower-cardinality column.")
+                s"$maxObjectsPerTask objects in one task (one object per " +
+                "distinct key — the O(#keys) layout wall). Bucket contiguous " +
+                "keys with " + """.option("clusterWidth", W)""" +
+                ", cluster on a lower-cardinality column, or raise " +
+                """.option("maxObjectsPerTask", N)""" +
+                " if the object count is intended.")
           enc = new ObjectFormat.ObjectEncoder(writeSchema, bloomCols, bloomFpp)
           open = true
         }

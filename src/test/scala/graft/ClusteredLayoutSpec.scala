@@ -302,6 +302,13 @@ class ClusteredLayoutSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("O(#keys)")),
       s"refusal must name the layout wall, got: ${msgs(e).mkString(" | ")}")
+    // explicit opt-in raises the cap (deliberate one-object-per-key
+    // layouts — the identity demo query, compaction maintenance)
+    keys.coalesce(1).sortWithinPartitions("k")
+      .write.format("graft-objects").option("clusterBy", "k")
+      .option("maxObjectsPerTask", (cap * 2).toString)
+      .mode("overwrite").save(s"$dir/optin")
+    assert(GraftObjectTable.listObjects(s"$dir/optin").size == cap + 10)
     // the documented fix absorbs the same key count: bounded objects
     keys.coalesce(1).sortWithinPartitions("k")
       .write.format("graft-objects").option("clusterBy", "k")

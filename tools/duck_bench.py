@@ -30,6 +30,9 @@ HEADLINE = [
     # stored index to read), so the per-query pair is rebuild-vs-read —
     # compare them against the rebuild rows, not each other.
     "q_sim_ann_pq_indexed", "q_text_bm25_indexed",
+    # round-5 capability families (mirror graft.Bench.headline)
+    "q_graph_triangles", "q_ts_anomaly",
+    "q_win_retention", "q_agg_copurchase",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
