@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{Ora, Q, QueryModule, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.4 — aggregation surface.
@@ -315,7 +316,127 @@ object Aggregates extends QueryModule {
       |HAVING COUNT(*) >= 2
       |ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin
 
+  /** KMV (k-minimum-values) audience-overlap sketch — the distinct-set
+    * INTERSECTION estimate HLL cannot produce (HLL unions; KMV
+    * composes): how many users both clicked AND purchased, estimated
+    * from two 64-hash sketches, reported beside the exact answer so
+    * the estimate is auditable. The hash is an explicit LCG in BIGINT
+    * arithmetic ((u·1103515245 + 12345) mod 2²¹) — bit-identical in
+    * both engines, no engine hash function involved — and every
+    * estimate is one integer floor-division, so the whole query is
+    * integer-exact. Standard KMV algebra: per-set sketch = k smallest
+    * distinct hashes; union sketch = k smallest of the merged
+    * sketches; est_union = (k−1)·H / kth(M); intersection via the
+    * Jaccard fraction |M∩KA∩KB|/k of est_union. Sets smaller than k
+    * are carried exactly (the sketch IS the set). Plan: the only
+    * corpus-scale exchange is the distinct (type, user) collapse; the
+    * sketches are k-row tables from a per-type rank (at production
+    * scale a bounded k-min partial aggregate, the sampling-heap twin's
+    * shape); everything after is k-sized joins. */
+  private val KmvK = 64
+  private val KmvH = 2097152L // 2^21 hash space
+  private val kmvIntersectQ = (s: SparkSession, dir: String) => {
+    val users = graft.Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("t"), col("user_id").as("u"))
+      .distinct()
+      .withColumn("h", (col("u") * 1103515245L + 12345L) % KmvH)
+    val exact = users.groupBy(col("t")).agg(countDistinct(col("u")).as("n"))
+    val exactBoth = users.filter(col("t") === "click").select(col("u"))
+      .intersect(users.filter(col("t") === "purchase").select(col("u")))
+      .agg(count(lit(1)).as("exact_both"))
+    val hashes = users.select(col("t"), col("h")).distinct()
+    val rk = Window.partitionBy(col("t")).orderBy(col("h").asc)
+    val sk = hashes.withColumn("r", row_number().over(rk))
+      .filter(col("r") <= KmvK)
+    val ka = sk.filter(col("t") === "click").select(col("h"))
+    val kb = sk.filter(col("t") === "purchase").select(col("h"))
+    val m = ka.union(kb).distinct()
+      .withColumn("r", row_number().over(Window.orderBy(col("h").asc)))
+      .filter(col("r") <= KmvK).select(col("h"))
+    def kth(df: DataFrame) = df.agg(max(col("h")).as("kth"),
+      count(lit(1)).as("cnt"))
+    // all estimates are single BIGINT floor-divisions (`div` here,
+    // `//` in the oracle) — double `/` would round differently across
+    // engines at the cast
+    val numer = (KmvK - 1).toLong * KmvH
+    def est(kthName: String, cntName: String, exactN: Column): Column =
+      when(col(cntName) < KmvK, exactN)
+        .otherwise(expr(s"$numer div $kthName")).cast("long")
+    val interCnt = m.join(ka, "h").join(kb, "h").agg(count(lit(1)).as("mi"))
+    val na = exact.filter(col("t") === "click")
+      .select(col("n").as("exact_click"))
+    val nb = exact.filter(col("t") === "purchase")
+      .select(col("n").as("exact_purchase"))
+    kth(ka).select(col("kth").as("ka_kth"), col("cnt").as("ka_cnt"))
+      .crossJoin(kth(kb).select(col("kth").as("kb_kth"), col("cnt").as("kb_cnt")))
+      .crossJoin(kth(m).select(col("kth").as("m_kth"), col("cnt").as("m_cnt")))
+      .crossJoin(interCnt).crossJoin(na).crossJoin(nb).crossJoin(exactBoth)
+      .select(
+        lit(KmvK.toLong).as("k"),
+        col("exact_click"), col("exact_purchase"), col("exact_both"),
+        est("ka_kth", "ka_cnt", col("exact_click")).as("est_click"),
+        est("kb_kth", "kb_cnt", col("exact_purchase")).as("est_purchase"),
+        est("m_kth", "m_cnt",
+          col("exact_click") + col("exact_purchase") - col("exact_both"))
+          .as("est_union"),
+        col("mi"))
+      .withColumn("est_both",
+        expr(s"(mi * est_union) div $KmvK").cast("long"))
+      .drop("mi")
+  }
+
+  private val kmvIntersectSql = {
+    val k = KmvK; val h = KmvH
+    s"""WITH users AS (
+       |  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+       |  WHERE event_type IN ('click', 'purchase')),
+       |hu AS (SELECT t, u, (u * 1103515245 + 12345) % $h AS hh FROM users),
+       |exact AS (SELECT t, COUNT(DISTINCT u) AS n FROM hu GROUP BY 1),
+       |eboth AS (
+       |  SELECT COUNT(*) AS exact_both FROM (
+       |    SELECT u FROM hu WHERE t = 'click'
+       |    INTERSECT SELECT u FROM hu WHERE t = 'purchase')),
+       |hashes AS (SELECT DISTINCT t, hh FROM hu),
+       |sk AS (
+       |  SELECT t, hh FROM (
+       |    SELECT t, hh, row_number() OVER (
+       |      PARTITION BY t ORDER BY hh ASC) AS r FROM hashes)
+       |  WHERE r <= $k),
+       |ka AS (SELECT hh FROM sk WHERE t = 'click'),
+       |kb AS (SELECT hh FROM sk WHERE t = 'purchase'),
+       |m AS (
+       |  SELECT hh FROM (
+       |    SELECT hh, row_number() OVER (ORDER BY hh ASC) AS r FROM (
+       |      SELECT DISTINCT hh FROM (
+       |        SELECT hh FROM ka UNION ALL SELECT hh FROM kb)))
+       |  WHERE r <= $k),
+       |sa AS (SELECT MAX(hh) AS kth, COUNT(*) AS cnt FROM ka),
+       |sb AS (SELECT MAX(hh) AS kth, COUNT(*) AS cnt FROM kb),
+       |sm AS (SELECT MAX(hh) AS kth, COUNT(*) AS cnt FROM m),
+       |mi AS (
+       |  SELECT COUNT(*) AS mi FROM m
+       |  JOIN ka ON m.hh = ka.hh JOIN kb ON m.hh = kb.hh),
+       |na AS (SELECT n AS exact_click FROM exact WHERE t = 'click'),
+       |nb AS (SELECT n AS exact_purchase FROM exact WHERE t = 'purchase')
+       |SELECT CAST($k AS BIGINT) AS k,
+       |  exact_click, exact_purchase, exact_both,
+       |  CAST(CASE WHEN sa.cnt < $k THEN exact_click
+       |    ELSE (${k - 1} * $h) // sa.kth END AS BIGINT) AS est_click,
+       |  CAST(CASE WHEN sb.cnt < $k THEN exact_purchase
+       |    ELSE (${k - 1} * $h) // sb.kth END AS BIGINT) AS est_purchase,
+       |  CAST(CASE WHEN sm.cnt < $k THEN
+       |      exact_click + exact_purchase - exact_both
+       |    ELSE (${k - 1} * $h) // sm.kth END AS BIGINT) AS est_union,
+       |  CAST((mi * (CASE WHEN sm.cnt < $k THEN
+       |      exact_click + exact_purchase - exact_both
+       |    ELSE (${k - 1} * $h) // sm.kth END)) // $k AS BIGINT) AS est_both
+       |FROM sa, sb, sm, mi, na, nb, eboth""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_kmv_intersect" -> Q(kmvIntersectQ, Some(kmvIntersectSql),
+      "KMV sketch set algebra: audience-overlap estimate beside the exact answer"),
     "q_agg_copurchase" -> Q(copurchaseQ, Some(copurchaseSql),
       "market-basket pair support: order-keyed pairing, basket-bounded fan-out"),
     "q_agg_grouping_sets" -> Q(groupingSetsQ, Some(groupingSetsSql),

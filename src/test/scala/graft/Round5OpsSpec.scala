@@ -161,6 +161,23 @@ class Round5OpsSpec extends SparkSpec {
       s"top pair ${rows(0).getString(0)} disagrees with raw-text $champion")
   }
 
+  test("kmv intersect: sketch algebra consistent and near the exact answer") {
+    val r = run("q_agg_kmv_intersect").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    def g(n: String) = row.getLong(row.fieldIndex(n))
+    assert(g("est_both") <= g("est_union"), "intersection exceeds union")
+    assert(g("est_union") >= math.max(g("est_click"), g("est_purchase")) * 9 / 10,
+      "union estimate below its own parts")
+    // k=64 KMV: relative error ~1/sqrt(k) = 12.5%; assert a loose 3x belt
+    Seq(("est_click", "exact_click"), ("est_purchase", "exact_purchase"))
+      .foreach { case (e, x) =>
+        val (est, exact) = (g(e), g(x))
+        assert(math.abs(est - exact) <= math.max(3, exact * 38 / 100),
+          s"$e=$est too far from $x=$exact")
+      }
+  }
+
   test("ann recall eval: one row per probe query, self always retrieved") {
     val rows = run("q_sim_ann_recall").collect()
     assert(rows.length == 20, "one row per probe query")
