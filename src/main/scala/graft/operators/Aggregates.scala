@@ -434,7 +434,144 @@ object Aggregates extends QueryModule {
        |FROM sa, sb, sm, mi, na, nb, eboth""".stripMargin
   }
 
+  // ---- Pearson correlation matrix (integer-exact moments) --------
+  //
+  // Pairwise correlation of (quantity, price-cents, discount-points)
+  // over lineitem. The built-in corr() accumulates doubles, whose
+  // partial/final order differs between engines — so this computes the
+  // FIVE raw moments exactly instead (Σx, Σy, Σxy, Σx², Σy² on scaled
+  // integers, decimal-cast before summing so no width ever wraps) and
+  // assembles r = (n·Σxy − ΣxΣy) / √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²)
+  // in ONE final double expression — bit-identical in both engines.
+  // One partial-agg pass over the fact table produces a single moment
+  // row; the 3×3 matrix is a stack over that row. At 100 TB: same one
+  // pass (map-side partials), no extra shuffle.
+  //
+  // MAGNITUDE BOUND: widest exact term is n·Σy² (price cents ≤ ~10⁷,
+  // so Σy² ≤ rows·10¹⁴) — decimal(38) holds past 10²³ rows; the
+  // per-row products stay in BIGINT (y² ≤ 10¹⁴).
+  private val corrMatrixQ = (s: SparkSession, dir: String) => {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"),
+      round(col("l_discount") * 100).cast("long").as("z"))
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val sums = li.agg(
+      count(lit(1)).as("n"),
+      m(col("x")).as("sx"), m(col("y")).as("sy"), m(col("z")).as("sz"),
+      m(col("x") * col("x")).as("sxx"), m(col("y") * col("y")).as("syy"),
+      m(col("z") * col("z")).as("szz"),
+      m(col("x") * col("y")).as("sxy"), m(col("x") * col("z")).as("sxz"),
+      m(col("y") * col("z")).as("syz"))
+    def r(sa: String, sb: String, sab: String, saa: String, sbb: String) =
+      round(
+        (col("n") * col(sab) - col(sa) * col(sb)).cast("double") /
+          (sqrt((col("n") * col(saa) - col(sa) * col(sa)).cast("double")) *
+           sqrt((col("n") * col(sbb) - col(sb) * col(sb)).cast("double"))), 6)
+    sums
+      .withColumn("r_qty_price", r("sx", "sy", "sxy", "sxx", "syy"))
+      .withColumn("r_qty_disc", r("sx", "sz", "sxz", "sxx", "szz"))
+      .withColumn("r_price_disc", r("sy", "sz", "syz", "syy", "szz"))
+      .select(expr(
+        """stack(3,
+          |  'quantity', 'price', r_qty_price,
+          |  'quantity', 'discount', r_qty_disc,
+          |  'price', 'discount', r_price_disc) AS (var_a, var_b, corr_r)"""
+          .stripMargin))
+  }
+
+  // DuckDB decimal multiply requires p1+p2+1 <= 38, so the oracle
+  // declares tight per-moment precisions (values bounded far below
+  // them at any fixture SF) and casts each exact product to double
+  // before the subtraction — the same final-expression shape as the
+  // Spark side.
+  private val corrMatrixSql =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS z
+      |  FROM lineitem),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+      |    SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+      |    SUM(CAST(z AS DECIMAL(18,0))) AS sz,
+      |    SUM(CAST(x*x AS DECIMAL(27,0))) AS sxx,
+      |    SUM(CAST(y*y AS DECIMAL(27,0))) AS syy,
+      |    SUM(CAST(z*z AS DECIMAL(27,0))) AS szz,
+      |    SUM(CAST(x*y AS DECIMAL(27,0))) AS sxy,
+      |    SUM(CAST(x*z AS DECIMAL(27,0))) AS sxz,
+      |    SUM(CAST(y*z AS DECIMAL(27,0))) AS syz
+      |  FROM li),
+      |r AS (
+      |  SELECT
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r_qty_price,
+      |    round(CAST(n * sxz - sx * sz AS DOUBLE) /
+      |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |       sqrt(CAST(n * szz - sz * sz AS DOUBLE))), 6) AS r_qty_disc,
+      |    round(CAST(n * syz - sy * sz AS DOUBLE) /
+      |      (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) *
+      |       sqrt(CAST(n * szz - sz * sz AS DOUBLE))), 6) AS r_price_disc
+      |  FROM mo)
+      |SELECT 'quantity' AS var_a, 'price' AS var_b, r_qty_price AS corr_r FROM r
+      |UNION ALL
+      |SELECT 'quantity', 'discount', r_qty_disc FROM r
+      |UNION ALL
+      |SELECT 'price', 'discount', r_price_disc FROM r""".stripMargin
+
+  // ---- recency-decayed engagement score --------------------------
+  //
+  // Per user: Σ value · 2^(−⌊age_weeks⌋) against the corpus max
+  // timestamp — the half-life-per-week feature recommender pipelines
+  // compute. INTEGER-EXACT throughout: cents × 2^(20−k) in BIGINT
+  // (k capped at 20 — beyond 20 half-lives the weight underflows the
+  // display rounding anyway), one final division by 100·2²⁰. The
+  // anchor (max ts) rides along as a broadcast scalar; the aggregate
+  // is one partial-agg shuffle on user_id.
+  private val decayScoreQ = (s: SparkSession, dir: String) => {
+    val anchor = Tables.events(s, dir).agg(max(col("ts")).as("mx"))
+    Tables.events(s, dir)
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("c"),
+        least(
+          expr("(unix_micros(mx) - unix_micros(ts)) div 604800000000"),
+          lit(20L)).as("k"))
+      .select(col("user_id"), col("c"),
+        (col("c") * pow(lit(2.0), lit(20L) - col("k")).cast("long")).as("t"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("t")).as("decay_score_u"),
+        // no round(): the exact integer score divided by the dyadic
+        // constant is ONE deterministic double in both engines, while
+        // round() at a fixed scale can land exactly on a half boundary
+        // (denominator 100·2^20 admits x.xxxx5 rationals) where engine
+        // rounding conventions differ.
+        (sum(col("t")) / 1048576.0 / 100.0).as("decay_score"))
+  }
+
+  private val decayScoreSql =
+    """WITH a AS (SELECT max(ts) AS mx FROM events),
+      |t AS (
+      |  SELECT user_id,
+      |    CAST(round(value * 100) AS BIGINT) *
+      |      CAST(power(2, 20 - least(
+      |        (epoch_us(mx) - epoch_us(ts)) // 604800000000, 20))
+      |       AS BIGINT) AS t
+      |  FROM events, a)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(t AS DECIMAL(18,0))) AS BIGINT) AS decay_score_u,
+      |  CAST(SUM(CAST(t AS DECIMAL(18,0))) AS DOUBLE)
+      |    / 1048576.0 / 100.0 AS decay_score
+      |FROM t GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_corr_matrix" -> Q(corrMatrixQ, Some(corrMatrixSql),
+      "pairwise Pearson matrix from integer-exact raw moments, one pass"),
+    "q_agg_decay_score" -> Q(decayScoreQ, Some(decayScoreSql),
+      "half-life-per-week recency-weighted engagement score, integer-exact"),
     "q_agg_kmv_intersect" -> Q(kmvIntersectQ, Some(kmvIntersectSql),
       "KMV sketch set algebra: audience-overlap estimate beside the exact answer"),
     "q_agg_copurchase" -> Q(copurchaseQ, Some(copurchaseSql),

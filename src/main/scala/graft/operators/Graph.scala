@@ -195,9 +195,82 @@ object Graph extends QueryModule {
       |LEFT JOIN per_node ON n.n_nationkey = per_node.node
       |LEFT JOIN deg ON n.n_nationkey = deg.node""".stripMargin
 
+  /** Connected components of the THRESHOLDED trade graph — keep only
+    * edges whose weight is ≥ 2× the mean edge weight (the integer-exact
+    * form `w · |E| ≥ 2 · Σw`, no float division), then label every
+    * nation with the minimum node id reachable over the kept edges.
+    *
+    * The component labeling reuses Dedup's alternating large-star /
+    * small-star rounds (O(log n) alternations over the EDGE list only
+    * — the same primitive that clusters near-dup documents), so the
+    * 100 TB posture is inherited: the corpus-scale work is the one
+    * groupBy that collapses the fact table to ≤|nations|² weighted
+    * edges; everything after runs on that bounded edge list. Isolated
+    * nations (every incident edge below threshold) are their own
+    * singleton component by contract.
+    *
+    * The oracle computes the identical labeling by brute transitive
+    * closure — a recursive CTE propagating every node id across kept
+    * edges and taking MIN per node. Star rounds change the JOIN SHAPE,
+    * never the fixpoint. */
+  private val ccQ = (s: SparkSession, dir: String) => {
+    val und = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val tot = und.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+    val kept = und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("ne") >= lit(2L) * col("tw"))
+      .select(col("a").as("ida"), col("b").as("idb"))
+    val labels = Dedup.connectedComponentsStars(kept)
+    val lab = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+      .join(labels, col("node") === col("id"), "left")
+      .select(col("n_name"), col("node"),
+        coalesce(col("label"), col("node")).as("component"))
+    val sizes = lab.groupBy(col("component"))
+      .agg(count(lit(1)).as("comp_size"))
+    lab.join(sizes, "component")
+      .select(col("n_name"), col("component"), col("comp_size"))
+  }
+
+  private val ccSql =
+    """WITH RECURSIVE und AS (
+      |  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+      |    greatest(c.c_nationkey, s.s_nationkey) AS b, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM und),
+      |kept AS (
+      |  SELECT a, b FROM und, tot WHERE w * ne >= 2 * tw),
+      |bidir AS (
+      |  SELECT a, b FROM kept UNION ALL SELECT b AS a, a AS b FROM kept),
+      |reach AS (
+      |  SELECT n_nationkey AS node, n_nationkey AS lbl FROM nation
+      |  UNION
+      |  SELECT e.b AS node, r.lbl FROM reach r JOIN bidir e ON e.a = r.node),
+      |lab AS (
+      |  SELECT node, CAST(MIN(lbl) AS BIGINT) AS component
+      |  FROM reach GROUP BY 1),
+      |sz AS (SELECT component, COUNT(*) AS comp_size FROM lab GROUP BY 1)
+      |SELECT n.n_name, l.component, sz.comp_size
+      |FROM lab l
+      |JOIN nation n ON n.n_nationkey = l.node
+      |JOIN sz ON sz.component = l.component""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> Q(pagerankQ, Some(pagerankSql),
       "weighted PageRank on the trade graph: integer-exact damped iterations"),
     "q_graph_triangles" -> Q(trianglesQ, Some(trianglesSql),
-      "degree-oriented triangle counting: wedge equi-joins on the collapsed edge list"))
+      "degree-oriented triangle counting: wedge equi-joins on the collapsed edge list"),
+    "q_graph_cc" -> Q(ccQ, Some(ccSql),
+      "connected components of the 2x-mean-thresholded trade graph via star rounds"))
 }

@@ -1432,7 +1432,42 @@ object Similarity extends QueryModule {
       |  CAST(MAX(cnt) AS BIGINT) AS n_vecs
       |FROM p GROUP BY label""".stripMargin
 
+  // ---- cosine range search (threshold, not top-k) ----------------
+  //
+  // All vectors within cosine ≥ 0.1 of the vec_id=7 query — the RANGE
+  // twin of the brute top-k above: retrieval APIs need both "best k"
+  // and "everything at least this similar" (dedup thresholds, recall
+  // sweeps). Same plan shape as bruteQ — broadcast query row, codegen
+  // cosine, but the cutoff is a FILTER, so no global sort/merge at
+  // all: the result streams out of the scan partitions. At 100 TB the
+  // LSH/IVF bucket columns prefilter candidates exactly as in the ANN
+  // family; the threshold filter composes unchanged.
+  private val rangeSearchQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val qv = e.filter(col("vec_id") === 7).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), cosRounded(col("embedding"), col("qe")).as("cos"))
+      .filter(col("cos") >= 0.1)
+  }
+
+  private val rangeSearchSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+      |scored AS (
+      |  SELECT vec_id,
+      |    round(
+      |      list_sum(list_transform(range(1, len(embedding)+1),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, len(qe)+1),
+      |           i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS cos
+      |  FROM embeddings, q WHERE vec_id <> 7)
+      |SELECT vec_id, cos FROM scored WHERE cos >= 0.1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sim_range_search" -> Q(rangeSearchQ, Some(rangeSearchSql),
+      "cosine range search (threshold filter, no global sort) vs one query vector"),
     "q_vec_silhouette" -> Q(silhouetteQ, Some(silhouetteSql),
       "centroid silhouette per label: map-side scoring vs one broadcast centroid row"),
     "q_vec_centroid" -> Q(centroidQ, Some(centroidSql),

@@ -741,6 +741,81 @@ object TextOps extends QueryModule {
       |FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
       |GROUP BY 1, 2""".stripMargin
 
+  // ---- suffix-rule stemmer + stem frequency ----------------------
+  //
+  // A crude, fully deterministic suffix stemmer (Porter-step-1 shape):
+  // rules applied in a FIXED chain — sses→ss, ies→y, ing→∅, ed→∅,
+  // then a final plural-s strip guarded to leave '…ss' intact. The
+  // guard is a CASE, not a regex backreference, because replacement
+  // backreference syntax differs between engines ($1 vs \1) — the
+  // whole chain is engine-portable by construction. Map-only token
+  // explode + one stem groupBy; top-40 with alphabetical tiebreak.
+  private val stemQ = (s: SparkSession, dir: String) => {
+    val words = Tables.documents(s, dir)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 4)
+    val chained = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(col("w"), "sses$", "ss"), "ies$", "y"),
+      "ing$", ""), "ed$", "")
+    words
+      .select(when(chained.rlike("ss$"), chained)
+        .otherwise(regexp_replace(chained, "s$", "")).as("stem"))
+      .filter(length(col("stem")) >= 3)
+      .groupBy(col("stem")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("stem").asc)
+      .limit(40)
+  }
+
+  private val stemSql =
+    """WITH words AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |chained AS (
+      |  SELECT regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(w, 'sses$', 'ss'), 'ies$', 'y'),
+      |    'ing$', ''), 'ed$', '') AS c
+      |  FROM words WHERE length(w) >= 4),
+      |stems AS (
+      |  SELECT CASE WHEN regexp_matches(c, 'ss$') THEN c
+      |         ELSE regexp_replace(c, 's$', '') END AS stem
+      |  FROM chained)
+      |SELECT stem, COUNT(*) AS n FROM stems
+      |WHERE length(stem) >= 3
+      |GROUP BY 1 ORDER BY n DESC, stem ASC LIMIT 40""".stripMargin
+
+  // ---- corpus data card ------------------------------------------
+  //
+  // The per-(source, lang) summary a dataset release ships: volume,
+  // exact-dup rate, short-doc ratio, mean length. One partial-agg
+  // shuffle on the report key; the only non-algebraic term is
+  // count(DISTINCT text), which Spark plans as the standard two-phase
+  // expand — at 100 TB you'd swap it for approx_count_distinct or a
+  // pre-hashed column, and the rest of the report is unchanged. All
+  // ratios are integer-ratio → one double division → round.
+  private val corpusReportQ = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_texts"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+        round(col("total_chars") / col("n_docs"), 2).as("avg_chars"),
+        col("n_dup_texts"),
+        round(col("n_short") * 100.0 / col("n_docs"), 2).as("pct_short"))
+  }
+
+  private val corpusReportSql =
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  round(CAST(SUM(n_chars) AS BIGINT) / COUNT(*), 2) AS avg_chars,
+      |  COUNT(*) - COUNT(DISTINCT text) AS n_dup_texts,
+      |  round(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) * 100.0
+      |    / COUNT(*), 2) AS pct_short
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_text_langid_confusion" -> Q(langidNgramQ, Some(langidNgramSql),
       "trigram-profile language ID + confusion matrix vs labeled lang"),
@@ -752,6 +827,10 @@ object TextOps extends QueryModule {
       "top-K vocabulary + per-doc OOV rate (broadcast vocab join)"),
     "q_text_pack_sequences" -> Q(packQ, Some(packSql),
       "sequence packing: docs → fixed-token-budget bins, shard-parallel"),
+    "q_text_stem_topk" -> Q(stemQ, Some(stemSql),
+      "suffix-rule stemming: rule-chained regexp collapse, top-40 stems"),
+    "q_text_corpus_report" -> Q(corpusReportQ, Some(corpusReportSql),
+      "per-(source,lang) corpus data card: volume, dup rate, short-doc ratio"),
     "q_text_index_search" -> Q(searchQ, Some(searchSql),
       "term lookup via inverted-index semi-join == full LIKE scan"),
     "q_text_bpe_pairs" -> Q(bpePairsQ, Some(bpePairsSql),

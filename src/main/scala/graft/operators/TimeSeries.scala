@@ -226,7 +226,63 @@ object TimeSeries extends QueryModule {
       |    4 * (n * CAST(s2 AS BIGINT) - CAST(s1 AS BIGINT) * CAST(s1 AS BIGINT))"""
       .stripMargin
 
+  // ---- 5. exponentially-weighted moving average (half-life form) ---
+  //
+  // Per event: EWMA over the 8 most recent observations (current + 7
+  // lags) with dyadic weights 128,64,…,1 — the α=1/2 exponential decay
+  // truncated at 8 taps. INTEGER-EXACT: cents × power-of-two weights
+  // sum in BIGINT (widest: 255·weights × 32768-cent values ≪ 2⁶³);
+  // missing lags (series warmup) drop out of BOTH numerator and
+  // denominator, so early rows are the exact EWMA of what exists. The
+  // single float op is the final num/den/100 division+round, identical
+  // bits in both engines. One hash shuffle on the series key; the lag
+  // chain is one window pass — the streamable trailing-state shape
+  // (the stream twin would carry 7 cents in keyed state).
+  private val ewmaQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val base = Tables.events(s, dir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+    val lagged = (1 to 7).foldLeft(base) { (df, j) =>
+      df.withColumn(s"c$j", lag(col("c"), j).over(w))
+    }
+    val num = (1 to 7).foldLeft(col("c") * 128L) { (acc, j) =>
+      acc + coalesce(col(s"c$j"), lit(0L)) * (1L << (7 - j))
+    }
+    val den = (1 to 7).foldLeft(lit(128L)) { (acc, j) =>
+      acc + when(col(s"c$j").isNull, 0L).otherwise(1L << (7 - j))
+    }
+    lagged.select(col("user_id"), col("event_id"), col("ts"),
+      round(col("c") / 100.0, 2).as("value"),
+      round(num / den / 100.0, 4).as("ewma"))
+  }
+
+  private val ewmaSql = {
+    val lagDefs = (1 to 7)
+      .map(j => s"lag(c, $j) OVER w AS c$j").mkString(", ")
+    val num = "c * 128 + " + (1 to 7)
+      .map(j => s"COALESCE(c$j, 0) * ${1L << (7 - j)}").mkString(" + ")
+    val den = "128 + " + (1 to 7)
+      .map(j => s"(CASE WHEN c$j IS NULL THEN 0 ELSE ${1L << (7 - j)} END)")
+      .mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events WHERE user_id < 8),
+       |l AS (
+       |  SELECT user_id, ts, event_id, c, $lagDefs
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+       |SELECT user_id, event_id, ts, round(c / 100.0, 2) AS value,
+       |  round(($num) / ($den) / 100.0, 4) AS ewma
+       |FROM l""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_ewma" -> Q(ewmaQ, Some(ewmaSql),
+      "8-tap half-life EWMA per series: dyadic integer weights, one window pass"),
     "q_ts_anomaly" -> Q(anomalyQ, Some(anomalySql),
       "rolling z-score outliers: integer-exact (n·x−s1)² > 4(n·s2−s1²) trailing test"),
     "q_ts_moving_1h" -> Q(movingQ, Some(movingSql),

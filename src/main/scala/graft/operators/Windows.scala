@@ -404,7 +404,44 @@ object Windows extends QueryModule {
       |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 
+  // ---- rolling distinct count (trailing 20 rows) -----------------
+  //
+  // Per event: how many DISTINCT event types the same user produced in
+  // the trailing 20 rows (19 preceding + current) — the "behavioral
+  // diversity" feature every engagement model wants. Spark has no
+  // COUNT(DISTINCT) over windows; the composition is
+  // size(collect_set() OVER w) — set semantics inside the frame, still
+  // one hash shuffle on the series key and key-local frames. The set
+  // is bounded by the event-type vocabulary (small by construction),
+  // so state per frame is O(|vocab|), not O(frame) — at 100 TB the
+  // same plan holds per series. The oracle has no window-DISTINCT
+  // either; it verifies through the row-number self-range form.
+  private val rollingDistinctQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-19, 0)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("n_types_20",
+        size(collect_set(col("event_type")).over(w)).cast("long"))
+  }
+
+  private val rollingDistinctSql =
+    """WITH r AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events WHERE user_id < 8)
+      |SELECT a.user_id, a.event_id, a.ts, a.event_type,
+      |  (SELECT COUNT(DISTINCT b.event_type) FROM r b
+      |   WHERE b.user_id = a.user_id
+      |     AND b.rn BETWEEN a.rn - 19 AND a.rn) AS n_types_20
+      |FROM r a""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_rolling_distinct" -> Q(rollingDistinctQ, Some(rollingDistinctSql),
+      "distinct event types over a trailing 20-row frame via collect_set"),
     "q_win_attribution" -> Q(attributionQ, Some(attributionSql),
       "last-touch attribution: trailing ignoreNulls window, no purchase×touch join"),
     "q_win_retention" -> Q(retentionQ, Some(retentionSql),
