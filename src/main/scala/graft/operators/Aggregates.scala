@@ -567,7 +567,44 @@ object Aggregates extends QueryModule {
       |    / 1048576.0 / 100.0 AS decay_score
       |FROM t GROUP BY 1""".stripMargin
 
+  // ---- Gini diversity index (rational, no logs) ------------------
+  //
+  // Per user: Gini impurity of the event-type mix, 1 − Σ(cᵢ/n)² =
+  // (n² − Σcᵢ²)/n² — the diversity feature entropy would give, but
+  // RATIONAL: numerator and denominator are exact integers, one double
+  // division at the end, so both engines agree to the bit (ln/log2
+  // differ across libms in the last ulp; Gini needs no transcendental
+  // call). Two stacked aggregations, both on the same user key — the
+  // per-(user,type) counts and the per-user fold reuse one partitioning.
+  private val giniQ = (s: SparkSession, dir: String) => {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("user_id"), col("n"), col("n_types"),
+        ((col("n") * col("n") - col("sc2")) /
+          (col("n") * col("n"))).as("gini"))
+  }
+
+  private val giniSql =
+    """WITH tc AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, CAST(SUM(CAST(c AS DECIMAL(18,0))) AS BIGINT) AS n,
+      |    COUNT(*) AS n_types,
+      |    CAST(SUM(CAST(c * c AS DECIMAL(18,0))) AS BIGINT) AS sc2
+      |  FROM tc GROUP BY 1)
+      |SELECT user_id, n, n_types,
+      |  (n * n - sc2) / (n * n) AS gini
+      |FROM u""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_gini" -> Q(giniQ, Some(giniSql),
+      "per-user Gini diversity of the event-type mix: exact integer ratio, no logs"),
     "q_agg_corr_matrix" -> Q(corrMatrixQ, Some(corrMatrixSql),
       "pairwise Pearson matrix from integer-exact raw moments, one pass"),
     "q_agg_decay_score" -> Q(decayScoreQ, Some(decayScoreSql),

@@ -332,7 +332,51 @@ object Joins extends QueryModule {
       |  AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
       |GROUP BY h.prio""".stripMargin
 
+  // ---- interval overlap join (day-banded) ------------------------
+  //
+  // Each user's daily activity interval [first ts, last ts] overlap-
+  // joined against each event TYPE's daily interval on the same day,
+  // emitting the overlap length. The day column BANDS the range
+  // predicate into an equi-join — the standard trick that keeps
+  // interval joins out of nested-loop territory: candidates are
+  // same-day pairs only (types × users per day, both bounded), the
+  // residual overlap condition filters after the hash join. Overlap
+  // length is integer microseconds — exact in both engines. At 100 TB
+  // the band key is the shuffle key; a longer-interval workload would
+  // explode intervals across the days they span (same plan shape).
+  private val intervalOverlapQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+    val userDay = ev.filter(col("user_id") < 30)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("u_lo"), max(col("ts")).as("u_hi"))
+    val typeDay = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("t_lo"), max(col("ts")).as("t_hi"))
+    userDay.join(typeDay, "day")
+      .filter(col("u_lo") <= col("t_hi") && col("t_lo") <= col("u_hi"))
+      .select(col("user_id"), col("event_type"), col("day"),
+        (unix_micros(least(col("u_hi"), col("t_hi"))) -
+          unix_micros(greatest(col("u_lo"), col("t_lo")))).as("overlap_us"))
+  }
+
+  private val intervalOverlapSql =
+    """WITH ud AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    min(ts) AS u_lo, max(ts) AS u_hi
+      |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+      |td AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    min(ts) AS t_lo, max(ts) AS t_hi
+      |  FROM events GROUP BY 1, 2)
+      |SELECT ud.user_id, td.event_type, ud.day,
+      |  epoch_us(least(u_hi, t_hi)) - epoch_us(greatest(u_lo, t_lo))
+      |    AS overlap_us
+      |FROM ud JOIN td ON ud.day = td.day
+      |WHERE u_lo <= t_hi AND t_lo <= u_hi""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_join_interval_overlap" -> Q(intervalOverlapQ, Some(intervalOverlapSql),
+      "interval overlap join: day-banded equi-join + residual range filter"),
     "q_join_scd2" -> Q(scd2, Some(scd2Sql),
       "SCD2 interval-validity join: equi key + residual range, dim-only window"),
     "q_join_q3" -> Q(q3, Some(q3Sql),

@@ -256,10 +256,16 @@ object TimeSeries extends QueryModule {
     }
     lagged.select(col("user_id"), col("event_id"), col("ts"),
       round(col("c") / 100.0, 2).as("value"),
-      round(num / den / 100.0, 4).as("ewma"))
+      // no round(): num and den are exact integers, so the two-step
+      // double division is ONE deterministic value in both engines,
+      // while round() at a fixed scale can land exactly on a half
+      // boundary (dyadic num/den admits x.xxxx5 rationals) where
+      // engine rounding conventions differ.
+      (num / den / 100.0).as("ewma"))
   }
 
-  private val ewmaSql = {
+  /** Shared with the streaming twin (StreamOps.q_stream_ewma). */
+  private[graft] val ewmaSql = {
     val lagDefs = (1 to 7)
       .map(j => s"lag(c, $j) OVER w AS c$j").mkString(", ")
     val num = "c * 128 + " + (1 to 7)
@@ -276,11 +282,59 @@ object TimeSeries extends QueryModule {
        |  FROM c
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
        |SELECT user_id, event_id, ts, round(c / 100.0, 2) AS value,
-       |  round(($num) / ($den) / 100.0, 4) AS ewma
+       |  ($num) / ($den) / 100.0 AS ewma
        |FROM l""".stripMargin
   }
 
+  // ---- 6. hour-of-day seasonal profile + residual outliers --------
+  //
+  // Deseasonalization: the per-(user, hour-of-day) mean is the
+  // seasonal component; each event's residual = value − seasonal mean.
+  // Top-20 |residual| events surface the off-pattern behavior. The
+  // seasonal mean is an EXACT integer ratio (Σcents / n) realized as
+  // one double division; the residual subtracts two deterministic
+  // doubles — no float accumulation anywhere. Plan: one partial-agg
+  // shuffle builds the (user, hod) profile (bounded: keys × 24), it
+  // broadcasts back onto the events — corpus is never re-shuffled.
+  private val seasonalQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        hour(col("ts")).as("hod"),
+        round(col("value") * 100).cast("long").as("c"))
+    val profile = ev.groupBy(col("user_id"), col("hod"))
+      .agg(sum(col("c")).as("sc"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("hod"),
+        (col("sc") / col("n") / 100.0).as("hod_mean"))
+    ev.join(broadcast(profile), Seq("user_id", "hod"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("hod"),
+        round(col("c") / 100.0, 2).as("value"), col("hod_mean"),
+        (col("c") / 100.0 - col("hod_mean")).as("residual"))
+      .orderBy(abs(col("residual")).desc, col("event_id").asc)
+      .limit(20)
+  }
+
+  private val seasonalSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, hour(ts) AS hod,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE user_id < 8),
+      |profile AS (
+      |  SELECT user_id, hod,
+      |    CAST(SUM(CAST(c AS DECIMAL(18,0))) AS BIGINT) / COUNT(*) / 100.0
+      |      AS hod_mean
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT e.user_id, e.event_id, e.ts, e.hod,
+      |  round(e.c / 100.0, 2) AS value, p.hod_mean,
+      |  e.c / 100.0 - p.hod_mean AS residual
+      |FROM ev e JOIN profile p
+      |  ON e.user_id = p.user_id AND e.hod = p.hod
+      |ORDER BY abs(e.c / 100.0 - p.hod_mean) DESC, e.event_id ASC
+      |LIMIT 20""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_seasonal" -> Q(seasonalQ, Some(seasonalSql),
+      "hour-of-day seasonal profile + top deseasonalized residuals"),
     "q_ts_ewma" -> Q(ewmaQ, Some(ewmaSql),
       "8-tap half-life EWMA per series: dyadic integer weights, one window pass"),
     "q_ts_anomaly" -> Q(anomalyQ, Some(anomalySql),

@@ -439,7 +439,43 @@ object Windows extends QueryModule {
       |     AND b.rn BETWEEN a.rn - 19 AND a.rn) AS n_types_20
       |FROM r a""".stripMargin
 
+  // ---- gaps and islands ------------------------------------------
+  //
+  // Per user: maximal runs of CONSECUTIVE event_ids (islands) in the
+  // user's event set — the classic tabibitosan shape: within a user,
+  // event_id − row_number() is constant exactly along a consecutive
+  // run, so islands fall out of one groupBy on that difference. One
+  // hash shuffle on the series key for the window, the island
+  // aggregate reuses the same partitioning (no second exchange of the
+  // data). Scales as pure per-key work at any corpus size.
+  private val gapIslandsQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"))
+      .withColumn("grp", col("event_id") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("event_id")).as("island_start"),
+        max(col("event_id")).as("island_end"),
+        count(lit(1)).as("island_len"))
+      .filter(col("island_len") >= 2)
+      .select(col("user_id"), col("island_start"), col("island_end"),
+        col("island_len"))
+  }
+
+  private val gapIslandsSql =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    event_id - row_number() OVER (PARTITION BY user_id
+      |      ORDER BY event_id ASC) AS grp
+      |  FROM events)
+      |SELECT user_id, min(event_id) AS island_start,
+      |  max(event_id) AS island_end, COUNT(*) AS island_len
+      |FROM r GROUP BY user_id, grp
+      |HAVING COUNT(*) >= 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_gap_islands" -> Q(gapIslandsQ, Some(gapIslandsSql),
+      "gaps-and-islands: consecutive event_id runs via the id-minus-rank constant"),
     "q_win_rolling_distinct" -> Q(rollingDistinctQ, Some(rollingDistinctSql),
       "distinct event types over a trailing 20-row frame via collect_set"),
     "q_win_attribution" -> Q(attributionQ, Some(attributionSql),

@@ -396,6 +396,56 @@ object StreamOps extends QueryModule {
         col("n_window"), lit(true).as("is_anomaly"))
   }
 
+  final case class EwmaEv(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, c: Long)
+  final case class EwmaRing(cents: Seq[Long])
+  final case class EwmaOut(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, c: Long, ewma: Double)
+
+  /** STREAMING twin of the batch 8-tap EWMA (TimeSeries.q_ts_ewma,
+    * same oracle): per user the state is the ring of the 7 most recent
+    * cents — the EXACT carry the batch lag-chain reads — so each event
+    * scores num = c·128 + Σ ringᵢ·2^(6−i), den = 128 + Σ weights
+    * present, in BIGINT, then the same two-step double division the
+    * batch plan emits. State is keys×7 longs, independent of history
+    * length: the posture every trailing-window feature wants at
+    * 100 TB. Same single-batch ordering contract as the anomaly twin. */
+  private val streamEwma = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val evs: Dataset[EwmaEv] = eventsStream(s, dir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .as[EwmaEv]
+    val scored = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaRing, EwmaOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: org.apache.spark.sql.streaming.GroupState[EwmaRing]) =>
+          // ring: most recent previous observation LAST
+          var ring = if (state.exists) state.get.cents.toVector else Vector.empty[Long]
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaOut]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            var num = e.c * 128L
+            var den = 128L
+            // lag j = j-th most recent previous = ring(size - j)
+            ring.reverseIterator.zipWithIndex.take(7).foreach { case (cj, i) =>
+              val wgt = 1L << (6 - i) // j = i+1 → 2^(7-j)
+              num += cj * wgt
+              den += wgt
+            }
+            out += EwmaOut(user, e.event_id, e.ts, e.c,
+              num.toDouble / den.toDouble / 100.0)
+            ring = (ring :+ e.c).takeRight(7)
+          }
+          state.update(EwmaRing(ring))
+          out.iterator
+      }
+    runToTable(s, scored.toDF(), "append")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("c") / 100.0, 2).as("value"), col("ewma"))
+  }
+
   /** Stream-stream inner join: each purchase joined to the same user's
     * clicks in the preceding day. Both sides carry watermarks and the
     * join has a time-range condition — the two ingredients that let the
@@ -613,6 +663,9 @@ object StreamOps extends QueryModule {
       |WHERE e.event_id < 2000""".stripMargin
 
   override val queries: Map[String, Q] = Map(
+    "q_stream_ewma" -> Q(streamEwma,
+      Some(graft.operators.TimeSeries.ewmaSql),
+      "streaming 8-tap EWMA: 7-deep ring state, shares the batch oracle"),
     "q_stream_anomaly" -> Q(streamAnomaly,
       Some(graft.operators.TimeSeries.anomalySql),
       "streaming rolling z-score detector: 10-deep ring-buffer state, batch-equal"),
