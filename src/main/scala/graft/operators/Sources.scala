@@ -582,6 +582,70 @@ object Sources extends QueryModule {
     timeTravelSetup(s, dir); timeTravelRead(s, dir)
   }
 
+  /** Table branches end-to-end (GraftBranches): ingest a base tranche,
+    * fork a branch, append the experiment tranche TO THE BRANCH, move
+    * MAIN forward with a duplicate tranche, then observe (a) the
+    * branch still sees exactly base+experiment — frozen at its fork
+    * point, blind to main's later commit; (b) live main sees its own
+    * commits and none of the branch's; (c) after the atomic link-merge,
+    * main = its own history + the branch overlay. The oracle
+    * reconstructs all three states from the raw table by value. */
+  private val branchMerge = (s: SparkSession, dir: String) => {
+    val tbl = tmpDir(dir, "branch") + "/orders_br"
+    val orders = Tables.orders(s, dir)
+    if (graft.sources.GraftBranches.exists(tbl, "exp"))
+      graft.sources.GraftBranches.drop(tbl, "exp")
+    orders.filter(col("o_orderkey") <= 7500)
+      .repartitionByRange(2, col("o_orderkey"))
+      .write.format("graft-objects").mode("overwrite").save(tbl)
+    graft.sources.GraftBranches.create(tbl, "exp")
+    graft.sources.GraftBranches.append(
+      orders.filter(col("o_orderkey") > 7500)
+        .repartitionByRange(2, col("o_orderkey")),
+      tbl, "exp")
+    // main moves past the fork point while the branch is open
+    orders.filter(col("o_orderkey") <= 300)
+      .repartitionByRange(1, col("o_orderkey"))
+      .write.format("graft-objects").mode("append").save(tbl)
+    def agg(df: DataFrame, snap: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+        .select(lit(snap).as("snap"), col("n_rows"), col("sum_total"),
+          col("min_key"), col("max_key"))
+    val branchPre =
+      agg(graft.sources.GraftBranches.read(s, tbl, "exp"), "branch_pre")
+    val mainPre = agg(s.read.format("graft-objects").load(tbl), "main_pre")
+    // force both pre-merge views to materialize BEFORE the merge
+    // mutates the live table (lazy evaluation would otherwise read
+    // post-merge bytes)
+    val pre = branchPre.unionByName(mainPre).localCheckpoint()
+    graft.sources.GraftBranches.merge(tbl, "exp")
+    val mainPost = agg(s.read.format("graft-objects").load(tbl), "main_post")
+    pre.unionByName(mainPost)
+  }
+
+  private val branchMergeSql =
+    """WITH base AS (SELECT * FROM orders WHERE o_orderkey <= 7500),
+      |exp AS (SELECT * FROM orders WHERE o_orderkey > 7500),
+      |dup AS (SELECT * FROM orders WHERE o_orderkey <= 300)
+      |SELECT 'branch_pre' AS snap, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM (SELECT * FROM base UNION ALL SELECT * FROM exp)
+      |UNION ALL
+      |SELECT 'main_pre', COUNT(*),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM (SELECT * FROM base UNION ALL SELECT * FROM dup)
+      |UNION ALL
+      |SELECT 'main_post', COUNT(*),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+      |  min(o_orderkey), max(o_orderkey)
+      |FROM (SELECT * FROM base UNION ALL SELECT * FROM dup
+      |      UNION ALL SELECT * FROM exp)""".stripMargin
+
   private val timeTravelSql =
     """SELECT 'v1' AS snap, COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
@@ -1133,6 +1197,8 @@ object Sources extends QueryModule {
       "MERGE INTO via group-based row-level rewrite (update + insert)"),
     "q_src_time_travel" -> Q(timeTravel, Some(timeTravelSql),
       "VERSION AS OF snapshot read: pre-DELETE state from the archive"),
+    "q_src_branch_merge" -> Q(branchMerge, Some(branchMergeSql),
+      "table branches: fork ref + overlay writes, snapshot-isolated both ways, atomic link merge"),
     "q_src_changes_since" -> Q(changesSince, Some(changesSinceSql),
       "incremental delta view @vA..B: exactly the objects added since A"),
     "q_src_changes_rows" -> Q(changesRows, Some(changesRowsSql),
