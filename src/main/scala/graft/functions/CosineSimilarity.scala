@@ -87,6 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.rhpBucketDescriptor)
     ext.injectFunction(GraftFunctions.zorderDescriptor)
+    ext.injectFunction(GraftFunctions.freqItemsDescriptor)
     // SURVEY §4.2(b): conf-gated ANN top-k rewrite (see AnnTopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
   }
@@ -125,9 +126,24 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ZOrderLong].getName, "zorder_long"),
     (args: Seq[Expression]) => ZOrderLong(args))
 
+  /** freq_items_sketch(item, cap) — native mergeable Space-Saving
+    * heavy-hitters aggregate (graft.functions.FreqItemsSketch); cap
+    * must be a literal. */
+  val freqItemsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_items_sketch"),
+    new ExpressionInfo(classOf[FreqItemsSketch].getName, "freq_items_sketch"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "freq_items_sketch(item, cap) takes exactly 2 arguments")
+      require(args(1).foldable, "freq_items_sketch: cap must be a literal")
+      FreqItemsSketch(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())
+    })
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSimDescriptor, rhpBucketDescriptor, zorderDescriptor).foreach {
+    Seq(cosineSimDescriptor, rhpBucketDescriptor, zorderDescriptor,
+      freqItemsDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

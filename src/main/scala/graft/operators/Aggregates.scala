@@ -602,7 +602,36 @@ object Aggregates extends QueryModule {
       |  (n * n - sc2) / (n * n) AS gini
       |FROM u""".stripMargin
 
+  // ---- native heavy-hitters sketch (Space-Saving) -----------------
+  //
+  // The catalog-registered TypedImperativeAggregate
+  // (functions.FreqItemsSketch): per-partition Space-Saving summaries,
+  // merged as cap-bounded sketches — the partial/final shape where
+  // only ≤cap entries per partition ever cross the wire, which is the
+  // whole point at 100 TB (exact top-k by count needs a full groupBy
+  // shuffle of every distinct key; the sketch exchanges KBs). Run here
+  // in the EXACT regime — cap (64) ≥ the event-type vocabulary — where
+  // the sketch provably degenerates to the exact count map with zero
+  // error, so the DuckDB GROUP BY oracle checks it bit-for-bit. The
+  // approximate regime's est−err ≤ true ≤ est invariant is
+  // FreqItemsSpec territory (planted skew, tiny cap).
+  private val freqItemsQ = (s: SparkSession, dir: String) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, dir)
+      .agg(expr("freq_items_sketch(event_type, 64)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.est").as("n"),
+        col("e.err").as("err"))
+  }
+
+  private val freqItemsSql =
+    """SELECT event_type, COUNT(*) AS n, CAST(0 AS BIGINT) AS err
+      |FROM events WHERE event_type IS NOT NULL
+      |GROUP BY event_type""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_freq_items" -> Q(freqItemsQ, Some(freqItemsSql),
+      "native Space-Saving heavy-hitters aggregate, exact-regime oracle"),
     "q_agg_gini" -> Q(giniQ, Some(giniSql),
       "per-user Gini diversity of the event-type mix: exact integer ratio, no logs"),
     "q_agg_corr_matrix" -> Q(corrMatrixQ, Some(corrMatrixSql),
