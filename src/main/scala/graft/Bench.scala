@@ -86,7 +86,12 @@ object Bench {
     // round-5 capability families: iterative graph (triangles),
     // integer-exact anomaly windows, cohort retention, market-basket
     "q_graph_triangles", "q_ts_anomaly",
-    "q_win_retention", "q_agg_copurchase")
+    "q_win_retention", "q_agg_copurchase",
+    // round-5 wave 2/3: native Space-Saving sketch (cap-bounded
+    // partials vs DuckDB's full GROUP BY), one-pass moment matrix,
+    // per-series lag-chain EWMA, gaps-and-islands
+    "q_agg_freq_items", "q_agg_corr_matrix",
+    "q_ts_ewma", "q_win_gap_islands")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

@@ -55,7 +55,13 @@ object PlanAudit {
       "q_sample_train_test_split", "q_stream_cdc_apply",
       // round-5 additions
       "q_graph_triangles", "q_ts_anomaly", "q_win_retention",
-      "q_dedup_cross_source_overlap", "q_sim_ann_recall")
+      "q_dedup_cross_source_overlap", "q_sim_ann_recall",
+      // round-5 waves 2/3
+      "q_graph_cc", "q_ts_ewma", "q_win_rolling_distinct",
+      "q_text_stem_topk", "q_text_corpus_report", "q_agg_corr_matrix",
+      "q_agg_decay_score", "q_sim_range_search", "q_win_gap_islands",
+      "q_ts_seasonal", "q_agg_gini", "q_join_interval_overlap",
+      "q_src_branch_merge", "q_agg_freq_items")
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else (Bench.headline ++ extras).distinct

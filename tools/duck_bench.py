@@ -33,6 +33,9 @@ HEADLINE = [
     # round-5 capability families (mirror graft.Bench.headline)
     "q_graph_triangles", "q_ts_anomaly",
     "q_win_retention", "q_agg_copurchase",
+    # round-5 wave 2/3 (mirror graft.Bench.headline)
+    "q_agg_freq_items", "q_agg_corr_matrix",
+    "q_ts_ewma", "q_win_gap_islands",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
