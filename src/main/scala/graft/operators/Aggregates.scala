@@ -624,7 +624,8 @@ object Aggregates extends QueryModule {
         col("e.err").as("err"))
   }
 
-  private val freqItemsSql =
+  /** Shared with the streaming twin (StreamOps.q_stream_freq_items). */
+  private[graft] val freqItemsSql =
     """SELECT event_type, COUNT(*) AS n, CAST(0 AS BIGINT) AS err
       |FROM events WHERE event_type IS NOT NULL
       |GROUP BY event_type""".stripMargin

@@ -1432,6 +1432,85 @@ object Similarity extends QueryModule {
       |  CAST(MAX(cnt) AS BIGINT) AS n_vecs
       |FROM p GROUP BY label""".stripMargin
 
+  // ---- top principal direction via integer power iteration --------
+  //
+  // The leading singular direction of the (uncentered) embedding Gram
+  // matrix G(i,j) = Σ_v eᵢ·eⱼ on milli-quantized components — the PCA
+  // primitive (dominant variance axis) every embedding-space pipeline
+  // wants, built so both engines agree to the BIT: the corpus-scale
+  // work is ONE pass (nested posexplode → groupBy(i,j), map-side
+  // partials collapse to ≤ dim² rows per partition before the
+  // exchange — no self-join of the corpus); the power loop then runs
+  // on the dim²-row G with INTEGER arithmetic only: w = G·v in BIGINT,
+  // rescaled each round to max |v| = 1000 by integer division — no
+  // sqrt, no float normalization, so no engine divergence and no
+  // accumulation-order sensitivity anywhere.
+  //
+  // MAGNITUDE BOUND: |G| ≤ rows·10⁶ (milli components ≤ 10³), so
+  // w ≤ dim·10³·|G| stays in BIGINT while rows ≲ 10⁸ per the widest
+  // term dim·10⁹·rows; past that, re-quantize v to max 100 (one-line
+  // change, same loop). 12 rounds: the fixture Gram spectrum is
+  // random-matrix flat (λ₂/λ₁ ≈ 0.9), so convergence needs the extra
+  // doublings — each round is one dim²-row join, so the cost is noise
+  // (spec asserts Rayleigh dominance + near-eigenvector alignment).
+  private val PcaIters = 12
+
+  private val pcaPowerQ = (s: SparkSession, dir: String) => {
+    val em = Tables.embeddings(s, dir).select(
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+        .as("em"))
+    val g = em
+      .select(posexplode(col("em")).as(Seq("i", "ei")), col("em"))
+      .select(col("i"), col("ei"),
+        posexplode(col("em")).as(Seq("j", "ej")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("ei") * col("ej")).as("g"))
+      .localCheckpoint()
+    var v = s.range(0, Dim.toLong)
+      .select(col("id").cast("int").as("j"), lit(1000L).as("vj"))
+    for (_ <- 1 to PcaIters) {
+      val w = g.join(v, "j")
+        .groupBy(col("i"))
+        .agg(sum(col("g") * col("vj")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("j"), expr("(w * 1000) div m").as("vj"))
+        .localCheckpoint()
+    }
+    v.select(col("j").as("pos"), col("vj").as("v_milli"))
+  }
+
+  // Every iteration CTE is AS MATERIALIZED: w_k is referenced twice
+  // (by m_k and v_k), so DuckDB's single-reference inlining would
+  // otherwise expand the chain 2^iters times — exponential plan
+  // blowup, measured in MINUTES past 8 rounds. Materialization pins
+  // each round to one evaluation, like the Spark side's
+  // localCheckpoint.
+  private def pcaPowerSql: String = {
+    def iter(k: Int): String =
+      s"""w$k AS MATERIALIZED (
+         |  SELECT g.i, SUM(g.g * v.vj) AS w
+         |  FROM g JOIN v${k - 1} v ON g.j = v.j GROUP BY g.i),
+         |m$k AS MATERIALIZED (SELECT MAX(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i AS j, (w * 1000) // m AS vj FROM w$k, m$k)"""
+        .stripMargin
+    s"""WITH em AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS em
+       |  FROM embeddings),
+       |g AS MATERIALIZED (
+       |  SELECT a - 1 AS i, b - 1 AS j,
+       |    CAST(SUM(CAST(em[a] * em[b] AS DECIMAL(18,0))) AS BIGINT) AS g
+       |  FROM em, range(1, ${Dim + 1}) ra(a), range(1, ${Dim + 1}) rb(b)
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT a - 1 AS j, CAST(1000 AS BIGINT) AS vj
+       |       FROM range(1, ${Dim + 1}) ra(a)),
+       |${(1 to PcaIters).map(iter).mkString(",\n")}
+       |SELECT j AS pos, CAST(vj AS BIGINT) AS v_milli FROM v$PcaIters"""
+      .stripMargin
+  }
+
   // ---- cosine range search (threshold, not top-k) ----------------
   //
   // All vectors within cosine ≥ 0.1 of the vec_id=7 query — the RANGE
@@ -1466,6 +1545,8 @@ object Similarity extends QueryModule {
       |SELECT vec_id, cos FROM scored WHERE cos >= 0.1""".stripMargin
 
   override val queries: Map[String, Q] = Map(
+    "q_vec_pca_power" -> Q(pcaPowerQ, Some(pcaPowerSql),
+      "top principal direction: one-pass Gram matrix + integer power iteration"),
     "q_sim_range_search" -> Q(rangeSearchQ, Some(rangeSearchSql),
       "cosine range search (threshold filter, no global sort) vs one query vector"),
     "q_vec_silhouette" -> Q(silhouetteQ, Some(silhouetteSql),

@@ -396,6 +396,23 @@ object StreamOps extends QueryModule {
         col("n_window"), lit(true).as("is_anomaly"))
   }
 
+  /** STREAMING twin of the native Space-Saving aggregate
+    * (Aggregates.q_agg_freq_items, same oracle): the
+    * TypedImperativeAggregate runs INSIDE the streaming runtime as a
+    * stateful complete-mode aggregate — per-micro-batch partials merge
+    * into the state-store sketch, so a production stream maintains the
+    * heavy-hitters summary continuously with cap-bounded state. Exact
+    * regime (cap ≥ vocabulary) ⇒ batch-equal output. */
+  private val streamFreqItems = (s: SparkSession, dir: String) => {
+    graft.functions.GraftFunctions.register(s)
+    val agg = eventsStream(s, dir)
+      .agg(expr("freq_items_sketch(event_type, 64)").as("sk"))
+    runToTable(s, agg, "complete")
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.est").as("n"),
+        col("e.err").as("err"))
+  }
+
   final case class EwmaEv(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, c: Long)
   final case class EwmaRing(cents: Seq[Long])
@@ -666,6 +683,9 @@ object StreamOps extends QueryModule {
     "q_stream_ewma" -> Q(streamEwma,
       Some(graft.operators.TimeSeries.ewmaSql),
       "streaming 8-tap EWMA: 7-deep ring state, shares the batch oracle"),
+    "q_stream_freq_items" -> Q(streamFreqItems,
+      Some(graft.operators.Aggregates.freqItemsSql),
+      "native Space-Saving sketch as a stateful streaming aggregate, batch-equal"),
     "q_stream_anomaly" -> Q(streamAnomaly,
       Some(graft.operators.TimeSeries.anomalySql),
       "streaming rolling z-score detector: 10-deep ring-buffer state, batch-equal"),
