@@ -166,8 +166,12 @@ object Graph extends QueryModule {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  // und/deg/tri are AS MATERIALIZED: each is referenced 2–3 times, and
+  // DuckDB's CTE inlining otherwise re-plans the 4-way fact join into
+  // every reference — measured 182 s vs 0.2 s at sf0.1 for the SAME
+  // answer. (Same pathology class as the PCA oracle's unrolled rounds.)
   private val trianglesSql =
-    """WITH und AS (
+    """WITH und AS MATERIALIZED (
       |  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
       |    greatest(c.c_nationkey, s.s_nationkey) AS b
       |  FROM lineitem l
@@ -175,11 +179,11 @@ object Graph extends QueryModule {
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  WHERE c.c_nationkey <> s.s_nationkey),
-      |deg AS (
+      |deg AS MATERIALIZED (
       |  SELECT node, COUNT(*) AS deg FROM (
       |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
       |  GROUP BY 1),
-      |tri AS (
+      |tri AS MATERIALIZED (
       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
       |  FROM und e1
       |  JOIN und e2 ON e1.b = e2.a
@@ -239,7 +243,7 @@ object Graph extends QueryModule {
   }
 
   private val ccSql =
-    """WITH RECURSIVE und AS (
+    """WITH RECURSIVE und AS MATERIALIZED (
       |  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
       |    greatest(c.c_nationkey, s.s_nationkey) AS b, COUNT(*) AS w
       |  FROM lineitem l
