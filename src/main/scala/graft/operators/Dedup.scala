@@ -603,7 +603,54 @@ object Dedup extends QueryModule {
       |SELECT DISTINCT k1, k2, name2, ham, lev
       |FROM scored WHERE ham <= 2""".stripMargin
 
+  // ---- asymmetric containment (sub-document duplication) ----------
+  //
+  // C(A→B) = |A∩B| / |A| over 3-gram shingle sets — the measure
+  // jaccard misses: a short document wholly quoted inside a long one
+  // has low jaccard but containment ≈ 1. Both directions are emitted
+  // from ONE canonical-pair intersection (i, na, nb computed once,
+  // divided twice) — the same shared-shingle equi-join as the jaccard
+  // path, cost ∝ pair density, corpus never all-paired.
+  private val containmentQ = (s: SparkSession, dir: String) => {
+    val edges = shared(s, s"edges|$dir")(shingleEdges(Tables.documents(s, dir)))
+    val counts = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = edges.select(col("doc_id").as("ida"), col("s"))
+    val b = edges.select(col("doc_id").as("idb"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
+      .join(counts.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(counts.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
+    inter
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        round(col("i") / col("na"), 6).as("containment"))
+      .unionAll(inter.select(col("idb").as("doc_a"), col("ida").as("doc_b"),
+        round(col("i") / col("nb"), 6).as("containment")))
+      .filter(col("containment") >= 0.5)
+  }
+
+  private val containmentSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
+      |d AS (SELECT DISTINCT doc_id, s FROM sh),
+      |n AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+      |inter AS MATERIALIZED (
+      |  SELECT a.doc_id ida, b.doc_id idb, count(*) i
+      |  FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dirs AS (
+      |  SELECT i.ida AS doc_a, i.idb AS doc_b,
+      |    round(i.i * 1.0 / na.n, 6) AS containment
+      |  FROM inter i JOIN n na ON i.ida = na.doc_id
+      |  UNION ALL
+      |  SELECT i.idb, i.ida, round(i.i * 1.0 / nb.n, 6)
+      |  FROM inter i JOIN n nb ON i.idb = nb.doc_id)
+      |SELECT doc_a, doc_b, containment FROM dirs
+      |WHERE containment >= 0.5""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_dedup_containment" -> Q(containmentQ, Some(containmentSql),
+      "asymmetric shingle containment: catches sub-document duplication jaccard misses"),
     "q_dedup_fuzzy_names" -> Q(fuzzyNamesQ, Some(fuzzyNamesSql),
       "banded fuzzy identifier match: tercet pigeonhole + hamming/lev verify"),
     "q_dedup_incremental" -> Q(incrementalQ, Some(incrementalSql),

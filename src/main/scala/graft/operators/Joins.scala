@@ -374,7 +374,63 @@ object Joins extends QueryModule {
       |FROM ud JOIN td ON ud.day = td.day
       |WHERE u_lo <= t_hi AND t_lo <= u_hi""".stripMargin
 
+  // ---- nearest-event join (bidirectional as-of) ------------------
+  //
+  // Each purchase joined to the same user's NEAREST click within ±1 h
+  // — the bidirectional twin of the as-of join (backward-only). The
+  // scalable shape: purchases explode to their 3 adjacent hour buckets
+  // and hash-join clicks on (user, bucket) — a pure equi-join whose
+  // candidate set is the ±1 h neighborhood, never a per-row range
+  // probe; a window then keeps rank-1 by (|Δt|, earlier click, id) —
+  // fully deterministic tiebreaks. Each (purchase, click) pair arises
+  // from exactly ONE bucket match (a click has one bucket), so the
+  // explode never duplicates candidates. The oracle selects the same
+  // pairs by VALUE (|Δt| ≤ 1 h predicate); banding changes the join
+  // shape, never the set.
+  private val asofNearestQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"),
+        expr("unix_micros(ts) div 3600000000").as("ch"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"),
+        expr("unix_micros(ts) div 3600000000").as("ph"))
+    val probes = purchases.withColumn("hb",
+      explode(array(col("ph") - 1, col("ph"), col("ph") + 1)))
+    val cand = probes
+      .join(clicks, col("user_id") === col("cu") && col("hb") === col("ch"))
+      .withColumn("adt_us",
+        abs(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))))
+      .filter(col("adt_us") <= 3600L * 1000000L)
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("adt_us").asc, col("c_ts").asc, col("c_id").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("p_id"), col("p_ts"),
+        col("c_id"), col("c_ts"), col("adt_us"))
+  }
+
+  private val asofNearestSql =
+    """WITH c AS (
+      |  SELECT user_id AS cu, ts AS c_ts, event_id AS c_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, ts AS p_ts, event_id AS p_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |cand AS (
+      |  SELECT p.user_id, p.p_id, p.p_ts, c.c_id, c.c_ts,
+      |    abs(epoch_us(p.p_ts) - epoch_us(c.c_ts)) AS adt_us
+      |  FROM p JOIN c ON p.user_id = c.cu
+      |  WHERE abs(epoch_us(p.p_ts) - epoch_us(c.c_ts)) <= 3600000000)
+      |SELECT user_id, p_id, p_ts, c_id, c_ts, adt_us FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY p_id
+      |    ORDER BY adt_us ASC, c_ts ASC, c_id ASC) AS rn
+      |  FROM cand) WHERE rn = 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_join_asof_nearest" -> Q(asofNearestQ, Some(asofNearestSql),
+      "nearest-event join: hour-banded equi-join + rank-1 window, bidirectional as-of"),
     "q_join_interval_overlap" -> Q(intervalOverlapQ, Some(intervalOverlapSql),
       "interval overlap join: day-banded equi-join + residual range filter"),
     "q_join_scd2" -> Q(scd2, Some(scd2Sql),

@@ -213,7 +213,58 @@ object Sampling extends QueryModule {
   private[graft] def epochShuffleAt(epoch: Int): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     epochShuffleQ(epoch)
 
+  // ---- deterministic bootstrap resample (Poisson counts) ----------
+  //
+  // The multinomial bootstrap approximated per-row: each row's replica
+  // count m ~ Poisson(1), drawn DETERMINISTICALLY by inverting the
+  // Poisson CDF on the row's content-hash uniform — u is the first 8
+  // md5 hex chars, compared against precomputed CDF thresholds AS HEX
+  // STRINGS (lowercase fixed-width hex compares lexicographically ==
+  // numerically, the same trick the Bernoulli sampler uses; no hex
+  // parsing, which DuckDB lacks). Same hash → same m in both engines
+  // and across reruns: the reproducibility a training pipeline needs
+  // from a resample. Map-only m assignment; the bootstrap aggregate
+  // weights by m instead of exploding replicas — one partial-agg
+  // shuffle, zero data amplification.
+  private val bootstrapQ = (s: SparkSession, dir: String) => {
+    val u = substring(hkey, 1, 8)
+    val m = when(u < "5e2d58d8", 0L)
+      .when(u < "bc5ab1b1", 1L)
+      .when(u < "eb715e1d", 2L)
+      .when(u < "fb239797", 3L)
+      .when(u < "ff1025f5", 4L)
+      .otherwise(5L)
+    Tables.lineitem(s, dir)
+      .withColumn("m", m)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_orig"),
+        sum(col("m")).as("n_boot"),
+        Ora.dsum(Ora.money(col("l_quantity")) * col("m")).as("sum_qty_boot"),
+        Ora.dsum(Ora.money(col("l_quantity"))).as("sum_qty_orig"))
+  }
+
+  private val bootstrapSql =
+    s"""WITH w AS (
+       |  SELECT l_returnflag, l_quantity,
+       |    CASE WHEN u < '5e2d58d8' THEN 0
+       |         WHEN u < 'bc5ab1b1' THEN 1
+       |         WHEN u < 'eb715e1d' THEN 2
+       |         WHEN u < 'fb239797' THEN 3
+       |         WHEN u < 'ff1025f5' THEN 4
+       |         ELSE 5 END AS m
+       |  FROM (SELECT l_returnflag, l_quantity,
+       |          substr($hkeySql, 1, 8) AS u FROM lineitem))
+       |SELECT l_returnflag, COUNT(*) AS n_orig,
+       |  CAST(SUM(m) AS BIGINT) AS n_boot,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * m) AS DOUBLE)
+       |    AS sum_qty_boot,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+       |    AS sum_qty_orig
+       |FROM w GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_bootstrap" -> Q(bootstrapQ, Some(bootstrapSql),
+      "deterministic Poisson bootstrap: hash-inverted CDF replica counts, map-only"),
     "q_sample_epoch_shuffle" -> Q(epochShuffleQ(Epoch), Some(epochShuffleSql(Epoch)),
       "epoch-deterministic training-order shuffle: hash shard + in-shard rank"),
     "q_sample_train_test_split" -> Q(trainTestSplit, Some(trainTestSplitSql),

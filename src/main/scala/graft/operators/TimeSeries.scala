@@ -332,7 +332,40 @@ object TimeSeries extends QueryModule {
       |ORDER BY abs(e.c / 100.0 - p.hod_mean) DESC, e.event_id ASC
       |LIMIT 20""".stripMargin
 
+  // ---- 7. rolling median (robust smoother) ------------------------
+  //
+  // Trailing 11-row median of cents per series — the robust twin of
+  // the EWMA smoother (outliers shift a mean, not a median). Exact
+  // percentile over a ROWS frame: both engines interpolate even-count
+  // medians as lower + (upper−lower)/2 on INTEGER cents, which is
+  // exact double arithmetic below 2⁵² — identical bits, no rounding
+  // discipline needed. One hash shuffle on the series key.
+  private val medianQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-10, 0)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("med_c", expr("percentile(c, 0.5)").over(w))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("c") / 100.0, 2).as("value"),
+        (col("med_c") / 100.0).as("median_11"))
+  }
+
+  private val medianSql =
+    """SELECT user_id, event_id, ts, round(c / 100.0, 2) AS value,
+      |  quantile_cont(c, 0.5) OVER w / 100.0 AS median_11
+      |FROM (SELECT user_id, event_id, ts,
+      |        CAST(round(value * 100) AS BIGINT) AS c
+      |      FROM events WHERE user_id < 8)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |  ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_rolling_median" -> Q(medianQ, Some(medianSql),
+      "trailing 11-row exact median per series: the robust smoother twin of EWMA"),
     "q_ts_seasonal" -> Q(seasonalQ, Some(seasonalSql),
       "hour-of-day seasonal profile + top deseasonalized residuals"),
     "q_ts_ewma" -> Q(ewmaQ, Some(ewmaSql),
