@@ -620,11 +620,16 @@ object Dedup extends QueryModule {
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
       .join(counts.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
       .join(counts.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
+    // both directions from ONE pass over inter (a unionAll of two
+    // selects would recompute the whole intersection subtree per
+    // branch — audited at 2x the exchanges); the explode is map-side
     inter
-      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
-        round(col("i") / col("na"), 6).as("containment"))
-      .unionAll(inter.select(col("idb").as("doc_a"), col("ida").as("doc_b"),
-        round(col("i") / col("nb"), 6).as("containment")))
+      .select(explode(array(
+        struct(col("ida").as("doc_a"), col("idb").as("doc_b"),
+          round(col("i") / col("na"), 6).as("containment")),
+        struct(col("idb").as("doc_a"), col("ida").as("doc_b"),
+          round(col("i") / col("nb"), 6).as("containment")))).as("e"))
+      .select(col("e.doc_a"), col("e.doc_b"), col("e.containment"))
       .filter(col("containment") >= 0.5)
   }
 

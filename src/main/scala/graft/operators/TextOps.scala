@@ -442,6 +442,40 @@ object TextOps extends QueryModule {
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE ' ' || text || ' ' LIKE '% spark %'""".stripMargin
 
+  /** Trigram-index substring search — the index that accelerates
+    * arbitrary `LIKE '%pat%'` (pg_trgm's trick): a doc can contain the
+    * pattern only if it contains EVERY 3-char gram of the pattern, so
+    * candidates come from an equi-join of the pattern's grams against
+    * the (gram, doc) posting list with an all-grams count gate, and
+    * only candidates pay the verifying `contains`. The posting build
+    * is the one corpus-scale pass (an ingest-time index in production
+    * — the same stored-table upgrade q_text_bm25_indexed demonstrates
+    * for term postings); query cost ∝ posting lists of 8 grams.
+    * Oracle: the full LIKE scan — index == scan by construction. */
+  private val TrigramPattern = "table scan"
+
+  private val trigramLikeQ = (s: SparkSession, dir: String) => {
+    val grams = TrigramPattern.sliding(3).toSeq.distinct
+    val docs = Tables.documents(s, dir)
+    val postings = docs
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("g"))
+      .filter(col("g").isin(grams: _*))
+      .distinct()
+    val cands = postings.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === grams.length)
+    docs.join(cands, Seq("doc_id"), "left_semi")
+      .filter(col("text").contains(TrigramPattern))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  private val trigramLikeSql =
+    s"""SELECT doc_id, source, n_chars FROM documents
+       |WHERE text LIKE '%$TrigramPattern%'""".stripMargin
+
   /** Sentiment scoring via lexicon join (the EDBT 2016 Spark-sentiment
     * pattern [local: PAPERS.md:8]): explode tokens, equi-join a tiny
     * polarity lexicon (broadcast — lexicons are KBs even in production),
@@ -833,6 +867,8 @@ object TextOps extends QueryModule {
       "per-(source,lang) corpus data card: volume, dup rate, short-doc ratio"),
     "q_text_index_search" -> Q(searchQ, Some(searchSql),
       "term lookup via inverted-index semi-join == full LIKE scan"),
+    "q_text_trigram_like" -> Q(trigramLikeQ, Some(trigramLikeSql),
+      "trigram-index substring search: all-grams candidate gate + verify == LIKE scan"),
     "q_text_bpe_pairs" -> Q(bpePairsQ, Some(bpePairsSql),
       "BPE round-1 merge candidates: pair counts from the (word,freq) vocab, not the corpus"),
     "q_text_phrase_search" -> Q(phraseQ, Some(phraseSql),
