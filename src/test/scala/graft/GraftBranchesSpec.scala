@@ -78,6 +78,44 @@ class GraftBranchesSpec extends SparkSpec {
     assert(GraftBranches.list(t).isEmpty)
   }
 
+  test("concurrent merges serialize under the table lock: no lost objects") {
+    val t = freshTable("conc")
+    write(0, 20, t, "overwrite")
+    GraftBranches.create(t, "b1")
+    GraftBranches.create(t, "b2")
+    GraftBranches.append(
+      spark.range(100, 120).selectExpr("id", "concat('row', id) AS v"), t, "b1")
+    GraftBranches.append(
+      spark.range(200, 220).selectExpr("id", "concat('row', id) AS v"), t, "b2")
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    val fs = Seq("b1", "b2").map(n =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        override def call(): Int = GraftBranches.merge(t, n)
+      }))
+    val versions = fs.map(_.get())
+    pool.shutdown()
+    assert(versions.toSet.size == 2, "each merge mints its own version")
+    val ids = spark.read.format("graft-objects").load(t)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids == ((0L until 20L) ++ (100L until 120L) ++ (200L until 220L)).toSet,
+      "both merges must land in full — no lost update, no clobbered seq")
+  }
+
+  test("vacuum past the fork point: branch read refuses loudly, never partial") {
+    val t = freshTable("vac")
+    write(0, 10, t, "overwrite")
+    GraftBranches.create(t, "old")
+    write(0, 10, t, "overwrite") // v2 archives v1's content
+    GraftVersions.vacuum(t, GraftVersions.currentVersion(t))
+    val e = intercept[Exception] {
+      GraftBranches.read(spark, t, "old").count()
+    }
+    assert(Option(e.getMessage).exists(m =>
+      m.toLowerCase.contains("vacuum") || m.toLowerCase.contains("version")),
+      s"expected a loud vacuum/version refusal, got: ${e.getMessage}")
+  }
+
   test("branch overlay is a real table: footer stats prune reads on the branch view") {
     val t = freshTable("stats")
     write(0, 50, t, "overwrite")
