@@ -90,6 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.freqItemsDescriptor)
     // SURVEY §4.2(b): conf-gated ANN top-k rewrite (see AnnTopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
+    // SURVEY §4.2(c): conf-gated bounded-heap top-k-per-group operator
+    ext.injectOptimizerRule(_ => graft.plans.TopKPerGroupRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

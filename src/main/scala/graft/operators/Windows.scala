@@ -140,6 +140,34 @@ object Windows extends QueryModule {
       |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
       |  FROM part) WHERE rn <= 3""".stripMargin
 
+  /** The same canonical top-k-per-group query, executed through the
+    * custom bounded-heap operator (plans.TopKPerGroupExec — SURVEY
+    * §4.2(c)): the conf-gated rewrite recognizes the window shape and
+    * replaces sort+rank+filter with partial/final size-k heaps. Shares
+    * the window form's oracle — the rewrite must never change the
+    * answer (total-order tiebreak on p_partkey). */
+  private val topkNative = (s: SparkSession, dir: String) => {
+    graft.plans.TopKPerGroup.register(s)
+    val prev = s.conf.getOption(graft.plans.TopKPerGroupRewrite.ConfKey)
+    s.conf.set(graft.plans.TopKPerGroupRewrite.ConfKey, "true")
+    try {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      val df = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+      // materialize the plan under the flag: localCheckpoint pins the
+      // physical plan now, so later lazy evaluation (after the finally
+      // restores the conf) still runs the heap operator
+      df.localCheckpoint()
+    } finally prev match {
+      case Some(v) => s.conf.set(graft.plans.TopKPerGroupRewrite.ConfKey, v)
+      case None    => s.conf.unset(graft.plans.TopKPerGroupRewrite.ConfKey)
+    }
+  }
+
   /** Batch sessionization — the batch twin of the streaming session
     * window (q_stream_session): per user, a gap of > 30 minutes starts
     * a new session (lag + running sum of boundary markers), then one
@@ -503,5 +531,7 @@ object Windows extends QueryModule {
     "q_win_ntile_first_last" -> Q(ntileFirstLast, Some(ntileFirstLastSql),
       "ntile + first/last over full-partition frame"),
     "q_win_topk_per_group" -> Q(topkPerGroup, Some(topkPerGroupSql),
-      "top-k per group via row_number filter"))
+      "top-k per group via row_number filter"),
+    "q_win_topk_native" -> Q(topkNative, Some(topkPerGroupSql),
+      "top-k per group via the custom bounded-heap operator (window eliminated)"))
 }
