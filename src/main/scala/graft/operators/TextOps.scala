@@ -442,6 +442,60 @@ object TextOps extends QueryModule {
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE ' ' || text || ' ' LIKE '% spark %'""".stripMargin
 
+  /** Bigram collocations by LIFT — n·c(ab) / (c(a)·c(b)), the
+    * monotone transform of PMI that needs NO logarithm (log/ln differ
+    * across libms in the last ulp; a rational score from exact integer
+    * counts is one deterministic double division). Candidates are
+    * min-support-gated (c(ab) ≥ 5) BEFORE the unigram joins, so the
+    * join input is the interesting-pair list, not the corpus bigram
+    * space; unigram counts broadcast back. Top-20 by (lift, pair). */
+  private val collocationQ = (s: SparkSession, dir: String) => {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTotal = toks.select(explode(col("tk")).as("w"))
+      .agg(count(lit(1)).as("n"))
+    // guard: Spark's sequence(0, -1) DESCENDS for a 1-token doc
+    val bi = toks.filter(size(col("tk")) >= 2).select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS a, tk[i+1] AS b))"))
+        .as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    bi.join(broadcast(uni.withColumnRenamed("w", "a")
+        .withColumnRenamed("c", "ca")), Seq("a"))
+      .join(broadcast(uni.withColumnRenamed("w", "b")
+        .withColumnRenamed("c", "cb")), Seq("b"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("a"), col("b"), col("cab"),
+        (col("n") * col("cab") / (col("ca") * col("cb"))).as("lift"))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
+  private val collocationSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(CAST(c AS DECIMAL(18,0))) AS BIGINT) AS n
+      |        FROM uni),
+      |bi AS (
+      |  SELECT a, b, COUNT(*) AS cab FROM (
+      |    SELECT unnest(list_transform(range(1, len(tk)),
+      |      i -> struct_pack(a := tk[i], b := tk[i+1])), recursive := true)
+      |    FROM toks) g
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT bi.a, bi.b, bi.cab,
+      |  tot.n * bi.cab / (ua.c * ub.c) AS lift
+      |FROM bi
+      |JOIN uni ua ON bi.a = ua.w
+      |JOIN uni ub ON bi.b = ub.w, tot
+      |ORDER BY lift DESC, bi.a ASC, bi.b ASC
+      |LIMIT 20""".stripMargin
+
   /** Trigram-index substring search — the index that accelerates
     * arbitrary `LIKE '%pat%'` (pg_trgm's trick): a doc can contain the
     * pattern only if it contains EVERY 3-char gram of the pattern, so
@@ -863,6 +917,8 @@ object TextOps extends QueryModule {
       "sequence packing: docs → fixed-token-budget bins, shard-parallel"),
     "q_text_stem_topk" -> Q(stemQ, Some(stemSql),
       "suffix-rule stemming: rule-chained regexp collapse, top-40 stems"),
+    "q_text_collocations" -> Q(collocationQ, Some(collocationSql),
+      "bigram collocations by rational lift (PMI without the log), min-support gated"),
     "q_text_corpus_report" -> Q(corpusReportQ, Some(corpusReportSql),
       "per-(source,lang) corpus data card: volume, dup rate, short-doc ratio"),
     "q_text_index_search" -> Q(searchQ, Some(searchSql),
