@@ -434,6 +434,63 @@ object Multimodal extends QueryModule {
       |  round(sqrt(CAST(SUM(x * x) AS BIGINT) * 1.0 / COUNT(*)), 6) AS rms
       |FROM zc GROUP BY 1, 2""".stripMargin
 
+  /** Low-energy segment detection over the framed features — the
+    * VAD/segmentation composition: gate frames on mean energy
+    * (energy_q · 8 < 12800 · f_len, integer cross-multiplied — no
+    * division), then collapse consecutive low frames into maximal
+    * runs with the gaps-and-islands constant (frame − row_number),
+    * keeping runs of ≥ 2 frames. Decode and gating are map-only; the
+    * one shuffle is the per-clip window — the same posture as every
+    * series op. Threshold is ~× the pseudo-noise mean energy so both
+    * classes are populated at any fixture scale. */
+  private val audioSegmentsQ = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBytes(id, synthWavTone(id))))
+    val feats = media.flatMap(m => wavFrameFeats(m.doc_id, m.media)).toDF()
+    val low = feats
+      .filter(col("energy_q") * 8 < lit(12800L) * col("f_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame").asc)
+    low
+      .withColumn("grp", col("frame") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame")).as("seg_start"),
+        max(col("frame")).as("seg_end"),
+        count(lit(1)).as("seg_len"),
+        sum(col("energy_q")).as("seg_energy_q"))
+      .filter(col("seg_len") >= 2)
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("seg_len"), col("seg_energy_q"))
+  }
+
+  private val audioSegmentsSql =
+    """WITH au AS (
+      |  SELECT doc_id, CAST(64 + doc_id % 100 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |sm AS (
+      |  SELECT doc_id, i,
+      |    ((doc_id * 31 + i * 17) % 401) - 200 AS x,
+      |    i // 32 AS frame
+      |  FROM au CROSS JOIN unnest(range(0, n)) AS t(i)),
+      |fr AS (
+      |  SELECT doc_id, frame, COUNT(*) AS f_len,
+      |    CAST(SUM(x * x) AS BIGINT) AS energy_q
+      |  FROM sm GROUP BY 1, 2),
+      |low AS (
+      |  SELECT doc_id, frame, energy_q,
+      |    frame - row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY frame ASC) AS grp
+      |  FROM fr WHERE energy_q * 8 < 12800 * f_len)
+      |SELECT doc_id, min(frame) AS seg_start, max(frame) AS seg_end,
+      |  COUNT(*) AS seg_len,
+      |  CAST(SUM(CAST(energy_q AS DECIMAL(18,0))) AS BIGINT)
+      |    AS seg_energy_q
+      |FROM low GROUP BY doc_id, grp
+      |HAVING COUNT(*) >= 2""".stripMargin
+
   /** Image resize: synth → half-size nearest-neighbor resize (target
     * dims derived from the PARSED header, min 2) → decode the resized
     * bytes. The oracle reproduces the sample grid arithmetically:
@@ -809,6 +866,8 @@ object Multimodal extends QueryModule {
       "real 24bpp BMP decode (header parse + per-channel pixel means) over planted payloads"),
     "q_mm_decode_wav" -> Q(decodeWavQ, Some(decodeWavSql),
       "real 16-bit PCM WAV decode (RIFF parse + sample stats) over planted payloads"),
+    "q_mm_audio_segments" -> Q(audioSegmentsQ, Some(audioSegmentsSql),
+      "low-energy audio segmentation: frame gate + consecutive-run islands per clip"),
     "q_mm_audio_features" -> Q(audioFeaturesQ, Some(audioFeaturesSql),
       "framed audio features from bytes: energy/ZCR/peak/RMS, integer-exact"),
     "q_mm_resize" -> Q(resizeQ, Some(resizeSql),
