@@ -294,11 +294,19 @@ object Aggregates extends QueryModule {
     * (order, part) then pair partials; the final top-20 is a
     * TakeOrdered with full deterministic tiebreaks. */
   private val copurchaseQ = (s: SparkSession, dir: String) => {
-    val li = graft.Tables.lineitem(s, dir)
+    // ONE basket shuffle (collect_set dedups parts within the order —
+    // no distinct pre-pass), then the C(basket,2) pair fan-out is
+    // MAP-SIDE (explode², a<b) into the pair aggregate. Re-planned
+    // from the original distinct+self-join form: one fewer exchange,
+    // and the fan-out is explicitly basket-bounded (TPC-H baskets ≤ 7;
+    // a pathological mega-basket would cap via the same width-bucket
+    // trick the clustered layout uses).
+    val baskets = graft.Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .distinct()
-    li.select(col("okey"), col("pk").as("part_a"))
-      .join(li.select(col("okey"), col("pk").as("part_b")), Seq("okey"))
+      .groupBy(col("okey")).agg(collect_set(col("pk")).as("ps"))
+    baskets
+      .select(explode(col("ps")).as("part_a"), col("ps"))
+      .select(col("part_a"), explode(col("ps")).as("part_b"))
       .filter(col("part_a") < col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
