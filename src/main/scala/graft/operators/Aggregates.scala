@@ -638,7 +638,110 @@ object Aggregates extends QueryModule {
       |FROM events WHERE event_type IS NOT NULL
       |GROUP BY event_type""".stripMargin
 
+  // ---- per-group OLS fit (integer moments, like the corr matrix) --
+  //
+  // slope/intercept of extendedprice-cents vs quantity per returnflag:
+  // slope = (n·Σxy − ΣxΣy)/(n·Σxx − Σx²), intercept = (Σy − m·Σx)/n —
+  // the same exact-integer-moments-then-one-double-expression
+  // discipline as q_agg_corr_matrix, grouped. One partial-agg pass.
+  private val olsFitQ = (s: SparkSession, dir: String) => {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        m(col("x")).as("sx"), m(col("y")).as("sy"),
+        m(col("x") * col("x")).as("sxx"), m(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_cents"),
+        ((col("sy").cast("double") -
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            col("sx").cast("double")) / col("n")).as("intercept_cents"))
+  }
+
+  private val olsFitSql =
+    """WITH li AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |mo AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+      |    SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+      |    SUM(CAST(x*x AS DECIMAL(27,0))) AS sxx,
+      |    SUM(CAST(x*y AS DECIMAL(27,0))) AS sxy
+      |  FROM li GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+      |  (CAST(sy AS DOUBLE) -
+      |   CAST(n * sxy - sx * sy AS DOUBLE) /
+      |     CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept_cents
+      |FROM mo""".stripMargin
+
+  // ---- lag-1 autocorrelation per series ---------------------------
+  //
+  // Pearson r between consecutive observations of each user's value
+  // series — the "is this series momentum or noise" feature. The lag
+  // pairs come from one window pass; the five pair-moments are exact
+  // integers; one double expression at the end. Decimal(27) pair
+  // products: cents² ≤ 10⁹ per row, safe past 10¹⁸ pair rows.
+  private val autocorrQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("y"))
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .filter(col("x").isNotNull)
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(27,0)"))
+    pairs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        m(col("x")).as("sx"), m(col("y")).as("sy"),
+        m(col("x") * col("x")).as("sxx"), m(col("y") * col("y")).as("syy"),
+        m(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= 3)
+      .select(col("user_id"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("r_lag1"))
+  }
+
+  private val autocorrSql =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, y,
+      |    lag(y) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS x
+      |  FROM c),
+      |mo AS (
+      |  SELECT user_id, CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+      |    SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+      |    SUM(CAST(x*x AS DECIMAL(27,0))) AS sxx,
+      |    SUM(CAST(y*y AS DECIMAL(27,0))) AS syy,
+      |    SUM(CAST(x*y AS DECIMAL(27,0))) AS sxy
+      |  FROM p WHERE x IS NOT NULL GROUP BY 1)
+      |SELECT user_id, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_lag1
+      |FROM mo WHERE n >= 3""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_ols_fit" -> Q(olsFitQ, Some(olsFitSql),
+      "per-group OLS slope/intercept from integer moments, one pass"),
+    "q_ts_autocorr" -> Q(autocorrQ, Some(autocorrSql),
+      "lag-1 autocorrelation per series: window pairs + exact pair moments"),
     "q_agg_freq_items" -> Q(freqItemsQ, Some(freqItemsSql),
       "native Space-Saving heavy-hitters aggregate, exact-regime oracle"),
     "q_agg_gini" -> Q(giniQ, Some(giniSql),
