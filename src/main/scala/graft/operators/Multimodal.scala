@@ -436,13 +436,13 @@ object Multimodal extends QueryModule {
 
   /** Low-energy segment detection over the framed features — the
     * VAD/segmentation composition: gate frames on mean energy
-    * (energy_q · 8 < 12800 · f_len, integer cross-multiplied — no
-    * division), then collapse consecutive low frames into maximal
+    * (energy_q < 13400 · f_len — the pseudo-noise mean E[x²], so the
+    * low class is ~half the frames and adjacent-run structure exists
+    * at every fixture scale; integer compare, no division), then collapse consecutive low frames into maximal
     * runs with the gaps-and-islands constant (frame − row_number),
     * keeping runs of ≥ 2 frames. Decode and gating are map-only; the
     * one shuffle is the per-clip window — the same posture as every
-    * series op. Threshold is ~× the pseudo-noise mean energy so both
-    * classes are populated at any fixture scale. */
+    * series op. */
   private val audioSegmentsQ = (s: SparkSession, dir: String) => {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -451,7 +451,7 @@ object Multimodal extends QueryModule {
       .mapPartitions(_.map(id => MediaBytes(id, synthWavTone(id))))
     val feats = media.flatMap(m => wavFrameFeats(m.doc_id, m.media)).toDF()
     val low = feats
-      .filter(col("energy_q") * 8 < lit(12800L) * col("f_len"))
+      .filter(col("energy_q") < lit(13400L) * col("f_len"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame").asc)
     low
@@ -483,7 +483,7 @@ object Multimodal extends QueryModule {
       |  SELECT doc_id, frame, energy_q,
       |    frame - row_number() OVER (PARTITION BY doc_id
       |      ORDER BY frame ASC) AS grp
-      |  FROM fr WHERE energy_q * 8 < 12800 * f_len)
+      |  FROM fr WHERE energy_q < 13400 * f_len)
       |SELECT doc_id, min(frame) AS seg_start, max(frame) AS seg_end,
       |  COUNT(*) AS seg_len,
       |  CAST(SUM(CAST(energy_q AS DECIMAL(18,0))) AS BIGINT)
