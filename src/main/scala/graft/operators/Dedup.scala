@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.10 — deduplication suite (north-star LLM-pipeline ops).
@@ -653,7 +654,71 @@ object Dedup extends QueryModule {
       |SELECT doc_a, doc_b, containment FROM dirs
       |WHERE containment >= 0.5""".stripMargin
 
+  // ---- prefix-filtered similarity join (AllPairs/PPJoin family) ---
+  //
+  // The scale path for the exact jaccard join: under a GLOBAL shingle
+  // order (rarity-first — df ASC, shingle ASC), any pair with
+  // J ≥ t must share a shingle within each side's first
+  // p = |d| − ⌈t·|d|⌉ + 1 shingles (the prefix-filter theorem), so
+  // candidates come from joining PREFIXES only — the indexed volume
+  // drops from Σ|d| to Σp ≈ (1−t)·Σ|d|, and the candidate pairs from
+  // "docs sharing any shingle" to "docs sharing a RARE early shingle".
+  // ⌈0.7n⌉ is the exact integer (7n+9) div 10 — no float boundary.
+  // Candidates then verify by exact intersection (cost ∝ candidates).
+  // Same answer as q_dedup_jaccard_pairs — it shares that oracle.
+  private val jaccardPrefixQ = (s: SparkSession, dir: String) => {
+    val edges = shared(s, s"edges|$dir")(shingleEdges(Tables.documents(s, dir)))
+    val dfreq = edges.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sizes = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("s").asc)
+    val prefix = edges.join(dfreq, "s")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <=
+        col("n") - expr("(7 * n + 9) div 10") + lit(1))
+      .select(col("doc_id"), col("s"))
+    val cands = prefix.select(col("doc_id").as("ida"), col("s"))
+      .join(prefix.select(col("doc_id").as("idb"), col("s")), Seq("s"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    val inter = cands
+      .join(edges.select(col("doc_id").as("ida"), col("s")), Seq("ida"))
+      .join(edges.select(col("doc_id").as("idb"), col("s")), Seq("idb", "s"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
+      .withColumn("jaccard",
+        round(col("i") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** Candidate-pair counts for the spec: (prefix-filtered, full
+    * inverted-index) — the pruning the prefix filter buys. */
+  private[graft] def prefixCandidateCounts(s: SparkSession, dir: String): (Long, Long) = {
+    val edges = shared(s, s"edges|$dir")(shingleEdges(Tables.documents(s, dir)))
+    val dfreq = edges.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sizes = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("s").asc)
+    val prefix = edges.join(dfreq, "s")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("n") - expr("(7 * n + 9) div 10") + lit(1))
+      .select(col("doc_id"), col("s"))
+    def pairs(e: DataFrame): Long =
+      e.select(col("doc_id").as("ida"), col("s"))
+        .join(e.select(col("doc_id").as("idb"), col("s")), Seq("s"))
+        .filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb")).distinct().count()
+    (pairs(prefix), pairs(edges))
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_dedup_jaccard_prefix" -> Q(jaccardPrefixQ, Some(jaccardSql),
+      "prefix-filtered exact similarity join (PPJoin family): rare-early candidates only"),
     "q_dedup_containment" -> Q(containmentQ, Some(containmentSql),
       "asymmetric shingle containment: catches sub-document duplication jaccard misses"),
     "q_dedup_fuzzy_names" -> Q(fuzzyNamesQ, Some(fuzzyNamesSql),
