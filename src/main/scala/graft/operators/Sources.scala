@@ -626,6 +626,42 @@ object Sources extends QueryModule {
     pre.unionByName(mainPost)
   }
 
+  /** The identical branch workflow driven through the SQL CALL surface
+    * (GraftProcedures / ProcedureCatalog) against a catalog table —
+    * fork, overlay append, main moving on, merge — sharing the
+    * programmatic form's oracle: the SQL verbs must be the same verbs. */
+  private val branchSql = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    val tbl = s"$root/main/orders_brsql"
+    val orders = Tables.orders(s, dir)
+    if (graft.sources.GraftBranches.exists(tbl, "exp"))
+      s.sql("CALL graft.system.drop_branch('main.orders_brsql', 'exp')")
+    orders.filter(col("o_orderkey") <= 7500)
+      .repartitionByRange(2, col("o_orderkey"))
+      .write.format("graft-objects").mode("overwrite").save(tbl)
+    s.sql("CALL graft.system.create_branch('main.orders_brsql', 'exp')")
+    graft.sources.GraftBranches.append(
+      orders.filter(col("o_orderkey") > 7500)
+        .repartitionByRange(2, col("o_orderkey")),
+      tbl, "exp")
+    orders.filter(col("o_orderkey") <= 300)
+      .repartitionByRange(1, col("o_orderkey"))
+      .write.format("graft-objects").mode("append").save(tbl)
+    def agg(df: DataFrame, snap: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+        .select(lit(snap).as("snap"), col("n_rows"), col("sum_total"),
+          col("min_key"), col("max_key"))
+    val pre = agg(graft.sources.GraftBranches.read(s, tbl, "exp"), "branch_pre")
+      .unionByName(agg(s.read.format("graft-objects").load(tbl), "main_pre"))
+      .localCheckpoint()
+    s.sql("CALL graft.system.merge_branch('main.orders_brsql', 'exp')")
+    pre.unionByName(
+      agg(s.read.format("graft-objects").load(tbl), "main_post"))
+  }
+
   private val branchMergeSql =
     """WITH base AS (SELECT * FROM orders WHERE o_orderkey <= 7500),
       |exp AS (SELECT * FROM orders WHERE o_orderkey > 7500),
@@ -1199,6 +1235,8 @@ object Sources extends QueryModule {
       "VERSION AS OF snapshot read: pre-DELETE state from the archive"),
     "q_src_branch_merge" -> Q(branchMerge, Some(branchMergeSql),
       "table branches: fork ref + overlay writes, snapshot-isolated both ways, atomic link merge"),
+    "q_src_branch_sql" -> Q(branchSql, Some(branchMergeSql),
+      "the same branch workflow driven by SQL CALL procedures (ProcedureCatalog)"),
     "q_src_changes_since" -> Q(changesSince, Some(changesSinceSql),
       "incremental delta view @vA..B: exactly the objects added since A"),
     "q_src_changes_rows" -> Q(changesRows, Some(changesRowsSql),

@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` surface for the storage-layer verbs that have no DML
+  * shape (Spark 4 DSv2 ProcedureCatalog — the Iceberg-procedures
+  * pattern): branches, retention and version inspection become
+  *
+  *   CALL graft.system.create_branch('main.orders', 'exp')
+  *   CALL graft.system.merge_branch('main.orders', 'exp')
+  *   CALL graft.system.list_branches('main.orders')
+  *   CALL graft.system.vacuum_table('main.orders', 3)
+  *   CALL graft.system.table_version('main.orders')
+  *
+  * so a SQL-only client operates the full table lifecycle. Each call
+  * returns its result as a LocalScan row set (versions, branch
+  * listings) — driver-side metadata, never data-path work. Table
+  * references are '<namespace>.<table>' strings resolved against the
+  * catalog root ('main' when unqualified) — the same layout rule
+  * every other catalog path uses. */
+object GraftProcedures {
+
+  private val SystemNs = Array("system")
+
+  private val names = Seq("create_branch", "merge_branch", "drop_branch",
+    "list_branches", "vacuum_table", "table_version")
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(SystemNs))
+      names.map(n => Identifier.of(SystemNs, n)).toArray
+    else Array.empty
+
+  def load(root: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(SystemNs),
+      s"procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    val dirOf = (table: String) => {
+      val parts = table.split('.')
+      val path = if (parts.length == 1) Seq(root, "main", table)
+        else root +: parts.toSeq
+      path.mkString("/")
+    }
+    ident.name() match {
+      case "create_branch" => proc("create_branch",
+        Seq("table" -> StringType, "branch" -> StringType),
+        StructType(Seq(StructField("branch", StringType),
+          StructField("base_version", IntegerType))),
+        in => {
+          val (t, b) = (str(in, 0), str(in, 1))
+          val base = GraftBranches.create(dirOf(t), b)
+          Array(row(UTF8String.fromString(b), base))
+        })
+      case "merge_branch" => proc("merge_branch",
+        Seq("table" -> StringType, "branch" -> StringType),
+        StructType(Seq(StructField("merged_version", IntegerType))),
+        in => Array(row(
+          GraftBranches.merge(dirOf(str(in, 0)), str(in, 1)))))
+      case "drop_branch" => proc("drop_branch",
+        Seq("table" -> StringType, "branch" -> StringType),
+        StructType(Seq(StructField("dropped", BooleanType))),
+        in => {
+          val (t, b) = (str(in, 0), str(in, 1))
+          val existed = GraftBranches.exists(dirOf(t), b)
+          GraftBranches.drop(dirOf(t), b)
+          Array(row(existed))
+        })
+      case "list_branches" => proc("list_branches",
+        Seq("table" -> StringType),
+        StructType(Seq(StructField("branch", StringType),
+          StructField("base_version", IntegerType))),
+        in => GraftBranches.list(dirOf(str(in, 0)))
+          .map { case (b, v) => row(UTF8String.fromString(b), v) }.toArray)
+      case "vacuum_table" => proc("vacuum_table",
+        Seq("table" -> StringType, "keep_from" -> IntegerType),
+        StructType(Seq(StructField("vacuumed_through", IntegerType))),
+        in => {
+          val keep = in.getInt(1)
+          GraftVersions.vacuum(dirOf(str(in, 0)), keep)
+          Array(row(keep))
+        })
+      case "table_version" => proc("table_version",
+        Seq("table" -> StringType),
+        StructType(Seq(StructField("version", IntegerType))),
+        in => Array(row(
+          GraftVersions.currentVersion(dirOf(str(in, 0))))))
+      case other =>
+        throw new IllegalArgumentException(s"unknown procedure: $other")
+    }
+  }
+
+  private def str(in: InternalRow, i: Int): String = {
+    require(!in.isNullAt(i), s"procedure argument $i must not be NULL")
+    in.getUTF8String(i).toString
+  }
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.toArray)
+
+  private def proc(pname: String, params: Seq[(String, DataType)],
+      out: StructType, body: InternalRow => Array[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"graft storage procedure $pname"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = pname
+          override def description(): String = s"graft storage procedure $pname"
+          override def parameters(): Array[ProcedureParameter] =
+            params.map { case (n, t) =>
+              ProcedureParameter.in(n, t).build()
+            }.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): JIterator[Scan] = {
+            val rs = body(input)
+            Collections.singletonList[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = rs
+              override def readSchema(): StructType = out
+            }).iterator()
+          }
+        }
+    }
+}
