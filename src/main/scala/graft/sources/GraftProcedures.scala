@@ -31,7 +31,8 @@ object GraftProcedures {
   private val SystemNs = Array("system")
 
   private val names = Seq("create_branch", "merge_branch", "drop_branch",
-    "list_branches", "vacuum_table", "table_version")
+    "list_branches", "vacuum_table", "table_version",
+    "compact_table", "scrub_table")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -90,6 +91,27 @@ object GraftProcedures {
         StructType(Seq(StructField("version", IntegerType))),
         in => Array(row(
           GraftVersions.currentVersion(dirOf(str(in, 0))))))
+      case "compact_table" => proc("compact_table",
+        Seq("table" -> StringType, "target" -> IntegerType),
+        StructType(Seq(StructField("objects_before", IntegerType),
+          StructField("objects_after", IntegerType))),
+        in => {
+          val d = dirOf(str(in, 0))
+          val before = GraftObjectTable.listObjects(d).size
+          ObjectStoreMaintenance.compact(
+            org.apache.spark.sql.SparkSession.active, d, in.getInt(1))
+          Array(row(before, GraftObjectTable.listObjects(d).size))
+        })
+      case "scrub_table" => proc("scrub_table",
+        Seq("table" -> StringType),
+        StructType(Seq(StructField("n_objects", IntegerType),
+          StructField("n_ok", IntegerType),
+          StructField("n_corrupt", IntegerType))),
+        in => {
+          val objs = GraftObjectTable.listObjects(dirOf(str(in, 0)))
+          val ok = objs.count(ObjectFormat.verifyObject)
+          Array(row(objs.size, ok, objs.size - ok))
+        })
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: $other")
     }

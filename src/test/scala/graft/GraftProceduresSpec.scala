@@ -64,6 +64,28 @@ class GraftProceduresSpec extends SparkSpec {
     assert(swept == v)
   }
 
+  test("CALL compact_table merges small objects; scrub_table reports clean CRCs") {
+    val path = s"$root/mt/t"
+    spark.range(0, 200).selectExpr("id", "concat('row', id) AS v")
+      .repartition(8)
+      .write.format("graft-objects").mode("overwrite").save(path)
+    val c = spark.sql("CALL gproc.system.compact_table('mt.t', 2)")
+      .collect().head
+    assert(c.getInt(0) == 8 && c.getInt(1) == 2,
+      s"expected 8 -> 2 objects, got ${c.getInt(0)} -> ${c.getInt(1)}")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gproc.mt.t")
+      .collect().head.getLong(0) == 200, "compaction preserves rows")
+    val s0 = spark.sql("CALL gproc.system.scrub_table('mt.t')").collect().head
+    assert(s0.getInt(0) == 2 && s0.getInt(1) == 2 && s0.getInt(2) == 0)
+    // corrupt a body byte: the scrub must catch exactly that object
+    val obj = graft.sources.GraftObjectTable.listObjects(path).head
+    val raf = new java.io.RandomAccessFile(obj, "rw")
+    raf.seek(60); val b = raf.read(); raf.seek(60); raf.write(b ^ 0xff)
+    raf.close()
+    val s1 = spark.sql("CALL gproc.system.scrub_table('mt.t')").collect().head
+    assert(s1.getInt(2) == 1, "tampered body must fail the CRC scrub")
+  }
+
   test("procedures are namespaced and discoverable; unknown names refuse") {
     mkTable("ns", "t")
     val e = intercept[Exception] {
