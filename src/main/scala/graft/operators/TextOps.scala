@@ -322,6 +322,100 @@ object TextOps extends QueryModule {
       |FROM pairs GROUP BY 1
       |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
+  // ---- BPE tokenizer training (full greedy merge loop) -----------
+  //
+  // The real thing the round-1 pair count (q_text_bpe_pairs) feeds:
+  // 5 greedy merge rounds over the (word, freq) vocabulary — count
+  // weighted adjacent symbol pairs, take the best (count, then pair
+  // lexicographic — deterministic), rewrite every word's symbol
+  // sequence, repeat. Output = the learned merge table.
+  //
+  // Symbol sequences are SPACE-JOINED strings (symbols never contain
+  // spaces) and a merge applies as bounded nested `replace()` passes
+  // over ' pa pb ' → ' papb ' on the padded string: replace() scans
+  // left-to-right non-overlapping IDENTICALLY in both engines, and
+  // each pass halves the surviving overlap chain, so 5 passes resolve
+  // runs up to 2⁵ adjacent repeats — far beyond any fixture word.
+  // This is the greedy-left application order real BPE uses.
+  //
+  // Scale posture: the loop runs on the VOCABULARY (words × freq —
+  // corpus-collapsed once, the standard BPE trick), each round is one
+  // pair-count exchange over vocab rows + a broadcast of the single
+  // best-pair row; localCheckpoint pins the per-round plan exactly
+  // like PageRank/PCA.
+  private val BpeRounds = 5
+
+  private val bpeTrainQ = (s: SparkSession, dir: String) => {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var vocab = words.select(col("freq"), expr(
+        "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1)))")
+        .as("sy"))
+      .localCheckpoint()
+    var merges: org.apache.spark.sql.DataFrame = null
+    for (r <- 1 to BpeRounds) {
+      val best = vocab
+        .select(col("freq"), split(col("sy"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS pa, a[i+1] AS pb))"))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pa").asc, col("pb").asc)
+        .limit(1)
+        .select(lit(r).as("round"), col("pa"), col("pb"),
+          concat(col("pa"), col("pb")).as("merged"), col("n"))
+        .localCheckpoint()
+      merges = if (merges == null) best else merges.unionAll(best)
+      val pat = concat(lit(" "), col("_pa"), lit(" "), col("_pb"), lit(" "))
+      val rep = concat(lit(" "), col("_pa"), col("_pb"), lit(" "))
+      var upd = vocab
+        .crossJoin(broadcast(best.select(col("pa").as("_pa"), col("pb").as("_pb"))))
+        .withColumn("pad", concat(lit(" "), col("sy"), lit(" ")))
+      for (_ <- 1 to 5)
+        upd = upd.withColumn("pad", replace(col("pad"), pat, rep))
+      vocab = upd.select(col("freq"), trim(col("pad")).as("sy"))
+        .localCheckpoint()
+    }
+    merges
+  }
+
+  private def bpeTrainSql: String = {
+    def round(r: Int): String = {
+      val rep5 = (1 to 5).foldLeft("' ' || sy || ' '") { (acc, _) =>
+        s"replace($acc, ' ' || b.pa || ' ' || b.pb || ' ', ' ' || b.pa || b.pb || ' ')"
+      }
+      s"""p$r AS MATERIALIZED (
+         |  SELECT a[CAST(i AS INT)] AS pa, a[CAST(i AS INT) + 1] AS pb,
+         |    CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, string_split(sy, ' ') AS a FROM v${r - 1})
+         |  CROSS JOIN unnest(range(1, len(a))) AS t(i)
+         |  WHERE len(a) >= 2
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT $r AS round, pa, pb, pa || pb AS merged, n
+         |  FROM p$r ORDER BY n DESC, pa ASC, pb ASC LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT freq, trim($rep5) AS sy FROM v${r - 1}, b$r b)"""
+        .stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT freq, array_to_string(list_transform(
+       |    range(1, length(w) + 1), i -> w[CAST(i AS INT)]), ' ') AS sy
+       |  FROM words),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |${(1 to BpeRounds).map(r => s"SELECT round, pa, pb, merged, n FROM b$r")
+          .mkString("\nUNION ALL\n")}"""
+      .stripMargin
+  }
+
   // Language-ID heuristic: stopword-hit ratio (lexicon-join pattern).
   private val langidQ = (s: SparkSession, dir: String) =>
     Tables.documents(s, dir)
@@ -927,6 +1021,8 @@ object TextOps extends QueryModule {
       "trigram-index substring search: all-grams candidate gate + verify == LIKE scan"),
     "q_text_bpe_pairs" -> Q(bpePairsQ, Some(bpePairsSql),
       "BPE round-1 merge candidates: pair counts from the (word,freq) vocab, not the corpus"),
+    "q_text_bpe_train" -> Q(bpeTrainQ, Some(bpeTrainSql),
+      "BPE tokenizer training: 5 greedy merge rounds over the vocab, learned merge table"),
     "q_text_phrase_search" -> Q(phraseQ, Some(phraseSql),
       "positional phrase match: offset-intersection of filtered posting lists"),
     "q_text_bm25_indexed" -> Q(bm25IndexedQ, Some(bm25Sql),
