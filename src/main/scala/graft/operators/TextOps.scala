@@ -345,12 +345,17 @@ object TextOps extends QueryModule {
   // like PageRank/PCA.
   private val BpeRounds = 5
 
-  private val bpeTrainQ = (s: SparkSession, dir: String) => {
+  /** The shared train loop: returns (merge table, final vocabulary) —
+    * the vocabulary carries (w, freq, sy) so the ENCODE view (the
+    * trained tokenizer applied to every word) falls out of the same
+    * pass that learned the merges. */
+  private def bpeLoop(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val words = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var vocab = words.select(col("freq"), expr(
+    var vocab = words.select(col("w"), col("freq"), expr(
         "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1)))")
         .as("sy"))
       .localCheckpoint()
@@ -377,13 +382,28 @@ object TextOps extends QueryModule {
         .withColumn("pad", concat(lit(" "), col("sy"), lit(" ")))
       for (_ <- 1 to 5)
         upd = upd.withColumn("pad", replace(col("pad"), pat, rep))
-      vocab = upd.select(col("freq"), trim(col("pad")).as("sy"))
+      vocab = upd.select(col("w"), col("freq"), trim(col("pad")).as("sy"))
         .localCheckpoint()
     }
-    merges
+    (merges, vocab)
   }
 
-  private def bpeTrainSql: String = {
+  private val bpeTrainQ = (s: SparkSession, dir: String) => bpeLoop(s, dir)._1
+
+  /** The trained tokenizer APPLIED: top-30 vocabulary words with their
+    * BPE segmentations after the 5 learned merges — the inference side
+    * (the per-word compression ratio is what a tokenizer report
+    * shows). Falls out of the training pass's final vocabulary. */
+  private val bpeEncodeQ = (s: SparkSession, dir: String) =>
+    bpeLoop(s, dir)._2
+      .select(col("w"), col("freq"),
+        length(col("w")).cast("long").as("n_chars"),
+        size(split(col("sy"), " ")).cast("long").as("n_tokens"),
+        col("sy").as("bpe_tokens"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(30)
+
+  private def bpeCtes: String = {
     def round(r: Int): String = {
       val rep5 = (1 to 5).foldLeft("' ' || sy || ' '") { (acc, _) =>
         s"replace($acc, ' ' || b.pa || ' ' || b.pb || ' ', ' ' || b.pa || b.pb || ' ')"
@@ -399,7 +419,7 @@ object TextOps extends QueryModule {
          |  SELECT $r AS round, pa, pb, pa || pb AS merged, n
          |  FROM p$r ORDER BY n DESC, pa ASC, pb ASC LIMIT 1),
          |v$r AS MATERIALIZED (
-         |  SELECT freq, trim($rep5) AS sy FROM v${r - 1}, b$r b)"""
+         |  SELECT w, freq, trim($rep5) AS sy FROM v${r - 1}, b$r b)"""
         .stripMargin
     }
     s"""WITH words AS (
@@ -407,14 +427,26 @@ object TextOps extends QueryModule {
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) >= 2 GROUP BY 1),
        |v0 AS MATERIALIZED (
-       |  SELECT freq, array_to_string(list_transform(
+       |  SELECT w, freq, array_to_string(list_transform(
        |    range(1, length(w) + 1), i -> w[CAST(i AS INT)]), ' ') AS sy
        |  FROM words),
-       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |${(1 to BpeRounds).map(round).mkString(",\n")}"""
+      .stripMargin
+  }
+
+  private def bpeTrainSql: String =
+    s"""$bpeCtes
        |${(1 to BpeRounds).map(r => s"SELECT round, pa, pb, merged, n FROM b$r")
           .mkString("\nUNION ALL\n")}"""
       .stripMargin
-  }
+
+  private def bpeEncodeSql: String =
+    s"""$bpeCtes
+       |SELECT w, freq, length(w) AS n_chars,
+       |  len(string_split(sy, ' ')) AS n_tokens, sy AS bpe_tokens
+       |FROM v$BpeRounds
+       |ORDER BY freq DESC, w ASC LIMIT 30"""
+      .stripMargin
 
   // Language-ID heuristic: stopword-hit ratio (lexicon-join pattern).
   private val langidQ = (s: SparkSession, dir: String) =>
@@ -1023,6 +1055,8 @@ object TextOps extends QueryModule {
       "BPE round-1 merge candidates: pair counts from the (word,freq) vocab, not the corpus"),
     "q_text_bpe_train" -> Q(bpeTrainQ, Some(bpeTrainSql),
       "BPE tokenizer training: 5 greedy merge rounds over the vocab, learned merge table"),
+    "q_text_bpe_encode" -> Q(bpeEncodeQ, Some(bpeEncodeSql),
+      "the trained BPE applied: top-30 words with segmentations + compression"),
     "q_text_phrase_search" -> Q(phraseQ, Some(phraseSql),
       "positional phrase match: offset-intersection of filtered posting lists"),
     "q_text_bm25_indexed" -> Q(bm25IndexedQ, Some(bm25Sql),
