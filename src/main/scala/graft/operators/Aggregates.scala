@@ -737,7 +737,71 @@ object Aggregates extends QueryModule {
       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_lag1
       |FROM mo WHERE n >= 3""".stripMargin
 
+  // ---- skewness / excess kurtosis per group -----------------------
+  //
+  // Third and fourth standardized moments from exact integer power
+  // sums (x ≤ 50 ⇒ x⁴ ≤ 6.25·10⁶; DECIMAL(38) sums are exact past
+  // 10³⁰ rows), then ONE double expression whose tree is mirrored
+  // token-for-token in the oracle — the OLS/corr-matrix discipline.
+  // One partial-agg pass; nothing but the |groups|-row moment table
+  // ever crosses the exchange.
+  private val skewKurtQ = (s: SparkSession, dir: String) => {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"))
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val mo = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        m(col("x")).as("s1"),
+        m(col("x") * col("x")).as("s2"),
+        m(col("x") * col("x") * col("x")).as("s3"),
+        m(col("x") * col("x") * col("x") * col("x")).as("s4"))
+    val ms = mo.select(col("l_returnflag"), col("n"),
+      (col("s1").cast("double") / col("n").cast("double")).as("m1"),
+      (col("s2").cast("double") / col("n").cast("double")).as("e2"),
+      (col("s3").cast("double") / col("n").cast("double")).as("e3"),
+      (col("s4").cast("double") / col("n").cast("double")).as("e4"))
+    ms.withColumn("v", col("e2") - col("m1") * col("m1"))
+      .select(col("l_returnflag"), col("n"),
+        col("m1").as("mean"), col("v").as("variance"),
+        ((col("e3") - lit(3.0d) * col("m1") * col("e2")
+          + lit(2.0d) * col("m1") * col("m1") * col("m1"))
+          / (col("v") * sqrt(col("v")))).as("skewness"),
+        ((col("e4") - lit(4.0d) * col("m1") * col("e3")
+          + lit(6.0d) * col("m1") * col("m1") * col("e2")
+          - lit(3.0d) * col("m1") * col("m1") * col("m1") * col("m1"))
+          / (col("v") * col("v")) - lit(3.0d)).as("kurtosis_excess"))
+  }
+
+  private val skewKurtSql =
+    """WITH li AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+      |  FROM lineitem),
+      |mo AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS s1,
+      |    SUM(CAST(x*x AS DECIMAL(38,0))) AS s2,
+      |    SUM(CAST(x*x*x AS DECIMAL(38,0))) AS s3,
+      |    SUM(CAST(x*x*x*x AS DECIMAL(38,0))) AS s4
+      |  FROM li GROUP BY 1),
+      |ms AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+      |  FROM mo),
+      |vs AS (SELECT *, e2 - m1 * m1 AS v FROM ms)
+      |SELECT l_returnflag, n, m1 AS mean, v AS variance,
+      |  (e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1)
+      |    / (v * sqrt(v)) AS skewness,
+      |  (e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2
+      |   - 3.0 * m1 * m1 * m1 * m1)
+      |    / (v * v) - 3.0 AS kurtosis_excess
+      |FROM vs""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_skew_kurt" -> Q(skewKurtQ, Some(skewKurtSql),
+      "per-group skewness/excess kurtosis from exact integer power sums"),
     "q_agg_ols_fit" -> Q(olsFitQ, Some(olsFitSql),
       "per-group OLS slope/intercept from integer moments, one pass"),
     "q_ts_autocorr" -> Q(autocorrQ, Some(autocorrSql),

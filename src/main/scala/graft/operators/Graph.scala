@@ -270,7 +270,147 @@ object Graph extends QueryModule {
       |JOIN nation n ON n.n_nationkey = l.node
       |JOIN sz ON sz.component = l.component""".stripMargin
 
+  /** Single-source BFS hop distance from nation 0 over the undirected
+    * trade graph, bounded at [[BfsRounds]] hops — the frontier-expansion
+    * form: each round joins ONLY the rows discovered last round against
+    * the edge list, then folds the new distances in with a min-combine.
+    * The quantity computed is "min hops within ≤R" — well-defined at
+    * every scale (no data-dependent fixpoint), and equal to true BFS
+    * distance whenever the graph's eccentricity from the source is ≤R.
+    *
+    * 100 TB posture: the corpus-scale work is the one groupBy that
+    * collapses the fact table to the ≤|nations|² edge list; each round
+    * after that is one frontier⋈edges equi-join + a min-combine, both
+    * keyed on the node id (co-partitionable), with `localCheckpoint`
+    * pinning lineage per round exactly like PageRank. The oracle walks
+    * the same graph with a hop-bounded recursive CTE and takes MIN —
+    * frontier scheduling changes the JOIN SHAPE, never the minimum. */
+  private val BfsRounds = 6
+
+  private def undirectedEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .agg(count(lit(1)).as("w"))
+
+  private val edgesSqlCte =
+    """und AS MATERIALIZED (
+      |  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+      |    greatest(c.c_nationkey, s.s_nationkey) AS b, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val bfsQ = (s: SparkSession, dir: String) => {
+    val und = undirectedEdges(s, dir)
+    val bi = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val nodes = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    var dist = nodes.select(col("node")).filter(col("node") === 0L)
+      .select(col("node"), lit(0L).as("d"))
+    for (it <- 1 to BfsRounds) {
+      val frontier = dist.filter(col("d") === lit((it - 1).toLong))
+      val next = frontier.join(bi, frontier("node") === bi("src"))
+        .select(col("dst").cast("long").as("node"), lit(it.toLong).as("d"))
+      dist = dist.unionAll(next)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("n_name"), col("node"), col("d").as("hops"))
+  }
+
+  private val bfsSql =
+    s"""WITH RECURSIVE $edgesSqlCte,
+       |bi AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b AS src, a AS dst FROM und),
+       |walk AS (
+       |  SELECT 0 AS node, 0 AS d
+       |  UNION
+       |  SELECT e.dst AS node, w.d + 1 AS d
+       |  FROM walk w JOIN bi e ON e.src = w.node
+       |  WHERE w.d < $BfsRounds),
+       |dist AS (SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+       |         FROM walk GROUP BY 1)
+       |SELECT n.n_name, CAST(n.n_nationkey AS BIGINT) AS node, dist.hops
+       |FROM nation n LEFT JOIN dist ON dist.node = n.n_nationkey"""
+      .stripMargin
+
+  /** Bellman–Ford minimum-cost routing from nation 0, edge cost
+    * `1000000 div w` (floor division — heavier trade routes are
+    * cheaper; integer-exact in both engines), relaxation bounded at
+    * [[BfRounds]] rounds so the computed quantity is "min cost over
+    * paths of ≤R hops" — scale-independent, no data-dependent
+    * fixpoint. Costs stay ≤ R·10⁶, far inside BIGINT.
+    *
+    * Unlike BFS the relaxation re-derives from the FULL tentative-best
+    * table each round (a shorter-hop path may still be replaced by a
+    * cheaper longer one), so each round is one best⋈edges equi-join +
+    * min-combine on the node key. The oracle unrolls the identical
+    * recurrence as R chained CTEs — a hop-bounded recursive walk CTE
+    * would enumerate every distinct path cost (exponential); the
+    * unrolled min-fold is the same dynamic program the engine runs. */
+  private val BfRounds = 6
+
+  private val bellmanQ = (s: SparkSession, dir: String) => {
+    val und = undirectedEdges(s, dir)
+    val bi = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .select(col("src"), col("dst"), expr("1000000 div w").as("ecost"))
+      .localCheckpoint()
+    val nodes = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    var best = nodes.select(col("node")).filter(col("node") === 0L)
+      .select(col("node"), lit(0L).as("cost"))
+    for (_ <- 1 to BfRounds) {
+      val relax = best.join(bi, best("node") === bi("src"))
+        .select(col("dst").cast("long").as("node"),
+          (col("cost") + col("ecost")).as("cost"))
+      best = best.unionAll(relax)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+    }
+    nodes.join(best, Seq("node"), "left")
+      .select(col("n_name"), col("node"), col("cost").as("min_cost"))
+  }
+
+  private def bellmanSql: String = {
+    def round(n: Int): String =
+      s"""d${n + 1} AS MATERIALIZED (
+         |  SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+         |    SELECT node, cost FROM d$n
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.cost + e.ecost AS cost
+         |    FROM d$n p JOIN bi e ON e.src = p.node)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH $edgesSqlCte,
+       |bi AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, 1000000 // w AS ecost FROM und
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst, 1000000 // w AS ecost FROM und),
+       |d0 AS (SELECT 0 AS node, CAST(0 AS BIGINT) AS cost),
+       |${(0 until BfRounds).map(round).mkString(",\n")}
+       |SELECT n.n_name, CAST(n.n_nationkey AS BIGINT) AS node,
+       |  d$BfRounds.cost AS min_cost
+       |FROM nation n LEFT JOIN d$BfRounds ON d$BfRounds.node = n.n_nationkey"""
+      .stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_bfs_hops" -> Q(bfsQ, Some(bfsSql),
+      "hop-bounded BFS distances from nation 0: frontier joins + min-combine"),
+    "q_graph_bellman_ford" -> Q(bellmanQ, Some(bellmanSql),
+      "round-bounded Bellman-Ford min-cost routing over the weighted trade graph"),
     "q_graph_pagerank" -> Q(pagerankQ, Some(pagerankSql),
       "weighted PageRank on the trade graph: integer-exact damped iterations"),
     "q_graph_triangles" -> Q(trianglesQ, Some(trianglesSql),

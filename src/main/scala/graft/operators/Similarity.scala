@@ -1544,7 +1544,59 @@ object Similarity extends QueryModule {
       |  FROM embeddings, q WHERE vec_id <> 7)
       |SELECT vec_id, cos FROM scored WHERE cos >= 0.1""".stripMargin
 
+  // ---- MaxSim late interaction (ColBERT shape) --------------------
+  //
+  // Multi-vector retrieval scoring: the "query" is a SET of token
+  // vectors (vec_id 0-2), each "document" is a label group's vector
+  // set, and score(doc) = Σ_q max_t cos(q, t) — the late-interaction
+  // operator ColBERT popularized, reduced to relational form: one
+  // broadcast of the query tokens, one corpus pass scoring every
+  // (doc-token, query-token) pair with the codegen cosine expression,
+  // a (label, qid) max — partial maxes combine map-side, so the
+  // exchange carries |docs|·|query-tokens| rows, never the corpus —
+  // and a decimal-exact final sum (each max is a 6-decimal rounded
+  // cosine; DECIMAL(10,6) addition is order-independent, so the
+  // partial/final shuffle order can't perturb bits). At 100 TB the
+  // first-stage max runs against an ANN-pruned candidate set (the
+  // LSH/IVF indexes two queries up) instead of the full corpus —
+  // the scoring plan is unchanged.
+  private val maxsimQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.filter(col("vec_id") >= 3)
+      .crossJoin(broadcast(qs))
+      .select(col("label"), col("qid"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .groupBy(col("label"), col("qid"))
+      .agg(max(col("cos")).as("mx"))
+      .groupBy(col("label"))
+      .agg(sum(col("mx").cast("decimal(10,6)")).cast("double").as("maxsim"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  private val maxsimSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT e.label, q.qid,
+      |    round(
+      |      list_sum(list_transform(range(1, len(e.embedding)+1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, len(qe)+1),
+      |           i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id >= 3),
+      |mx AS (SELECT label, qid, MAX(cos) AS mx
+      |       FROM scored GROUP BY 1, 2)
+      |SELECT label, CAST(SUM(CAST(mx AS DECIMAL(10,6))) AS DOUBLE) AS maxsim,
+      |  COUNT(*) AS n_terms
+      |FROM mx GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sim_maxsim" -> Q(maxsimQ, Some(maxsimSql),
+      "ColBERT-style MaxSim late-interaction scoring of label groups by a 3-token query"),
     "q_vec_pca_power" -> Q(pcaPowerQ, Some(pcaPowerSql),
       "top principal direction: one-pass Gram matrix + integer power iteration"),
     "q_sim_range_search" -> Q(rangeSearchQ, Some(rangeSearchSql),

@@ -1030,7 +1030,79 @@ object TextOps extends QueryModule {
       |    / COUNT(*), 2) AS pct_short
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  // ---- greedy bigram-LM generation --------------------------------
+  //
+  // The generative twin of Curation's bigram-LM scorer: train the
+  // count LM (one corpus pass: array-pair explode, groupBy (src,dst)
+  // with map-side partials), reduce it to the vocab-bounded argmax
+  // successor table (window over the AGGREGATED table, count-major /
+  // token-minor tie-break = deterministic decoding), seed with the
+  // corpus's most frequent token, then walk [[GenSteps]] greedy steps.
+  // Each step is a 1-row broadcast probe into the successor table —
+  // the corpus is touched exactly twice (bigrams + seed), ever; a
+  // dead-end token (no observed successor) simply ends the walk early
+  // on both engines. The oracle unrolls the identical walk as chained
+  // 1-row CTEs over the same MATERIALIZED argmax table.
+  private val GenSteps = 8
+
+  private val lmGenerateQ = (s: SparkSession, dir: String) => {
+    val toks = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("tk"))
+    val big = toks.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS src, tk[i+1] AS dst))"))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+    val bw = Window.partitionBy(col("src"))
+      .orderBy(col("c").desc, col("dst").asc)
+    val best = big.withColumn("rn", row_number().over(bw))
+      .filter(col("rn") === 1).select(col("src"), col("dst"))
+      .localCheckpoint()
+    val seed = toks.select(explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+      .orderBy(col("tc").desc, col("tok").asc).limit(1)
+    var cur = seed.select(lit(0).as("step"), col("tok"))
+    var walk = cur
+    for (st <- 1 to GenSteps) {
+      cur = broadcast(cur).join(best, cur("tok") === best("src"))
+        .select(lit(st).as("step"), col("dst").as("tok"))
+        .localCheckpoint()
+      walk = walk.unionAll(cur)
+    }
+    walk
+  }
+
+  private def lmGenerateSql: String = {
+    def step(n: Int): String =
+      s"""g${n + 1} AS (
+         |  SELECT ${n + 1} AS step, b.dst AS tok
+         |  FROM g$n JOIN best b ON b.src = g$n.tok)""".stripMargin
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT string_split(text, ' ') AS tk FROM documents),
+       |big AS MATERIALIZED (
+       |  SELECT p.src AS src, p.dst AS dst, COUNT(*) AS c FROM (
+       |    SELECT unnest(list_transform(range(1, len(tk)),
+       |      i -> {'src': tk[i], 'dst': tk[i+1]})) AS p
+       |    FROM toks) GROUP BY 1, 2),
+       |best AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (
+       |      PARTITION BY src ORDER BY c DESC, dst ASC) AS rn
+       |    FROM big) WHERE rn = 1),
+       |seed AS (
+       |  SELECT tok FROM (SELECT unnest(tk) AS tok FROM toks)
+       |  GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT 1),
+       |g0 AS (SELECT 0 AS step, tok FROM seed),
+       |${(0 until GenSteps).map(step).mkString(",\n")}
+       |${(0 to GenSteps).map(n => s"SELECT step, tok FROM g$n")
+        .mkString("\nUNION ALL\n")}"""
+      .stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_text_lm_generate" -> Q(lmGenerateQ, Some(lmGenerateSql),
+      "greedy bigram-LM decoding: argmax successor walk from the corpus mode token"),
     "q_text_langid_confusion" -> Q(langidNgramQ, Some(langidNgramSql),
       "trigram-profile language ID + confusion matrix vs labeled lang"),
     "q_pipeline_curate" -> Q(curateQ, Some(curateSql),

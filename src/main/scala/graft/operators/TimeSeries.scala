@@ -363,7 +363,128 @@ object TimeSeries extends QueryModule {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
       |  ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: one window pass pairs consecutive events (ts then
+    * event_id — a total order), one groupBy counts (src, dst)
+    * transitions, and the row-normalized probability is the exact
+    * rational `(c · 10⁶) div total` so no float division ever happens.
+    * `rnk` orders each row's successors (count-major, name-minor) —
+    * rnk=1 is the greedy next-state prediction.
+    *
+    * 100 TB posture: the window shuffle is keyed on the series key
+    * (user_id) — the same single exchange every per-series op here
+    * pays — and the transition table is bounded by |event-type
+    * vocabulary|², so the join that attaches row totals broadcasts. */
+  private val markovQ = (s: SparkSession, dir: String) => {
+    val mw = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(mw))
+      .filter(col("dst").isNotNull)
+    val trans = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+    val totals = trans.groupBy(col("src")).agg(sum(col("c")).as("tot"))
+    val rw = Window.partitionBy(col("src"))
+      .orderBy(col("c").desc, col("dst").asc)
+    trans.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"), col("c"),
+        expr("(c * 1000000) div tot").as("p_micro"))
+      .withColumn("rnk", row_number().over(rw))
+  }
+
+  private val markovSql =
+    """WITH p AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS dst
+      |  FROM events),
+      |tr AS (SELECT src, dst, COUNT(*) AS c
+      |       FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT src, SUM(c) AS tot FROM tr GROUP BY 1)
+      |SELECT tr.src, tr.dst, tr.c,
+      |  CAST((tr.c * 1000000) // t.tot AS BIGINT) AS p_micro,
+      |  CAST(row_number() OVER (PARTITION BY tr.src
+      |    ORDER BY tr.c DESC, tr.dst ASC) AS INTEGER) AS rnk
+      |FROM tr JOIN t ON tr.src = t.src""".stripMargin
+
+  /** CUSUM change-point scan per event type: micro-unit values
+    * (`floor(value·10⁶)` — floor of an IEEE product, identical bits in
+    * both engines), the per-type floor-mean subtracted, and the running
+    * sum of deviations S_i accumulated in event-time order. The
+    * reported extremes (s_max / s_min) bound the largest sustained
+    * upward/downward drift; the peak row (max |S|, earliest wins) is
+    * where a change-point detector would split the series.
+    *
+    * All arithmetic is BIGINT: vm ≤ 10⁶·max(value), |S| ≤ n·max|dev| —
+    * safe past 10¹⁰ rows per type at this value range; both engines
+    * fail LOUDLY on overflow past it (Spark 4 ANSI, DuckDB HUGEINT
+    * widening is fenced off by the explicit BIGINT casts).
+    *
+    * 100 TB posture: one broadcast of the |type|-row totals, one
+    * window shuffle keyed on the series key. A single type whose
+    * series outgrows one task range-partitions on (type, time-chunk)
+    * with one carry row per chunk — the standard prefix-scan split. */
+  private val cusumQ = (s: SparkSession, dir: String) => {
+    val vals = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 1000000L).cast("long").as("vm"))
+    val tot = vals.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"))
+    val ws = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = vals.join(broadcast(tot), "event_type")
+      .withColumn("mu", expr("sv div n"))
+      .withColumn("dev", col("vm") - col("mu"))
+      .withColumn("s", sum(col("dev")).over(ws))
+    val agg = cs.groupBy(col("event_type"), col("n"), col("mu"))
+      .agg(max(col("s")).as("s_max"), min(col("s")).as("s_min"))
+    val wp = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("ts").asc, col("event_id").asc)
+    val peak = cs.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("event_id").as("peak_event_id"),
+        col("s").as("peak_s"))
+    agg.join(peak, "event_type")
+  }
+
+  private val cusumSql =
+    """WITH v AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS vm
+      |  FROM events),
+      |t AS (SELECT event_type, COUNT(*) AS n,
+      |        CAST(SUM(vm) AS BIGINT) AS sv
+      |      FROM v GROUP BY 1),
+      |cs AS (
+      |  SELECT v.event_type, v.ts, v.event_id, t.n,
+      |    CAST(t.sv // t.n AS BIGINT) AS mu,
+      |    CAST(SUM(v.vm - t.sv // t.n) OVER (
+      |      PARTITION BY v.event_type
+      |      ORDER BY v.ts ASC, v.event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS s
+      |  FROM v JOIN t ON v.event_type = t.event_type),
+      |agg AS (
+      |  SELECT event_type, n, mu, MAX(s) AS s_max, MIN(s) AS s_min
+      |  FROM cs GROUP BY 1, 2, 3),
+      |peak AS (
+      |  SELECT event_type, event_id AS peak_event_id, s AS peak_s
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |          ORDER BY abs(s) DESC, ts ASC, event_id ASC) AS rn
+      |        FROM cs)
+      |  WHERE rn = 1)
+      |SELECT a.event_type, a.n, a.mu, a.s_max, a.s_min,
+      |  p.peak_event_id, p.peak_s
+      |FROM agg a JOIN peak p ON a.event_type = p.event_type""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_markov" -> Q(markovQ, Some(markovSql),
+      "per-user event-type Markov transition matrix with exact rational probabilities"),
+    "q_ts_cusum" -> Q(cusumQ, Some(cusumSql),
+      "CUSUM change-point scan per event type: integer micro-unit drift extremes"),
     "q_ts_rolling_median" -> Q(medianQ, Some(medianSql),
       "trailing 11-row exact median per series: the robust smoother twin of EWMA"),
     "q_ts_seasonal" -> Q(seasonalQ, Some(seasonalSql),
