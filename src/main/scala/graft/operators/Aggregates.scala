@@ -799,7 +799,61 @@ object Aggregates extends QueryModule {
       |    / (v * v) - 3.0 AS kurtosis_excess
       |FROM vs""".stripMargin
 
+  // ---- weighted median ---------------------------------------------
+  //
+  // Value-weighted 50th percentile: the median quantity where each row
+  // counts its extendedprice CENTS of weight — the "half the revenue
+  // sits below this size" statistic. Integer-exact: weights are cent
+  // longs, the distinct-value weight profile comes from ONE partial-agg
+  // pass (|groups|·|distinct x| rows — 50 per flag here — cross the
+  // exchange, never the corpus), the cumulative profile is a window
+  // over that bounded table, and the answer is the first x where
+  // 2·cum ≥ total. Ties in x are pre-merged by the groupBy, so the
+  // scan order is total.
+  private val weightedMedianQ = (s: SparkSession, dir: String) => {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("w"))
+    val prof = li.groupBy(col("l_returnflag"), col("x"))
+      .agg(sum(col("w")).as("wx"))
+    val cw = Window.partitionBy(col("l_returnflag")).orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(col("l_returnflag"))
+    val marked = prof
+      .withColumn("cum", sum(col("wx")).over(cw))
+      .withColumn("tot", sum(col("wx")).over(tw))
+      .filter(lit(2L) * col("cum") >= col("tot"))
+    val pick = Window.partitionBy(col("l_returnflag")).orderBy(col("x").asc)
+    marked.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("x").as("wmedian_qty"),
+        col("tot").as("total_weight_cents"))
+  }
+
+  private val weightedMedianSql =
+    """WITH li AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+      |  FROM lineitem),
+      |prof AS (
+      |  SELECT l_returnflag, x, CAST(SUM(w) AS BIGINT) AS wx
+      |  FROM li GROUP BY 1, 2),
+      |cumed AS (
+      |  SELECT l_returnflag, x,
+      |    CAST(SUM(wx) OVER (PARTITION BY l_returnflag ORDER BY x ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(wx) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      |  FROM prof),
+      |marked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY x ASC) AS rn
+      |  FROM cumed WHERE 2 * cum >= tot)
+      |SELECT l_returnflag, x AS wmedian_qty, tot AS total_weight_cents
+      |FROM marked WHERE rn = 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_weighted_median" -> Q(weightedMedianQ, Some(weightedMedianSql),
+      "extendedprice-weighted median quantity per group, integer-exact cumulative scan"),
     "q_agg_skew_kurt" -> Q(skewKurtQ, Some(skewKurtSql),
       "per-group skewness/excess kurtosis from exact integer power sums"),
     "q_agg_ols_fit" -> Q(olsFitQ, Some(olsFitSql),

@@ -716,7 +716,105 @@ object Dedup extends QueryModule {
     (pairs(prefix), pairs(edges))
   }
 
+  // ---- MinHash Jaccard ESTIMATOR vs ground truth ------------------
+  //
+  // The measurement query for the sketch the LSH pipeline rides on:
+  // 16 md5-seeded minhash components per SOURCE (md5, not xxhash64,
+  // so the oracle rebuilds the identical signatures — the simhash
+  // discipline), estimated Jaccard = matching-component fraction as
+  // the exact rational `matches · 62500` micro-units, compared
+  // against the true shingle-set Jaccard for every source pair.
+  // err_micro is the estimator's absolute error — the number a
+  // curator reads before trusting LSH thresholds at a new corpus.
+  //
+  // 100 TB posture: signatures ARE the scale story — the corpus
+  // collapses to one 16-long profile row per entity in the same
+  // single groupBy that counts the set sizes; the pair comparison
+  // runs on |entities|² profile rows (here 20 sources), never on
+  // shingles. The exact-Jaccard side is fixture-scale ground truth;
+  // at production scale it's sampled, and the estimator column is
+  // what ships.
+  private val MheK = 16
+
+  private val mhEstimateQ = (s: SparkSession, dir: String) => {
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
+        .as("s"))
+      .distinct()
+    val mins = (0 until MheK).map { k =>
+      min(conv(substring(md5(concat_ws("|", lit(k.toString), col("s"))),
+        1, 15), 16, 10).cast("long")).as(s"m$k")
+    }
+    val prof = sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), mins: _*)
+      .select(col("source"), col("n"),
+        array((0 until MheK).map(k => col(s"m$k")): _*).as("ml"))
+    val pa = prof.select(col("source").as("src_a"), col("n").as("na"),
+      col("ml").as("ma"))
+    val pb = prof.select(col("source").as("src_b"), col("n").as("nb"),
+      col("ml").as("mb"))
+    val inter = sh.select(col("source").as("src_a"), col("s"))
+      .join(sh.select(col("source").as("src_b"), col("s")), Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
+    pa.crossJoin(broadcast(pb)).filter(col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .select(col("src_a"), col("src_b"),
+        expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))")
+          .cast("long").as("n_match"),
+        col("i"), col("na"), col("nb"))
+      .withColumn("est_micro", col("n_match") * lit(62500L))
+      .withColumn("jaccard",
+        round(col("i") / (col("na") + col("nb") - col("i")), 6))
+      .withColumn("err_micro",
+        abs(col("est_micro") - round(col("jaccard") * 1e6).cast("long")))
+      .select("src_a", "src_b", "n_match", "est_micro", "jaccard", "err_micro")
+  }
+
+  private val mhEstimateSql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT source, string_split(text,' ') AS tk FROM documents),
+      |sh0 AS (SELECT source, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
+      |sh AS MATERIALIZED (SELECT DISTINCT source, s FROM sh0),
+      |mh AS (
+      |  SELECT source, t.k,
+      |    MIN(CAST(concat('0x', substr(md5(CAST(t.k AS VARCHAR) || '|' || s),
+      |      1, 15)) AS BIGINT)) AS m
+      |  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(k)
+      |  GROUP BY 1, 2),
+      |prof AS MATERIALIZED (
+      |  SELECT mh.source, sz.n, list(mh.m ORDER BY mh.k) AS ml
+      |  FROM mh JOIN (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1) sz
+      |    ON mh.source = sz.source
+      |  GROUP BY 1, 2),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, a.n AS na, b.n AS nb,
+      |    CAST(len(list_filter(list_transform(range(1, 17),
+      |      x -> a.ml[x] = b.ml[x]), v -> v)) AS BIGINT) AS n_match,
+      |    COALESCE(i.i, 0) AS i
+      |  FROM prof a
+      |  JOIN prof b ON a.source < b.source
+      |  LEFT JOIN inter i ON i.src_a = a.source AND i.src_b = b.source)
+      |SELECT src_a, src_b, n_match,
+      |  CAST(n_match * 62500 AS BIGINT) AS est_micro,
+      |  round(i * 1.0 / (na + nb - i), 6) AS jaccard,
+      |  CAST(abs(n_match * 62500
+      |    - CAST(round(round(i * 1.0 / (na + nb - i), 6) * 1000000)
+      |        AS BIGINT)) AS BIGINT) AS err_micro
+      |FROM pairs""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_dedup_minhash_estimate" -> Q(mhEstimateQ, Some(mhEstimateSql),
+      "16-component md5 minhash Jaccard estimator vs exact ground truth per source pair"),
     "q_dedup_jaccard_prefix" -> Q(jaccardPrefixQ, Some(jaccardSql),
       "prefix-filtered exact similarity join (PPJoin family): rare-early candidates only"),
     "q_dedup_containment" -> Q(containmentQ, Some(containmentSql),

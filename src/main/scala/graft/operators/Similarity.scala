@@ -1594,7 +1594,108 @@ object Similarity extends QueryModule {
       |  COUNT(*) AS n_terms
       |FROM mx GROUP BY 1""".stripMargin
 
+  // ---- per-dimension standardization (z-norm / whitening-lite) ----
+  //
+  // The ANN-preprocessing step every embedding pipeline runs before
+  // indexing: per-dimension mean/std from EXACT micro-integer moments
+  // (round(v·10⁶) longs; squares summed in DECIMAL(38)), then one
+  // mirrored double expression per value. Plan: ONE partial-agg pass
+  // builds the |dims|-row stats table, which broadcasts back onto the
+  // (map-side) z-scoring — the corpus is exploded once and never
+  // shuffled. Output is the first 3 vectors' z-values, 6-decimal
+  // rounded (the full standardized corpus is this same projection
+  // without the vec_id filter).
+  private val standardizeQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val vm = round(col("v").cast("double") * 1e6).cast("long")
+    val dims = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"), vm.as("vm"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s1"),
+        sum((col("vm") * col("vm")).cast("decimal(38,0)")).as("s2"))
+    val stats = dims.select(col("pos"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        (col("s2").cast("double") / col("n").cast("double")).as("e2"))
+      .select(col("pos"), col("mu"),
+        sqrt(col("e2") - col("mu") * col("mu")).as("sd"))
+    e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), vm.as("vm"))
+      .join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        round((col("vm").cast("double") - col("mu")) / col("sd"), 6).as("zval"))
+  }
+
+  private val standardizeSql =
+    """WITH x AS (
+      |  SELECT vec_id, t.i - 1 AS pos,
+      |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+      |  FROM embeddings,
+      |    LATERAL unnest(generate_series(1, len(embedding))) AS t(i)),
+      |mo AS (
+      |  SELECT pos, COUNT(*) AS n, CAST(SUM(vm) AS BIGINT) AS s1,
+      |    SUM(CAST(vm * vm AS DECIMAL(38,0))) AS s2
+      |  FROM x GROUP BY 1),
+      |ms AS (
+      |  SELECT pos, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2
+      |  FROM mo),
+      |st AS (SELECT pos, mu, sqrt(e2 - mu * mu) AS sd FROM ms)
+      |SELECT x.vec_id, x.pos,
+      |  round((CAST(x.vm AS DOUBLE) - st.mu) / st.sd, 6) AS zval
+      |FROM x JOIN st ON x.pos = st.pos
+      |WHERE x.vec_id < 3""".stripMargin
+
+  // ---- pairwise centroid distance matrix --------------------------
+  //
+  // Cluster-geometry diagnostic: Euclidean distance between every
+  // label-centroid pair. Centroid components are FLOOR-divided
+  // micro-integers (sum div n — exact, engine-identical), so the
+  // squared-distance sum is pure BIGINT; one sqrt at the end. The
+  // corpus collapses to |labels|·|dims| rows in one partial-agg pass;
+  // the pair matrix is a self-join of a 10-row-per-dim table.
+  private val centroidDistQ = (s: SparkSession, dir: String) => {
+    val cents = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        round(col("v").cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), expr("s div n").as("cm"))
+    val a = cents.select(col("label").as("label_a"), col("pos"),
+      col("cm").as("cma"))
+    val b = cents.select(col("label").as("label_b"), col("pos"),
+      col("cm").as("cmb"))
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("cma") - col("cmb")) * (col("cma") - col("cmb"))).as("d2"))
+      .select(col("label_a"), col("label_b"),
+        round(sqrt(col("d2").cast("double")) / 1e6, 6).as("dist"))
+  }
+
+  private val centroidDistSql =
+    """WITH x AS (
+      |  SELECT label, t.i - 1 AS pos,
+      |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+      |  FROM embeddings,
+      |    LATERAL unnest(generate_series(1, len(embedding))) AS t(i)),
+      |c AS (
+      |  SELECT label, pos, CAST(SUM(vm) // COUNT(*) AS BIGINT) AS cm
+      |  FROM x GROUP BY 1, 2),
+      |d AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(SUM((a.cm - b.cm) * (a.cm - b.cm)) AS BIGINT) AS d2
+      |  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b,
+      |  round(sqrt(CAST(d2 AS DOUBLE)) / 1000000, 6) AS dist
+      |FROM d""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_vec_standardize" -> Q(standardizeQ, Some(standardizeSql),
+      "per-dimension z-normalization from exact micro-integer moments"),
+    "q_vec_centroid_dist" -> Q(centroidDistQ, Some(centroidDistSql),
+      "pairwise label-centroid Euclidean distance matrix, integer-exact squares"),
     "q_sim_maxsim" -> Q(maxsimQ, Some(maxsimSql),
       "ColBERT-style MaxSim late-interaction scoring of label groups by a 3-token query"),
     "q_vec_pca_power" -> Q(pcaPowerQ, Some(pcaPowerSql),

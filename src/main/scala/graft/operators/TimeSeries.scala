@@ -480,7 +480,41 @@ object TimeSeries extends QueryModule {
       |  p.peak_event_id, p.peak_s
       |FROM agg a JOIN peak p ON a.event_type = p.event_type""".stripMargin
 
+  /** Period-over-period delta — the BI staple: daily cent totals per
+    * event type, each day's change vs the PREVIOUS OBSERVED day as the
+    * exact rational `(Δ·10⁶) div prev` (trunc-toward-zero in both
+    * engines; prev=0 days are excluded rather than divided). One
+    * partial-agg pass collapses the corpus to |type|·|days| rows; the
+    * lag window runs on that bounded table. */
+  private val popDeltaQ = (s: SparkSession, dir: String) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    daily.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .filter(col("prev_cents").isNotNull && col("prev_cents") > 0)
+      .withColumn("delta_micro",
+        expr("((cents - prev_cents) * 1000000) div prev_cents"))
+      .select("event_type", "day", "cents", "prev_cents", "delta_micro")
+  }
+
+  private val popDeltaSql =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT *, lag(cents) OVER (PARTITION BY event_type
+      |    ORDER BY day ASC) AS prev_cents
+      |  FROM d)
+      |SELECT event_type, day, cents, prev_cents,
+      |  CAST(((cents - prev_cents) * 1000000) // prev_cents AS BIGINT)
+      |    AS delta_micro
+      |FROM l WHERE prev_cents IS NOT NULL AND prev_cents > 0""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_pop_delta" -> Q(popDeltaQ, Some(popDeltaSql),
+      "day-over-day revenue delta per event type, exact rational micro-units"),
     "q_ts_markov" -> Q(markovQ, Some(markovSql),
       "per-user event-type Markov transition matrix with exact rational probabilities"),
     "q_ts_cusum" -> Q(cusumQ, Some(cusumSql),
