@@ -851,7 +851,86 @@ object Aggregates extends QueryModule {
       |SELECT l_returnflag, x AS wmedian_qty, tot AS total_weight_cents
       |FROM marked WHERE rn = 1""".stripMargin
 
+  // ---- robust outliers via median absolute deviation ---------------
+  //
+  // The robust twin of q_ts_anomaly's z-score: per event type, the
+  // exact median (2× scaled: med2 = the sum of the two middle order
+  // statistics — one doubled row when n is odd — so interpolation
+  // never leaves the integers) and the MAD (4× scaled the same way,
+  // over dev2 = |2x − med2|), then the standard |x − med| >
+  // 3·1.4826·MAD cut as the pure-integer test 10000·dev2 > 22239·mad4.
+  // Two rank windows keyed on the group + two broadcast joins of the
+  // |groups|-row medians; nothing float anywhere.
+  private val madOutliersQ = (s: SparkSession, dir: String) => {
+    val base = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("x"))
+    def med2Of(df: DataFrame, c: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(c).asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("event_type"))))
+        .withColumn("lo", expr("(n + 1) div 2"))
+        .withColumn("hi", expr("(n + 2) div 2"))
+        .groupBy(col("event_type"))
+        .agg((sum(when(col("rn") === col("lo"), col(c)).otherwise(0L))
+          + sum(when(col("rn") === col("hi"), col(c)).otherwise(0L)))
+          .as(s"${c}_med2"),
+          max(col("n")).as("n"))
+    }
+    val med = med2Of(base, "x")
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(lit(2L) * col("x") - col("x_med2")))
+    val mad = med2Of(dev.select(col("event_type"), col("dev2")), "dev2")
+      .select(col("event_type"), col("dev2_med2").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("x_med2")).as("med2"),
+        max(col("mad4")).as("mad4"),
+        sum(when(lit(10000L) * col("dev2") > lit(22239L) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  private val madOutliersSql =
+    """WITH base AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |r1 AS (
+      |  SELECT event_type, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY x ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM base),
+      |med AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN x ELSE 0 END)
+      |       + SUM(CASE WHEN rn = (n + 2) // 2 THEN x ELSE 0 END)
+      |      AS BIGINT) AS x_med2,
+      |    MAX(n) AS n
+      |  FROM r1 GROUP BY 1),
+      |dev AS (
+      |  SELECT b.event_type, m.n, m.x_med2,
+      |    abs(2 * b.x - m.x_med2) AS dev2
+      |  FROM base b JOIN med m ON b.event_type = m.event_type),
+      |r2 AS (
+      |  SELECT event_type, dev2,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dev2 ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+      |       + SUM(CASE WHEN rn = (n + 2) // 2 THEN dev2 ELSE 0 END)
+      |      AS BIGINT) AS mad4
+      |  FROM r2 GROUP BY 1)
+      |SELECT d.event_type, MAX(d.n) AS n, MAX(d.x_med2) AS med2,
+      |  MAX(ma.mad4) AS mad4,
+      |  CAST(SUM(CASE WHEN 10000 * d.dev2 > 22239 * ma.mad4
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad ma ON d.event_type = ma.event_type
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_mad_outliers" -> Q(madOutliersQ, Some(madOutliersSql),
+      "median-absolute-deviation robust outlier counts, integer-exact interpolated medians"),
     "q_agg_weighted_median" -> Q(weightedMedianQ, Some(weightedMedianSql),
       "extendedprice-weighted median quantity per group, integer-exact cumulative scan"),
     "q_agg_skew_kurt" -> Q(skewKurtQ, Some(skewKurtSql),

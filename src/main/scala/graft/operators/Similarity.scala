@@ -1691,7 +1691,79 @@ object Similarity extends QueryModule {
       |  round(sqrt(CAST(d2 AS DOUBLE)) / 1000000, 6) AS dist
       |FROM d""".stripMargin
 
+  // ---- kNN neighbor graph + reciprocity ---------------------------
+  //
+  // The graph-construction primitive under HNSW/NN-descent indexes and
+  // under graph-based dedup: every vector's top-3 cosine neighbors
+  // (count-major rank, id-minor tie-break) plus how many of those
+  // edges are reciprocated — the symmetry statistic that predicts how
+  // well greedy graph search will navigate. Fixture plan: the corpus
+  // scores against a broadcast copy of itself (codegen cosine), one
+  // rank window per query id, then the mutual-edge check is an
+  // equi-join of the 3·|V| edge list against its own reversal — edge-
+  // bounded, never corpus². At 100 TB the scored candidates come from
+  // the LSH/IVF buckets (the indexed queries above) instead of the
+  // full cross — rank, reversal join and reciprocity are unchanged.
+  private val knnGraphQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nb").asc)
+    val edges = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nb"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nb"), col("rnk"))
+      .localCheckpoint() // reused: pivot + both sides of the reversal join
+    val mutual = edges.select(col("qid"), col("nb"))
+      .join(edges.select(col("nb").as("qid"), col("qid").as("nb")),
+        Seq("qid", "nb"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_mutual"))
+    edges.groupBy(col("qid"))
+      .agg(max(when(col("rnk") === 1, col("nb"))).as("nb1"),
+        max(when(col("rnk") === 2, col("nb"))).as("nb2"),
+        max(when(col("rnk") === 3, col("nb"))).as("nb3"))
+      .join(mutual, Seq("qid"), "left")
+      .select(col("qid").as("vec_id"), col("nb1"), col("nb2"), col("nb3"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+  }
+
+  // norms precomputed per vector (sqrt of the same fold), dot via the
+  // native list_dot_product — verified bit-identical to the
+  // list_sum(list_transform(...)) sequential fold on this data, and
+  // the only way the |V|² oracle stays tractable at sf0.1.
+  private val knnGraphSql =
+    """WITH n AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |      AS nrm
+      |  FROM embeddings),
+      |edges AS MATERIALIZED (
+      |  SELECT qid, nb, rnk FROM (
+      |    SELECT a.vec_id AS qid, b.vec_id AS nb,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+      |          DESC, b.vec_id ASC) AS rnk
+      |    FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+      |  WHERE rnk <= 3),
+      |m AS (
+      |  SELECT e.qid, COUNT(*) AS n_mutual
+      |  FROM edges e JOIN edges r ON r.qid = e.nb AND r.nb = e.qid
+      |  GROUP BY 1)
+      |SELECT e.qid AS vec_id,
+      |  MAX(CASE WHEN e.rnk = 1 THEN e.nb END) AS nb1,
+      |  MAX(CASE WHEN e.rnk = 2 THEN e.nb END) AS nb2,
+      |  MAX(CASE WHEN e.rnk = 3 THEN e.nb END) AS nb3,
+      |  COALESCE(MAX(m.n_mutual), 0) AS n_mutual
+      |FROM edges e LEFT JOIN m ON m.qid = e.qid
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sim_knn_graph" -> Q(knnGraphQ, Some(knnGraphSql),
+      "top-3 cosine neighbor graph + edge reciprocity (the HNSW-construction primitive)"),
     "q_vec_standardize" -> Q(standardizeQ, Some(standardizeSql),
       "per-dimension z-normalization from exact micro-integer moments"),
     "q_vec_centroid_dist" -> Q(centroidDistQ, Some(centroidDistSql),

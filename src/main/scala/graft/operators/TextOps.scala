@@ -1100,7 +1100,87 @@ object TextOps extends QueryModule {
       .stripMargin
   }
 
+  // ---- KWIC concordance -------------------------------------------
+  //
+  // Keyword-in-context: every occurrence of the target token with its
+  // ±2-token context window — the corpus-linguistics view a curator
+  // uses to audit how a term is actually used before writing filter
+  // rules about it. Pure map-side array work (posexplode + slice);
+  // output is bounded by the term's frequency, and the only exchange
+  // is the driver-side collect of those rows. Positions are 0-based
+  // on both engines.
+  private val KwicTerm = "spark"
+
+  private val kwicQ = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(col("tk")).as(Seq("pos", "tok")))
+      .filter(col("tok") === KwicTerm)
+      .select(col("doc_id"), col("pos"),
+        expr("array_join(slice(tk, greatest(pos - 2, 0) + 1, " +
+          "least(pos + 2, size(tk) - 1) - greatest(pos - 2, 0) + 1), ' ')")
+          .as("context"))
+  }
+
+  private val kwicSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |hits AS (
+       |  SELECT doc_id, t.i - 1 AS pos, tk
+       |  FROM toks, LATERAL unnest(generate_series(1, len(tk))) AS t(i)
+       |  WHERE tk[t.i] = '$KwicTerm')
+       |SELECT doc_id, pos,
+       |  array_to_string(tk[greatest(pos - 1, 1): least(pos + 3, len(tk))],
+       |    ' ') AS context
+       |FROM hits""".stripMargin
+
+  // ---- windowed co-occurrence -------------------------------------
+  //
+  // GloVe-style counting: unordered token pairs co-occurring within a
+  // ±3 window, min-support 10, top-20 by count — the statistic word-
+  // vector training and collocation mining both start from. The pair
+  // fan-out is MAP-SIDE array comprehension (each position emits ≤3
+  // pairs — linear in corpus length, never a self-join), followed by
+  // one count exchange with map-side partials and a top-k heap merge.
+  private val cooccurQ = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(tk) - 1), i ->
+          |  filter(transform(sequence(1, 3), d ->
+          |    CASE WHEN i + d < size(tk)
+          |    THEN struct(least(tk[i], tk[i+d]) AS w1,
+          |                greatest(tk[i], tk[i+d]) AS w2)
+          |    ELSE NULL END), x -> x IS NOT NULL)))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 10)
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
+  private val cooccurSql =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS tk FROM documents),
+      |pairs AS (
+      |  SELECT unnest(flatten(list_transform(range(1, len(tk) + 1), i ->
+      |    list_filter(list_transform([1, 2, 3], d ->
+      |      CASE WHEN i + d <= len(tk)
+      |      THEN {'w1': least(tk[i], tk[i+d]),
+      |            'w2': greatest(tk[i], tk[i+d])}
+      |      ELSE NULL END), x -> x IS NOT NULL)))) AS p
+      |  FROM toks)
+      |SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c
+      |FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 10
+      |ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_kwic" -> Q(kwicQ, Some(kwicSql),
+      "keyword-in-context concordance: map-side slice windows around the target term"),
+    "q_text_cooccur" -> Q(cooccurQ, Some(cooccurSql),
+      "GloVe-style windowed co-occurrence counts: map-side pair fan-out, top-20"),
     "q_text_lm_generate" -> Q(lmGenerateQ, Some(lmGenerateSql),
       "greedy bigram-LM decoding: argmax successor walk from the corpus mode token"),
     "q_text_langid_confusion" -> Q(langidNgramQ, Some(langidNgramSql),
