@@ -91,7 +91,12 @@ object Bench {
     // partials vs DuckDB's full GROUP BY), one-pass moment matrix,
     // per-series lag-chain EWMA, gaps-and-islands
     "q_agg_freq_items", "q_agg_corr_matrix",
-    "q_ts_ewma", "q_win_gap_islands")
+    "q_ts_ewma", "q_win_gap_islands",
+    // round-5 waves 6-8: kNN-graph construction (|V|² cosine scoring +
+    // rank), bounded Bellman-Ford routing, MAD robust outliers,
+    // windowed co-occurrence counting
+    "q_sim_knn_graph", "q_graph_bellman_ford",
+    "q_agg_mad_outliers", "q_text_cooccur")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

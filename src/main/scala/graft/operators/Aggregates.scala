@@ -928,7 +928,59 @@ object Aggregates extends QueryModule {
       |FROM dev d JOIN mad ma ON d.event_type = ma.event_type
       |GROUP BY 1""".stripMargin
 
+  // ---- Pareto / ABC cut --------------------------------------------
+  //
+  // "How concentrated is revenue?": per returnflag, the minimal set of
+  // suppliers covering ≥80% of revenue — ranked by revenue (cents,
+  // exact), the 80% line tested as the pure-integer `5·cum ≥ 4·tot`.
+  // One partial-agg pass collapses the corpus to |groups|·|suppliers|
+  // rows; the rank/cumulative windows run on that bounded profile.
+  private val paretoCutQ = (s: SparkSession, dir: String) => {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+    val cw = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("w").desc, col("l_suppkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(col("l_returnflag"))
+    rev
+      .withColumn("cum", sum(col("w")).over(cw))
+      .withColumn("tot", sum(col("w")).over(tw))
+      .withColumn("nsup", count(lit(1)).over(tw))
+      // the minimal 80% prefix: every strict-prefix row below the line,
+      // plus the crossing row
+      .filter(lit(5L) * (col("cum") - col("w")) < lit(4L) * col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("nsup")).as("n_total"),
+        count(lit(1)).as("n_top80"),
+        max(col("cum")).as("cut_revenue_cents"),
+        max(col("tot")).as("total_cents"))
+  }
+
+  private val paretoCutSql =
+    """WITH rev AS (
+      |  SELECT l_returnflag, l_suppkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, l_suppkey, w,
+      |    CAST(SUM(w) OVER (PARTITION BY l_returnflag
+      |      ORDER BY w DESC, l_suppkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS nsup
+      |  FROM rev)
+      |SELECT l_returnflag, MAX(nsup) AS n_total,
+      |  COUNT(*) AS n_top80,
+      |  MAX(cum) AS cut_revenue_cents, MAX(tot) AS total_cents
+      |FROM c WHERE 5 * (cum - w) < 4 * tot
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_pareto_cut" -> Q(paretoCutQ, Some(paretoCutSql),
+      "minimal 80%-revenue supplier set per group: integer-exact cumulative cut"),
     "q_agg_mad_outliers" -> Q(madOutliersQ, Some(madOutliersSql),
       "median-absolute-deviation robust outlier counts, integer-exact interpolated medians"),
     "q_agg_weighted_median" -> Q(weightedMedianQ, Some(weightedMedianSql),

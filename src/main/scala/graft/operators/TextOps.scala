@@ -1176,7 +1176,45 @@ object TextOps extends QueryModule {
       |FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 10
       |ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
 
+  // ---- feature hashing (the hashing trick) ------------------------
+  //
+  // The fixed-width featurizer linear models train on at corpus scale
+  // (Vowpal-Wabbit style): every token hashes into one of 64 buckets
+  // (md5-derived — the oracle rebuilds the identical hash), with the
+  // next hash bit supplying the ±1 sign that unbiases collisions.
+  // Pure map-side hashing + one count exchange with map-side partials;
+  // projected to 3 docs here, the full corpus featurization is the
+  // same plan. No vocabulary, no fit step — the point of the trick.
+  private val FhBuckets = 64
+
+  private val featHashQ = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir).filter(col("doc_id") < 3)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .withColumn("bucket", col("h") % FhBuckets)
+      .withColumn("sign",
+        when(expr(s"(h div $FhBuckets) % 2") === 0L, 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("sign")).as("val_signed"))
+  }
+
+  private val featHashSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id < 3),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM t)
+       |SELECT doc_id, h % $FhBuckets AS bucket, COUNT(*) AS cnt,
+       |  CAST(SUM(CASE WHEN (h // $FhBuckets) % 2 = 0 THEN 1 ELSE -1 END)
+       |    AS BIGINT) AS val_signed
+       |FROM h GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_feature_hashing" -> Q(featHashQ, Some(featHashSql),
+      "hashing-trick featurization: 64 signed buckets, no vocabulary, map-side"),
     "q_text_kwic" -> Q(kwicQ, Some(kwicSql),
       "keyword-in-context concordance: map-side slice windows around the target term"),
     "q_text_cooccur" -> Q(cooccurQ, Some(cooccurSql),

@@ -36,6 +36,9 @@ HEADLINE = [
     # round-5 wave 2/3 (mirror graft.Bench.headline)
     "q_agg_freq_items", "q_agg_corr_matrix",
     "q_ts_ewma", "q_win_gap_islands",
+    # round-5 waves 6-8 (mirror graft.Bench.headline)
+    "q_sim_knn_graph", "q_graph_bellman_ford",
+    "q_agg_mad_outliers", "q_text_cooccur",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
