@@ -1705,16 +1705,38 @@ object Similarity extends QueryModule {
   // the LSH/IVF buckets (the indexed queries above) instead of the
   // full cross — rank, reversal join and reciprocity are unchanged.
   private val knnGraphQ = (s: SparkSession, dir: String) => {
+    graft.plans.TopKPerGroup.register(s)
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nb").asc)
-    val edges = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nb"),
-        cosRounded(col("embedding"), col("qe")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+    // Two measured hazards at |V|² scoring volume, both fixed natively:
+    // the HOF cosine (aggregate∘zip_with) evaluates interpreted+boxed —
+    // 80 s for the 4M-pair materialization at sf0.1 — so scoring uses
+    // the codegen cosine_sim expression (bit-identical, row-equal spec;
+    // 40× here); and the full-rank window sorts/shuffles all pairs, so
+    // the §4.2(c) bounded-heap rewrite caps it at ≤3 rows per (query,
+    // partition) crossing the exchange (measured 2.1 s vs 5.5 s for the
+    // window on identical materialized input).
+    val prev = s.conf.getOption(graft.plans.TopKPerGroupRewrite.ConfKey)
+    s.conf.set(graft.plans.TopKPerGroupRewrite.ConfKey, "true")
+    val top3 = try {
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nb"),
+          round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .localCheckpoint() // pins the heap plan under the flag
+    } finally prev match {
+      case Some(v) => s.conf.set(graft.plans.TopKPerGroupRewrite.ConfKey, v)
+      case None => s.conf.unset(graft.plans.TopKPerGroupRewrite.ConfKey)
+    }
+    // re-rank the 3·|V| survivors (total order ⇒ identical ranks)
+    val edges = top3.withColumn("rnk", row_number().over(w))
       .select(col("qid"), col("nb"), col("rnk"))
       .localCheckpoint() // reused: pivot + both sides of the reversal join
     val mutual = edges.select(col("qid"), col("nb"))
