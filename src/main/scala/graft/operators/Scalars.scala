@@ -209,7 +209,37 @@ object Scalars extends QueryModule {
       |  array_to_string(list_sort(map_keys(m2)), ',') AS m_keys
       |FROM c""".stripMargin
 
+  // Bitwise surface (§2.8 completeness): popcount, AND/OR/XOR, shifts,
+  // NOT — the ops bitmap indexes, bloom probes and hash-partitioners
+  // are made of. All integer-exact by construction; DuckDB's xor is a
+  // FUNCTION (its `^` is power) and its bit_count returns TINYINT, so
+  // the oracle spells both explicitly.
+  private val bitwiseQ = (s: SparkSession, dir: String) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"),
+        expr("bit_count(o_orderkey)").as("pc"),
+        expr("o_orderkey & 255").as("band"),
+        expr("o_orderkey | 4096").as("bor"),
+        expr("o_orderkey ^ 1365").as("bxor"),
+        expr("shiftleft(o_orderkey, 3)").as("shl"),
+        expr("shiftright(o_orderkey, 2)").as("shr"),
+        expr("~o_orderkey").as("bnot"))
+
+  private val bitwiseSql =
+    """SELECT o_orderkey,
+      |  CAST(bit_count(o_orderkey) AS INTEGER) AS pc,
+      |  o_orderkey & 255 AS band,
+      |  o_orderkey | 4096 AS bor,
+      |  xor(o_orderkey, 1365) AS bxor,
+      |  o_orderkey << 3 AS shl,
+      |  o_orderkey >> 2 AS shr,
+      |  ~o_orderkey AS bnot
+      |FROM orders WHERE o_orderkey < 200""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_scalar_bitwise" -> Q(bitwiseQ, Some(bitwiseSql),
+      "bitwise surface: popcount/AND/OR/XOR/shifts/NOT on order keys"),
     "q_scalar_maps" -> Q(mapsQ, Some(mapsSql),
       "map surface: construct/lookup/concat/keys (sorted rendering)"),
     "q_scalar_strings" -> Q(stringsQ, Some(stringsSql),

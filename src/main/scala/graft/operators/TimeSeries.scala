@@ -512,7 +512,100 @@ object TimeSeries extends QueryModule {
       |    AS delta_micro
       |FROM l WHERE prev_cents IS NOT NULL AND prev_cents > 0""".stripMargin
 
+  /** Linear interpolation onto the hourly grid — the resampling mode
+    * LOCF (q_ts_gapfill) can't express: a grid hour between two
+    * observations takes the value `v0 + (v1−v0)·Δt/span` in cent
+    * micro-units, computed as ONE integer expression (`div` truncation,
+    * engine-identical) from the bracketing observations. The bracketing
+    * itself is the gapfill machinery: per-hour last/first observation,
+    * then LOCF carries (prev hour, prev value) forward and its mirror
+    * carries (next hour, next value) backward — two windows on the
+    * same series key, one exchange. Grid hours before the first /
+    * after the last observation stay NULL (no extrapolation).
+    *
+    * 100 TB posture: identical to gapfill — per-key grids from per-key
+    * bounds, every window keyed on the series key. */
+  private val interpQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        date_trunc("hour", col("ts")).as("h"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val bounds = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val grid = bounds.select(col("user_id"),
+      explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val inHour = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = ev
+      .withColumn("rn", row_number().over(inHour))
+      .groupBy(col("user_id"), col("h"))
+      .agg(max(when(col("rn") === 1, col("cents"))).as("obs"))
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(col("user_id")).orderBy(col("h").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("ph", last(when(col("obs").isNotNull, col("h")), ignoreNulls = true).over(fwd))
+      .withColumn("pv", last(col("obs"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(when(col("obs").isNotNull, col("h")), ignoreNulls = true).over(bwd))
+      .withColumn("nv", first(col("obs"), ignoreNulls = true).over(bwd))
+      .select(col("user_id"), col("h"), col("obs"),
+        when(col("obs").isNotNull, col("obs") * 1000000L)
+          .otherwise(when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") * 1000000L +
+              expr("""((nv - pv) * 1000000
+                     | * (unix_timestamp(h) - unix_timestamp(ph)))
+                     | div (unix_timestamp(nh) - unix_timestamp(ph))"""
+                .stripMargin)))
+          .as("interp_micro_cents"),
+        col("obs").isNull.as("interpolated"))
+  }
+
+  private val interpSql =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, date_trunc('hour', ts) AS h,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 8),
+      |bounds AS (
+      |  SELECT user_id, min(h) AS lo, max(h) AS hi FROM ev GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |  FROM bounds),
+      |hourly AS (
+      |  SELECT user_id, h, max(CASE WHEN rn = 1 THEN cents END) AS obs
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, h
+      |          ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT g.user_id, g.h, hh.obs,
+      |    last_value(CASE WHEN hh.obs IS NOT NULL THEN g.h END IGNORE NULLS)
+      |      OVER (PARTITION BY g.user_id ORDER BY g.h ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+      |    last_value(hh.obs IGNORE NULLS)
+      |      OVER (PARTITION BY g.user_id ORDER BY g.h ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    first_value(CASE WHEN hh.obs IS NOT NULL THEN g.h END IGNORE NULLS)
+      |      OVER (PARTITION BY g.user_id ORDER BY g.h ASC
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+      |    first_value(hh.obs IGNORE NULLS)
+      |      OVER (PARTITION BY g.user_id ORDER BY g.h ASC
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      |  FROM grid g LEFT JOIN hourly hh
+      |    ON g.user_id = hh.user_id AND g.h = hh.h)
+      |SELECT user_id, h, obs,
+      |  CASE WHEN obs IS NOT NULL THEN obs * 1000000
+      |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |      pv * 1000000 + ((nv - pv) * 1000000
+      |        * date_diff('second', ph, h)) // date_diff('second', ph, nh)
+      |    ELSE NULL END AS interp_micro_cents,
+      |  obs IS NULL AS interpolated
+      |FROM j""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_interp_linear" -> Q(interpQ, Some(interpSql),
+      "linear interpolation onto the hourly grid: integer micro-cent rationals"),
     "q_ts_pop_delta" -> Q(popDeltaQ, Some(popDeltaSql),
       "day-over-day revenue delta per event type, exact rational micro-units"),
     "q_ts_markov" -> Q(markovQ, Some(markovSql),
