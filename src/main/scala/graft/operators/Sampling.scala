@@ -262,7 +262,65 @@ object Sampling extends QueryModule {
        |    AS sum_qty_orig
        |FROM w GROUP BY 1""".stripMargin
 
+  // ---- contrastive negative mining --------------------------------
+  //
+  // The training-pair constructor for contrastive objectives
+  // (SimCLR/InfoNCE/two-tower retrieval): per anchor, 3 NEGATIVES
+  // drawn deterministically from the semantically-unrelated pool
+  // (cosine < 0.1 — verified, not assumed), selected by a content
+  // hash of the (anchor, candidate) pair — the same no-rand() contract
+  // as every sampler here, so the pairs are reproducible across runs,
+  // partitionings and engines. Plan: anchors broadcast (|A| rows), one
+  // codegen cosine pass over the corpus, a filter to the unrelated
+  // pool, and one |A|-keyed rank window over hash-ordered candidates.
+  // At 100 TB the pool filter rides the ANN index (exclude the
+  // bucket-adjacent candidates) — selection and rank are unchanged.
+  private val negativesQ = (s: SparkSession, dir: String) => {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val anchors = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sel"), col("neg_id").asc)
+    e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(anchors))
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+          .as("cos"))
+      .filter(col("cos") < 0.1)
+      .withColumn("sel", md5(concat_ws("|",
+        col("anchor_id").cast("string"), col("neg_id").cast("string"))))
+      .withColumn("rsel", row_number().over(w))
+      .filter(col("rsel") <= 3)
+      .select(col("anchor_id"), col("neg_id"), col("cos"), col("rsel"))
+  }
+
+  private val negativesSql =
+    """WITH a AS (SELECT vec_id AS anchor_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT a.anchor_id, e.vec_id AS neg_id,
+      |    round(
+      |      list_sum(list_transform(range(1, len(e.embedding)+1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, len(qe)+1),
+      |           i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))), 6) AS cos
+      |  FROM embeddings e, a WHERE e.vec_id >= 5),
+      |pool AS (
+      |  SELECT *, md5(CAST(anchor_id AS VARCHAR) || '|' ||
+      |    CAST(neg_id AS VARCHAR)) AS sel
+      |  FROM scored WHERE cos < 0.1)
+      |SELECT anchor_id, neg_id, cos,
+      |  CAST(rsel AS INTEGER) AS rsel
+      |FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+      |        ORDER BY sel, neg_id ASC) AS rsel FROM pool)
+      |WHERE rsel <= 3""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_negatives" -> Q(negativesQ, Some(negativesSql),
+      "contrastive negative mining: hash-deterministic picks from the verified-unrelated pool"),
     "q_sample_bootstrap" -> Q(bootstrapQ, Some(bootstrapSql),
       "deterministic Poisson bootstrap: hash-inverted CDF replica counts, map-only"),
     "q_sample_epoch_shuffle" -> Q(epochShuffleQ(Epoch), Some(epochShuffleSql(Epoch)),

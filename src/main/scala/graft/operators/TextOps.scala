@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1212,7 +1212,110 @@ object TextOps extends QueryModule {
        |    AS BIGINT) AS val_signed
        |FROM h GROUP BY 1, 2""".stripMargin
 
+  // ---- T5-style span corruption -----------------------------------
+  //
+  // The denoising-objective pair constructor: ~20% of tokens are
+  // selected by a CONTENT hash (md5(doc:pos) — reproducible across
+  // runs, partitionings and engines; never rand()), adjacent picks
+  // merge into spans (gaps-and-islands on the masked subset), and each
+  // doc yields the (input, target) pair T5 trains on — input with each
+  // span collapsed to its <extra_id_N> sentinel, target with the
+  // sentinel-prefixed span contents. One token explode, two windows
+  // keyed on doc_id, two ordered string rollups — every exchange is
+  // keyed on the doc, so the plan is embarrassingly parallel over the
+  // corpus (projected to 5 docs here; the full corpus is the same
+  // plan).
+  private val spanCorruptQ = (s: SparkSession, dir: String) => {
+    val toks = Tables.documents(s, dir).filter(col("doc_id") < 5)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "tok")))
+      .withColumn("masked",
+        conv(substring(md5(concat_ws(":", col("doc_id").cast("string"),
+          col("pos").cast("string"))), 1, 8), 16, 10).cast("long") % 5 === 0)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = toks.withColumn("cummask",
+        sum(when(col("masked"), 1L).otherwise(0L)).over(wDoc))
+      .withColumn("grp", when(col("masked"), col("pos") - col("cummask")))
+    val spans = marked.filter(col("masked"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("start").asc)) - 1)
+    val joined = marked.join(spans, Seq("doc_id", "grp"), "left")
+    def rollup(df: DataFrame, outCol: String): DataFrame =
+      df.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("piece")))),
+          x => x.getField("piece")), " ").as(outCol))
+    val sentinel = concat(lit("<extra_id_"), col("idx").cast("string"), lit(">"))
+    val input = rollup(joined.withColumn("piece",
+      when(!col("masked"), col("tok"))
+        .when(col("pos") === col("start"), sentinel))
+      .filter(col("piece").isNotNull), "input_text")
+    val target = joined.filter(col("masked"))
+      .withColumn("piece",
+        when(col("pos") === col("start"),
+          concat(sentinel, lit(" "), col("tok"))).otherwise(col("tok")))
+    val targetAgg = rollup(target, "target_text")
+      .join(target.groupBy(col("doc_id"))
+        .agg(countDistinct(col("grp")).as("n_spans")), Seq("doc_id"))
+    input.join(targetAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        col("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+  }
+
+  private val spanCorruptSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t.i - 1 AS pos, tk[t.i] AS tok,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(t.i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0 AS masked
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+      |        FROM documents WHERE doc_id < 5),
+      |    LATERAL unnest(generate_series(1, len(tk))) AS t(i)),
+      |marked AS (
+      |  SELECT *,
+      |    CASE WHEN masked THEN pos - CAST(SUM(CASE WHEN masked THEN 1
+      |      ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    END AS grp
+      |  FROM toks),
+      |spans AS (
+      |  SELECT doc_id, grp, MIN(pos) AS start,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY MIN(pos) ASC) AS INTEGER) - 1 AS idx
+      |  FROM marked WHERE masked GROUP BY 1, 2),
+      |j AS (
+      |  SELECT m.*, s.start, s.idx
+      |  FROM marked m LEFT JOIN spans s
+      |    ON m.doc_id = s.doc_id AND m.grp = s.grp),
+      |input AS (
+      |  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+      |  FROM (SELECT doc_id, pos,
+      |          CASE WHEN NOT masked THEN tok
+      |            WHEN pos = start THEN
+      |              '<extra_id_' || CAST(idx AS VARCHAR) || '>'
+      |          END AS piece
+      |        FROM j)
+      |  WHERE piece IS NOT NULL GROUP BY 1),
+      |tgt AS (
+      |  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS target_text,
+      |    COUNT(DISTINCT grp) AS n_spans
+      |  FROM (SELECT doc_id, pos, grp,
+      |          CASE WHEN pos = start THEN
+      |            '<extra_id_' || CAST(idx AS VARCHAR) || '> ' || tok
+      |          ELSE tok END AS piece
+      |        FROM j WHERE masked)
+      |  GROUP BY 1)
+      |SELECT i.doc_id, COALESCE(t.n_spans, 0) AS n_spans,
+      |  i.input_text, COALESCE(t.target_text, '') AS target_text
+      |FROM input i LEFT JOIN tgt t ON i.doc_id = t.doc_id""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_span_corruption" -> Q(spanCorruptQ, Some(spanCorruptSql),
+      "T5 denoising pairs: content-hash span masking, sentinel input/target rollups"),
     "q_text_feature_hashing" -> Q(featHashQ, Some(featHashSql),
       "hashing-trick featurization: 64 signed buckets, no vocabulary, map-side"),
     "q_text_kwic" -> Q(kwicQ, Some(kwicSql),
