@@ -266,11 +266,17 @@ object Dedup extends QueryModule {
   }
 
   private val cosineQ = (s: SparkSession, dir: String) => {
+    // codegen cosine_sim, not the HOF fold: the |V|²/2 pairing makes
+    // interpreted+boxed lambda evaluation the dominant cost at sf0.1
+    // (the q_sim_knn_graph lesson — 40× measured); bit-identical by
+    // the CosineSimilarity contract + row-equal spec.
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
     a.join(b, col("ida") < col("idb"))
-      .withColumn("cos", round(graft.functions.VectorOps.cosine(col("ea"), col("eb")), 6))
+      .withColumn("cos",
+        round(call_function("cosine_sim", col("ea"), col("eb")), 6))
       .filter(col("cos") >= 0.45)
       .select("ida", "idb", "cos")
   }
