@@ -247,6 +247,47 @@ object Joins extends QueryModule {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof semantics):
+    * the most recent click at-or-before each purchase counts only if
+    * it is at most 1 hour stale — older matches surface as NULL, the
+    * "don't attribute a purchase to last week's click" contract. Same
+    * shuffle-once union-window plan as [[asof]]; the tolerance is one
+    * map-side integer-seconds comparison after the carry, and the
+    * match flag is materialized so downstream attribution can split
+    * matched/stale without re-joining. */
+  private val asofToleranceQ = (s: SparkSession, dir: String) => {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("ts").as("click_ts"), lit(null).cast("long").as("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("timestamp").as("click_ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("carry", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .withColumn("within",
+        col("carry").isNotNull &&
+          unix_timestamp(col("ts")) - unix_timestamp(col("carry")) <= 3600L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("within"), col("carry")).as("prior_click_ts"),
+        col("within").as("matched"))
+  }
+
+  private val asofToleranceSql =
+    """SELECT p.event_id, p.user_id, p.ts,
+      |  CASE WHEN c.ts IS NOT NULL
+      |    AND date_diff('second', c.ts, p.ts) <= 3600 THEN c.ts END
+      |    AS prior_click_ts,
+      |  (c.ts IS NOT NULL
+      |    AND date_diff('second', c.ts, p.ts) <= 3600) AS matched
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match NULL keys, where plain `=` would silently drop every
     * NULL-keyed row. The derived key maps bucket 0 to NULL so the
@@ -452,6 +493,8 @@ object Joins extends QueryModule {
     "q_join_cross" -> Q(cross, Some(crossSql), "cross join"),
     "q_join_range" -> Q(range, Some(rangeSql),
       "range join: equi key + time interval condition"),
+    "q_join_asof_tolerance" -> Q(asofToleranceQ, Some(asofToleranceSql),
+      "as-of join with a 1-hour staleness bound (merge_asof tolerance semantics)"),
     "q_join_asof" -> Q(asof, Some(asofSql),
       "as-of join via union + window (single shuffle; oracle: DuckDB ASOF)"),
     "q_join_null_safe" -> Q(nullSafe, Some(nullSafeSql),

@@ -501,7 +501,84 @@ object Windows extends QueryModule {
       |FROM r GROUP BY user_id, grp
       |HAVING COUNT(*) >= 2""".stripMargin
 
+  /** Time-to-convert per signup cohort — the product-analytics
+    * companion to retention: each user's FIRST signup, their first
+    * purchase strictly after it, the gap in integer seconds, rolled up
+    * per signup-day cohort with the exact interpolated median (med2 =
+    * the sum of the two middle order statistics — the
+    * q_agg_mad_outliers discipline, so interpolation never leaves the
+    * integers; median seconds = med2/2). Cohorts with no conversion
+    * report 0 converted and a NULL median.
+    *
+    * 100 TB posture: two user-keyed partial-agg passes (first signup,
+    * first qualifying purchase), then every window keys on the cohort
+    * — the |users| corpus collapses before any ranking happens. */
+  private val timeToConvertQ = (s: SparkSession, dir: String) => {
+    val e = Tables.events(s, dir)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("ts") > col("s_ts"))
+      .groupBy(col("user_id"), col("s_ts")).agg(min(col("ts")).as("p_ts"))
+    val deltas = pu.select(col("user_id"), to_date(col("s_ts")).as("cohort"),
+      (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("dt"))
+    val wR = Window.partitionBy(col("cohort"))
+      .orderBy(col("dt").asc, col("user_id").asc)
+    val conv = deltas.withColumn("rn", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cohort"))))
+      .withColumn("lo", expr("(n + 1) div 2"))
+      .withColumn("hi", expr("(n + 2) div 2"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_converted"),
+        (sum(when(col("rn") === col("lo"), col("dt")).otherwise(0L))
+          + sum(when(col("rn") === col("hi"), col("dt")).otherwise(0L)))
+          .as("med2_seconds"),
+        max(col("dt")).as("max_seconds"))
+    su.groupBy(to_date(col("s_ts")).as("cohort"))
+      .agg(count(lit(1)).as("n_signup"))
+      .join(conv, Seq("cohort"), "left")
+      .select(col("cohort"), col("n_signup"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        col("med2_seconds"), col("max_seconds"))
+  }
+
+  private val timeToConvertSql =
+    """WITH su AS (
+      |  SELECT user_id, min(ts) AS s_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (
+      |  SELECT e.user_id, su.s_ts, min(e.ts) AS p_ts
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > su.s_ts
+      |  GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT user_id, CAST(s_ts AS DATE) AS cohort,
+      |    date_diff('second', s_ts, p_ts) AS dt
+      |  FROM pu),
+      |r AS (
+      |  SELECT cohort, dt,
+      |    row_number() OVER (PARTITION BY cohort
+      |      ORDER BY dt ASC, user_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cohort) AS n
+      |  FROM deltas),
+      |conv AS (
+      |  SELECT cohort, COUNT(*) AS n_converted,
+      |    CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN dt ELSE 0 END)
+      |       + SUM(CASE WHEN rn = (n + 2) // 2 THEN dt ELSE 0 END)
+      |      AS BIGINT) AS med2_seconds,
+      |    MAX(dt) AS max_seconds
+      |  FROM r GROUP BY 1)
+      |SELECT s.cohort, s.n_signup,
+      |  COALESCE(c.n_converted, 0) AS n_converted,
+      |  c.med2_seconds, c.max_seconds
+      |FROM (SELECT CAST(s_ts AS DATE) AS cohort, COUNT(*) AS n_signup
+      |      FROM su GROUP BY 1) s
+      |LEFT JOIN conv c ON s.cohort = c.cohort""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_time_to_convert" -> Q(timeToConvertQ, Some(timeToConvertSql),
+      "per-cohort signup-to-purchase gap: exact interpolated median seconds"),
     "q_win_gap_islands" -> Q(gapIslandsQ, Some(gapIslandsSql),
       "gaps-and-islands: consecutive event_id runs via the id-minus-rank constant"),
     "q_win_rolling_distinct" -> Q(rollingDistinctQ, Some(rollingDistinctSql),
