@@ -978,7 +978,100 @@ object Aggregates extends QueryModule {
       |FROM c WHERE 5 * (cum - w) < 4 * tot
       |GROUP BY 1""".stripMargin
 
+  /** Skyline (Pareto-frontier) query: the parts no other part beats on
+    * BOTH axes — lower price AND bigger size (with at least one strict).
+    * The classic multi-objective "best tradeoffs" operator ([pub:
+    * Börzsönyi/Kossmann/Stocker, "The Skyline Operator", ICDE 2001]).
+    *
+    * Plan (divide-and-conquer skyline): (1) the corpus collapses to
+    * DISTINCT (price_cents, size) pairs via one partial-agg shuffle —
+    * the value domain, not the row count, bounds everything after;
+    * (2) a content-hash-bucketed LOCAL skyline pass prunes each bucket
+    * to its own staircase (for ANY partition of the points, the union
+    * of local skylines is a superset of the global skyline); (3) the
+    * global single-partition staircase window runs over survivors
+    * only. On distinct pairs ordered (price asc, size desc), a point
+    * is dominated iff ANY preceding point has size >= its own — one
+    * running max replaces the quadratic NOT-EXISTS the oracle spells.
+    * Prices are exact integer cents end-to-end; the display division
+    * by 100.0 is one correctly-rounded IEEE op, identical in both
+    * engines. */
+  private val skylineQ = (s: SparkSession, dir: String) => {
+    val pts = Tables.part(s, dir)
+      .groupBy(round(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("witness"))
+    def staircase(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      df.withColumn("pmax", max(col("size")).over(
+          w.orderBy(col("price_c").asc, col("size").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("pmax").isNull || col("pmax") < col("size"))
+        .drop("pmax")
+    val local = staircase(pts,
+      Window.partitionBy(pmod(hash(col("price_c"), col("size")), lit(32))))
+    staircase(local, Window.partitionBy())
+      .select((col("price_c") / 100.0).as("price"), col("size"),
+        col("n_parts"), col("witness"))
+  }
+
+  private val skylineSql =
+    """WITH pts AS (
+      |  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+      |    p_size AS size, COUNT(*) AS n_parts, MIN(p_partkey) AS witness
+      |  FROM part GROUP BY 1, 2)
+      |SELECT a.price_c / 100.0 AS price, a.size, a.n_parts, a.witness
+      |FROM pts a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts b
+      |  WHERE b.price_c <= a.price_c AND b.size >= a.size
+      |    AND (b.price_c < a.price_c OR b.size > a.size))""".stripMargin
+
+  /** Ordered string aggregation (LISTAGG / string_agg ... ORDER BY) —
+    * the §2.8/§2.4 surface DuckDB spells natively and Spark does not:
+    * `collect_list` is partial-merge-order nondeterministic, so the
+    * deterministic form collects (sort-key, value) structs and sorts
+    * AFTER the aggregate — `array_sort` on structs orders by fields
+    * left-to-right, so (-cust, name) gives count-desc name-asc without
+    * any window. Both orderings per region: alphabetical, and by
+    * customer population. */
+  private val listaggQ = (s: SparkSession, dir: String) => {
+    val pop = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cust"))
+    val nat = Tables.nation(s, dir)
+      .join(pop, col("n_nationkey") === col("c_nationkey"), "left")
+      .join(Tables.region(s, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        coalesce(col("cust"), lit(0L)).as("cust"))
+    nat.groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations_alpha"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              (-col("cust")).as("negc"), col("n_name").as("nm")))),
+            x => x.getField("nm")),
+          ",").as("nations_by_pop"))
+  }
+
+  private val listaggSql =
+    """SELECT r.r_name, COUNT(*) AS n_nations,
+      |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_alpha,
+      |  string_agg(n.n_name, ','
+      |    ORDER BY COALESCE(p.cust, 0) DESC, n.n_name) AS nations_by_pop
+      |FROM nation n
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cust
+      |           FROM customer GROUP BY 1) p
+      |  ON n.n_nationkey = p.c_nationkey
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_skyline" -> Q(skylineQ, Some(skylineSql),
+      "Pareto-frontier skyline: staircase window vs the quadratic NOT-EXISTS oracle"),
+    "q_agg_listagg" -> Q(listaggQ, Some(listaggSql),
+      "deterministic ordered LISTAGG via post-aggregate struct sort"),
     "q_agg_pareto_cut" -> Q(paretoCutQ, Some(paretoCutSql),
       "minimal 80%-revenue supplier set per group: integer-exact cumulative cut"),
     "q_agg_mad_outliers" -> Q(madOutliersQ, Some(madOutliersSql),

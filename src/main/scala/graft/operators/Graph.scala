@@ -406,7 +406,103 @@ object Graph extends QueryModule {
       .stripMargin
   }
 
+  private val KcoreK = 2
+  private val KcoreRounds = 4
+
+  /** Bounded k-core peel — "membership after ≤4 peel rounds of the
+    * 2-core" over the same 2×-mean-thresholded undirected trade graph
+    * as [[ccQ]]: each round recomputes degrees over edges whose BOTH
+    * endpoints survive and drops nodes below k. The round bound makes
+    * the computed quantity well-defined at every scale (the full k-core
+    * is the fixpoint; 4 rounds converge on this graph).
+    *
+    * 100 TB posture: the corpus collapses to the |nations|²-bounded
+    * edge list once; every peel round is two alive⋈edges equi-joins +
+    * one count per node — alive-sets and edges co-partition on the node
+    * key at any graph size, `localCheckpoint` pins the plan per round
+    * (the PageRank loop discipline). The oracle unrolls the identical
+    * rounds as MATERIALIZED CTEs (the CTE-inlining lesson from
+    * triangles/PCA). */
+  private val kcoreQ = (s: SparkSession, dir: String) => {
+    val und = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val tot = und.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+    val kept = und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("ne") >= lit(2L) * col("tw"))
+    val sym = kept.select(col("a").cast("long").as("u"),
+        col("b").cast("long").as("v"))
+      .unionByName(kept.select(col("b").cast("long").as("u"),
+        col("a").cast("long").as("v")))
+      .localCheckpoint()
+    var alive = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("node"))
+    def degrees(a: DataFrame): DataFrame = sym
+      .join(a.select(col("node").as("au")), col("u") === col("au"))
+      .join(a.select(col("node").as("av")), col("v") === col("av"))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to KcoreRounds) {
+      alive = degrees(alive).filter(col("deg") >= KcoreK)
+        .select(col("u").as("node")).localCheckpoint()
+    }
+    val fd = degrees(alive)
+    Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+      .join(alive.withColumn("in_core", lit(true)), Seq("node"), "left")
+      .join(fd.withColumnRenamed("u", "node"), Seq("node"), "left")
+      .select(col("n_name"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        when(coalesce(col("in_core"), lit(false)),
+          coalesce(col("deg"), lit(0L))).as("core_degree"))
+  }
+
+  private def kcoreSql: String = {
+    def roundCte(n: Int): String =
+      s"""a${n + 1} AS MATERIALIZED (
+         |  SELECT s.u AS node FROM sym s
+         |  JOIN a$n x ON s.u = x.node
+         |  JOIN a$n y ON s.v = y.node
+         |  GROUP BY 1 HAVING COUNT(*) >= $KcoreK)""".stripMargin
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+       |    greatest(c.c_nationkey, s.s_nationkey) AS b, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM und),
+       |kept AS MATERIALIZED (
+       |  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+       |  FROM und, tot WHERE w * ne >= 2 * tw),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM kept
+       |  UNION ALL SELECT b, a FROM kept),
+       |a0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |${(0 until KcoreRounds).map(roundCte).mkString(",\n")},
+       |fd AS (
+       |  SELECT s.u AS node, COUNT(*) AS deg FROM sym s
+       |  JOIN a$KcoreRounds x ON s.u = x.node
+       |  JOIN a$KcoreRounds y ON s.v = y.node
+       |  GROUP BY 1)
+       |SELECT n.n_name,
+       |  (a.node IS NOT NULL) AS in_core,
+       |  CASE WHEN a.node IS NOT NULL
+       |    THEN COALESCE(fd.deg, 0) END AS core_degree
+       |FROM nation n
+       |LEFT JOIN a$KcoreRounds a ON a.node = n.n_nationkey
+       |LEFT JOIN fd ON fd.node = n.n_nationkey""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_kcore" -> Q(kcoreQ, Some(kcoreSql),
+      "bounded k-core peel (k=2, 4 rounds) on the thresholded trade graph"),
     "q_graph_bfs_hops" -> Q(bfsQ, Some(bfsSql),
       "hop-bounded BFS distances from nation 0: frontier joins + min-combine"),
     "q_graph_bellman_ford" -> Q(bellmanQ, Some(bellmanSql),
