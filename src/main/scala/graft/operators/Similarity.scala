@@ -60,6 +60,92 @@ object Similarity extends QueryModule {
       |  FROM embeddings, q WHERE vec_id <> 0)
       |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** MMR (maximal marginal relevance) diversified rerank — the
+    * standard two-stage retrieval shape: a cheap recall stage (here the
+    * brute top-20; at 100 TB the ANN index) hands a SMALL candidate set
+    * to a greedy rerank that trades relevance against redundancy:
+    * pick₁ = argmax rel, pickᵣ = argmax 0.7·rel − 0.3·max_{s∈picked}
+    * sim(c, s) ([pub: Carbonell & Goldstein, SIGIR 1998]).
+    *
+    * Determinism: rel and every pairwise sim are the 6-dp-rounded
+    * cosine (the engine-parity discipline of every sim query); the
+    * MMR score is then two IEEE multiplies and a subtract in the same
+    * shape on both engines, so the argmax and its (score desc, vec_id
+    * asc) tie-break can never diverge. Each greedy round is a
+    * candidates⋈picked broadcast probe + one 20-row TakeOrdered — the
+    * corpus is touched exactly once, in the recall stage. */
+  private val mmrQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val cands = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"),
+        cosRounded(col("embedding"), col("qe")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(20)
+      .localCheckpoint()
+    var sel = cands.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+      .withColumn("mmr_rank", lit(1))
+    for (r <- 2 to 5) {
+      val selE = sel.select(col("vec_id").as("s_id"),
+        col("embedding").as("s_emb"))
+      val maxsim = cands
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(selE))
+        .select(col("vec_id"), col("rel"), col("embedding"),
+          cosRounded(col("embedding"), col("s_emb")).as("sim"))
+        .groupBy(col("vec_id")).agg(max(col("sim")).as("maxsim"))
+      val pick = cands.join(maxsim, "vec_id")
+        .withColumn("score",
+          lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("embedding"), col("rel"))
+        .withColumn("mmr_rank", lit(r))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("mmr_rank"), col("vec_id"), col("rel"))
+  }
+
+  private def mmrSql: String = {
+    def cosE(x: String, y: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, len($x)+1),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len($x)+1),
+         |           i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len($y)+1),
+         |           i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))))
+         |      , 6)""".stripMargin
+    def roundCte(r: Int): String =
+      s"""sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1}
+         |  UNION ALL
+         |  (SELECT c.vec_id, c.rel, $r AS mmr_rank FROM cand c
+         |   JOIN (SELECT ca, MAX(sim) AS ms FROM pairs
+         |         WHERE cb IN (SELECT vec_id FROM sel${r - 1})
+         |         GROUP BY ca) m ON c.vec_id = m.ca
+         |   WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |   ORDER BY 0.7 * c.rel - 0.3 * m.ms DESC, c.vec_id ASC
+         |   LIMIT 1))""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT vec_id, embedding,
+       |    ${cosE("embedding", "qe")} AS rel
+       |  FROM embeddings, q WHERE vec_id <> 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, embedding, rel FROM scored
+       |  ORDER BY rel DESC, vec_id ASC LIMIT 20),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS ca, b.vec_id AS cb,
+       |    ${cosE("a.embedding", "b.embedding")} AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, 1 AS mmr_rank FROM cand
+       |  ORDER BY rel DESC, vec_id ASC LIMIT 1),
+       |${(2 to 5).map(roundCte).mkString(",\n")}
+       |SELECT mmr_rank, vec_id, rel FROM sel5""".stripMargin
+  }
+
   // 2. Top-3 neighbors for each of the first 5 query vectors.
   private val perQueryQ = (s: SparkSession, dir: String) => {
     val e = Tables.embeddings(s, dir)
@@ -1804,6 +1890,8 @@ object Similarity extends QueryModule {
       "int8 scalar quantization: codes + bounded reconstruction error"),
     "q_sim_topk_brute_native" -> Q(bruteNativeQ, Some(bruteSql),
       "brute-force top-10 via native codegen cosine Expression"),
+    "q_sim_mmr" -> Q(mmrQ, Some(mmrSql),
+      "MMR diversified top-5 rerank over the brute top-20 candidate set"),
     "q_sim_topk_brute" -> Q(bruteQ, Some(bruteSql),
       "brute-force cosine top-10 (TakeOrderedAndProject merge)"),
     "q_sim_topk_per_query" -> Q(perQueryQ, Some(perQuerySql),

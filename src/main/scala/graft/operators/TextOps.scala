@@ -1313,7 +1313,71 @@ object TextOps extends QueryModule {
       |  i.input_text, COALESCE(t.target_text, '') AS target_text
       |FROM input i LEFT JOIN tgt t ON i.doc_id = t.doc_id""".stripMargin
 
+  /** Flesch-style readability scoring — the classic corpus-quality
+    * signal beside [[qualityQ]]'s ratio gates: per document, words
+    * (the corpus token regex), sentences (maximal [.!?]+ runs, floor
+    * 1) and syllables (maximal vowel-group runs — the standard
+    * regex-only heuristic), then the Flesch reading-ease formula kept
+    * ENTIRELY in integer micro-units: 206.835 − 1.015·(W/S) −
+    * 84.6·(SY/W) becomes 206835000 − (1015000·W) div S −
+    * (84600000·SY) div W — floor division, identical in both engines,
+    * no float anywhere. Rolled up per (lang, band) so the output is
+    * the curation-policy view: how much of each language's corpus is
+    * easy/medium/hard.
+    *
+    * 100 TB posture: three map-side regex counts + one low-cardinality
+    * partial-agg shuffle — embarrassingly parallel over the corpus. */
+  private val readabilityQ = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)"))
+          .cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+          .as("n_sentences"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_micro",
+        lit(206835000L)
+          - expr("(1015000 * n_words) div n_sentences")
+          - expr("(84600000 * n_syllables) div n_words"))
+      .withColumn("band",
+        when(col("flesch_micro") >= 60000000L, "easy")
+          .when(col("flesch_micro") >= 30000000L, "medium")
+          .otherwise("hard"))
+      .groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flesch_micro")).as("sum_flesch_micro"),
+        min(col("flesch_micro")).as("min_flesch_micro"),
+        max(col("flesch_micro")).as("max_flesch_micro"))
+  }
+
+  private val readabilitySql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_words,
+      |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      |  FROM documents),
+      |f AS (
+      |  SELECT lang,
+      |    206835000 - (1015000 * n_words) // n_sentences
+      |      - (84600000 * n_syllables) // n_words AS flesch_micro
+      |  FROM d WHERE n_words > 0)
+      |SELECT lang,
+      |  CASE WHEN flesch_micro >= 60000000 THEN 'easy'
+      |       WHEN flesch_micro >= 30000000 THEN 'medium'
+      |       ELSE 'hard' END AS band,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(flesch_micro) AS BIGINT) AS sum_flesch_micro,
+      |  MIN(flesch_micro) AS min_flesch_micro,
+      |  MAX(flesch_micro) AS max_flesch_micro
+      |FROM f GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_readability" -> Q(readabilityQ, Some(readabilitySql),
+      "integer-exact Flesch readability bands per language"),
     "q_text_span_corruption" -> Q(spanCorruptQ, Some(spanCorruptSql),
       "T5 denoising pairs: content-hash span masking, sentinel input/target rollups"),
     "q_text_feature_hashing" -> Q(featHashQ, Some(featHashSql),
