@@ -500,7 +500,104 @@ object Graph extends QueryModule {
        |LEFT JOIN fd ON fd.node = n.n_nationkey""".stripMargin
   }
 
+  private val LpaRounds = 3
+
+  /** Weighted label propagation (bounded-round LPA community
+    * detection) over the FULL weighted trade graph — no threshold, so
+    * it exercises a different input than [[ccQ]]/[[kcoreQ]]: each
+    * round every node adopts the label carrying the largest
+    * edge-weight mass among its neighbors (synchronous update, ties →
+    * smallest label; isolated nodes keep their own). Three rounds is
+    * the documented contract — "labels after 3 synchronous LPA
+    * rounds" is well-defined at every scale, where LPA's fixpoint
+    * famously is not ([pub: Raghavan et al., 2007, semi-synchronous
+    * variants]).
+    *
+    * 100 TB posture: corpus collapses once to the |nations|² weighted
+    * edge list; a round is one edges⋈labels equi-join, one (node,
+    * label) weight sum, and one per-node argmax window — all keyed on
+    * the node, `localCheckpoint` per round. Integer weight sums, so
+    * the argmax and its tie-break can never diverge across engines. */
+  private val lpaQ = (s: SparkSession, dir: String) => {
+    val und = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey"))
+          .cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey"))
+          .cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val sym = und.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint()
+    val nodes = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+    var labels = nodes.select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to LpaRounds) {
+      val mass = sym
+        .join(labels.select(col("node").as("v2"), col("lab")),
+          col("v") === col("v2"))
+        .groupBy(col("u"), col("lab")).agg(sum(col("w")).as("mass"))
+      val wArg = Window.partitionBy(col("u"))
+        .orderBy(col("mass").desc, col("lab").asc)
+      val adopted = mass.withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("lab"))
+      labels = labels.select(col("node").as("n0"), col("lab").as("own"))
+        .join(adopted, col("n0") === col("node"), "left")
+        .select(col("n0").as("node"),
+          coalesce(col("lab"), col("own")).as("lab"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
+    nodes.join(labels, "node").join(sizes, "lab")
+      .select(col("n_name"), col("lab").as("community"), col("comm_size"))
+  }
+
+  private def lpaSql: String = {
+    def roundCte(n: Int): String =
+      s"""m$n AS MATERIALIZED (
+         |  SELECT s.u, l.lab, CAST(SUM(s.w) AS BIGINT) AS mass
+         |  FROM sym s JOIN l${n - 1} l ON s.v = l.node
+         |  GROUP BY 1, 2),
+         |p$n AS MATERIALIZED (
+         |  SELECT u AS node, lab, row_number() OVER (
+         |    PARTITION BY u ORDER BY mass DESC, lab ASC) AS rn
+         |  FROM m$n),
+         |l$n AS MATERIALIZED (
+         |  SELECT prev.node, COALESCE(p.lab, prev.lab) AS lab
+         |  FROM l${n - 1} prev
+         |  LEFT JOIN (SELECT node, lab FROM p$n WHERE rn = 1) p
+         |    ON prev.node = p.node)""".stripMargin
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS a,
+       |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS b,
+       |    COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS u, b AS v, w FROM und
+       |  UNION ALL SELECT b, a, w FROM und),
+       |l0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |  CAST(n_nationkey AS BIGINT) AS lab FROM nation),
+       |${(1 to LpaRounds).map(roundCte).mkString(",\n")},
+       |sizes AS (SELECT lab, COUNT(*) AS comm_size
+       |          FROM l$LpaRounds GROUP BY 1)
+       |SELECT n.n_name, l.lab AS community, sizes.comm_size
+       |FROM nation n
+       |JOIN l$LpaRounds l ON l.node = n.n_nationkey
+       |JOIN sizes ON sizes.lab = l.lab""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_labelprop" -> Q(lpaQ, Some(lpaSql),
+      "bounded-round weighted label propagation communities, integer-exact argmax"),
     "q_graph_kcore" -> Q(kcoreQ, Some(kcoreSql),
       "bounded k-core peel (k=2, 4 rounds) on the thresholded trade graph"),
     "q_graph_bfs_hops" -> Q(bfsQ, Some(bfsSql),

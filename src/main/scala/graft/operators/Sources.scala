@@ -1198,6 +1198,68 @@ object Sources extends QueryModule {
         Ora.dsum(Ora.money(col("value"))).as("sum_value"))
   }
 
+  /** Automatic materialized-view substitution — [[mvIncremental]]
+    * maintains the rollup; this query proves the OPTIMIZER can use it:
+    * the returned DataFrame is written as the plain corpus aggregate
+    * (groupBy lang over the base graft-objects table), and
+    * [[graft.plans.MvRewrite]] — conf-gated, registered at runtime like
+    * the other §4.2 rules — substitutes a Project over the |langs|-row
+    * MV scan with the original output exprIds. The driver's DuckDB
+    * oracle computes the same aggregate from the raw corpus, so the
+    * rewrite result is proven equal to the scan it eliminated; the
+    * companion spec asserts the plan reads the MV table and NOT the
+    * base. Freshness contract: the MV is (re)built here, in the same
+    * operation that registers it. */
+  private val mvRewrite = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    val basePath = s"$root/main/docs_mvrw_base"
+    val mvPath = s"$root/main/docs_mvrw"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(4)
+      .write.format("graft-objects").mode("overwrite").save(basePath)
+    // agg.pushdown off: the rule's logical match needs the plain
+    // Aggregate-over-scan shape (storage partial-agg is the OTHER,
+    // per-object tier of the same idea — see Scaladoc above)
+    val base = s.read.format("graft-objects")
+      .option("agg.pushdown", "false").load(basePath)
+    base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .write.format("graft-objects").mode("overwrite").save(mvPath)
+    val baseName = base.queryExecution.analyzed.collectLeaves().head match {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.name()
+    }
+    graft.plans.MvRewrite.registerMv(baseName,
+      graft.plans.MvRewrite.MvDef(
+        s.read.format("graft-objects").load(mvPath)
+          .queryExecution.optimizedPlan,
+        groupCols = Seq("lang"),
+        aggCols = Map(
+          "n_docs" -> ("count", "1"),
+          "sum_chars" -> ("sum", "n_chars"),
+          "first_doc" -> ("min", "doc_id"),
+          "last_doc" -> ("max", "doc_id"))))
+    graft.plans.MvRewrite.register(s)
+    s.conf.set(graft.plans.MvRewrite.ConfKey, "true")
+    s.read.format("graft-objects")
+      .option("agg.pushdown", "false").load(basePath)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  private val mvRewriteSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM documents GROUP BY 1""".stripMargin
+
   private val partitionedWriteSql =
     """SELECT event_type, COUNT(*) AS n,
       |  COUNT(DISTINCT user_id) AS n_users,
@@ -1211,6 +1273,8 @@ object Sources extends QueryModule {
       "hive-style partitionBy write + partition-pruned filtered read-back"),
     "q_src_mv_incremental" -> Q(mvIncremental, Some(mvIncrementalSql),
       "incremental materialized-view refresh: delta-only agg + MERGE == rebuild"),
+    "q_src_mv_rewrite" -> Q(mvRewrite, Some(mvRewriteSql),
+      "automatic MV substitution: optimizer rule swaps the corpus agg onto the rollup table"),
     "q_src_index_incremental" -> Q(indexIncremental,
       Some(indexIncrementalSql),
       "incremental index maintenance: delta-only tokenize + MERGE == rebuild"),

@@ -1934,6 +1934,11 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
     * the oracle discipline forbids, NaN-disabled footer stats in the
     * footer tier) is refused and falls back to the ordinary scan. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // Per-read opt-out (`option("agg.pushdown", "false")`): callers
+    // exercising a DIFFERENT aggregate-elimination tier (e.g. the
+    // MvRewrite optimizer rule, whose logical match needs the plain
+    // Aggregate-over-scan shape) can hold storage aggregation off.
+    if (!options.getBoolean("agg.pushdown", true)) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -2325,8 +2330,8 @@ case class GraftClusteredPartition(paths: Seq[String], key: Any)
 }
 
 class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
-    pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int],
-    limit: Option[Int] = None, topN: Option[PushedTopN] = None,
+    val pushed: Array[Filter], path: String, maxObjectsPerTrigger: Option[Int],
+    val limit: Option[Int] = None, val topN: Option[PushedTopN] = None,
     clusteredBy: Option[String] = None,
     maxBytesPerTrigger: Option[Long] = None,
     clusteredWidth: Option[Long] = None)
