@@ -318,7 +318,48 @@ object Sampling extends QueryModule {
       |        ORDER BY sel, neg_id ASC) AS rsel FROM pool)
       |WHERE rsel <= 3""".stripMargin
 
+  /** Class-balanced downsampling — the training-set balancer: every
+    * language class is capped to the SMALLEST class's count, picks
+    * chosen by content-hash order (md5 of doc_id, doc_id tiebreak), so
+    * the balanced set is a pure function of the data like every other
+    * sampler here. The output pins the exact selection per class with
+    * a sum-of-kept-doc_ids checksum rather than emitting the rows.
+    *
+    * 100 TB posture: one |classes|-row broadcast (the min count), one
+    * class-keyed rank window over the corpus, map-side rollup after —
+    * the same shape at any corpus size; a skewed giant class costs one
+    * sort of its own partition, never a global one. */
+  private val classBalanceQ = (s: SparkSession, dir: String) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+    val cap = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("cap"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    d.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("rn") <= col("cap"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_kept_ids"))
+  }
+
+  private val classBalanceSql =
+    """WITH cap AS (
+      |  SELECT MIN(n) AS cap FROM (
+      |    SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1)),
+      |r AS (
+      |  SELECT doc_id, lang, row_number() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+      |FROM r, cap WHERE rn <= cap GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_class_balance" -> Q(classBalanceQ, Some(classBalanceSql),
+      "cap every class at the smallest class count, content-hash-deterministic picks"),
     "q_sample_negatives" -> Q(negativesQ, Some(negativesSql),
       "contrastive negative mining: hash-deterministic picks from the verified-unrelated pool"),
     "q_sample_bootstrap" -> Q(bootstrapQ, Some(bootstrapSql),

@@ -1375,7 +1375,54 @@ object TextOps extends QueryModule {
       |  MAX(flesch_micro) AS max_flesch_micro
       |FROM f GROUP BY 1, 2""".stripMargin
 
+  /** N-gram novelty scoring — the training-data diversity gate beside
+    * the dedup family: for each document, the share of its DISTINCT
+    * 3-gram shingles that appear in NO earlier document (first
+    * occurrence = min doc_id over the corpus — ingestion order). Low
+    * novelty = the document is mostly recombined boilerplate even when
+    * no single source passes a pairwise dedup threshold; the curation
+    * policy reads `novelty_micro` exactly like q_text_quality's
+    * ratios. Integer-exact: counts and a floor-div micro ratio.
+    *
+    * 100 TB posture: one gram exchange for the distinct, one for the
+    * global first-occurrence map, one doc-keyed rollup — fan-out is
+    * bounded by gram df exactly as in the jaccard inverted index. */
+  private val noveltyQ = (s: SparkSession, dir: String) => {
+    val grams = Tables.documents(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .distinct()
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_micro",
+        expr("(1000000 * n_novel) div n_grams"))
+  }
+
+  private val noveltySql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk
+      |             FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      |       FROM toks),
+      |d AS (SELECT DISTINCT doc_id, g FROM sh),
+      |f AS (SELECT g, min(doc_id) AS first_doc FROM d GROUP BY 1)
+      |SELECT d.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  (1000000 * CAST(SUM(CASE WHEN f.first_doc = d.doc_id
+      |     THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS novelty_micro
+      |FROM d JOIN f ON d.g = f.g
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_ngram_novelty" -> Q(noveltyQ, Some(noveltySql),
+      "per-document share of corpus-first 3-gram shingles, integer-exact"),
     "q_text_readability" -> Q(readabilityQ, Some(readabilitySql),
       "integer-exact Flesch readability bands per language"),
     "q_text_span_corruption" -> Q(spanCorruptQ, Some(spanCorruptSql),

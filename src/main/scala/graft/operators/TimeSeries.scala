@@ -603,7 +603,66 @@ object TimeSeries extends QueryModule {
       |  obs IS NULL AS interpolated
       |FROM j""".stripMargin
 
+  /** Seasonal-naive forecast + backtest — the baseline every real
+    * forecaster must beat: hold out the final 7 days (relative to the
+    * series' own max timestamp, so the split is a pure function of the
+    * data at every scale), forecast each (event_type, hour-of-day)
+    * test value as the TRAIN mean for that slot in integer micro-units
+    * (exact floor-div mean), and score per event type with MAE in the
+    * same micro-units. Slots unseen in training simply drop out of the
+    * backtest (COUNT carries the coverage).
+    *
+    * 100 TB posture: one broadcast scalar (the split point), one
+    * |types×24|-bounded profile aggregate, one broadcast probe of the
+    * test rows against the profile, one final rollup — the corpus is
+    * scanned twice and shuffled never (both aggregates collapse
+    * map-side to tiny keys). */
+  private val snaiveQ = (s: SparkSession, dir: String) => {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"),
+        floor(col("value") * 1000000L).cast("long").as("vm"))
+    val split = e.agg((max(unix_micros(col("ts")))
+      - lit(7L * 24 * 3600 * 1000000L)).as("cut"))
+    val tagged = e.crossJoin(broadcast(split))
+      .withColumn("is_test", unix_micros(col("ts")) >= col("cut"))
+      .withColumn("hod", hour(col("ts")).cast("long"))
+    val profile = tagged.filter(!col("is_test"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(expr("sum(vm) div count(1)").as("fc"))
+    tagged.filter(col("is_test"))
+      .join(broadcast(profile), Seq("event_type", "hod"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test"),
+        expr("sum(abs(vm - fc)) div count(1)").as("mae_micro"),
+        max(abs(col("vm") - col("fc"))).as("max_err_micro"))
+  }
+
+  private val snaiveSql =
+    """WITH e AS (
+      |  SELECT event_type, ts,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS vm
+      |  FROM events),
+      |cut AS (
+      |  SELECT epoch_us(MAX(ts))
+      |    - CAST(7 AS BIGINT) * 24 * 3600 * 1000000 AS cut FROM e),
+      |tagged AS (
+      |  SELECT event_type, vm, CAST(hour(ts) AS BIGINT) AS hod,
+      |    epoch_us(ts) >= cut AS is_test
+      |  FROM e, cut),
+      |profile AS (
+      |  SELECT event_type, hod,
+      |    CAST(SUM(vm) // COUNT(*) AS BIGINT) AS fc
+      |  FROM tagged WHERE NOT is_test GROUP BY 1, 2)
+      |SELECT t.event_type, COUNT(*) AS n_test,
+      |  CAST(SUM(abs(t.vm - p.fc)) // COUNT(*) AS BIGINT) AS mae_micro,
+      |  MAX(abs(t.vm - p.fc)) AS max_err_micro
+      |FROM tagged t
+      |JOIN profile p ON t.event_type = p.event_type AND t.hod = p.hod
+      |WHERE t.is_test GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_forecast_snaive" -> Q(snaiveQ, Some(snaiveSql),
+      "seasonal-naive hour-of-day forecast with 7-day holdout, integer-exact MAE"),
     "q_ts_interp_linear" -> Q(interpQ, Some(interpSql),
       "linear interpolation onto the hourly grid: integer micro-cent rationals"),
     "q_ts_pop_delta" -> Q(popDeltaQ, Some(popDeltaSql),
