@@ -96,7 +96,12 @@ object Bench {
     // rank), bounded Bellman-Ford routing, MAD robust outliers,
     // windowed co-occurrence counting
     "q_sim_knn_graph", "q_graph_bellman_ford",
-    "q_agg_mad_outliers", "q_text_cooccur")
+    "q_agg_mad_outliers", "q_text_cooccur",
+    // round-5 waves 13-17: skyline staircase (DuckDB pays the
+    // quadratic NOT EXISTS), bounded-round label propagation, MMR
+    // rerank over the brute recall stage, corpus-first n-gram novelty
+    "q_agg_skyline", "q_graph_labelprop",
+    "q_sim_mmr", "q_text_ngram_novelty")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

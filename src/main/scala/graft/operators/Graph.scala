@@ -595,7 +595,77 @@ object Graph extends QueryModule {
        |JOIN sizes ON sizes.lab = l.lab""".stripMargin
   }
 
+  /** Common-neighbors / Jaccard link prediction — the classic
+    * neighborhood-overlap features over the undirected trade graph:
+    * for every node pair with at least one shared neighbor, the
+    * common-neighbor count, the neighbor-set Jaccard (exact floor-div
+    * micro ratio) and whether the pair is ALREADY an edge — the
+    * non-edge rows ranked by these scores are the link-prediction
+    * candidates ([pub: Liben-Nowell & Kleinberg, 2003]).
+    *
+    * 100 TB posture: the wedge self-join keys on the shared neighbor —
+    * fan-out is Σ deg(w)², the same bound the triangle count rides —
+    * then one (a,b) rollup; degrees broadcast back. No node ever sees
+    * more than its neighborhood. */
+  private val commonNeighborsQ = (s: SparkSession, dir: String) => {
+    val und = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey"))
+          .cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey"))
+          .cast("long").as("b"))
+      .distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val cn = sym.select(col("u").as("x"), col("v").as("w"))
+      .join(sym.select(col("u").as("y"), col("v").as("w")), Seq("w"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+    cn.join(broadcast(deg.select(col("u").as("x"), col("deg").as("dx"))),
+        Seq("x"))
+      .join(broadcast(deg.select(col("u").as("y"), col("deg").as("dy"))),
+        Seq("y"))
+      .join(und.select(col("a").as("x"), col("b").as("y"),
+        lit(true).as("is_edge")), Seq("x", "y"), "left")
+      .select(col("x"), col("y"), col("cn"),
+        expr("(1000000 * cn) div (dx + dy - cn)").as("jaccard_micro"),
+        coalesce(col("is_edge"), lit(false)).as("is_edge"))
+  }
+
+  private val commonNeighborsSql =
+    """WITH und AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS a,
+      |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS b
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey),
+      |sym AS MATERIALIZED (
+      |  SELECT a AS u, b AS v FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
+      |cn AS (
+      |  SELECT e1.u AS x, e2.u AS y, COUNT(*) AS cn
+      |  FROM sym e1 JOIN sym e2 ON e1.v = e2.v AND e1.u < e2.u
+      |  GROUP BY 1, 2)
+      |SELECT cn.x, cn.y, cn.cn,
+      |  (1000000 * cn.cn) // (dx.deg + dy.deg - cn.cn) AS jaccard_micro,
+      |  (und.a IS NOT NULL) AS is_edge
+      |FROM cn
+      |JOIN deg dx ON cn.x = dx.u
+      |JOIN deg dy ON cn.y = dy.u
+      |LEFT JOIN und ON und.a = cn.x AND und.b = cn.y""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_common_neighbors" -> Q(commonNeighborsQ, Some(commonNeighborsSql),
+      "common-neighbor + Jaccard link-prediction features over the trade graph"),
     "q_graph_labelprop" -> Q(lpaQ, Some(lpaSql),
       "bounded-round weighted label propagation communities, integer-exact argmax"),
     "q_graph_kcore" -> Q(kcoreQ, Some(kcoreSql),

@@ -1420,7 +1420,84 @@ object TextOps extends QueryModule {
       |FROM d JOIN f ON d.g = f.g
       |GROUP BY 1""".stripMargin
 
+  /** Preference-pair construction (the DPO/RLHF data op): within each
+    * (lang, source) bucket, pair the HIGHEST-quality document as
+    * `chosen` against the LOWEST as `rejected` — quality is an
+    * integer-micro twin of [[qualityQ]]'s score (length gate ×500k +
+    * stopword-mass ×250k + word-length gate ×250k, all floor-div
+    * rationals), ties broken to the smaller doc_id on both ends, and
+    * buckets emit only when the gap is strictly positive (a pair with
+    * no preference signal is worthless to the trainer).
+    *
+    * 100 TB posture: scoring is map-side; the argmax/argmin collapse
+    * is one partial-agg shuffle of struct-ordered extrema per bucket —
+    * never a sort, never a window over the corpus. */
+  private val preferencePairsQ = (s: SparkSession, dir: String) => {
+    val list = Stopwords.map("'" + _ + "'").mkString(",")
+    val scored = Tables.documents(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("stop_n",
+        size(expr(s"filter(tk, t -> t IN ($list))")).cast("long"))
+      .withColumn("wlen10",
+        expr("(10 * (length(text) - n_tok + 1)) div n_tok"))
+      .withColumn("score_micro",
+        when(col("n_tok").between(20L, 90L), 500000L).otherwise(0L)
+          + expr("(250000 * stop_n) div n_tok")
+          + when(col("wlen10").between(30L, 80L), 250000L).otherwise(0L))
+    scored.groupBy(col("lang"), col("source"))
+      .agg(
+        max(struct(col("score_micro"), (-col("doc_id")).as("nd")))
+          .as("hi"),
+        min(struct(col("score_micro"), col("doc_id"))).as("lo"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        (-col("hi.nd")).as("chosen_doc"),
+        col("hi.score_micro").as("chosen_score"),
+        col("lo.doc_id").as("rejected_doc"),
+        col("lo.score_micro").as("rejected_score"))
+      .withColumn("gap",
+        col("chosen_score") - col("rejected_score"))
+      .filter(col("gap") > 0)
+  }
+
+  private val preferencePairsSql = {
+    val list = Stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN ($list))) AS BIGINT) AS stop_n,
+       |    length(text) AS n_ch
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang, source,
+       |    (CASE WHEN n_tok BETWEEN 20 AND 90 THEN 500000 ELSE 0 END)
+       |    + (250000 * stop_n) // n_tok
+       |    + (CASE WHEN (10 * (n_ch - n_tok + 1)) // n_tok
+       |        BETWEEN 30 AND 80 THEN 250000 ELSE 0 END) AS score_micro
+       |  FROM m),
+       |r AS (
+       |  SELECT lang, source, doc_id, score_micro,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY score_micro DESC, doc_id ASC) AS rh,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY score_micro ASC, doc_id ASC) AS rl,
+       |    COUNT(*) OVER (PARTITION BY lang, source) AS n_docs
+       |  FROM sc)
+       |SELECT h.lang, h.source, h.n_docs,
+       |  h.doc_id AS chosen_doc, h.score_micro AS chosen_score,
+       |  l.doc_id AS rejected_doc, l.score_micro AS rejected_score,
+       |  h.score_micro - l.score_micro AS gap
+       |FROM (SELECT * FROM r WHERE rh = 1) h
+       |JOIN (SELECT * FROM r WHERE rl = 1) l
+       |  ON h.lang = l.lang AND h.source = l.source
+       |WHERE h.score_micro - l.score_micro > 0""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_preference_pairs" -> Q(preferencePairsQ, Some(preferencePairsSql),
+      "DPO-style chosen/rejected pairs per (lang, source): integer quality extrema"),
     "q_text_ngram_novelty" -> Q(noveltyQ, Some(noveltySql),
       "per-document share of corpus-first 3-gram shingles, integer-exact"),
     "q_text_readability" -> Q(readabilityQ, Some(readabilitySql),

@@ -39,6 +39,9 @@ HEADLINE = [
     # round-5 waves 6-8 (mirror graft.Bench.headline)
     "q_sim_knn_graph", "q_graph_bellman_ford",
     "q_agg_mad_outliers", "q_text_cooccur",
+    # round-5 waves 13-17 (mirror graft.Bench.headline)
+    "q_agg_skyline", "q_graph_labelprop",
+    "q_sim_mmr", "q_text_ngram_novelty",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
