@@ -288,6 +288,69 @@ object Joins extends QueryModule {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** Executed-plan capture for the runtime-bloom spec (the query
+    * returns a materialized LocalRelation, so the interesting plan is
+    * the one that ran inside the scoped-conf block). */
+  object RuntimeBloom { @volatile var lastPlan: String = "" }
+
+  /** Runtime bloom-filter join pruning — Spark's InjectRuntimeFilter
+    * (the engine-native analog of the reference's storage-side
+    * membership pruning): the selective `o_totalprice > 400000` side
+    * builds a bloom over its join keys at runtime and the optimizer
+    * fans `BloomFilterMightContain` onto the fact side's scan, so
+    * lineitem rows for non-qualifying orders die before the exchange.
+    * Semantics-free by construction (a bloom only PRUNES; the join
+    * re-checks), so the oracle is the plain join — the spec asserts
+    * the bloom actually lands in the physical plan.
+    *
+    * The size thresholds are lowered in-session because the fixture is
+    * tiny; at 100 TB the DEFAULTS (10 MB creation side / 10 GB
+    * application side) gate exactly this shape — a selective dim
+    * filter against a fact table too big to scan for a discarded
+    * majority. The confs are semantics-free for every other query. */
+  private val runtimeBloomQ = (s: SparkSession, dir: String) => {
+    // Scoped conf block: InjectRuntimeFilter only fires on a join it
+    // judges PROBABLY-SHUFFLE (a broadcastable-by-size creation side
+    // means the broadcast hash table IS the filter, so it declines —
+    // correct at 100 TB, where these sizes gate naturally, but it
+    // hides the mechanism at fixture scale). The query computes
+    // EAGERLY under fixture-scaled thresholds, then every conf is
+    // restored, so no other query's plan ever sees them.
+    val touched = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = touched.map { case (k, _) =>
+      // Try → missing key; Option → key present but null-valued
+      // (e.g. adaptive.autoBroadcastJoinThreshold's fallback default)
+      k -> scala.util.Try(s.conf.get(k)).toOption.flatMap(Option(_)) }
+    touched.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Ora.dsum(Ora.money(col("l_extendedprice"))).as("sum_price"))
+      val rows = df.collect()
+      RuntimeBloom.lastPlan = df.queryExecution.executedPlan.toString
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val runtimeBloomSql =
+    """SELECT o.o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_totalprice > 400000
+      |GROUP BY 1""".stripMargin
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match NULL keys, where plain `=` would silently drop every
     * NULL-keyed row. The derived key maps bucket 0 to NULL so the
@@ -495,6 +558,8 @@ object Joins extends QueryModule {
       "range join: equi key + time interval condition"),
     "q_join_asof_tolerance" -> Q(asofToleranceQ, Some(asofToleranceSql),
       "as-of join with a 1-hour staleness bound (merge_asof tolerance semantics)"),
+    "q_join_runtime_bloom" -> Q(runtimeBloomQ, Some(runtimeBloomSql),
+      "runtime bloom-filter join pruning: selective dim filter fans a bloom onto the fact scan"),
     "q_join_asof" -> Q(asof, Some(asofSql),
       "as-of join via union + window (single shuffle; oracle: DuckDB ASOF)"),
     "q_join_null_safe" -> Q(nullSafe, Some(nullSafeSql),

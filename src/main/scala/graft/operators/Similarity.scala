@@ -106,6 +106,128 @@ object Similarity extends QueryModule {
     sel.select(col("mmr_rank"), col("vec_id"), col("rel"))
   }
 
+  /** Matryoshka-truncation evaluation (the MRL question: how much
+    * retrieval quality survives cutting the embedding in half?): the
+    * brute top-10 under the FULL 64-dim cosine beside the top-10 under
+    * the FIRST-32-dims cosine, joined by rank, plus overlap@10 — the
+    * eval every embedding-compression decision reads first. Both
+    * scores are the 6-dp-rounded cosine; the truncated score slices
+    * the SAME stored vector (no re-embedding), which is exactly the
+    * production MRL deployment shape.
+    *
+    * 100 TB posture: one broadcast-query scan computing both scores,
+    * two TakeOrdered top-10s (never a global sort), a 10-row rank
+    * join and a 1-row overlap broadcast. */
+  private val matryoshkaQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosRounded(col("embedding"), col("qe")).as("cos_full"),
+        cosRounded(slice(col("embedding"), 1, 32), slice(col("qe"), 1, 32))
+          .as("cos_half"))
+    def top10(c: String, alias: String): DataFrame = {
+      val t = scored.select(col("vec_id"), col(c))
+        .orderBy(col(c).desc, col("vec_id").asc).limit(10)
+      val w = Window.orderBy(col(c).desc, col("vec_id").asc)
+      t.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("vec_id").as(s"${alias}_id"),
+          col(c).as(s"${alias}_cos"))
+    }
+    val f = top10("cos_full", "full")
+    val h = top10("cos_half", "half")
+    val ov = f.select(col("full_id").as("vec_id"))
+      .join(h.select(col("half_id").as("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("overlap10"))
+    f.join(h, "rank").crossJoin(broadcast(ov))
+  }
+
+  /** Embedding out-of-distribution detection — the embedding-quality
+    * gate a training pipeline runs before trusting a batch of vectors:
+    * per label, the 5 vectors FARTHEST from their own label centroid
+    * (mislabeled/corrupt-embedding candidates). Everything is integer:
+    * components floor to micro-units, the centroid is the floor-div
+    * per-dimension mean, the distance is the exact Σdiff² in those
+    * units (|diff| ≤ 2·10⁶ over 64 dims ⇒ ≤ 2.6·10¹⁴, far inside
+    * BIGINT) — so the ranking is bit-stable in both engines.
+    *
+    * 100 TB posture: one (label, dim) partial-agg collapse builds the
+    * centroids (|labels|·dim rows), which broadcast back onto a
+    * map-side distance pass; the only corpus-sized exchange is the
+    * per-label top-5 rank, which the §4.2(c) bounded-heap operator
+    * replaces when the window becomes the bottleneck. */
+  private val oodQ = (s: SparkSession, dir: String) => {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("ev").cast("double") * 1000000L).cast("long").as("vm"))
+    val cent = v.groupBy(col("label"), col("pos"))
+      .agg(expr("sum(vm) div count(1)").as("cm"))
+    val dist = v.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm")))
+        .as("dist2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2").desc, col("vec_id").asc)
+    dist.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("label"), col("rnk"), col("vec_id"), col("dist2"))
+  }
+
+  private val oodSql =
+    """WITH v AS (
+      |  SELECT vec_id, label, i AS pos,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS vm
+      |  FROM embeddings CROSS JOIN
+      |    unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |cent AS (
+      |  SELECT label, pos, CAST(SUM(vm) // COUNT(*) AS BIGINT) AS cm
+      |  FROM v GROUP BY 1, 2),
+      |d AS (
+      |  SELECT v.label, v.vec_id,
+      |    CAST(SUM((v.vm - c.cm) * (v.vm - c.cm)) AS BIGINT) AS dist2
+      |  FROM v JOIN cent c ON v.label = c.label AND v.pos = c.pos
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT label, vec_id, dist2, row_number() OVER (
+      |    PARTITION BY label ORDER BY dist2 DESC, vec_id ASC) AS rnk
+      |  FROM d)
+      |SELECT label, rnk, vec_id, dist2 FROM r WHERE rnk <= 5""".stripMargin
+
+  private def matryoshkaSql: String = {
+    def cosE(x: String, y: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, len($x)+1),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len($x)+1),
+         |           i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len($y)+1),
+         |           i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))))
+         |      , 6)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |s AS (
+       |  SELECT vec_id,
+       |    ${cosE("embedding", "qe")} AS cos_full,
+       |    ${cosE("embedding[1:32]", "qe[1:32]")} AS cos_half
+       |  FROM embeddings, q WHERE vec_id <> 0),
+       |f AS (
+       |  SELECT vec_id AS full_id, cos_full, row_number() OVER (
+       |    ORDER BY cos_full DESC, vec_id ASC) AS rank
+       |  FROM s ORDER BY cos_full DESC, vec_id ASC LIMIT 10),
+       |h AS (
+       |  SELECT vec_id AS half_id, cos_half, row_number() OVER (
+       |    ORDER BY cos_half DESC, vec_id ASC) AS rank
+       |  FROM s ORDER BY cos_half DESC, vec_id ASC LIMIT 10),
+       |ov AS (SELECT COUNT(*) AS overlap10
+       |       FROM f JOIN h ON f.full_id = h.half_id)
+       |SELECT f.rank, f.full_id, f.cos_full AS full_cos,
+       |  h.half_id, h.cos_half AS half_cos, ov.overlap10
+       |FROM f JOIN h ON f.rank = h.rank, ov""".stripMargin
+  }
+
   private def mmrSql: String = {
     def cosE(x: String, y: String): String =
       s"""round(
@@ -1892,6 +2014,10 @@ object Similarity extends QueryModule {
       "brute-force top-10 via native codegen cosine Expression"),
     "q_sim_mmr" -> Q(mmrQ, Some(mmrSql),
       "MMR diversified top-5 rerank over the brute top-20 candidate set"),
+    "q_vec_matryoshka" -> Q(matryoshkaQ, Some(matryoshkaSql),
+      "Matryoshka truncation eval: half-dim vs full-dim top-10 rank tables + overlap@10"),
+    "q_vec_ood" -> Q(oodQ, Some(oodSql),
+      "embedding QA: top-5 farthest-from-own-centroid vectors per label, integer micro distances"),
     "q_sim_topk_brute" -> Q(bruteQ, Some(bruteSql),
       "brute-force cosine top-10 (TakeOrderedAndProject merge)"),
     "q_sim_topk_per_query" -> Q(perQueryQ, Some(perQuerySql),

@@ -1495,7 +1495,72 @@ object TextOps extends QueryModule {
        |WHERE h.score_micro - l.score_micro > 0""".stripMargin
   }
 
+  /** Extractive summarization (TextRank degree form): split each
+    * document into 10-token chunks, score every chunk by its
+    * token-overlap centrality — Σ over sibling chunks of
+    * |distinct-tokens ∩ distinct-tokens| (the degree row of the
+    * TextRank similarity graph; integer, so the ranking can never
+    * diverge) — and keep the top-2 chunks per document as its
+    * summary, earliest-chunk tie-break. The fixture corpus carries no
+    * sentence punctuation, so fixed-width chunks are the honest
+    * sentence analog (same contract as q_text_chunk).
+    *
+    * 100 TB posture: everything keys on doc_id — the overlap self-join
+    * fans out per (doc, token) by within-doc chunk count only; no
+    * cross-document edge exists anywhere in the plan. */
+  private val extractiveSummaryQ = (s: SparkSession, dir: String) => {
+    val chunks = Tables.documents(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("ci", explode(expr(
+        "sequence(0, (size(tk) - 1) div 10)")))
+      .select(col("doc_id"), col("ci"),
+        expr("slice(tk, ci * 10 + 1, 10)").as("ctk"))
+    val toks = chunks
+      .select(col("doc_id"), col("ci"), explode(col("ctk")).as("t"))
+      .distinct()
+    val overlap = toks
+      .join(toks.select(col("doc_id"), col("ci").as("cj"), col("t")),
+        Seq("doc_id", "t"))
+      .filter(col("ci") =!= col("cj"))
+      .groupBy(col("doc_id"), col("ci"))
+      .agg(count(lit(1)).as("centrality"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("centrality").desc, col("ci").asc)
+    overlap.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .join(chunks, Seq("doc_id", "ci"))
+      .select(col("doc_id"), col("rnk"), col("ci").as("chunk_idx"),
+        col("centrality"), array_join(col("ctk"), " ").as("summary_chunk"))
+  }
+
+  private val extractiveSummarySql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, i AS ci, tk[i * 10 + 1 : i * 10 + 10] AS ctk
+      |  FROM toks CROSS JOIN
+      |    unnest(range(0, (len(tk) - 1) // 10 + 1)) AS t(i)),
+      |ct AS (
+      |  SELECT DISTINCT doc_id, ci, unnest(ctk) AS t FROM chunks),
+      |ov AS (
+      |  SELECT a.doc_id, a.ci, COUNT(*) AS centrality
+      |  FROM ct a JOIN ct b
+      |    ON a.doc_id = b.doc_id AND a.t = b.t AND a.ci <> b.ci
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT doc_id, ci, centrality, row_number() OVER (
+      |    PARTITION BY doc_id
+      |    ORDER BY centrality DESC, ci ASC) AS rnk
+      |  FROM ov)
+      |SELECT r.doc_id, r.rnk, r.ci AS chunk_idx, r.centrality,
+      |  array_to_string(c.ctk, ' ') AS summary_chunk
+      |FROM r JOIN chunks c ON r.doc_id = c.doc_id AND r.ci = c.ci
+      |WHERE r.rnk <= 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_extractive_summary" -> Q(extractiveSummaryQ,
+      Some(extractiveSummarySql),
+      "top-2 chunks per doc by token-overlap centrality (TextRank degree form)"),
     "q_sample_preference_pairs" -> Q(preferencePairsQ, Some(preferencePairsSql),
       "DPO-style chosen/rejected pairs per (lang, source): integer quality extrema"),
     "q_text_ngram_novelty" -> Q(noveltyQ, Some(noveltySql),
