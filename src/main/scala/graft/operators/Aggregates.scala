@@ -1067,7 +1067,52 @@ object Aggregates extends QueryModule {
       |  ON n.n_nationkey = p.c_nationkey
       |GROUP BY 1""".stripMargin
 
+  /** Benford first-digit audit — the fraud/data-quality screen over a
+    * money column: the leading significant digit of l_extendedprice is
+    * the leading digit of its integer cents (×100 never changes the
+    * first digit), extracted as substr(cast, 1, 1) — pure integer/
+    * string ops, no log10 at query time. Each digit's observed
+    * frequency (floor-div micro) sits beside the Benford expectation
+    * log10(1+1/d) as shared micro-unit LITERALS (both engines compare
+    * against the same constants) and the absolute deviation.
+    *
+    * 100 TB posture: map-side digit extraction, one 9-row partial-agg
+    * shuffle, one 1-row total broadcast. */
+  private val benfordQ = (s: SparkSession, dir: String) => {
+    val d = Tables.lineitem(s, dir)
+      .select(substring(round(col("l_extendedprice") * 100)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum(col("n")).as("tot"))
+    d.crossJoin(broadcast(tot))
+      .withColumn("freq_micro", expr("(1000000 * n) div tot"))
+      .withColumn("benford_micro", expr(
+        "element_at(array(301030, 176091, 124939, 96910, 79181, " +
+          "66947, 57992, 51153, 45757), digit)"))
+      .withColumn("dev_micro",
+        abs(col("freq_micro") - col("benford_micro")))
+      .select(col("digit"), col("n"), col("freq_micro"),
+        col("benford_micro"), col("dev_micro"))
+  }
+
+  private val benfordSql =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM d)
+      |SELECT digit, n, (1000000 * n) // tot AS freq_micro,
+      |  ([301030, 176091, 124939, 96910, 79181,
+      |    66947, 57992, 51153, 45757])[digit] AS benford_micro,
+      |  abs((1000000 * n) // tot
+      |    - ([301030, 176091, 124939, 96910, 79181,
+      |        66947, 57992, 51153, 45757])[digit]) AS dev_micro
+      |FROM d, t""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_benford" -> Q(benfordQ, Some(benfordSql),
+      "Benford first-digit audit over money cents: integer-exact deviations"),
     "q_agg_skyline" -> Q(skylineQ, Some(skylineSql),
       "Pareto-frontier skyline: staircase window vs the quadratic NOT-EXISTS oracle"),
     "q_agg_listagg" -> Q(listaggQ, Some(listaggSql),

@@ -855,7 +855,76 @@ object Multimodal extends QueryModule {
       |  id = least(id, min(peer)) AS kept
       |FROM reach GROUP BY id""".stripMargin
 
+  /** Query-by-image (perceptual-hash ranked retrieval): the doc-0
+    * grid image is the query; every other image ranks by EXACT hamming
+    * distance between stored aHashes (`bit_count(xor)`) — top-5,
+    * doc_id tie-break. This is the retrieval face of the same hash
+    * family [[phashNearQ]] clusters: one map-side scalar per image +
+    * a TakeOrdered merge, no shuffle. At 100 TB the banded equi-join
+    * (pigeonhole: hamming ≤ 7 shares one of 8 byte-bands) prunes the
+    * scan to candidates first — the exact ranking below is the
+    * verification stage of that plan, and the oracle for both. */
+  private val phashSearchQ = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    // the [[phashQ]] image family: its oracle (phashSql chain) is
+    // proven BIT-identical to aHashBmp(synthBmpPattern(_)) — the hash
+    // VALUE rides in q_mm_phash_dedup's exact-checked output — so
+    // cross-engine hamming distances cannot diverge
+    val imgs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, aHashBmp(synthBmpPattern(id)))))
+      .toDF("doc_id", "phash")
+    val qh = imgs.filter(col("doc_id") === 0)
+      .select(col("phash").as("qh"))
+    imgs.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(qh))
+      .select(col("doc_id"),
+        bit_count(col("phash").bitwiseXOR(col("qh"))).as("hamming"))
+      .orderBy(col("hamming").asc, col("doc_id").asc)
+      .limit(5)
+  }
+
+  private val phashSearchSql = {
+    // identical hash derivation as phashSql's chain (bit-identical to
+    // aHashBmp(synthBmpPattern(_)) — exact-checked via q_mm_phash_dedup)
+    val phChain =
+      """WITH img AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, doc_id % 255 AS m
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cell AS (
+        |  SELECT doc_id, w, m, unnest(range(0, 8)) AS x2 FROM img),
+        |cv AS (
+        |  SELECT doc_id, x2,
+        |    CASE WHEN ((m >> ((((x2 * w) // 8) * 8) // w)) & 1) = 1
+        |         THEN 220 ELSE 30 END AS v
+        |  FROM cell),
+        |s AS (SELECT doc_id, SUM(v) AS sv FROM cv GROUP BY 1),
+        |rb AS (
+        |  SELECT cv.doc_id,
+        |    CAST(SUM(CASE WHEN 8 * v > sv THEN 1 << x2 ELSE 0 END)
+        |      AS HUGEINT) AS rowbits
+        |  FROM cv JOIN s ON cv.doc_id = s.doc_id GROUP BY 1),
+        |hv AS (
+        |  SELECT doc_id,
+        |    rowbits * CAST(72340172838076673 AS HUGEINT) AS v FROM rb),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN v - CAST('18446744073709551616' AS HUGEINT)
+        |         ELSE v END AS BIGINT) AS phash
+        |  FROM hv)""".stripMargin
+    s"""$phChain,
+       |q AS (SELECT phash AS qh FROM ph WHERE doc_id = 0)
+       |SELECT p.doc_id,
+       |  CAST(bit_count(xor(p.phash, q.qh)) AS INTEGER) AS hamming
+       |FROM ph p, q WHERE p.doc_id <> 0
+       |ORDER BY hamming ASC, p.doc_id ASC LIMIT 5""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_mm_phash_search" -> Q(phashSearchQ, Some(phashSearchSql),
+      "query-by-image: exact hamming rank over stored aHashes, top-5"),
     "q_mm_phash_dedup" -> Q(phashQ, Some(phashSql),
       "image near-dup clusters: aHash from decoded bytes, closed-form oracle"),
     "q_mm_phash_near" -> Q(phashNearQ, Some(phashNearSql),
