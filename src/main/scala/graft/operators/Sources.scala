@@ -1198,6 +1198,86 @@ object Sources extends QueryModule {
         Ora.dsum(Ora.money(col("value"))).as("sum_value"))
   }
 
+  /** Incremental n-gram novelty — the streaming-ingest form of
+    * q_text_ngram_novelty: the corpus's 3-gram FIRST-OCCURRENCE map
+    * lives as a maintained catalog table (the index/MV discipline);
+    * scoring a new batch touches only (a) the batch's own grams and
+    * (b) the stored map — the historical corpus is NEVER re-read.
+    * Batch docs are half exact copies (novelty 0 by construction) and
+    * half token-reversed mutations (novel grams), so both paths are
+    * exercised; after scoring, the batch's grams MERGE into the map
+    * (min-combine), leaving it ready for the next batch. The oracle
+    * recomputes novelty over the UNIONED corpus from scratch and reads
+    * only the batch docs — delta-scoring ≡ full-rebuild is the
+    * checked contract, exactly as for the incremental MV/index twins. */
+  private val noveltyIncremental = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    s.sql("DROP TABLE IF EXISTS graft.main.novelty_idx")
+    def grams(d: DataFrame): DataFrame = d
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .distinct()
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    grams(base).groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .write.format("graft-objects").mode("overwrite")
+      .save(s"$root/main/novelty_idx")
+    val batch = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat_ws(" ", reverse(split(col("text"), " "))))
+          .as("text"))
+    val bg = grams(batch)
+    val bFirst = bg.groupBy(col("g")).agg(min(col("doc_id")).as("b_first"))
+    val idx = s.read.format("graft-objects").load(s"$root/main/novelty_idx")
+    val combined = bFirst
+      .join(idx.withColumnRenamed("g", "g2"),
+        col("g") === col("g2"), "left")
+      .select(col("g"),
+        least(col("b_first"), coalesce(col("first_doc"), col("b_first")))
+          .as("first_doc"))
+    val out = bg.join(combined, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_micro", expr("(1000000 * n_novel) div n_grams"))
+    // maintain the map for the next batch (min-combine MERGE)
+    combined.createOrReplaceTempView("novelty_delta")
+    s.sql("""MERGE INTO graft.main.novelty_idx t USING novelty_delta d
+            |ON t.g = d.g
+            |WHEN MATCHED THEN UPDATE SET
+            |  first_doc = least(t.first_doc, d.first_doc)
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    out
+  }
+
+  private val noveltyIncrementalSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN text
+      |         ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      |    END AS text
+      |  FROM documents WHERE doc_id < 40),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      |       FROM toks),
+      |d AS (SELECT DISTINCT doc_id, g FROM sh),
+      |f AS (SELECT g, min(doc_id) AS first_doc FROM d GROUP BY 1)
+      |SELECT d.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  (1000000 * CAST(SUM(CASE WHEN f.first_doc = d.doc_id
+      |     THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS novelty_micro
+      |FROM d JOIN f ON d.g = f.g
+      |WHERE d.doc_id >= 200000
+      |GROUP BY 1""".stripMargin
+
   /** Automatic materialized-view substitution — [[mvIncremental]]
     * maintains the rollup; this query proves the OPTIMIZER can use it:
     * the returned DataFrame is written as the plain corpus aggregate
@@ -1275,6 +1355,9 @@ object Sources extends QueryModule {
       "incremental materialized-view refresh: delta-only agg + MERGE == rebuild"),
     "q_src_mv_rewrite" -> Q(mvRewrite, Some(mvRewriteSql),
       "automatic MV substitution: optimizer rule swaps the corpus agg onto the rollup table"),
+    "q_text_novelty_incremental" -> Q(noveltyIncremental,
+      Some(noveltyIncrementalSql),
+      "incremental n-gram novelty: delta docs scored against the stored first-occurrence index"),
     "q_src_index_incremental" -> Q(indexIncremental,
       Some(indexIncrementalSql),
       "incremental index maintenance: delta-only tokenize + MERGE == rebuild"),
