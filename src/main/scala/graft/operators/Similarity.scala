@@ -197,6 +197,65 @@ object Similarity extends QueryModule {
       |  FROM d)
       |SELECT label, rnk, vec_id, dist2 FROM r WHERE rnk <= 5""".stripMargin
 
+  /** Per-dimension embedding profile — the batch-QA table an embedding
+    * pipeline checks before indexing: for every dimension, n, the
+    * exact linear micro moments (Σv, Σ|v|, min/max), the quadratic
+    * moment in CENTI units (Σvc², vc = floor(100·v): |vc| ≤ a few
+    * hundred keeps Σvc² inside BIGINT to ~10¹⁴ rows — the micro form
+    * would overflow at 2·10⁶ rows, the exact silent-wrap trap the
+    * BM25 advice item documented), and two flags: DEAD (floor-div
+    * variance below 1 centi² = 10⁻⁴ — a truncation/projection bug
+    * shows up here first) and DOMINANT (mean |v| above 0.5 — a
+    * normalization bug). Divisions are floor-divs mirrored in both
+    * engines, so the flags are bit-stable.
+    *
+    * 100 TB posture: one posexplode + one |dim|-key partial-agg
+    * shuffle; every statistic merges associatively. */
+  private val dimProfileQ = (s: SparkSession, dir: String) => {
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .select(col("pos"),
+        floor(col("ev").cast("double") * 1000000L).cast("long").as("vm"),
+        floor(col("ev").cast("double") * 100L).cast("long").as("vc"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vm")).as("s1_micro"),
+        sum(col("vc") * col("vc")).as("s2_centi"),
+        min(col("vm")).as("min_micro"),
+        max(col("vm")).as("max_micro"),
+        sum(abs(col("vm"))).as("sabs_micro"))
+      // dead: floor-div variance in centi² below 1 (= 1e-4 in units²)
+      .withColumn("dead",
+        expr("s2_centi div n - (s1_micro div (n * 10000)) " +
+          "* (s1_micro div (n * 10000)) < 1"))
+      // dominant: mean |v| > 0.5  <=>  2*sabs > n*10^6
+      .withColumn("dominant",
+        lit(2L) * col("sabs_micro") > col("n") * lit(1000000L))
+  }
+
+  private val dimProfileSql =
+    """WITH v AS (
+      |  SELECT i - 1 AS pos,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS vm,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT)
+      |      AS vc
+      |  FROM embeddings CROSS JOIN
+      |    unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |a AS (
+      |  SELECT pos, COUNT(*) AS n,
+      |    CAST(SUM(vm) AS BIGINT) AS s1_micro,
+      |    CAST(SUM(vc * vc) AS BIGINT) AS s2_centi,
+      |    MIN(vm) AS min_micro, MAX(vm) AS max_micro,
+      |    CAST(SUM(abs(vm)) AS BIGINT) AS sabs_micro
+      |  FROM v GROUP BY 1)
+      |SELECT pos, n, s1_micro, s2_centi, min_micro, max_micro,
+      |  sabs_micro,
+      |  (s2_centi // n - (s1_micro // (n * 10000))
+      |    * (s1_micro // (n * 10000)) < 1) AS dead,
+      |  (2 * sabs_micro > n * 1000000) AS dominant
+      |FROM a""".stripMargin
+
   private def matryoshkaSql: String = {
     def cosE(x: String, y: String): String =
       s"""round(
@@ -2018,6 +2077,8 @@ object Similarity extends QueryModule {
       "Matryoshka truncation eval: half-dim vs full-dim top-10 rank tables + overlap@10"),
     "q_vec_ood" -> Q(oodQ, Some(oodSql),
       "embedding QA: top-5 farthest-from-own-centroid vectors per label, integer micro distances"),
+    "q_vec_dim_profile" -> Q(dimProfileQ, Some(dimProfileSql),
+      "per-dimension embedding statistics + dead/dominant dimension flags, integer-exact"),
     "q_sim_topk_brute" -> Q(bruteQ, Some(bruteSql),
       "brute-force cosine top-10 (TakeOrderedAndProject merge)"),
     "q_sim_topk_per_query" -> Q(perQueryQ, Some(perQuerySql),

@@ -62,7 +62,50 @@ object SortLimit extends QueryModule {
       |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
       |LIMIT 25""".stripMargin
 
+  /** Keyset pagination — page 3 (rows 41-60) of the price-ordered
+    * listing, fetched the way a 100 TB serving layer must: WHERE
+    * (price, orderkey, linenumber) > last-seen-key ORDER BY ... LIMIT
+    * 20, which is a pushable range predicate + TakeOrdered — cost
+    * ∝ page, not ∝ offset. The last-seen key is derived in-plan (the
+    * 40th row via a TakeOrdered subquery + 1-row broadcast), and the
+    * oracle is the honest OFFSET spelling — proving keyset ≡ offset,
+    * the contract that lets a client switch. Row-value comparison is
+    * spelled as the expanded lexicographic OR (engine-portable). */
+  private val paginationQ = (s: SparkSession, dir: String) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val last = li
+      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(40)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+      .limit(1)
+      .select(col("l_extendedprice").as("kp"),
+        col("l_orderkey").as("ko"), col("l_linenumber").as("kl"))
+    li.crossJoin(broadcast(last))
+      .filter(col("l_extendedprice") > col("kp")
+        || (col("l_extendedprice") === col("kp")
+          && col("l_orderkey") > col("ko"))
+        || (col("l_extendedprice") === col("kp")
+          && col("l_orderkey") === col("ko")
+          && col("l_linenumber") > col("kl")))
+      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(20)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
+  private val paginationSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 20 OFFSET 40""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sort_pagination" -> Q(paginationQ, Some(paginationSql),
+      "keyset pagination == OFFSET page: seek predicate + TakeOrdered"),
     "q_sort_topk_desc" -> Q(topkDesc, Some(topkDescSql),
       "global top-k via TakeOrderedAndProject (REPOSE local+merge)"),
     "q_sort_topk_asc" -> Q(topkAsc, Some(topkAscSql),

@@ -1557,7 +1557,53 @@ object TextOps extends QueryModule {
       |FROM r JOIN chunks c ON r.doc_id = c.doc_id AND r.ci = c.ci
       |WHERE r.rnk <= 2""".stripMargin
 
+  /** Boilerplate detection (the CCNet-adjacent signal [[noveltyQ]]
+    * doesn't carry): a gram is BOILERPLATE when it appears in ≥ 3
+    * distinct documents; each document reports the fraction of its
+    * distinct 3-grams that are boilerplate (floor-div micro) and the
+    * `is_template` flag above 80% — the menus/footers/license-header
+    * class that survives pairwise dedup because no two pages are
+    * similar ENOUGH, yet the corpus is saturated with the same lines.
+    *
+    * 100 TB posture: same inverted-gram discipline as novelty — one
+    * distinct, one df map keyed on the gram, one doc rollup. */
+  private val boilerplateQ = (s: SparkSession, dir: String) => {
+    val grams = Tables.documents(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .distinct()
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 3L, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_micro", expr("(1000000 * n_boiler) div n_grams"))
+      .withColumn("is_template", expr("5 * n_boiler > 4 * n_grams"))
+  }
+
+  private val boilerplateSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk
+      |             FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      |       FROM toks),
+      |d AS (SELECT DISTINCT doc_id, g FROM sh),
+      |f AS (SELECT g, COUNT(*) AS gdf FROM d GROUP BY 1)
+      |SELECT d.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.gdf >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_boiler,
+      |  (1000000 * CAST(SUM(CASE WHEN f.gdf >= 3 THEN 1 ELSE 0 END)
+      |    AS BIGINT)) // COUNT(*) AS boiler_micro,
+      |  (5 * CAST(SUM(CASE WHEN f.gdf >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    > 4 * COUNT(*)) AS is_template
+      |FROM d JOIN f ON d.g = f.g
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_boilerplate" -> Q(boilerplateQ, Some(boilerplateSql),
+      "per-doc boilerplate-gram fraction (df >= 3), template flag at 80%"),
     "q_text_extractive_summary" -> Q(extractiveSummaryQ,
       Some(extractiveSummarySql),
       "top-2 chunks per doc by token-overlap centrality (TextRank degree form)"),
