@@ -33,6 +33,7 @@ object SparkEntry {
     graft.operators.TimeSeries,
     graft.operators.Graph,
     graft.operators.Curation,
+    graft.operators.Audit,
     graft.operators.TpchMore)
 
   private lazy val all: Map[String, Q] =

@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Evaluation & audit operators — the checks a training-data /
+  * analytics platform runs over its own outputs: classifier-eval
+  * metrics (exact ROC AUC), privacy audits (k-anonymity /
+  * l-diversity), categorical-association profiling (chi-square /
+  * Cramér's V), and a declarative data-quality expectations report
+  * (the Great-Expectations shape: one scan, one verdict row per
+  * declared check).
+  *
+  * All scores are integer-exact (micro units, floor-div) so the
+  * DuckDB oracle is bit-stable.
+  */
+object Audit extends QueryModule {
+
+  /** Exact ROC AUC per source, WITHOUT a global sort: AUC is the
+    * Mann-Whitney statistic P(score_pos > score_neg) + ties/2. Group
+    * once by (source, score) to per-value (pos, neg) cells, then a
+    * window ordered by score over the DISTINCT VALUE DOMAIN ONLY
+    * (cardinality = distinct scores, thousands — never corpus rows)
+    * gives the cumulative negatives below each value:
+    * num2 = Σ pos_s · (2·cum_neg_below + neg_s), AUC = num2 / (2PN).
+    * Score = n_chars, positive class = lang 'en' — the doc-length
+    * signal an acquisition gate would sanity-check.
+    *
+    * 100 TB posture: one (source,score) partial-agg shuffle; the
+    * window runs over the collapsed value domain, like the skyline's
+    * running pass. Sources with a degenerate class (P=0 or N=0)
+    * report NULL, not a crash. */
+  private val aucQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"))
+      .groupBy(col("source"), col("score"))
+      .agg(sum(col("is_pos")).as("p"),
+        sum(lit(1L) - col("is_pos")).as("g"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cg", coalesce(sum(col("g")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("p")).as("pos_n"), sum(col("g")).as("neg_n"),
+        sum(col("p") * (lit(2L) * col("cg") + col("g"))).as("num2"))
+      .withColumn("auc_micro",
+        when(col("pos_n") > 0L && col("neg_n") > 0L,
+          expr("(1000000 * num2) div (2 * pos_n * neg_n)")))
+  }
+
+  private val aucSql =
+    """WITH b AS (
+      |  SELECT source, n_chars AS score,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS p,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS g
+      |  FROM documents GROUP BY 1, 2),
+      |w AS (
+      |  SELECT source, p, g,
+      |    COALESCE(SUM(g) OVER (PARTITION BY source ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cg
+      |  FROM b)
+      |SELECT source, CAST(SUM(p) AS BIGINT) AS pos_n,
+      |  CAST(SUM(g) AS BIGINT) AS neg_n,
+      |  CAST(SUM(p * (2 * cg + g)) AS BIGINT) AS num2,
+      |  CAST(CASE WHEN SUM(p) > 0 AND SUM(g) > 0 THEN
+      |    (1000000 * CAST(SUM(p * (2 * cg + g)) AS BIGINT))
+      |      // (2 * CAST(SUM(p) AS BIGINT) * CAST(SUM(g) AS BIGINT))
+      |  END AS BIGINT) AS auc_micro
+      |FROM w GROUP BY 1""".stripMargin
+
+  /** k-anonymity / l-diversity audit on customer: quasi-identifier =
+    * (nation, account-balance band of width 2000); sensitive
+    * attribute = market segment. Each QI equivalence class reports
+    * its size k (re-identification resistance), its sensitive-value
+    * diversity l, and the k<5 / l<2 violation flags — the table a
+    * release-gate reads before publishing "anonymized" data.
+    *
+    * 100 TB posture: ONE groupBy shuffle on the QI key; l is a
+    * count-distinct inside each class (Spark's partial-distinct
+    * expansion keeps it map-combined). */
+  private val kanonQ = (s: SparkSession, dir: String) => {
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 2000d).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("k_size"),
+        countDistinct(col("c_mktsegment")).as("l_div"))
+      .withColumn("viol_k", col("k_size") < 5L)
+      .withColumn("viol_l", col("l_div") < 2L)
+  }
+
+  private val kanonSql =
+    """SELECT c_nationkey,
+      |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+      |  COUNT(*) AS k_size,
+      |  COUNT(DISTINCT c_mktsegment) AS l_div,
+      |  COUNT(*) < 5 AS viol_k,
+      |  COUNT(DISTINCT c_mktsegment) < 2 AS viol_l
+      |FROM customer
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Categorical-association profile: chi-square + Cramér's V between
+    * market segment and nation. Exact rational form: with row total r,
+    * column total c, grand total n, the cell contribution
+    * (obs − rc/n)²/(rc/n) = (n·obs − rc)²/(n·r·c); each cell is
+    * floor-div'd in micro units THEN summed (the contract both engines
+    * mirror). Zero cells contribute — the observed-category cross is
+    * completed before scoring. V² = χ²/(n·min(R−1,C−1)).
+    *
+    * Magnitude bound (documented per the BM25 advice item): the cell
+    * numerator 10⁶·(n·obs − rc)² needs |n·obs| < 3·10⁶ to stay inside
+    * BIGINT — profile on a sample or switch the scale factor to centi
+    * above ~10³ rows per cell × 10³ cells. Fixture n ≤ 1.5·10⁴ at
+    * sf0.1: safe by 10⁴×.
+    *
+    * 100 TB posture: three partial aggs over the same scan (cells, row
+    * totals, column totals — all collapse to the category domain) and
+    * broadcast-only joins after; nothing row-scale is shuffled. */
+  private val contingencyQ = (s: SparkSession, dir: String) => {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+    val obs = cust.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("r"))
+    val ct = cust.groupBy(col("c_nationkey")).agg(count(lit(1)).as("c"))
+    val n = cust.agg(count(lit(1)).as("n"))
+    rt.crossJoin(broadcast(ct))
+      .join(broadcast(obs), Seq("c_mktsegment", "c_nationkey"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(n))
+      .withColumn("cell_micro", expr(
+        "(1000000 * (n * obs - r * c) * (n * obs - r * c)) div (n * r * c)"))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("c_mktsegment")).as("r_cats"),
+        countDistinct(col("c_nationkey")).as("c_cats"),
+        sum(col("cell_micro")).as("chi2_micro"))
+      .withColumn("dof", (col("r_cats") - 1L) * (col("c_cats") - 1L))
+      .withColumn("v2_micro", expr(
+        "chi2_micro div (n * least(r_cats - 1, c_cats - 1))"))
+  }
+
+  private val contingencySql =
+    """WITH src AS (SELECT c_mktsegment, c_nationkey FROM customer),
+      |o AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS obs
+      |      FROM src GROUP BY 1, 2),
+      |rt AS (SELECT c_mktsegment, COUNT(*) AS r FROM src GROUP BY 1),
+      |ct AS (SELECT c_nationkey, COUNT(*) AS c FROM src GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n FROM src),
+      |cells AS (
+      |  SELECT rt.c_mktsegment, ct.c_nationkey, rt.r, ct.c, tot.n,
+      |    COALESCE(o.obs, 0) AS obs
+      |  FROM rt CROSS JOIN ct CROSS JOIN tot
+      |  LEFT JOIN o ON o.c_mktsegment = rt.c_mktsegment
+      |    AND o.c_nationkey = ct.c_nationkey),
+      |scored AS (
+      |  SELECT n, c_mktsegment, c_nationkey,
+      |    (1000000 * (n * obs - r * c) * (n * obs - r * c))
+      |      // (n * r * c) AS cell_micro
+      |  FROM cells)
+      |SELECT MAX(n) AS n,
+      |  COUNT(DISTINCT c_mktsegment) AS r_cats,
+      |  COUNT(DISTINCT c_nationkey) AS c_cats,
+      |  CAST(SUM(cell_micro) AS BIGINT) AS chi2_micro,
+      |  (COUNT(DISTINCT c_mktsegment) - 1)
+      |    * (COUNT(DISTINCT c_nationkey) - 1) AS dof,
+      |  CAST(SUM(cell_micro) AS BIGINT)
+      |    // (MAX(n) * least(COUNT(DISTINCT c_mktsegment) - 1,
+      |                       COUNT(DISTINCT c_nationkey) - 1)) AS v2_micro
+      |FROM scored""".stripMargin
+
+  /** Declarative data-quality expectations over orders — the
+    * Great-Expectations report shape: one verdict row per declared
+    * check (not-null, positive domain, enum domain, key uniqueness,
+    * referential integrity), each with its violation count, the scan
+    * total, and a pass flag.
+    *
+    * 100 TB posture: the four column-level checks are CONDITIONAL
+    * AGGREGATES IN ONE SCAN (stack()ed into rows after — never one
+    * pass per check); the referential check is a broadcast anti-join
+    * against the dim key set. */
+  private val dqQ = (s: SparkSession, dir: String) => {
+    val o = Tables.orders(s, dir)
+    val colChecks = o.agg(
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("o_totalprice").isNull
+          || col("o_totalprice") <= 0d, 1L).otherwise(0L)).as("v2"),
+        sum(when(col("o_orderstatus").isNull
+          || !col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("v3"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v4"),
+        count(lit(1)).as("total"))
+      .selectExpr(
+        """stack(4,
+          |  'orderdate_not_null', v1,
+          |  'totalprice_positive', v2,
+          |  'orderstatus_in_domain', v3,
+          |  'orderkey_unique', v4) AS (expectation, violations)"""
+          .stripMargin,
+        "total")
+    val refCheck = o
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"))),
+        o("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("total"))))
+      .select(lit("custkey_references_customer").as("expectation"),
+        col("violations"), col("total"))
+    colChecks.unionByName(refCheck)
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  private val dqSql =
+    """WITH base AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v1,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL
+      |      OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v3,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS v4,
+      |    COUNT(*) AS total
+      |  FROM orders),
+      |ref AS (
+      |  SELECT COUNT(*) AS v5, (SELECT total FROM base) AS total
+      |  FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                    WHERE c.c_custkey = o.o_custkey)),
+      |rows_ AS (
+      |  SELECT 'orderdate_not_null' AS expectation, v1 AS violations,
+      |    total FROM base
+      |  UNION ALL SELECT 'totalprice_positive', v2, total FROM base
+      |  UNION ALL SELECT 'orderstatus_in_domain', v3, total FROM base
+      |  UNION ALL SELECT 'orderkey_unique', v4, total FROM base
+      |  UNION ALL SELECT 'custkey_references_customer', v5, total
+      |    FROM ref)
+      |SELECT expectation, violations, total,
+      |  violations = 0 AS passed
+      |FROM rows_""".stripMargin
+
+  override val queries: Map[String, Q] = Map(
+    "q_eval_auc" -> Q(aucQ, Some(aucSql),
+      "exact ROC AUC per source (Mann-Whitney over the value domain, no global sort)"),
+    "q_priv_kanon" -> Q(kanonQ, Some(kanonSql),
+      "k-anonymity class sizes + l-diversity per quasi-identifier class"),
+    "q_agg_contingency" -> Q(contingencyQ, Some(contingencySql),
+      "chi-square + Cramer's V for segment x nation, integer micro, zero cells included"),
+    "q_dq_expectations" -> Q(dqQ, Some(dqSql),
+      "declarative DQ expectations report: 5 checks, one scan + one broadcast anti-join"))
+}
