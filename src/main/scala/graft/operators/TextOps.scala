@@ -1601,7 +1601,69 @@ object TextOps extends QueryModule {
       |FROM d JOIN f ON d.g = f.g
       |GROUP BY 1""".stripMargin
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    * are the maximal stopword-free token runs; a word's degree is the
+    * summed length of every phrase occurrence containing it, its
+    * score deg/freq in floor-div micro. Top 15 corpus keywords,
+    * ties broken by word.
+    *
+    * 100 TB posture: phrase segmentation is a per-doc position window
+    * (doc-keyed — co-partitioned with the explode); the word rollup
+    * is one |vocab|-key shuffle; top-15 is a TakeOrdered merge. */
+  private val rakeStop = Seq("a", "the", "of", "and", "in", "to", "is")
+
+  private val rakeQ = (s: SparkSession, dir: String) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(rakeStop: _*))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrWords = toks
+      .withColumn("pid",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(run))
+      .filter(!col("is_stop"))
+    val plen = Window.partitionBy(col("doc_id"), col("pid"))
+    phrWords
+      .withColumn("plen", count(lit(1)).over(plen))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("score_micro", expr("(1000000 * degree) div freq"))
+      .orderBy(col("score_micro").desc, col("w").asc)
+      .limit(15)
+  }
+
+  private val rakeSql = {
+    val stops = rakeStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i AS pos, tk[i] AS w,
+       |    tk[i] IN ($stops) AS is_stop
+       |  FROM toks CROSS JOIN unnest(range(1, len(tk) + 1)) AS t(i)),
+       |seg AS (
+       |  SELECT doc_id, pos, w, is_stop,
+       |    CAST(SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS pid
+       |  FROM pos),
+       |pw AS (
+       |  SELECT doc_id, pid, w,
+       |    COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen
+       |  FROM seg WHERE NOT is_stop)
+       |SELECT w, COUNT(*) AS freq,
+       |  CAST(SUM(plen) AS BIGINT) AS degree,
+       |  (1000000 * CAST(SUM(plen) AS BIGINT)) // COUNT(*)
+       |    AS score_micro
+       |FROM pw GROUP BY 1
+       |ORDER BY score_micro DESC, w ASC
+       |LIMIT 15""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_text_rake" -> Q(rakeQ, Some(rakeSql),
+      "RAKE keywords: stopword-run phrase segmentation, deg/freq micro score, top 15"),
     "q_text_boilerplate" -> Q(boilerplateQ, Some(boilerplateSql),
       "per-doc boilerplate-gram fraction (df >= 3), template flag at 80%"),
     "q_text_extractive_summary" -> Q(extractiveSummaryQ,

@@ -660,7 +660,90 @@ object TimeSeries extends QueryModule {
       |JOIN profile p ON t.event_type = p.event_type AND t.hod = p.hod
       |WHERE t.is_test GROUP BY 1""".stripMargin
 
+  /** Changepoint detection (binary-segmentation step 1): per
+    * event_type, the hourly mean-level series is split at the point
+    * maximizing the between-segment sum of squares. With prefix sum
+    * s1 over i of n ordered hour-means (total S), BSS(i) ∝
+    * d²/(n1·n2), d = s1·n2 − (S−s1)·n1 — all integer, so the argmax
+    * is bit-stable (ties break to the earliest hour).
+    *
+    * Magnitude bound: d ≤ n·Σ|hm| needs n·S < 3·10⁹ for d² to stay
+    * in BIGINT — hourly floor-means ≤ 10³ keep that safe past 10⁶
+    * grid points (a century of hours); raw hourly SUMS would blow it
+    * at sf0.1 already, which is why the series is the floor-MEAN.
+    *
+    * 100 TB posture: the corpus collapses to the (type, hour) grid in
+    * one partial-agg shuffle; both windows (prefix sum, argmax rank)
+    * run per-type over the GRID, never over events. */
+  private val changepointQ = (s: SparkSession, dir: String) => {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value")).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("hm", expr("hs div hc"))
+    val ordW = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val scored = grid
+      .withColumn("i", row_number().over(ordW).cast("long"))
+      .withColumn("s1", sum(col("hm")).over(
+        ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("s_tot", sum(col("hm")).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("i") < col("n"))
+      .withColumn("d", col("s1") * (col("n") - col("i"))
+        - (col("s_tot") - col("s1")) * col("i"))
+      .withColumn("score",
+        expr("(d * d) div (i * (n - i))"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("score").desc, col("hour").asc)
+    scored
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("hour").as("split_hour"),
+        col("i").as("n1"), (col("n") - col("i")).as("n2"),
+        col("score"),
+        expr("(1000 * s1) div i").as("mean1_milli"),
+        expr("(1000 * (s_tot - s1)) div (n - i)").as("mean2_milli"))
+  }
+
+  private val changepointSql =
+    """WITH grid AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS hm
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hour, hm,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour)
+      |      AS i,
+      |    CAST(SUM(hm) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS s1,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    CAST(SUM(hm) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS s_tot
+      |  FROM grid),
+      |scored AS (
+      |  SELECT event_type, hour, i, n, s1, s_tot,
+      |    (s1 * (n - i) - (s_tot - s1) * i)
+      |      * (s1 * (n - i) - (s_tot - s1) * i)
+      |      // (i * (n - i)) AS score
+      |  FROM w WHERE i < n),
+      |pick AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY score DESC, hour ASC) AS rk
+      |  FROM scored)
+      |SELECT event_type, hour AS split_hour, i AS n1, n - i AS n2,
+      |  CAST(score AS BIGINT) AS score,
+      |  (1000 * s1) // i AS mean1_milli,
+      |  (1000 * (s_tot - s1)) // (n - i) AS mean2_milli
+      |FROM pick WHERE rk = 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_changepoint" -> Q(changepointQ, Some(changepointSql),
+      "per-type level-shift changepoint: integer BSS argmax over the hourly grid"),
     "q_ts_forecast_snaive" -> Q(snaiveQ, Some(snaiveSql),
       "seasonal-naive hour-of-day forecast with 7-day holdout, integer-exact MAE"),
     "q_ts_interp_linear" -> Q(interpQ, Some(interpSql),

@@ -576,7 +576,62 @@ object Windows extends QueryModule {
       |      FROM su GROUP BY 1) s
       |LEFT JOIN conv c ON s.cohort = c.cohort""".stripMargin
 
+  /** RFM segmentation — the classic marketing/CRM cut: per customer,
+    * Recency (last order), Frequency (order count), Monetary
+    * (floor-unit spend), each assigned an ntile(5) quintile over a
+    * TOTAL order (metric, then custkey — ties can never straddle
+    * engines), composed into the 3-digit RFM code.
+    *
+    * 100 TB posture: the fact table collapses to ONE row per customer
+    * first (one custkey shuffle); the three ntile windows then run
+    * over the CUSTOMER AGGREGATE — dimension-sized, not fact-sized.
+    * Above dimension scale the documented swap is percentile-cut
+    * boundaries + a broadcast bin join (the histogram discipline);
+    * ntile is kept here because it is the exact, driver-checkable
+    * contract. */
+  private val rfmQ = (s: SparkSession, dir: String) => {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice")).cast("long")).as("monetary_unit"))
+    val rW = Window.orderBy(col("last_order").asc, col("c_custkey").asc)
+    val fW = Window.orderBy(col("frequency").asc, col("c_custkey").asc)
+    val mW = Window.orderBy(col("monetary_unit").asc, col("c_custkey").asc)
+    per
+      .withColumn("r_q", ntile(5).over(rW).cast("long"))
+      .withColumn("f_q", ntile(5).over(fW).cast("long"))
+      .withColumn("m_q", ntile(5).over(mW).cast("long"))
+      .withColumn("rfm_code",
+        col("r_q") * 100L + col("f_q") * 10L + col("m_q"))
+  }
+
+  private val rfmSql =
+    """WITH per AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    MAX(o_orderdate) AS last_order,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+      |      AS monetary_unit
+      |  FROM orders GROUP BY 1)
+      |SELECT c_custkey, last_order, frequency, monetary_unit,
+      |  CAST(ntile(5) OVER (ORDER BY last_order ASC, c_custkey ASC)
+      |    AS BIGINT) AS r_q,
+      |  CAST(ntile(5) OVER (ORDER BY frequency ASC, c_custkey ASC)
+      |    AS BIGINT) AS f_q,
+      |  CAST(ntile(5) OVER (ORDER BY monetary_unit ASC, c_custkey ASC)
+      |    AS BIGINT) AS m_q,
+      |  CAST(ntile(5) OVER (ORDER BY last_order ASC, c_custkey ASC)
+      |    AS BIGINT) * 100
+      |  + CAST(ntile(5) OVER (ORDER BY frequency ASC, c_custkey ASC)
+      |    AS BIGINT) * 10
+      |  + CAST(ntile(5) OVER (ORDER BY monetary_unit ASC, c_custkey ASC)
+      |    AS BIGINT) AS rfm_code
+      |FROM per""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_rfm" -> Q(rfmQ, Some(rfmSql),
+      "RFM quintile segmentation: one custkey collapse, ntile over the customer aggregate"),
     "q_win_time_to_convert" -> Q(timeToConvertQ, Some(timeToConvertSql),
       "per-cohort signup-to-purchase gap: exact interpolated median seconds"),
     "q_win_gap_islands" -> Q(gapIslandsQ, Some(gapIslandsSql),
