@@ -244,7 +244,143 @@ object Audit extends QueryModule {
       |  violations = 0 AS passed
       |FROM rows_""".stripMargin
 
+  /** Differentially-private count release via the GEOMETRIC MECHANISM
+    * — the standard integer DP primitive (Ghosh-Roughgarden-Sundararajan
+    * 2009): noise k drawn with P(k) ∝ α^|k|, here α=1/2 (ε=ln 2),
+    * truncated at |k|≤8 (tail mass 2⁻⁸). The draw is DERANDOMIZED the
+    * way every sampling op here is: u = md5(seed‖lang) mod the weight
+    * total indexes an integer inverse-CDF table (weights 2^(8−|k|),
+    * total 766) — bit-stable in both engines, release-stable across
+    * reruns. Released count clamps at 0.
+    *
+    * 100 TB posture: one group-key shuffle for the true counts; the
+    * 17-row CDF table is a broadcast theta-join. */
+  private val dpReleaseQ = (s: SparkSession, dir: String) => {
+    val cdf = {
+      val weights = (-8 to 8).map(k => k -> (1L << (8 - math.abs(k))))
+      val cum = weights.scanLeft(0L)(_ + _._2).init
+      weights.zip(cum).map { case ((k, w), lo) => (k.toLong, lo, lo + w) }
+    }
+    val spark = s
+    import spark.implicits._
+    val cdfDf = cdf.toDF("noise", "lo", "hi")
+    Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("dp-v1:"), col("lang"))), 1, 6),
+          16, 10).cast("long") % 766L)
+      .join(broadcast(cdfDf),
+        col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("lang"), col("n_true"), col("noise"),
+        greatest(col("n_true") + col("noise"), lit(0L))
+          .as("n_released"))
+  }
+
+  private val dpReleaseSql = {
+    val rows = {
+      val weights = (-8 to 8).map(k => k -> (1L << (8 - math.abs(k))))
+      val cum = weights.scanLeft(0L)(_ + _._2).init
+      weights.zip(cum).map { case ((k, w), lo) => s"($k, $lo, ${lo + w})" }
+    }.mkString(", ")
+    s"""WITH cdf(noise, lo, hi) AS (VALUES $rows),
+       |t AS (SELECT lang, COUNT(*) AS n_true FROM documents GROUP BY 1),
+       |u AS (SELECT lang, n_true,
+       |  CAST(concat('0x', substr(md5('dp-v1:' || lang), 1, 6))
+       |    AS BIGINT) % 766 AS u
+       |  FROM t)
+       |SELECT u.lang, u.n_true, CAST(cdf.noise AS BIGINT) AS noise,
+       |  greatest(u.n_true + cdf.noise, 0) AS n_released
+       |FROM u JOIN cdf ON u.u >= cdf.lo AND u.u < cdf.hi""".stripMargin
+  }
+
+  /** A/B experiment read-out: deterministic 50/50 assignment
+    * (user_id parity — the hash-bucket assignment every experiment
+    * platform uses), per-metric Welch t² in a FIXED-POINT CONTRACT:
+    * values in centi, means floor-div'd to centi, sample variances in
+    * centi² via the (n·Σx² − (Σx)²)/(n(n−1)) form, t² in micro with
+    * the χ²₁ 95% cut (3.841459) as the significance flag. Sub-centi
+    * mean differences round to 0 by design — the documented
+    * resolution of the contract.
+    *
+    * Magnitude bound: n·Σvc² needs Σvc² < 9·10¹⁴ ⇒ safe to ~10⁸ rows
+    * per arm at |value| ≤ 500; switch vc to deci above that.
+    *
+    * 100 TB posture: ONE conditional-aggregate pass over events keyed
+    * by event_type — assignment and both arms' moments never leave
+    * the map side until the final |types|-row rollup. */
+  private val abTestQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("user_id") % 2L === 0L).as("is_a"),
+        floor(col("value") * 100d).cast("long").as("vc"))
+    def armAgg(arm: Boolean, name: String) = Seq(
+      sum(when(col("is_a") === arm, 1L).otherwise(0L)).as(s"n_$name"),
+      sum(when(col("is_a") === arm, col("vc")).otherwise(0L))
+        .as(s"s1_$name"),
+      sum(when(col("is_a") === arm, col("vc") * col("vc")).otherwise(0L))
+        .as(s"s2_$name"))
+    val aggs = armAgg(arm = true, "a") ++ armAgg(arm = false, "b")
+    ev.groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_a_centi", expr("s1_a div n_a"))
+      .withColumn("mean_b_centi", expr("s1_b div n_b"))
+      .withColumn("var_a", expr(
+        "(n_a * s2_a - s1_a * s1_a) div (n_a * (n_a - 1))"))
+      .withColumn("var_b", expr(
+        "(n_b * s2_b - s1_b * s1_b) div (n_b * (n_b - 1))"))
+      .withColumn("se2", expr("var_a div n_a + var_b div n_b"))
+      .withColumn("t2_micro", expr(
+        """CASE WHEN se2 > 0 THEN
+          |  (1000000 * (mean_a_centi - mean_b_centi)
+          |    * (mean_a_centi - mean_b_centi)) div se2
+          |END""".stripMargin))
+      .withColumn("significant",
+        coalesce(col("t2_micro") > 3841459L, lit(false)))
+      .select("event_type", "n_a", "n_b", "mean_a_centi", "mean_b_centi",
+        "var_a", "var_b", "t2_micro", "significant")
+  }
+
+  private val abTestSql =
+    """WITH ev AS (
+      |  SELECT event_type, user_id % 2 = 0 AS is_a,
+      |    CAST(floor(value * 100) AS BIGINT) AS vc
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN is_a THEN vc ELSE 0 END) AS BIGINT) AS s1_a,
+      |    CAST(SUM(CASE WHEN is_a THEN vc * vc ELSE 0 END) AS BIGINT)
+      |      AS s2_a,
+      |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE vc END) AS BIGINT) AS s1_b,
+      |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE vc * vc END) AS BIGINT)
+      |      AS s2_b
+      |  FROM ev GROUP BY 1),
+      |d AS (
+      |  SELECT event_type, n_a, n_b,
+      |    s1_a // n_a AS mean_a_centi, s1_b // n_b AS mean_b_centi,
+      |    (n_a * s2_a - s1_a * s1_a) // (n_a * (n_a - 1)) AS var_a,
+      |    (n_b * s2_b - s1_b * s1_b) // (n_b * (n_b - 1)) AS var_b
+      |  FROM m),
+      |e AS (
+      |  SELECT *, var_a // n_a + var_b // n_b AS se2 FROM d)
+      |SELECT event_type, n_a, n_b, mean_a_centi, mean_b_centi,
+      |  var_a, var_b,
+      |  CAST(CASE WHEN se2 > 0 THEN
+      |    (1000000 * (mean_a_centi - mean_b_centi)
+      |      * (mean_a_centi - mean_b_centi)) // se2
+      |  END AS BIGINT) AS t2_micro,
+      |  COALESCE(CASE WHEN se2 > 0 THEN
+      |    (1000000 * (mean_a_centi - mean_b_centi)
+      |      * (mean_a_centi - mean_b_centi)) // se2 > 3841459
+      |  END, false) AS significant
+      |FROM e""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_priv_dp_release" -> Q(dpReleaseQ, Some(dpReleaseSql),
+      "DP count release: geometric mechanism, derandomized integer inverse-CDF"),
+    "q_eval_ab_test" -> Q(abTestQ, Some(abTestSql),
+      "A/B read-out: parity assignment, Welch t-squared in fixed point, one pass"),
     "q_eval_auc" -> Q(aucQ, Some(aucSql),
       "exact ROC AUC per source (Mann-Whitney over the value domain, no global sort)"),
     "q_priv_kanon" -> Q(kanonQ, Some(kanonSql),

@@ -741,7 +741,48 @@ object TimeSeries extends QueryModule {
       |  (1000 * (s_tot - s1)) // (n - i) AS mean2_milli
       |FROM pick WHERE rk = 1""".stripMargin
 
+  /** VWAP — volume-weighted average price per ship month, the
+    * finance-standard resample (TWAP's sibling): price in EXACT cents
+    * via the decimal(12,2) money cast (the suite-wide money
+    * discipline), quantity as the integer it is, vwap = Σ(c·q) div Σq
+    * floor-div'd in cents, with the unweighted mean for contrast.
+    *
+    * 100 TB posture: pure partial aggregation — one month-key
+    * shuffle, every term map-combines. */
+  private val vwapQ = (s: SparkSession, dir: String) => {
+    Tables.lineitem(s, dir)
+      .select(date_trunc("month", col("l_shipdate")).as("month"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).as("qty_tot"),
+        sum(col("cents") * col("qty")).as("pq"),
+        sum(col("cents")).as("p"))
+      .select(col("month"), col("n"), col("qty_tot"),
+        expr("pq div qty_tot").as("vwap_cents"),
+        expr("p div n").as("avg_cents"))
+  }
+
+  private val vwapSql =
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+      |    AS month,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem)
+      |SELECT month, COUNT(*) AS n,
+      |  CAST(SUM(qty) AS BIGINT) AS qty_tot,
+      |  CAST(SUM(cents * qty) AS BIGINT) // CAST(SUM(qty) AS BIGINT)
+      |    AS vwap_cents,
+      |  CAST(SUM(cents) AS BIGINT) // COUNT(*) AS avg_cents
+      |FROM b GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_vwap" -> Q(vwapQ, Some(vwapSql),
+      "per-month VWAP in exact cents vs unweighted mean, pure partial aggregation"),
     "q_ts_changepoint" -> Q(changepointQ, Some(changepointSql),
       "per-type level-shift changepoint: integer BSS argmax over the hourly grid"),
     "q_ts_forecast_snaive" -> Q(snaiveQ, Some(snaiveSql),
