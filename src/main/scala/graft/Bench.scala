@@ -101,7 +101,15 @@ object Bench {
     // quadratic NOT EXISTS), bounded-round label propagation, MMR
     // rerank over the brute recall stage, corpus-first n-gram novelty
     "q_agg_skyline", "q_graph_labelprop",
-    "q_sim_mmr", "q_text_ngram_novelty")
+    "q_sim_mmr", "q_text_ngram_novelty",
+    // round-5 waves 18-25: embedding QA (64-dim posexplode profile,
+    // half-dim truncation eval), corpus boilerplate df, RAKE phrase
+    // windows, value-domain exact AUC, one-pass A/B moments, global
+    // ntile RFM, hourly-grid changepoint, exact-cents VWAP
+    "q_vec_dim_profile", "q_vec_matryoshka",
+    "q_text_boilerplate", "q_text_rake",
+    "q_eval_auc", "q_eval_ab_test",
+    "q_win_rfm", "q_ts_changepoint", "q_ts_vwap")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

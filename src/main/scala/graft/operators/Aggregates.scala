@@ -1110,7 +1110,44 @@ object Aggregates extends QueryModule {
       |        66947, 57992, 51153, 45757])[digit]) AS dev_micro
       |FROM d, t""".stripMargin
 
+  /** DAU/MAU stickiness — the product-analytics engagement ratio:
+    * daily active users over the containing month's monthly actives,
+    * in micro. Two distinct-aggregates over the same scan (day grain,
+    * month grain) joined back on the month; the month table is
+    * months-tiny, so the join is broadcast.
+    *
+    * 100 TB posture: both rollups partial-aggregate the (grain, user)
+    * distinct before any exchange; no day ever sees another day's
+    * users. */
+  private val dauMauQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        date_trunc("month", col("ts")).as("month"), col("user_id"))
+    val dau = ev.groupBy(col("day"), col("month"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = ev.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(broadcast(mau), "month")
+      .select(col("day"), col("dau"), col("mau"),
+        expr("(1000000 * dau) div mau").as("stickiness_micro"))
+  }
+
+  private val dauMauSql =
+    """WITH ev AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, user_id
+      |  FROM events),
+      |d AS (SELECT day, month, COUNT(DISTINCT user_id) AS dau
+      |      FROM ev GROUP BY 1, 2),
+      |m AS (SELECT month, COUNT(DISTINCT user_id) AS mau
+      |      FROM ev GROUP BY 1)
+      |SELECT d.day, d.dau, m.mau,
+      |  (1000000 * d.dau) // m.mau AS stickiness_micro
+      |FROM d JOIN m ON d.month = m.month""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_dau_mau" -> Q(dauMauQ, Some(dauMauSql),
+      "DAU/MAU stickiness per day: two-grain distinct rollups, broadcast month join"),
     "q_agg_benford" -> Q(benfordQ, Some(benfordSql),
       "Benford first-digit audit over money cents: integer-exact deviations"),
     "q_agg_skyline" -> Q(skylineQ, Some(skylineSql),

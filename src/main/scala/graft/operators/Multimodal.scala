@@ -922,7 +922,89 @@ object Multimodal extends QueryModule {
        |ORDER BY hamming ASC, p.doc_id ASC LIMIT 5""".stripMargin
   }
 
+  final case class DomColor(doc_id: Long, qb: Long, qg: Long, qr: Long,
+      pix_count: Long)
+
+  /** Dominant color — per image, the most frequent 16-level-quantized
+    * RGB bucket (the palette/thumbnail primitive): the kernel READS
+    * every pixel from the decoded bytes (bottom-up rows, stride
+    * padding skipped — same honest walk as [[parseBmp]]), counts
+    * (b div 16, g div 16, r div 16) triples, and picks the max with
+    * the lexicographically-smallest-bucket tie-break. The oracle
+    * recomputes from the planted closed form.
+    *
+    * 100 TB posture: map-only per-image kernel (iterator-in/out per
+    * partition, the mapInPandas shape); nothing shuffles. */
+  private[graft] def dominantColor(id: Long, bytes: Array[Byte]): DomColor = {
+    require(hasTag(bytes, 0, "BM"), s"doc $id: bad BMP magic")
+    val off = leInt(bytes, 10)
+    val w = leInt(bytes, 18)
+    val h = leInt(bytes, 22)
+    require(leShort(bytes, 28) == 24, s"doc $id: unsupported bpp")
+    val stride = (3 * w + 3) & ~3
+    val counts = new java.util.HashMap[Long, Long]()
+    var y = 0
+    while (y < h) {
+      val row = off + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val qb = (bytes(row + x * 3) & 0xff) / 16
+        val qg = (bytes(row + x * 3 + 1) & 0xff) / 16
+        val qr = (bytes(row + x * 3 + 2) & 0xff) / 16
+        val key = qb.toLong * 256 + qg * 16 + qr
+        counts.merge(key, 1L, (a, b) => a + b)
+        x += 1
+      }
+      y += 1
+    }
+    var bestKey = -1L; var bestN = -1L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey.longValue; val n = e.getValue.longValue
+      if (n > bestN || (n == bestN && k < bestKey)) { bestKey = k; bestN = n }
+    }
+    DomColor(id, bestKey / 256, (bestKey / 16) % 16, bestKey % 16, bestN)
+  }
+
+  private val domColorQ = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => dominantColor(id, synthBmp(id))))
+      .toDF()
+  }
+
+  private val domColorSql =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    CAST(4 + doc_id % 13 AS INT) AS w,
+      |    CAST(3 + doc_id % 7 AS INT) AS h,
+      |    (doc_id * 7) % 240 AS b0,
+      |    (doc_id * 7 + 50) % 240 AS b1,
+      |    (doc_id * 7 + 100) % 240 AS b2
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, h,
+      |    (b0 + x) // 16 AS qb, (b1 + x) // 16 AS qg,
+      |    (b2 + x) // 16 AS qr
+      |  FROM img CROSS JOIN unnest(range(0, w)) AS t(x)),
+      |cnt AS (
+      |  SELECT doc_id, qb, qg, qr,
+      |    COUNT(*) * MAX(h) AS pix_count
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |pick AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY pix_count DESC, qb ASC, qg ASC, qr ASC) AS rk
+      |  FROM cnt)
+      |SELECT doc_id, CAST(qb AS BIGINT) AS qb, CAST(qg AS BIGINT) AS qg,
+      |  CAST(qr AS BIGINT) AS qr, CAST(pix_count AS BIGINT) AS pix_count
+      |FROM pick WHERE rk = 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_mm_dominant_color" -> Q(domColorQ, Some(domColorSql),
+      "per-image dominant quantized RGB bucket from the decoded pixels, map-only"),
     "q_mm_phash_search" -> Q(phashSearchQ, Some(phashSearchSql),
       "query-by-image: exact hamming rank over stored aHashes, top-5"),
     "q_mm_phash_dedup" -> Q(phashQ, Some(phashSql),

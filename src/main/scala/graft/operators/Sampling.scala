@@ -357,7 +357,46 @@ object Sampling extends QueryModule {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
       |FROM r, cap WHERE rn <= cap GROUP BY 1""".stripMargin
 
+  /** Group k-fold cross-validation assignment — the leakage-safe CV
+    * split: the fold is a pure function of the GROUP key (user), so
+    * every event of a user lands in one fold and no user straddles
+    * train/test at any rotation (row-level splits leak user behavior
+    * across folds). Reported per fold: distinct users, events, and
+    * the event share in micro.
+    *
+    * 100 TB posture: assignment is a map-only md5 expression (composes
+    * with pushdown); one 5-key rollup with a partial-distinct on
+    * user. */
+  private val groupKfoldQ = (s: SparkSession, dir: String) => {
+    Tables.events(s, dir)
+      .withColumn("fold",
+        conv(substring(md5(concat(lit("kfold-v1:"),
+          col("user_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 5L)
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(Tables.events(s, dir)
+        .agg(count(lit(1)).as("tot"))))
+      .withColumn("share_micro", expr("(1000000 * n_events) div tot"))
+      .drop("tot")
+  }
+
+  private val groupKfoldSql =
+    """WITH f AS (
+      |  SELECT CAST(concat('0x', substr(
+      |      md5('kfold-v1:' || CAST(user_id AS VARCHAR)), 1, 6))
+      |    AS BIGINT) % 5 AS fold, user_id
+      |  FROM events),
+      |t AS (SELECT COUNT(*) AS tot FROM f)
+      |SELECT fold, COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events,
+      |  (1000000 * COUNT(*)) // MAX(t.tot) AS share_micro
+      |FROM f, t GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_group_kfold" -> Q(groupKfoldQ, Some(groupKfoldSql),
+      "leakage-safe group k-fold: fold is a pure function of the user key"),
     "q_sample_class_balance" -> Q(classBalanceQ, Some(classBalanceSql),
       "cap every class at the smallest class count, content-hash-deterministic picks"),
     "q_sample_negatives" -> Q(negativesQ, Some(negativesSql),

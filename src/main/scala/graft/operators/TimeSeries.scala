@@ -780,7 +780,60 @@ object TimeSeries extends QueryModule {
       |  CAST(SUM(cents) AS BIGINT) // COUNT(*) AS avg_cents
       |FROM b GROUP BY 1""".stripMargin
 
+  /** Peak detection on the hourly grid: a peak is a strict local
+    * maximum (above both neighbors — plateaus excluded by the strict
+    * compare, boundary hours excluded by requiring both neighbors)
+    * that also clears the per-type grid mean (floor-div) — the
+    * monitoring primitive behind alert spikes.
+    *
+    * 100 TB posture: corpus → (type, hour) grid in one partial agg;
+    * lag/lead and the mean run per-type over the GRID. */
+  private val peaksQ = (s: SparkSession, dir: String) => {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value")).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("hm", expr("hs div hc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val t = Window.partitionBy(col("event_type"))
+    grid
+      .withColumn("prev_hm", lag(col("hm"), 1).over(w))
+      .withColumn("next_hm", lead(col("hm"), 1).over(w))
+      .withColumn("grid_mean", expr(
+        "sum(hm) over (partition by event_type) div " +
+          "count(1) over (partition by event_type)"))
+      .filter(col("prev_hm").isNotNull && col("next_hm").isNotNull
+        && col("hm") > col("prev_hm") && col("hm") > col("next_hm")
+        && col("hm") > col("grid_mean"))
+      .select(col("event_type"), col("hour"), col("hm"),
+        col("prev_hm"), col("next_hm"), col("grid_mean"))
+  }
+
+  private val peaksSql =
+    """WITH grid AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS hm
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hour, hm,
+      |    LAG(hm, 1) OVER (PARTITION BY event_type ORDER BY hour)
+      |      AS prev_hm,
+      |    LEAD(hm, 1) OVER (PARTITION BY event_type ORDER BY hour)
+      |      AS next_hm,
+      |    CAST(SUM(hm) OVER (PARTITION BY event_type) AS BIGINT)
+      |      // COUNT(*) OVER (PARTITION BY event_type) AS grid_mean
+      |  FROM grid)
+      |SELECT event_type, hour, hm, prev_hm, next_hm, grid_mean
+      |FROM w
+      |WHERE prev_hm IS NOT NULL AND next_hm IS NOT NULL
+      |  AND hm > prev_hm AND hm > next_hm AND hm > grid_mean"""
+      .stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_peaks" -> Q(peaksQ, Some(peaksSql),
+      "strict local maxima above the per-type grid mean on the hourly grid"),
     "q_ts_vwap" -> Q(vwapQ, Some(vwapSql),
       "per-month VWAP in exact cents vs unweighted mean, pure partial aggregation"),
     "q_ts_changepoint" -> Q(changepointQ, Some(changepointSql),

@@ -42,6 +42,11 @@ HEADLINE = [
     # round-5 waves 13-17 (mirror graft.Bench.headline)
     "q_agg_skyline", "q_graph_labelprop",
     "q_sim_mmr", "q_text_ngram_novelty",
+    # round-5 waves 18-25 (mirror graft.Bench.headline)
+    "q_vec_dim_profile", "q_vec_matryoshka",
+    "q_text_boilerplate", "q_text_rake",
+    "q_eval_auc", "q_eval_ab_test",
+    "q_win_rfm", "q_ts_changepoint", "q_ts_vwap",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
