@@ -376,7 +376,144 @@ object Audit extends QueryModule {
       |  END, false) AS significant
       |FROM e""".stripMargin
 
+  /** NDCG@5 — the ranking-eval staple: a (deliberately noisy)
+    * md5-ordered retrieval per source is scored against graded
+    * relevance rel = min(4, n_chars/250) with the standard
+    * 1/log₂(rank+1) discounts as SHARED MICRO LITERALS (1000000,
+    * 630929, 500000, 430676, 386852 — precomputed once, identical in
+    * both engines; no runtime logs). IDCG ranks by relevance itself;
+    * ndcg = DCG/IDCG in micro floor-div.
+    *
+    * 100 TB posture: both rank windows partition by source over the
+    * per-source doc domain; one |sources|-row rollup. */
+  private val ndcgQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val disc = array(lit(1000000L), lit(630929L), lit(500000L),
+      lit(430676L), lit(386852L))
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        least(lit(4L), expr("n_chars div 250")).as("rel"),
+        md5(concat(lit("rank-v1:"), col("doc_id").cast("string")))
+          .as("h"))
+    val rW = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val iW = Window.partitionBy(col("source"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    d.withColumn("rr", row_number().over(rW))
+      .withColumn("ir", row_number().over(iW))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("rr") <= 5, col("rel") * element_at(disc, col("rr")))
+          .otherwise(0L)).as("dcg_micro"),
+        sum(when(col("ir") <= 5, col("rel") * element_at(disc, col("ir")))
+          .otherwise(0L)).as("idcg_micro"))
+      .withColumn("ndcg_micro",
+        when(col("idcg_micro") > 0L,
+          expr("(1000000 * dcg_micro) div idcg_micro")))
+  }
+
+  private val ndcgSql =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    least(4, n_chars // 250) AS rel,
+      |    md5('rank-v1:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, rel,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY h ASC, doc_id ASC) AS rr,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY rel DESC, doc_id ASC) AS ir
+      |  FROM d),
+      |g AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN rr <= 5 THEN rel *
+      |      ([1000000, 630929, 500000, 430676, 386852])[rr]
+      |      ELSE 0 END) AS BIGINT) AS dcg_micro,
+      |    CAST(SUM(CASE WHEN ir <= 5 THEN rel *
+      |      ([1000000, 630929, 500000, 430676, 386852])[ir]
+      |      ELSE 0 END) AS BIGINT) AS idcg_micro
+      |  FROM r GROUP BY 1)
+      |SELECT source, dcg_micro, idcg_micro,
+      |  CAST(CASE WHEN idcg_micro > 0 THEN
+      |    (1000000 * dcg_micro) // idcg_micro END AS BIGINT)
+      |    AS ndcg_micro
+      |FROM g""".stripMargin
+
+  /** Clustering agreement — Rand index + purity of a 4-bucket
+    * random-hyperplane LSH assignment (sign of dims 1 and 2) against
+    * the embedding labels, entirely in pair-count arithmetic:
+    * agreements = 2a + C(n,2) − b1 − b2 with a/b1/b2 the
+    * C(·,2)-sums of the contingency cells/rows/columns — exact
+    * integers, no floats anywhere.
+    *
+    * 100 TB posture: one (label,bucket) partial-agg shuffle; the
+    * contingency table (|labels|×4) is the only thing reduced. */
+  private val randIndexQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        (when(element_at(col("embedding"), 1) >= 0f, 2L).otherwise(0L)
+          + when(element_at(col("embedding"), 2) >= 0f, 1L)
+            .otherwise(0L)).as("bucket"))
+    // materialize the |labels|×4 contingency table once — the four
+    // rollup branches below must not each re-scan the corpus
+    val cells = e.groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("nij")).localCheckpoint()
+    cells.agg(
+        sum(col("nij")).as("n"),
+        countDistinct(col("label")).as("n_classes"),
+        countDistinct(col("bucket")).as("n_buckets"),
+        sum(expr("(nij * (nij - 1)) div 2")).as("a_pairs"))
+      .crossJoin(broadcast(cells.groupBy(col("label"))
+        .agg(sum(col("nij")).as("ni"))
+        .agg(sum(expr("(ni * (ni - 1)) div 2")).as("b1"))))
+      .crossJoin(broadcast(cells.groupBy(col("bucket"))
+        .agg(sum(col("nij")).as("nj"))
+        .agg(sum(expr("(nj * (nj - 1)) div 2")).as("b2"))))
+      .crossJoin(broadcast(cells.groupBy(col("bucket"))
+        .agg(max(col("nij")).as("mx"))
+        .agg(sum(col("mx")).as("pure"))))
+      .withColumn("total_pairs", expr("(n * (n - 1)) div 2"))
+      .withColumn("rand_micro", expr(
+        "(1000000 * (2 * a_pairs + total_pairs - b1 - b2)) div total_pairs"))
+      .withColumn("purity_micro", expr("(1000000 * pure) div n"))
+      .select("n", "n_classes", "n_buckets", "a_pairs", "b1", "b2",
+        "total_pairs", "rand_micro", "purity_micro")
+  }
+
+  private val randIndexSql =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    (CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |c AS (SELECT label, bucket, COUNT(*) AS nij FROM e GROUP BY 1, 2),
+      |t AS (
+      |  SELECT CAST(SUM(nij) AS BIGINT) AS n,
+      |    COUNT(DISTINCT label) AS n_classes,
+      |    COUNT(DISTINCT bucket) AS n_buckets,
+      |    CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS a_pairs
+      |  FROM c),
+      |r1 AS (SELECT CAST(SUM((ni * (ni - 1)) // 2) AS BIGINT) AS b1
+      |       FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ni FROM c
+      |             GROUP BY label)),
+      |r2 AS (SELECT CAST(SUM((nj * (nj - 1)) // 2) AS BIGINT) AS b2
+      |       FROM (SELECT CAST(SUM(nij) AS BIGINT) AS nj FROM c
+      |             GROUP BY bucket)),
+      |p AS (SELECT CAST(SUM(mx) AS BIGINT) AS pure
+      |      FROM (SELECT MAX(nij) AS mx FROM c GROUP BY bucket))
+      |SELECT n, n_classes, n_buckets, a_pairs, b1, b2,
+      |  (n * (n - 1)) // 2 AS total_pairs,
+      |  (1000000 * (2 * a_pairs + (n * (n - 1)) // 2 - b1 - b2))
+      |    // ((n * (n - 1)) // 2) AS rand_micro,
+      |  (1000000 * pure) // n AS purity_micro
+      |FROM t, r1, r2, p""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_ndcg" -> Q(ndcgQ, Some(ndcgSql),
+      "NDCG@5 per source with shared micro discount literals, no runtime logs"),
+    "q_eval_rand_index" -> Q(randIndexQ, Some(randIndexSql),
+      "Rand index + purity of hyperplane-LSH buckets vs labels, pair-count arithmetic"),
     "q_priv_dp_release" -> Q(dpReleaseQ, Some(dpReleaseSql),
       "DP count release: geometric mechanism, derandomized integer inverse-CDF"),
     "q_eval_ab_test" -> Q(abTestQ, Some(abTestSql),
