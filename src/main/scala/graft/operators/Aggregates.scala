@@ -1145,7 +1145,64 @@ object Aggregates extends QueryModule {
       |  (1000000 * d.dau) // m.mau AS stickiness_micro
       |FROM d JOIN m ON d.month = m.month""".stripMargin
 
+  /** Herfindahl-Hirschman concentration index — the antitrust/market
+    * metric: per market segment, supplier-nation revenue shares in
+    * BASIS POINTS (floor-div), HHI = Σ share_bp² scaled back to the
+    * standard 0–10000 range. Exact-cents money discipline; shares
+    * floor to bp BEFORE squaring (the documented contract — squares
+    * of exact rationals would overflow).
+    *
+    * 100 TB posture: the fact collapses to (segment, nation) revenue
+    * cells in one partial-agg shuffle; shares and HHI are computed on
+    * the ≤5×25-cell table with segment totals broadcast back. */
+  private val hhiQ = (s: SparkSession, dir: String) => {
+    val cells = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_mktsegment"), col("s_nationkey"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    val segTot = cells.groupBy(col("c_mktsegment"))
+      .agg(sum(col("cents")).as("seg_cents"))
+    cells.join(broadcast(segTot), "c_mktsegment")
+      .withColumn("share_bp", expr("(10000 * cents) div seg_cents"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_supplier_nations"),
+        max(col("seg_cents")).as("seg_cents"),
+        max(col("share_bp")).as("max_share_bp"),
+        sum(col("share_bp") * col("share_bp")).as("sum_bp2"))
+      .withColumn("hhi", expr("sum_bp2 div 10000"))
+  }
+
+  private val hhiSql =
+    """WITH cells AS (
+      |  SELECT c.c_mktsegment, su.s_nationkey,
+      |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT c_mktsegment, CAST(SUM(cents) AS BIGINT)
+      |          AS seg_cents
+      |        FROM cells GROUP BY 1),
+      |sh AS (
+      |  SELECT cells.c_mktsegment, tot.seg_cents,
+      |    (10000 * cells.cents) // tot.seg_cents AS share_bp
+      |  FROM cells JOIN tot ON cells.c_mktsegment = tot.c_mktsegment)
+      |SELECT c_mktsegment, COUNT(*) AS n_supplier_nations,
+      |  MAX(seg_cents) AS seg_cents,
+      |  MAX(share_bp) AS max_share_bp,
+      |  CAST(SUM(share_bp * share_bp) AS BIGINT) AS sum_bp2,
+      |  CAST(SUM(share_bp * share_bp) AS BIGINT) // 10000 AS hhi
+      |FROM sh GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_hhi" -> Q(hhiQ, Some(hhiSql),
+      "Herfindahl-Hirschman concentration per segment: basis-point shares, exact cents"),
     "q_agg_dau_mau" -> Q(dauMauQ, Some(dauMauSql),
       "DAU/MAU stickiness per day: two-grain distinct rollups, broadcast month join"),
     "q_agg_benford" -> Q(benfordQ, Some(benfordSql),

@@ -1661,7 +1661,45 @@ object TextOps extends QueryModule {
        |LIMIT 15""".stripMargin
   }
 
+  /** Lexical richness — type-token ratio and hapax legomena per
+    * document: n_tokens, n_types (distinct), n_hapax (tokens used
+    * exactly once IN the doc), ttr and hapax share in floor-div
+    * micro. The complement to [[qualityQ]]'s surface ratios: a
+    * low-TTR doc is repetitive even when its punctuation/stopword
+    * profile looks clean.
+    *
+    * 100 TB posture: one (doc, token) partial-count shuffle, one
+    * doc rollup — both doc-keyed. */
+  private val ttrQ = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_micro", expr("(1000000 * n_types) div n_tokens"))
+      .withColumn("hapax_micro", expr("(1000000 * n_hapax) div n_types"))
+  }
+
+  private val ttrSql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hapax,
+      |  (1000000 * COUNT(*)) // CAST(SUM(c) AS BIGINT) AS ttr_micro,
+      |  (1000000 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT)) // COUNT(*) AS hapax_micro
+      |FROM c GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_ttr" -> Q(ttrQ, Some(ttrSql),
+      "lexical richness per doc: type-token ratio + hapax share, integer micro"),
     "q_text_rake" -> Q(rakeQ, Some(rakeSql),
       "RAKE keywords: stopword-run phrase segmentation, deg/freq micro score, top 15"),
     "q_text_boilerplate" -> Q(boilerplateQ, Some(boilerplateSql),

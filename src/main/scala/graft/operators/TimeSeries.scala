@@ -831,7 +831,82 @@ object TimeSeries extends QueryModule {
       |  AND hm > prev_hm AND hm > next_hm AND hm > grid_mean"""
       .stripMargin
 
+  /** Theil-Sen robust trend — the median of all pairwise slopes on
+    * the hourly floor-mean grid, per event_type (the estimator that
+    * shrugs off the outliers OLS chases). Slopes are exact rationals
+    * dv/dh; the ORDER key is the IEEE double quotient — correctly-
+    * rounded division means equal rationals produce the IDENTICAL
+    * double in both engines, so the rank order (tie-broken by
+    * (dv, dh)) is bit-stable. The reported med2 (sum of the two
+    * middle slopes — the suite's exact-median convention) is rounded
+    * to 6 dp, the cosine-oracle precedent.
+    *
+    * 100 TB posture: corpus → (type, hour) grid in one partial agg;
+    * the pair self-join is GRID×GRID per type (≤720² fixture rows,
+    * explicitly bounded by the hourly resample — never raw events),
+    * one type-keyed window ranks the slopes. */
+  private val theilSenQ = (s: SparkSession, dir: String) => {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value")).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("hm", expr("hs div hc"))
+      .withColumn("hi",
+        (unix_timestamp(col("hour")) / 3600L).cast("long"))
+      .select(col("event_type"), col("hi"), col("hm"))
+    val pairs = grid.as("a")
+      .join(grid.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("b.hi") > col("a.hi"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.hm") - col("a.hm")).as("dv"),
+        (col("b.hi") - col("a.hi")).as("dh"))
+      .withColumn("slope", col("dv").cast("double") / col("dh"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope").asc, col("dv").asc, col("dh").asc)
+    val t = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(t))
+      .filter(expr("rn = (np + 1) div 2 OR rn = (np + 2) div 2"))
+      .groupBy(col("event_type"))
+      // odd np selects ONE middle row twice-filtered to once ⇒ double
+      // it; even np selects the two middles ⇒ plain sum. med2 = 2·median.
+      .agg(max(col("np")).as("n_pairs"),
+        round(sum(col("slope"))
+          + when(max(col("np")) % 2 === 1, sum(col("slope")))
+            .otherwise(lit(0.0)), 6).as("med2_slope"))
+  }
+
+  private val theilSenSql =
+    """WITH grid AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hi,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS hm
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type, b.hm - a.hm AS dv, b.hi - a.hi AS dh,
+      |    CAST(b.hm - a.hm AS DOUBLE) / (b.hi - a.hi) AS slope
+      |  FROM grid a JOIN grid b
+      |    ON a.event_type = b.event_type AND b.hi > a.hi),
+      |r AS (
+      |  SELECT event_type, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY slope ASC, dv ASC, dh ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS np
+      |  FROM p)
+      |SELECT event_type, MAX(np) AS n_pairs,
+      |  round(SUM(slope) + CASE WHEN MAX(np) % 2 = 1 THEN SUM(slope)
+      |    ELSE 0 END, 6) AS med2_slope
+      |FROM r
+      |WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_theilsen" -> Q(theilSenQ, Some(theilSenSql),
+      "Theil-Sen robust trend: median pairwise slope on the hourly grid, IEEE-stable order"),
     "q_ts_peaks" -> Q(peaksQ, Some(peaksSql),
       "strict local maxima above the per-type grid mean on the hourly grid"),
     "q_ts_vwap" -> Q(vwapQ, Some(vwapSql),
