@@ -509,7 +509,53 @@ object Audit extends QueryModule {
       |  (1000000 * pure) // n AS purity_micro
       |FROM t, r1, r2, p""".stripMargin
 
+  /** MRR@10 — reciprocal rank of the first RELEVANT hit (rel ≥ 3)
+    * in the [[ndcgQ]] retrieval order, rr = 10⁶ div rank (exact
+    * integer reciprocals — no float division); sources with no
+    * relevant doc in the top 10 score 0 by the standard convention.
+    *
+    * 100 TB posture: same source-partitioned rank window as NDCG;
+    * the first-hit reduction is a conditional min. */
+  private val mrrQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        least(lit(4L), expr("n_chars div 250")).as("rel"),
+        md5(concat(lit("rank-v1:"), col("doc_id").cast("string")))
+          .as("h"))
+    val rW = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    d.withColumn("rr", row_number().over(rW))
+      .groupBy(col("source"))
+      .agg(min(when(col("rel") >= 3L && col("rr") <= 10,
+        col("rr").cast("long"))).as("first_rel_rank"))
+      .withColumn("rr_micro",
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)))
+  }
+
+  private val mrrSql =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    least(4, n_chars // 250) AS rel,
+      |    md5('rank-v1:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, rel,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY h ASC, doc_id ASC) AS rr
+      |  FROM d),
+      |g AS (
+      |  SELECT source,
+      |    MIN(CASE WHEN rel >= 3 AND rr <= 10 THEN rr END)
+      |      AS first_rel_rank
+      |  FROM r GROUP BY 1)
+      |SELECT source, CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+      |  COALESCE(1000000 // first_rel_rank, 0) AS rr_micro
+      |FROM g""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_mrr" -> Q(mrrQ, Some(mrrSql),
+      "MRR@10: exact integer reciprocal of the first relevant rank per source"),
     "q_eval_ndcg" -> Q(ndcgQ, Some(ndcgSql),
       "NDCG@5 per source with shared micro discount literals, no runtime logs"),
     "q_eval_rand_index" -> Q(randIndexQ, Some(randIndexSql),

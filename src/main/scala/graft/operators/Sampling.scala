@@ -394,7 +394,46 @@ object Sampling extends QueryModule {
       |  (1000000 * COUNT(*)) // MAX(t.tot) AS share_micro
       |FROM f, t GROUP BY 1""".stripMargin
 
+  /** Temperature-scaled corpus mixing weights (the XLM-R / mT5
+    * multilingual-sampling op): per language, w = count^α at α = 1/2
+    * via integer floor-sqrt — upweights low-resource languages
+    * relative to proportional sampling. floor(sqrt(double)) is
+    * deterministic across engines because IEEE sqrt is correctly
+    * rounded (exact for counts < 4·10¹⁵ — documented bound). Shares
+    * in micro; the per-epoch quota allocates a 100k-doc epoch by
+    * floor share (remainder docs are the documented truncation).
+    *
+    * 100 TB posture: one lang-key count, then all arithmetic on the
+    * |langs|-row table with the weight total broadcast back. */
+  private val tempWeightsQ = (s: SparkSession, dir: String) => {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double")))
+        .cast("long"))
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("w")).as("wtot"), sum(col("n_docs")).as("ntot"))))
+      .select(col("lang"), col("n_docs"), col("w"),
+        expr("(1000000 * w) div wtot").as("share_micro"),
+        expr("(1000000 * n_docs) div ntot").as("prop_micro"),
+        expr("(100000 * w) div wtot").as("epoch_quota"))
+  }
+
+  private val tempWeightsSql =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot,
+      |        CAST(SUM(n_docs) AS BIGINT) AS ntot FROM c)
+      |SELECT lang, n_docs, w,
+      |  (1000000 * w) // wtot AS share_micro,
+      |  (1000000 * n_docs) // ntot AS prop_micro,
+      |  (100000 * w) // wtot AS epoch_quota
+      |FROM c, t""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_temperature_weights" -> Q(tempWeightsQ, Some(tempWeightsSql),
+      "temperature alpha=1/2 corpus mixing weights via integer floor-sqrt"),
     "q_sample_group_kfold" -> Q(groupKfoldQ, Some(groupKfoldSql),
       "leakage-safe group k-fold: fold is a pure function of the user key"),
     "q_sample_class_balance" -> Q(classBalanceQ, Some(classBalanceSql),

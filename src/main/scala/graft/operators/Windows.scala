@@ -629,7 +629,72 @@ object Windows extends QueryModule {
       |    AS BIGINT) AS rfm_code
       |FROM per""".stripMargin
 
+  /** Maximum drawdown — the finance risk metric on the cumulative
+    * daily-revenue series per market segment: running peak minus
+    * current cumulative, maximized, in exact cents; the trough day
+    * reported via argmax-by-struct (ties → earliest day).
+    *
+    * 100 TB posture: the fact collapses to (segment, day) cells in
+    * one partial agg; cumsum/running-peak windows run per segment
+    * over the DAY GRID. */
+  private val drawdownQ = (s: SparkSession, dir: String) => {
+    val daily = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("peak", max(col("cum")).over(w))
+      .withColumn("dd", col("peak") - col("cum"))
+      .withColumn("mdd",
+        max(col("dd")).over(Window.partitionBy(col("c_mktsegment"))))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("peak")).as("final_peak_cents"),
+        max(col("dd")).as("max_drawdown_cents"),
+        min(when(col("dd") === col("mdd"), col("day")))
+          .as("trough_day"))
+  }
+
+  private val drawdownSql =
+    """WITH daily AS (
+      |  SELECT c.c_mktsegment,
+      |    CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS day,
+      |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT c_mktsegment, day,
+      |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum
+      |  FROM daily),
+      |p AS (
+      |  SELECT c_mktsegment, day, cum,
+      |    MAX(cum) OVER (PARTITION BY c_mktsegment ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM w),
+      |d AS (SELECT *, peak - cum AS dd,
+      |    MAX(peak - cum) OVER (PARTITION BY c_mktsegment) AS mdd
+      |  FROM p)
+      |SELECT c_mktsegment, COUNT(*) AS n_days,
+      |  MAX(peak) AS final_peak_cents,
+      |  MAX(dd) AS max_drawdown_cents,
+      |  MIN(CASE WHEN dd = mdd THEN day END) AS trough_day
+      |FROM d GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_drawdown" -> Q(drawdownQ, Some(drawdownSql),
+      "max drawdown per segment on the cumulative daily-revenue series, exact cents"),
     "q_win_rfm" -> Q(rfmQ, Some(rfmSql),
       "RFM quintile segmentation: one custkey collapse, ntile over the customer aggregate"),
     "q_win_time_to_convert" -> Q(timeToConvertQ, Some(timeToConvertSql),
