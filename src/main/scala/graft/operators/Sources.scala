@@ -1347,7 +1347,44 @@ object Sources extends QueryModule {
       |FROM events WHERE event_type IN ('click', 'purchase')
       |GROUP BY event_type""".stripMargin
 
+  /** Merge-on-read DELETE through deletion vectors (§2.11 — the
+    * Delta/Iceberg MoR discipline): ingest orders into the object
+    * layout, `deleteMoR(o_totalprice <= 150000)` writes `_dv/` row-
+    * ordinal sidecars WITHOUT rewriting any data object, then the
+    * normal read path answers the post-delete aggregate — every
+    * reader subtracts the DV at decode time. The oracle is the
+    * survivor set on raw parquet; DeletionVectorSpec additionally
+    * proves the data objects' bytes are untouched, time travel shows
+    * the pre-delete rows, a second delete folds, and compaction
+    * invalidates stale DVs. */
+  private val deleteMoRQ = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "delmor") + "/orders"
+    Tables.orders(s, dir)
+      .repartition(4)
+      .write.format("graft-objects").mode("overwrite").save(out)
+    graft.sources.ObjectStoreMaintenance.deleteMoR(out,
+      Array(org.apache.spark.sql.sources.LessThanOrEqual(
+        "o_totalprice", 150000.0)))
+    s.read.format("graft-objects").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  private val deleteMoRSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_total,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE NOT (o_totalprice <= 150000) OR o_totalprice IS NULL
+      |GROUP BY o_orderstatus""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_src_delete_mor" -> Q(deleteMoRQ, Some(deleteMoRSql),
+      "merge-on-read DELETE: deletion-vector sidecars, data objects untouched"),
     "q_src_partitioned_write" -> Q(partitionedWrite,
       Some(partitionedWriteSql),
       "hive-style partitionBy write + partition-pruned filtered read-back"),

@@ -32,7 +32,7 @@ object GraftProcedures {
 
   private val names = Seq("create_branch", "merge_branch", "drop_branch",
     "list_branches", "vacuum_table", "table_version",
-    "compact_table", "scrub_table")
+    "compact_table", "scrub_table", "delete_mor")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -102,6 +102,17 @@ object GraftProcedures {
             org.apache.spark.sql.SparkSession.active, d, in.getInt(1))
           Array(row(before, GraftObjectTable.listObjects(d).size))
         })
+      case "delete_mor" => proc("delete_mor",
+        Seq("table" -> StringType, "predicate" -> StringType),
+        StructType(Seq(StructField("objects_removed", IntegerType),
+          StructField("objects_dv", IntegerType),
+          StructField("rows_deleted", LongType))),
+        in => {
+          val d = dirOf(str(in, 0))
+          val f = parseSimplePredicate(str(in, 1))
+          val (rm, dv, rows) = ObjectStoreMaintenance.deleteMoR(d, Array(f))
+          Array(row(rm, dv, rows))
+        })
       case "scrub_table" => proc("scrub_table",
         Seq("table" -> StringType),
         StructType(Seq(StructField("n_objects", IntegerType),
@@ -114,6 +125,36 @@ object GraftProcedures {
         })
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: $other")
+    }
+  }
+
+  /** `delete_mor`'s predicate grammar: one `col <op> literal` with
+    * op ∈ {=, !=, <, <=, >, >=}; literals are 'quoted' strings,
+    * integral longs, or decimal doubles. Deliberately tiny — the
+    * storage-evaluable contract is enforced downstream, and compound
+    * predicates go through SQL DELETE (copy-on-write) instead. */
+  private[sources] def parseSimplePredicate(p: String): org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources._
+    val m = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(<=|>=|!=|=|<|>)\\s*(.+?)\\s*$".r
+    p match {
+      case m(col, op, lit) =>
+        val v: Any =
+          if (lit.startsWith("'") && lit.endsWith("'") && lit.length >= 2)
+            lit.substring(1, lit.length - 1)
+          else if (lit.matches("-?\\d+")) lit.toLong
+          else if (lit.matches("-?\\d*\\.\\d+")) lit.toDouble
+          else throw new IllegalArgumentException(
+            s"delete_mor: unsupported literal '$lit'")
+        op match {
+          case "=" => EqualTo(col, v)
+          case "!=" => Not(EqualTo(col, v))
+          case "<" => LessThan(col, v)
+          case "<=" => LessThanOrEqual(col, v)
+          case ">" => GreaterThan(col, v)
+          case ">=" => GreaterThanOrEqual(col, v)
+        }
+      case _ => throw new IllegalArgumentException(
+        s"delete_mor: predicate must be 'col <op> literal', got: $p")
     }
   }
 

@@ -562,6 +562,18 @@ object ObjectFormat {
   /** Footer-only read: header (to size the skip) + trailing stats.
     * The body is SKIPPED, never decoded — this is the only read the
     * planner and the pushed-aggregate path ever do. */
+  /** The schema EMBEDDED in one object's header (its generation's
+    * layout — may predate the live sidecar after ALTER TABLE). */
+  def headerSchema(path: String): StructType = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(path))))
+    try {
+      require(in.readInt() == Magic, s"$path: bad magic")
+      in.readInt()
+      StructType.fromDDL(in.readUTF())
+    } finally in.close()
+  }
+
   def readFooter(path: String): Footer = {
     val in = new DataInputStream(Files.newInputStream(Paths.get(path)))
     try {
@@ -1042,6 +1054,157 @@ object ObjectStoreMaintenance {
       .option("maxObjectsPerTask", Int.MaxValue.toString)
     width.foreach(w => writer.option("clusterWidth", w.toString))
     writer.mode("overwrite").save(dir)
+  }
+
+  /** Merge-on-read DELETE (the Delta/Iceberg deletion-vector
+    * discipline): instead of re-encoding survivors (copy-on-write,
+    * `deleteWhere`), write a tiny `_dv/<object>.dv` SIDECAR naming the
+    * deleted row ordinals and let every reader subtract them at
+    * decode time. The live data object is NOT rewritten — the delete
+    * costs O(matched ordinals), not O(survivors); reads pay the merge.
+    *
+    * Versioning contract (exact time travel):
+    *  - the commit records the object in `rw` and archives the RAW
+    *    pre-image, so snapshots before the delete read full rows (the
+    *    archive path never carries a DV);
+    *  - a SECOND MoR delete on an object first FOLDS the existing DV
+    *    (physical rewrite of the live object to its logical state — a
+    *    logical no-op needing no version), so each live object holds
+    *    at most one DV generation and snapshot resolution stays exact.
+    *
+    * Self-invalidation: the DV is fingerprinted with the object's
+    * byte length — any rewrite under the same name (compaction, CoW
+    * DELETE, relayout) changes the length and the stale DV becomes a
+    * no-op, so no writer needs DV awareness.
+    *
+    * Footer-trusting fast paths (footer-answered aggregates,
+    * LIMIT/TopN object selection) check for a valid DV and fall back
+    * to real scans — a DV'd object's footer over-counts by design.
+    *
+    * Returns (#objects fully removed, #objects DV'd, #rows deleted). */
+  def deleteMoR(dir: String, filters: Array[Filter]): (Int, Int, Long) =
+    GraftVersions.withTableLock(dir) {
+      val schema0 = {
+        val sidecar = new File(dir, "_schema.ddl")
+        if (sidecar.isFile)
+          StructType.fromDDL(new String(Files.readAllBytes(sidecar.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else ObjectFormat.headerSchema(
+          GraftObjectTable.listObjects(dir).head)
+      }
+      val schema = schema0
+      require(filters.forall(ObjectFormat.storageEvaluable(schema, _)),
+        "deleteMoR: every predicate must be storage-evaluable " +
+          "(same contract as canDeleteWhere)")
+      val v = GraftVersions.nextVersion(dir)
+      val removed = Seq.newBuilder[String]
+      val dvd = Seq.newBuilder[String]
+      var deletedRows = 0L
+      GraftObjectTable.listObjects(dir).foreach { obj =>
+        val footer = ObjectFormat.readFooter(obj)
+        val mayMatch = footer.rowCount > 0 &&
+          filters.forall(ObjectFormat.mightMatch(_, footer))
+        if (mayMatch) {
+          // fold an existing DV first: one DV generation per object
+          if (DeleteVectors.read(obj).isDefined) foldDeleteVector(obj, schema)
+          val reader = new GraftObjectReader(obj, schema, schema, filters)
+          val ords = Array.newBuilder[Int]
+          try {
+            while (reader.next()) ords += reader.currentOrdinal
+          } finally reader.close()
+          val hit = ords.result()
+          if (hit.nonEmpty) {
+            val objFile = new File(obj)
+            deletedRows += hit.length
+            val physical = ObjectFormat.readFooter(obj).rowCount
+            if (hit.length == physical) {
+              GraftVersions.archiveMove(dir, objFile, v)
+              removed += objFile.getName
+            } else {
+              GraftVersions.archiveCopy(dir, objFile, v)
+              DeleteVectors.write(obj, hit)
+              dvd += objFile.getName
+            }
+          }
+        }
+      }
+      val (del, dv) = (removed.result(), dvd.result())
+      if (del.nonEmpty || dv.nonEmpty)
+        GraftVersions.record(dir, v, Nil, del, dv)
+      (del.size, dv.size, deletedRows)
+    }
+
+  /** Rewrite a live object to its logical state (DV applied) and drop
+    * the DV — a LOGICAL NO-OP (no version): the live file always
+    * represents the table's latest state, snapshots resolve through
+    * the archive. Used before stacking a second DV and by explicit
+    * maintenance. */
+  def foldDeleteVector(obj: String, schema: StructType): Unit = {
+    if (DeleteVectors.read(obj).isEmpty) return
+    val reader = new GraftObjectReader(obj, schema, schema, Array.empty)
+    val enc = new ObjectFormat.ObjectEncoder(schema)
+    try { while (reader.next()) enc.addInternal(reader.get()) }
+    finally reader.close()
+    val objFile = new File(obj)
+    val staged = new File(objFile.getParentFile,
+      s"_staged_dvfold_${objFile.getName}")
+    enc.finish(staged.getPath)
+    DeleteVectors.drop(obj) // before the swap: new bytes, no stale DV
+    Files.move(staged.toPath, objFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Deletion-vector sidecars (`_dv/<object>.dv`): magic, the object's
+  * byte-length fingerprint, then the deleted row ordinals. A DV whose
+  * fingerprint disagrees with the object's current length is STALE
+  * (the object was rewritten — compaction, CoW delete, relayout) and
+  * reads as absent, so no rewrite path needs DV awareness. */
+object DeleteVectors {
+  val Magic = 0x47445631 // "GDV1"
+
+  def dvFile(objPath: String): File = {
+    val f = new File(objPath)
+    new File(new File(f.getParentFile, "_dv"), f.getName + ".dv")
+  }
+
+  def write(objPath: String, ordinals: Array[Int]): Unit = {
+    val dv = dvFile(objPath)
+    dv.getParentFile.mkdirs()
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(dv.toPath)))
+    try {
+      out.writeInt(Magic)
+      out.writeLong(new File(objPath).length())
+      out.writeInt(ordinals.length)
+      ordinals.foreach(out.writeInt)
+    } finally out.close()
+  }
+
+  /** The valid DV for this object — None when absent, malformed, or
+    * stale (fingerprint mismatch after a rewrite). */
+  def read(objPath: String): Option[util.BitSet] = {
+    val dv = dvFile(objPath)
+    if (!dv.isFile) return None
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(dv.toPath)))
+    try {
+      if (in.readInt() != Magic) return None
+      if (in.readLong() != new File(objPath).length()) return None
+      val n = in.readInt()
+      val bs = new util.BitSet()
+      var i = 0
+      while (i < n) { bs.set(in.readInt()); i += 1 }
+      Some(bs)
+    } catch { case _: java.io.IOException => None }
+    finally in.close()
+  }
+
+  def hasValid(objPath: String): Boolean = read(objPath).isDefined
+
+  def drop(objPath: String): Unit = {
+    val f = dvFile(objPath); if (f.isFile) f.delete(): Unit
   }
 }
 
@@ -1999,11 +2162,16 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
           case FooterAgg.MinOf(c, _) => c
           case FooterAgg.MaxOf(c, _) => c
         }.distinct
-        val footers = GraftObjectTable.listObjects(path).map(ObjectFormat.readFooter)
-        val ok = footers.filter(_.rowCount > 0).forall { f =>
-          need.forall(c => f.stats.get(c).exists(s =>
-            s.min != null || s.nullCount == f.rowCount))
-        }
+        val objs = GraftObjectTable.listObjects(path)
+        val footers = objs.map(ObjectFormat.readFooter)
+        // merge-on-read: a DV'd object's footer OVER-counts (deleted
+        // ordinals are still in rowCount/stats) — refuse the footer
+        // answer and fall back to a real scan, which applies the DV
+        val ok = objs.forall(p => !DeleteVectors.hasValid(p)) &&
+          footers.filter(_.rowCount > 0).forall { f =>
+            need.forall(c => f.stats.get(c).exists(s =>
+              s.min != null || s.nullCount == f.rowCount))
+          }
         if (ok) { aggFooters = footers }
         ok
       }
@@ -2466,6 +2634,11 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
         }
         val chosen =
           if (pushed.nonEmpty || runtime.nonEmpty) avail
+          // merge-on-read: LIMIT/TopN object selection counts rows
+          // from footers, which over-count DV'd objects — selecting
+          // "enough" objects could under-produce. Any valid DV in the
+          // candidate set ⇒ keep every object (readers still merge).
+          else if (avail.exists(a => DeleteVectors.hasValid(a._1))) avail
           else topN.map(topNPrune(avail, _))
             .orElse(limit.map(limitPrefix(avail, _)))
             .getOrElse(avail)
@@ -2925,6 +3098,14 @@ class GraftObjectReader(path: String, fullSchema: StructType,
   }
   private val objName =
     UTF8String.fromString(new File(path).getName)
+  /** Merge-on-read: the valid deletion vector for this object, if any.
+    * Archive copies never carry one (DVs live only under the table
+    * root's `_dv/`), so snapshot reads of pre-delete state stay full. */
+  private val dv: Option[util.BitSet] = DeleteVectors.read(path)
+  /** Physical ordinal of the row currently held in `values` (counts
+    * every decoded row, including DV-deleted and filtered ones). */
+  private var ord = -1
+  def currentOrdinal: Int = ord
   private val present = Array.ofDim[Boolean](n)
   private val values = Array.ofDim[Any](n) // Catalyst-level values
   private var current: InternalRow = _
@@ -3055,10 +3236,16 @@ class GraftObjectReader(path: String, fullSchema: StructType,
   override def next(): Boolean = {
     if (emitted >= rowLimit) return false // pushed-LIMIT early exit
     while (readRow()) {
+      ord += 1
+      // merge-on-read: a DV-deleted ordinal is logically gone in EVERY
+      // mode (reads, negated CoW-DELETE survivor scans, feeds alike)
+      if (dv.exists(_.get(ord))) {
+        // skip
+      }
       // TRUE-or-not decides row fate: a read emits only TRUE rows; a
       // negated DELETE keeps FALSE and UNKNOWN rows (SQL deletes only
       // where the predicate is TRUE)
-      if (pushed.forall(eval3(_).contains(true)) != negated) {
+      else if (pushed.forall(eval3(_).contains(true)) != negated) {
         val out = new Array[Any](outIdx.length)
         var k = 0
         while (k < outIdx.length) {
