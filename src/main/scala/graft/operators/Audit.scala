@@ -553,7 +553,62 @@ object Audit extends QueryModule {
       |  COALESCE(1000000 // first_rel_rank, 0) AS rr_micro
       |FROM g""".stripMargin
 
+  /** Precision / recall / F1 per source for a threshold classifier
+    * (predict `en` when n_chars ≥ 500) against the lang label — the
+    * confusion counts in ONE conditional-aggregate pass, and the
+    * ratios in exact micro: F1 = 2tp/(2tp+fp+fn) needs no separate
+    * P/R division, so no compounding floors. Degenerate denominators
+    * report NULL. */
+  private val f1Q = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir)
+      .select(col("source"),
+        (col("n_chars") >= 500L).as("pred"),
+        (col("lang") === "en").as("truth"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("pred") && col("truth"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("truth"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("truth"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("truth"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision_micro",
+        when(col("tp") + col("fp") > 0L,
+          expr("(1000000 * tp) div (tp + fp)")))
+      .withColumn("recall_micro",
+        when(col("tp") + col("fn") > 0L,
+          expr("(1000000 * tp) div (tp + fn)")))
+      .withColumn("f1_micro",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          expr("(2000000 * tp) div (2 * tp + fp + fn)")))
+  }
+
+  private val f1Sql =
+    """WITH d AS (
+      |  SELECT source, n_chars >= 500 AS pred, lang = 'en' AS truth
+      |  FROM documents),
+      |c AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN pred AND truth THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tn
+      |  FROM d GROUP BY 1)
+      |SELECT source, tp, fp, fn, tn,
+      |  CAST(CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp)
+      |    END AS BIGINT) AS precision_micro,
+      |  CAST(CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn)
+      |    END AS BIGINT) AS recall_micro,
+      |  CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
+      |    (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT)
+      |    AS f1_micro
+      |FROM c""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_f1" -> Q(f1Q, Some(f1Sql),
+      "precision/recall/F1 per source: one-pass confusion counts, exact micro ratios"),
     "q_eval_mrr" -> Q(mrrQ, Some(mrrSql),
       "MRR@10: exact integer reciprocal of the first relevant rank per source"),
     "q_eval_ndcg" -> Q(ndcgQ, Some(ndcgSql),

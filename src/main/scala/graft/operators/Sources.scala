@@ -1382,7 +1382,36 @@ object Sources extends QueryModule {
       |WHERE NOT (o_totalprice <= 150000) OR o_totalprice IS NULL
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** Merge-on-read UPDATE (the Iceberg delete-file + data-file shape):
+    * matched rows are DV-deleted in place and re-appended with the
+    * constant assignment applied as ONE new object, one commit. Here:
+    * redact the order priority of every low-value order. */
+  private val updateMoRQ = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "updmor") + "/orders"
+    Tables.orders(s, dir)
+      .repartition(4)
+      .write.format("graft-objects").mode("overwrite").save(out)
+    graft.sources.ObjectStoreMaintenance.updateMoR(out,
+      Array(org.apache.spark.sql.sources.LessThanOrEqual(
+        "o_totalprice", 100000.0)),
+      Map("o_orderpriority" -> "9-REDACTED"))
+    s.read.format("graft-objects").load(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"))
+  }
+
+  private val updateMoRSql =
+    """SELECT CASE WHEN o_totalprice <= 100000 THEN '9-REDACTED'
+      |            ELSE o_orderpriority END AS o_orderpriority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_total
+      |FROM orders GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_src_update_mor" -> Q(updateMoRQ, Some(updateMoRSql),
+      "merge-on-read UPDATE: DV-delete + one appended object with the assignment applied"),
     "q_src_delete_mor" -> Q(deleteMoRQ, Some(deleteMoRSql),
       "merge-on-read DELETE: deletion-vector sidecars, data objects untouched"),
     "q_src_partitioned_write" -> Q(partitionedWrite,

@@ -32,7 +32,7 @@ object GraftProcedures {
 
   private val names = Seq("create_branch", "merge_branch", "drop_branch",
     "list_branches", "vacuum_table", "table_version",
-    "compact_table", "scrub_table", "delete_mor")
+    "compact_table", "scrub_table", "delete_mor", "update_mor")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -113,6 +113,19 @@ object GraftProcedures {
           val (rm, dv, rows) = ObjectStoreMaintenance.deleteMoR(d, Array(f))
           Array(row(rm, dv, rows))
         })
+      case "update_mor" => proc("update_mor",
+        Seq("table" -> StringType, "predicate" -> StringType,
+          "set_column" -> StringType, "set_value" -> StringType),
+        StructType(Seq(StructField("rows_updated", LongType),
+          StructField("new_object", StringType))),
+        in => {
+          val d = dirOf(str(in, 0))
+          val f = parseSimplePredicate(str(in, 1))
+          val (rows, obj) = ObjectStoreMaintenance.updateMoR(d,
+            Array(f), Map(str(in, 2) -> parseLiteral(str(in, 3))))
+          Array(row(rows,
+            if (obj == null) null else UTF8String.fromString(obj)))
+        })
       case "scrub_table" => proc("scrub_table",
         Seq("table" -> StringType),
         StructType(Seq(StructField("n_objects", IntegerType),
@@ -157,6 +170,16 @@ object GraftProcedures {
         s"delete_mor: predicate must be 'col <op> literal', got: $p")
     }
   }
+
+  /** Same literal grammar as the predicate side: 'quoted' string,
+    * integral long, or decimal double. */
+  private[sources] def parseLiteral(lit: String): Any =
+    if (lit.startsWith("'") && lit.endsWith("'") && lit.length >= 2)
+      lit.substring(1, lit.length - 1)
+    else if (lit.matches("-?\\d+")) lit.toLong
+    else if (lit.matches("-?\\d*\\.\\d+")) lit.toDouble
+    else throw new IllegalArgumentException(
+      s"update_mor: unsupported literal '$lit'")
 
   private def str(in: InternalRow, i: Int): String = {
     require(!in.isNullAt(i), s"procedure argument $i must not be NULL")

@@ -1134,6 +1134,82 @@ object ObjectStoreMaintenance {
       (del.size, dv.size, deletedRows)
     }
 
+  /** Merge-on-read UPDATE, the DV discipline extended with a write:
+    * matched rows are DV-deleted in place (data objects untouched)
+    * and re-appended WITH the constant assignments applied as one new
+    * object — the Iceberg MoR-update shape (delete file + data file,
+    * one commit). Scope: SET col = constant only (the
+    * redaction/backfill maintenance form); computed updates go
+    * through SQL UPDATE's copy-on-write row-level path.
+    *
+    * Returns (#rows updated, the new object's name, or null when no
+    * row matched). */
+  def updateMoR(dir: String, filters: Array[Filter],
+      set: Map[String, Any]): (Long, String) =
+    GraftVersions.withTableLock(dir) {
+      val schema = {
+        val sidecar = new File(dir, "_schema.ddl")
+        if (sidecar.isFile)
+          StructType.fromDDL(new String(Files.readAllBytes(sidecar.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else ObjectFormat.headerSchema(
+          GraftObjectTable.listObjects(dir).head)
+      }
+      require(filters.forall(ObjectFormat.storageEvaluable(schema, _)),
+        "updateMoR: every predicate must be storage-evaluable")
+      val setIdx = set.map { case (c, v) =>
+        val i = schema.fieldIndex(c)
+        i -> CatalystTypeConverters.convertToCatalyst(v)
+      }
+      val v = GraftVersions.nextVersion(dir)
+      val live = GraftObjectTable.listObjects(dir)
+      val table = new File(dir).getName
+      val nextSeq = live.map(p =>
+        new File(p).getName.substring(table.length + 1).toInt).max + 1
+      val enc = new ObjectFormat.ObjectEncoder(schema)
+      val dvd = Seq.newBuilder[String]
+      var updated = 0L
+      live.foreach { obj =>
+        val footer = ObjectFormat.readFooter(obj)
+        val mayMatch = footer.rowCount > 0 &&
+          filters.forall(ObjectFormat.mightMatch(_, footer))
+        if (mayMatch) {
+          if (DeleteVectors.read(obj).isDefined) foldDeleteVector(obj, schema)
+          val reader = new GraftObjectReader(obj, schema, schema, filters)
+          val ords = Array.newBuilder[Int]
+          try {
+            while (reader.next()) {
+              ords += reader.currentOrdinal
+              val row = reader.get()
+              val out = new Array[Any](schema.length)
+              var i = 0
+              while (i < schema.length) {
+                out(i) = setIdx.getOrElse(i,
+                  row.get(i, schema(i).dataType))
+                i += 1
+              }
+              enc.addInternal(new GenericInternalRow(out))
+              updated += 1
+            }
+          } finally reader.close()
+          val hit = ords.result()
+          if (hit.nonEmpty) {
+            val objFile = new File(obj)
+            GraftVersions.archiveCopy(dir, objFile, v)
+            DeleteVectors.write(obj, hit)
+            dvd += objFile.getName
+          }
+        }
+      }
+      if (updated == 0) (0L, null)
+      else {
+        val newName = s"$table.$nextSeq"
+        enc.finish(new File(dir, newName).getPath)
+        GraftVersions.record(dir, v, Seq(newName), Nil, dvd.result())
+        (updated, newName)
+      }
+    }
+
   /** Rewrite a live object to its logical state (DV applied) and drop
     * the DV — a LOGICAL NO-OP (no version): the live file always
     * represents the table's latest state, snapshots resolve through

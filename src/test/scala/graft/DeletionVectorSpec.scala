@@ -110,6 +110,48 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ids.head == 50L && ids.last == 189L && ids.length == 140)
   }
 
+  test("MoR update: DV-delete + one appended object, bytes untouched, snapshots exact") {
+    val dir = freshTable("upd")
+    val v0 = graft.sources.GraftVersions.currentVersion(dir)
+    val before = objState(dir)
+    val (rows, newObj) = ObjectStoreMaintenance.updateMoR(dir,
+      Array(LessThanOrEqual("id", 49L)), Map("s" -> "REDACTED"))
+    assert(rows == 50L && newObj != null)
+    // pre-existing objects byte-identical; exactly one object added
+    val after = objState(dir)
+    assert(before.forall { case (k, v) => after.get(k).contains(v) })
+    assert(after.size == before.size + 1 && after.contains(newObj))
+    val got = spark.read.format("graft-objects").load(dir)
+    assert(got.count() == 200)
+    assert(got.filter(col("s") === "REDACTED").count() == 50)
+    assert(got.filter(col("id") <= 49L && col("s") =!= "REDACTED")
+      .count() == 0)
+    // untouched rows keep their values
+    assert(got.filter(col("id") === 150L).select("s").collect()
+      .head.getString(0) == "r150")
+    // snapshot before the update: original values, no new object rows
+    val old = spark.read.format("graft-objects").load(s"$dir@v$v0")
+    assert(old.count() == 200)
+    assert(old.filter(col("s") === "REDACTED").count() == 0)
+  }
+
+  test("CALL update_mor drives MoR update from SQL") {
+    val root = Files.createTempDirectory("graft-dv-upd-proc").toString
+    spark.conf.set("spark.sql.catalog.gdvu", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvu.root", root)
+    val path = s"$root/main/t"
+    spark.range(0, 80).selectExpr("id", "id * 5 AS v")
+      .repartition(2)
+      .write.format("graft-objects").mode("overwrite").save(path)
+    val r = spark.sql(
+      "CALL gdvu.system.update_mor('t', 'id >= 70', 'v', '-1')")
+      .collect().head
+    assert(r.getLong(0) == 10L, "rows_updated")
+    val got = spark.read.format("graft-objects").load(path)
+    assert(got.filter(col("v") === -1L).count() == 10)
+    assert(got.count() == 80)
+  }
+
   test("CALL delete_mor drives MoR from SQL") {
     val root = Files.createTempDirectory("graft-dv-proc").toString
     spark.conf.set("spark.sql.catalog.gdv", "graft.sources.GraftCatalog")
