@@ -1200,7 +1200,55 @@ object Aggregates extends QueryModule {
       |  CAST(SUM(share_bp * share_bp) AS BIGINT) // 10000 AS hhi
       |FROM sh GROUP BY 1""".stripMargin
 
+  /** Exponential (powers-of-two) histogram of event values — the
+    * latency-distribution shape observability systems standardize on
+    * (HdrHistogram/OTel): bucket b holds values with
+    * floor(v) ∈ [2^(b−1), 2^b), computed EXACTLY as the bit length of
+    * the integer part via `length(bin(x))` — no float log2 anywhere.
+    * Complements the equi-width q_agg_histogram.
+    *
+    * 100 TB posture: map-side bucket id, one ≤64-key rollup; the
+    * cumulative share is a window over the bucket domain. */
+  private val logHistQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(s, dir)
+      .select(floor(col("value")).cast("long").as("u"))
+      .withColumn("bucket",
+        when(col("u") === 0L, 0L)
+          .otherwise(length(bin(col("u"))).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("u")).as("min_u"),
+        max(col("u")).as("max_u"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_share_micro",
+        expr("(1000000 * cum_n) div sum(n) over ()"))
+  }
+
+  private val logHistSql =
+    """WITH u AS (
+      |  SELECT CAST(floor(value) AS BIGINT) AS u FROM events),
+      |b AS (
+      |  SELECT CASE WHEN u = 0 THEN 0
+      |    ELSE CAST(length(bin(u)) AS BIGINT) END AS bucket,
+      |    u
+      |  FROM u),
+      |g AS (
+      |  SELECT bucket, COUNT(*) AS n, MIN(u) AS min_u, MAX(u) AS max_u
+      |  FROM b GROUP BY 1)
+      |SELECT bucket, n, min_u, max_u,
+      |  CAST(SUM(n) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_n,
+      |  (1000000 * CAST(SUM(n) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+      |    // CAST(SUM(n) OVER () AS BIGINT) AS cum_share_micro
+      |FROM g""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_log_histogram" -> Q(logHistQ, Some(logHistSql),
+      "powers-of-two histogram via integer bit length, cumulative shares"),
     "q_agg_hhi" -> Q(hhiQ, Some(hhiSql),
       "Herfindahl-Hirschman concentration per segment: basis-point shares, exact cents"),
     "q_agg_dau_mau" -> Q(dauMauQ, Some(dauMauSql),

@@ -606,7 +606,54 @@ object Audit extends QueryModule {
       |    AS f1_micro
       |FROM c""".stripMargin
 
+  /** Calibration / reliability table — the eval that catches a
+    * classifier whose scores don't mean what they say: a
+    * deterministic pseudo-probability (n_chars/1000 capped at 1, in
+    * micro) is bucketed into 10 equal bins; each bin reports its
+    * count, mean claimed score, empirical positive rate (lang='en'),
+    * and the signed gap — all floor-div micro.
+    *
+    * 100 TB posture: one 10-key conditional rollup; the bin id is a
+    * map-side expression. */
+  private val calibrationQ = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir)
+      .select(
+        least(lit(1000000L), expr("(1000000 * n_chars) div 1000"))
+          .as("score_micro"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("bin", least(lit(9L), expr("score_micro div 100000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score_micro")).as("ssum"),
+        sum(col("pos")).as("npos"))
+      .select(col("bin"), col("n"),
+        expr("ssum div n").as("mean_score_micro"),
+        expr("(1000000 * npos) div n").as("pos_rate_micro"),
+        expr("ssum div n - (1000000 * npos) div n").as("gap_micro"))
+  }
+
+  private val calibrationSql =
+    """WITH d AS (
+      |  SELECT least(1000000, (1000000 * n_chars) // 1000)
+      |      AS score_micro,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |b AS (
+      |  SELECT least(9, score_micro // 100000) AS bin, score_micro, pos
+      |  FROM d)
+      |SELECT bin, COUNT(*) AS n,
+      |  CAST(SUM(score_micro) AS BIGINT) // COUNT(*)
+      |    AS mean_score_micro,
+      |  (1000000 * CAST(SUM(pos) AS BIGINT)) // COUNT(*)
+      |    AS pos_rate_micro,
+      |  CAST(SUM(score_micro) AS BIGINT) // COUNT(*)
+      |    - (1000000 * CAST(SUM(pos) AS BIGINT)) // COUNT(*)
+      |    AS gap_micro
+      |FROM b GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_calibration" -> Q(calibrationQ, Some(calibrationSql),
+      "reliability table: 10 score bins, claimed vs empirical positive rate, micro"),
     "q_eval_f1" -> Q(f1Q, Some(f1Sql),
       "precision/recall/F1 per source: one-pass confusion counts, exact micro ratios"),
     "q_eval_mrr" -> Q(mrrQ, Some(mrrSql),

@@ -904,7 +904,71 @@ object TimeSeries extends QueryModule {
       |WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
       |GROUP BY 1""".stripMargin
 
+  /** RSI-14 (simple-average form, documented — Wilder's recursive
+    * smoothing is the EWMA family's job) on the DAILY total series
+    * per event_type: gains and losses over the trailing 14 deltas,
+    * RSI = 10⁶·Σgain/(Σgain+Σloss) in micro — algebraically
+    * 100−100/(1+RS) without any division chain. Rows emit only once
+    * 14 full deltas exist; an all-flat window reports NULL.
+    *
+    * 100 TB posture: corpus → (type, day) grid in one partial agg;
+    * the lag and trailing-frame windows run per type over the DAY
+    * GRID. */
+  private val rsiQ = (s: SparkSession, dir: String) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value")).cast("long")).as("tot"))
+    val ordW = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val frame = ordW.rowsBetween(-13, Window.currentRow)
+    daily
+      .withColumn("d", col("tot") - lag(col("tot"), 1).over(ordW))
+      .filter(col("d").isNotNull)
+      .withColumn("gain", greatest(col("d"), lit(0L)))
+      .withColumn("loss", greatest(-col("d"), lit(0L)))
+      .withColumn("i", row_number().over(ordW))
+      .withColumn("sg", sum(col("gain")).over(frame))
+      .withColumn("sl", sum(col("loss")).over(frame))
+      .filter(col("i") >= 14)
+      .select(col("event_type"), col("day"), col("sg"), col("sl"),
+        when(col("sg") + col("sl") > 0L,
+          expr("(1000000 * sg) div (sg + sl)")).as("rsi_micro"))
+  }
+
+  private val rsiSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+      |      AS day,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS tot
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT event_type, day,
+      |    tot - LAG(tot, 1) OVER (PARTITION BY event_type
+      |      ORDER BY day) AS d
+      |  FROM daily),
+      |g AS (
+      |  SELECT event_type, day,
+      |    greatest(d, 0) AS gain, greatest(-d, 0) AS loss,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS i
+      |  FROM d WHERE d IS NOT NULL),
+      |f AS (
+      |  SELECT event_type, day, i,
+      |    CAST(SUM(gain) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS sg,
+      |    CAST(SUM(loss) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS sl
+      |  FROM g)
+      |SELECT event_type, day, sg, sl,
+      |  CAST(CASE WHEN sg + sl > 0 THEN (1000000 * sg) // (sg + sl)
+      |    END AS BIGINT) AS rsi_micro
+      |FROM f WHERE i >= 14""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_rsi" -> Q(rsiQ, Some(rsiSql),
+      "RSI-14 on daily totals per type: trailing gain share in micro, grid windows"),
     "q_ts_theilsen" -> Q(theilSenQ, Some(theilSenSql),
       "Theil-Sen robust trend: median pairwise slope on the hourly grid, IEEE-stable order"),
     "q_ts_peaks" -> Q(peaksQ, Some(peaksSql),
