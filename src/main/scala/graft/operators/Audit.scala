@@ -651,7 +651,57 @@ object Audit extends QueryModule {
       |    AS gap_micro
       |FROM b GROUP BY 1""".stripMargin
 
+  /** Sample-ratio mismatch (SRM) — the A/B sanity check that must run
+    * BEFORE reading [[abTestQ]]: under a 50/50 split the assignment
+    * counts follow a binomial, and χ² = (n_a−n_b)²/(n_a+n_b); a value
+    * past the χ²₁ 95% cut means the assignment itself is broken and
+    * the experiment is invalid regardless of its metrics. Exact
+    * integer micro.
+    *
+    * 100 TB posture: one conditional-aggregate pass per type. */
+  private val srmQ = (s: SparkSession, dir: String) => {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("user_id") % 2L === 0L).as("is_a"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("srm_chi2_micro", expr(
+        "(1000000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)"))
+      .withColumn("srm_flag", col("srm_chi2_micro") > 3841459L)
+  }
+
+  private val srmSql =
+    """SELECT event_type,
+      |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_a,
+      |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS n_b,
+      |  (1000000
+      |    * (CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |        AS BIGINT)
+      |       - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+      |        AS BIGINT))
+      |    * (CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |        AS BIGINT)
+      |       - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+      |        AS BIGINT)))
+      |    // COUNT(*) AS srm_chi2_micro,
+      |  (1000000
+      |    * (CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |        AS BIGINT)
+      |       - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+      |        AS BIGINT))
+      |    * (CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |        AS BIGINT)
+      |       - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+      |        AS BIGINT)))
+      |    // COUNT(*) > 3841459 AS srm_flag
+      |FROM events GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_srm" -> Q(srmQ, Some(srmSql),
+      "A/B sample-ratio-mismatch chi-square per type, exact micro"),
     "q_eval_calibration" -> Q(calibrationQ, Some(calibrationSql),
       "reliability table: 10 score bins, claimed vs empirical positive rate, micro"),
     "q_eval_f1" -> Q(f1Q, Some(f1Sql),

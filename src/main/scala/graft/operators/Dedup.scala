@@ -429,6 +429,106 @@ object Dedup extends QueryModule {
   private[operators] def cosinePairs(s: SparkSession, dir: String): DataFrame =
     cosineQ(s, dir)
 
+  /** Entity resolution END-TO-END — the composed pipeline the
+    * pairwise [[fuzzyNamesQ]] stops short of: a dirty roster (every
+    * customer keyed by a SPARSE 5-digit code, `k·7919 mod 10⁵`, plus
+    * a planted one-digit-typo second record for every 20th customer)
+    * is band-blocked, scored at hamming ≤ 1, the match graph
+    * clustered by [[connectedComponents]], and each multi-record
+    * entity canonicalized. The sparse codespace is the point: the raw
+    * sequential keys are one digit apart pairwise and transitively
+    * chain the WHOLE table into one entity (the classic ER
+    * over-merge), which is exactly what real rosters avoid by keying
+    * on sparse identifiers.
+    *
+    * 100 TB posture: blocking bounds the candidate join (never
+    * all-pairs); CC runs over match EDGES only; the final rollup is
+    * entity-keyed. */
+  private val erQ = (s: SparkSession, dir: String) => {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"),
+        lpad((col("c_custkey") * 7919L % 100000L).cast("string"),
+          5, "0").as("code"))
+    val roster = base
+      .select(col("k").as("rid"), col("code"),
+        concat(lit("C-"), col("code")).as("name"))
+      .unionByName(base.filter(col("k") % 20L === 0L)
+        .select((col("k") + 1000000L).as("rid"),
+          concat(substring(col("code"), 1, 2),
+            ((substring(col("code"), 3, 1).cast("long") + 1L) % 10L)
+              .cast("string"),
+            substring(col("code"), 4, 2)).as("code"),
+          concat(lit("C-typo-"), col("code")).as("name")))
+    val banded = roster.select(col("rid"), col("code"),
+      explode(array(
+        struct(lit(0).as("bi"), substring(col("code"), 1, 2).as("bv")),
+        struct(lit(1).as("bi"), substring(col("code"), 3, 3).as("bv"))))
+        .as("b"))
+      .select(col("rid"), col("code"), col("b.bi").as("bi"),
+        col("b.bv").as("bv"))
+    val pairs = banded.select(col("rid").as("ida"),
+        col("code").as("d1"), col("bi"), col("bv"))
+      .join(banded.select(col("rid").as("idb"), col("code").as("d2"),
+        col("bi"), col("bv")), Seq("bi", "bv"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("ham", expr(
+        """aggregate(sequence(1, 5), 0, (acc, p) ->
+          |  acc + if(substring(d1, p, 1) = substring(d2, p, 1), 0, 1))"""
+          .stripMargin))
+      .filter(col("ham") <= 1)
+      .select(col("ida"), col("idb")).distinct()
+    val cc = connectedComponents(pairs)
+    roster.join(cc, roster("rid") === cc("id"))
+      .groupBy(col("label").as("entity"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("name")).as("canonical_name"),
+        min(col("rid")).as("min_rid"), max(col("rid")).as("max_rid"))
+      .filter(col("n_records") >= 2L)
+  }
+
+  private val erSql =
+    """WITH RECURSIVE
+      |base AS (SELECT c_custkey AS k,
+      |          lpad(CAST(c_custkey * 7919 % 100000 AS VARCHAR),
+      |            5, '0') AS code
+      |         FROM customer),
+      |roster AS (
+      |  SELECT k AS rid, code, 'C-' || code AS name FROM base
+      |  UNION ALL
+  SELECT k + 1000000 AS rid,
+      |    substr(code, 1, 2)
+      |      || CAST((CAST(substr(code, 3, 1) AS BIGINT) + 1) % 10
+      |        AS VARCHAR)
+      |      || substr(code, 4, 2) AS code,
+      |    'C-typo-' || code AS name
+      |  FROM base WHERE k % 20 = 0),
+      |banded AS (
+      |  SELECT rid, code, t.bi,
+      |    CASE WHEN t.bi = 0 THEN substr(code, 1, 2)
+      |         ELSE substr(code, 3, 3) END AS bv
+      |  FROM roster CROSS JOIN (VALUES (0), (1)) AS t(bi)),
+      |pairs AS (
+      |  SELECT DISTINCT a.rid AS ida, b.rid AS idb
+      |  FROM banded a JOIN banded b ON a.bi = b.bi AND a.bv = b.bv
+      |    AND a.rid < b.rid
+      |  WHERE CAST(list_sum(list_transform(range(1, 6), p ->
+      |      CASE WHEN substr(a.code, p, 1) = substr(b.code, p, 1)
+      |           THEN 0 ELSE 1 END)) AS INT) <= 1),
+      |edges AS (SELECT ida AS a, idb AS b FROM pairs
+      |          UNION SELECT idb, ida FROM pairs),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e
+      |          ON r.peer = e.a),
+      |lab AS (SELECT id, least(id, MIN(peer)) AS label
+      |        FROM reach GROUP BY id)
+      |SELECT lab.label AS entity, COUNT(*) AS n_records,
+      |  MIN(r.name) AS canonical_name,
+      |  MIN(r.rid) AS min_rid, MAX(r.rid) AS max_rid
+      |FROM lab JOIN roster r ON lab.id = r.rid
+      |GROUP BY 1
+      |HAVING COUNT(*) >= 2""".stripMargin
+
   private val clustersSql =
     """WITH RECURSIVE
       |toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
@@ -832,6 +932,8 @@ object Dedup extends QueryModule {
     "q_dedup_incremental_versioned" -> Q(incrementalVersionedQ,
       Some(incrementalSql),
       "delta-view batch vs snapshot corpus: versioned incremental dedup"),
+    "q_dedup_er_entities" -> Q(erQ, Some(erSql),
+      "entity resolution end-to-end: block, score (ham<=1), CC-cluster, canonicalize"),
     "q_dedup_clusters" -> Q(clustersQ, Some(clustersSql),
       "connected-components cluster ids over verified jaccard pairs"),
     "q_dedup_cross_source_overlap" -> Q(crossSourceQ, Some(crossSourceSql),

@@ -966,7 +966,76 @@ object TimeSeries extends QueryModule {
       |    END AS BIGINT) AS rsi_micro
       |FROM f WHERE i >= 14""".stripMargin
 
+  /** Chart downsampling by largest triangle (one-bucket / LTOB form —
+    * the windowed sibling of LTTB, whose bucket-sequential greediness
+    * needs recursion): the hourly grid is cut into 12-point buckets
+    * and each bucket keeps its maximum-effective-area point, area via
+    * the integer cross product |Δx₁·Δy₂ − Δx₂·Δy₁| over the immediate
+    * grid neighbors — ties break to the earliest hour. Boundary
+    * points (missing a neighbor) are not candidates.
+    *
+    * 100 TB posture: corpus → grid, then lag/lead + the per-bucket
+    * argmax all run on the GRID per type. */
+  private val lttbQ = (s: SparkSession, dir: String) => {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value")).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("hm", expr("hs div hc"))
+      .withColumn("hi",
+        (unix_timestamp(col("hour")) / 3600L).cast("long"))
+    val ordW = Window.partitionBy(col("event_type")).orderBy(col("hi"))
+    val scored = grid
+      .withColumn("i", row_number().over(ordW).cast("long"))
+      .withColumn("px", lag(col("hi"), 1).over(ordW))
+      .withColumn("py", lag(col("hm"), 1).over(ordW))
+      .withColumn("nx", lead(col("hi"), 1).over(ordW))
+      .withColumn("ny", lead(col("hm"), 1).over(ordW))
+      .filter(col("px").isNotNull && col("nx").isNotNull)
+      .withColumn("area2", abs(
+        (col("hi") - col("px")) * (col("ny") - col("py"))
+          - (col("nx") - col("px")) * (col("hm") - col("py"))))
+      .withColumn("bucket", expr("(i - 1) div 12"))
+    val pick = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("area2").desc, col("hour").asc)
+    scored.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("bucket"), col("hour"),
+        col("hm"), col("area2"))
+  }
+
+  private val lttbSql =
+    """WITH grid AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hi,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS hm
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hour, hi, hm,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hi)
+      |      AS i,
+      |    LAG(hi, 1) OVER (PARTITION BY event_type ORDER BY hi) AS px,
+      |    LAG(hm, 1) OVER (PARTITION BY event_type ORDER BY hi) AS py,
+      |    LEAD(hi, 1) OVER (PARTITION BY event_type ORDER BY hi) AS nx,
+      |    LEAD(hm, 1) OVER (PARTITION BY event_type ORDER BY hi) AS ny
+      |  FROM grid),
+      |sc AS (
+      |  SELECT event_type, hour, hm, (i - 1) // 12 AS bucket,
+      |    abs((hi - px) * (ny - py) - (nx - px) * (hm - py)) AS area2
+      |  FROM w WHERE px IS NOT NULL AND nx IS NOT NULL),
+      |p AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+      |    ORDER BY area2 DESC, hour ASC) AS rk
+      |  FROM sc)
+      |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, hour, hm,
+      |  CAST(area2 AS BIGINT) AS area2
+      |FROM p WHERE rk = 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_lttb" -> Q(lttbQ, Some(lttbSql),
+      "largest-triangle downsample (LTOB): integer cross-product areas, per-bucket argmax"),
     "q_ts_rsi" -> Q(rsiQ, Some(rsiSql),
       "RSI-14 on daily totals per type: trailing gain share in micro, grid windows"),
     "q_ts_theilsen" -> Q(theilSenQ, Some(theilSenSql),
