@@ -699,7 +699,83 @@ object Audit extends QueryModule {
       |    // COUNT(*) > 3841459 AS srm_flag
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Data-drift gate — the MLOps check before a new data source joins
+    * a training mix: the candidate source's document-length
+    * distribution (10 fixed 200-char bins) is tested against the
+    * reference source's with the same exact χ² form as
+    * [[contingencyQ]] (expected = reference share × candidate total,
+    * cell = (n_ref·obs − n_cand_bin·?)… spelled in the cross-product
+    * form (a·d − b·c)²-free: per bin, exp·n_ref = ref_bin·n_cand, so
+    * cell_micro = 10⁶·(n_ref·obs − ref_bin·n_cand)² div
+    * (n_ref·ref_bin·n_cand) — zero-ref bins get the documented +1
+    * smoothing). Reference = the lexicographically first source.
+    *
+    * 100 TB posture: one (source, bin) partial agg; drift arithmetic
+    * runs on the 10-bin tables with reference totals broadcast. */
+  private val driftQ = (s: SparkSession, dir: String) => {
+    val binned = Tables.documents(s, dir)
+      .select(col("source"),
+        least(lit(9L), expr("n_chars div 200")).as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val ref = binned
+      .crossJoin(broadcast(binned.agg(min(col("source")).as("rs"))))
+      .filter(col("source") === col("rs"))
+      .select(col("bin"), col("n").as("ref_n"))
+    val refTot = ref.agg(sum(col("ref_n")).as("n_ref"))
+    val cand = binned
+      .crossJoin(broadcast(binned.agg(min(col("source")).as("rs"))))
+      .filter(col("source") =!= col("rs"))
+    val candTot = cand.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_cand"))
+    cand.join(broadcast(ref), Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_n"))
+      .withColumn("ref_s", col("ref_n") + 1L) // +1 smoothing, documented
+      .join(broadcast(candTot), "source")
+      .crossJoin(broadcast(refTot))
+      .withColumn("cell_micro", expr(
+        """(1000000 * (n_ref * n - ref_s * n_cand)
+          |  * (n_ref * n - ref_s * n_cand))
+          |div (n_ref * ref_s * n_cand)""".stripMargin))
+      .groupBy(col("source"))
+      .agg(max(col("n_cand")).as("n_cand"),
+        sum(col("cell_micro")).as("chi2_micro"))
+      .withColumn("drift_flag", col("chi2_micro") > 16919000L) // χ²₉ 95%
+  }
+
+  private val driftSql =
+    """WITH binned AS (
+      |  SELECT source, least(9, n_chars // 200) AS bin, COUNT(*) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |rs AS (SELECT MIN(source) AS rs FROM binned),
+      |ref AS (SELECT bin, n AS ref_n FROM binned, rs
+      |        WHERE source = rs),
+      |rt AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS n_ref FROM ref),
+      |cand AS (SELECT source, bin, n FROM binned, rs
+      |         WHERE source <> rs),
+      |ct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_cand
+      |       FROM cand GROUP BY 1),
+      |cells AS (
+      |  SELECT c.source, c.n, ct.n_cand, rt.n_ref,
+      |    COALESCE(ref.ref_n, 0) + 1 AS ref_s
+      |  FROM cand c
+      |  LEFT JOIN ref ON ref.bin = c.bin
+      |  JOIN ct ON ct.source = c.source
+      |  CROSS JOIN rt),
+      |sc AS (
+      |  SELECT source, n_cand,
+      |    (1000000 * (n_ref * n - ref_s * n_cand)
+      |      * (n_ref * n - ref_s * n_cand))
+      |      // (n_ref * ref_s * n_cand) AS cell_micro
+      |  FROM cells)
+      |SELECT source, MAX(n_cand) AS n_cand,
+      |  CAST(SUM(cell_micro) AS BIGINT) AS chi2_micro,
+      |  CAST(SUM(cell_micro) AS BIGINT) > 16919000 AS drift_flag
+      |FROM sc GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_dq_drift" -> Q(driftQ, Some(driftSql),
+      "source drift gate: exact chi-square of length bins vs the reference source"),
     "q_eval_srm" -> Q(srmQ, Some(srmSql),
       "A/B sample-ratio-mismatch chi-square per type, exact micro"),
     "q_eval_calibration" -> Q(calibrationQ, Some(calibrationSql),

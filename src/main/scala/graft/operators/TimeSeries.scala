@@ -1033,7 +1033,73 @@ object TimeSeries extends QueryModule {
       |  CAST(area2 AS BIGINT) AS area2
       |FROM p WHERE rk = 1""".stripMargin
 
+  /** Bollinger bands on the daily-total series per type: trailing-14
+    * mean (floor) and population variance (exact rational floor via
+    * (n·Σx² − (Σx)²) div n²), bands at mean ± 2·isqrt(var) — isqrt is
+    * floor(sqrt(double)), IEEE-exact below 4·10¹⁵ (the temperature-
+    * weights precedent). Emits once the window holds 14 rows.
+    *
+    * Magnitude bound: n·Σx² with daily totals ≤ 10⁶ and n = 14 stays
+    * below 1.5·10¹³ — safe by 10⁵×; totals past ~10⁸ should switch
+    * the series to means (the changepoint discipline). */
+  private val bollingerQ = (s: SparkSession, dir: String) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value")).cast("long")).as("tot"))
+    val ordW = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val frame = ordW.rowsBetween(-13, Window.currentRow)
+    daily
+      .withColumn("i", row_number().over(ordW))
+      .withColumn("s1", sum(col("tot")).over(frame))
+      .withColumn("s2", sum(col("tot") * col("tot")).over(frame))
+      .filter(col("i") >= 14)
+      .withColumn("ma", expr("s1 div 14"))
+      .withColumn("v", expr("(14 * s2 - s1 * s1) div (14 * 14)"))
+      .withColumn("sd", floor(sqrt(col("v").cast("double"))).cast("long"))
+      .select(col("event_type"), col("day"), col("tot"), col("ma"),
+        col("v").as("var_unit2"),
+        (col("ma") - lit(2L) * col("sd")).as("band_lo"),
+        (col("ma") + lit(2L) * col("sd")).as("band_hi"),
+        (col("tot") > col("ma") + lit(2L) * col("sd")
+          || col("tot") < col("ma") - lit(2L) * col("sd"))
+          .as("breakout"))
+  }
+
+  private val bollingerSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+      |      AS day,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS tot
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, tot,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS i,
+      |    CAST(SUM(tot) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS s1,
+      |    CAST(SUM(tot * tot) OVER (PARTITION BY event_type
+      |      ORDER BY day
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS s2
+      |  FROM daily),
+      |b AS (
+      |  SELECT event_type, day, tot, s1 // 14 AS ma,
+      |    (14 * s2 - s1 * s1) // (14 * 14) AS v
+      |  FROM w WHERE i >= 14),
+      |sd AS (
+      |  SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)
+      |    AS sdv
+      |  FROM b)
+      |SELECT event_type, day, tot, ma, v AS var_unit2,
+      |  ma - 2 * sdv AS band_lo, ma + 2 * sdv AS band_hi,
+      |  (tot > ma + 2 * sdv OR tot < ma - 2 * sdv) AS breakout
+      |FROM sd""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_bollinger" -> Q(bollingerQ, Some(bollingerSql),
+      "Bollinger bands: trailing-14 mean +/- 2*isqrt(var), integer-exact, breakout flag"),
     "q_ts_lttb" -> Q(lttbQ, Some(lttbSql),
       "largest-triangle downsample (LTOB): integer cross-product areas, per-bucket argmax"),
     "q_ts_rsi" -> Q(rsiQ, Some(rsiSql),

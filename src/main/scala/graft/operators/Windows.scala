@@ -692,7 +692,59 @@ object Windows extends QueryModule {
       |  MIN(CASE WHEN dd = mdd THEN day END) AS trough_day
       |FROM d GROUP BY 1""".stripMargin
 
+  /** Ratio-to-report — the BI staple: each order's share of its
+    * segment's revenue and of the grand total, exact cents, micro
+    * floor-div; top 5 orders per segment by share (bounded output).
+    *
+    * 100 TB posture: fact collapses to order grain in one partial
+    * agg; segment totals are a window over the order table, the grand
+    * total a broadcast scalar; top-5 per segment bounds the result. */
+  private val ratioToReportQ = (s: SparkSession, dir: String) => {
+    val orders = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderkey"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    val segW = Window.partitionBy(col("c_mktsegment"))
+    val rankW = segW.orderBy(col("cents").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("seg_cents", sum(col("cents")).over(segW))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 5)
+      .crossJoin(broadcast(orders.agg(sum(col("cents")).as("tot_cents"))))
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+        col("cents"),
+        expr("(1000000 * cents) div seg_cents").as("seg_share_micro"),
+        expr("(1000000 * cents) div tot_cents").as("tot_share_micro"))
+  }
+
+  private val ratioToReportSql =
+    """WITH o AS (
+      |  SELECT c.c_mktsegment, l.l_orderkey AS o_orderkey,
+      |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem l
+      |  JOIN orders od ON l.l_orderkey = od.o_orderkey
+      |  JOIN customer c ON od.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *,
+      |    CAST(SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+      |      AS seg_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY cents DESC, o_orderkey ASC) AS rk
+      |  FROM o),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents FROM o)
+      |SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, cents,
+      |  (1000000 * cents) // seg_cents AS seg_share_micro,
+      |  (1000000 * cents) // tot_cents AS tot_share_micro
+      |FROM w, t WHERE rk <= 5""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_ratio_to_report" -> Q(ratioToReportQ, Some(ratioToReportSql),
+      "ratio-to-report: per-order share of segment and grand totals, top-5 per segment"),
     "q_win_drawdown" -> Q(drawdownQ, Some(drawdownSql),
       "max drawdown per segment on the cumulative daily-revenue series, exact cents"),
     "q_win_rfm" -> Q(rfmQ, Some(rfmSql),

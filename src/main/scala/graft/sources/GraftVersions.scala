@@ -475,6 +475,21 @@ object GraftVersions {
         catch { case _: UnsupportedOperationException =>
           Files.copy(src, dst)
         }
+        // merge-on-read: a live object's valid deletion vector must
+        // travel with the staged link — the staged name differs, so
+        // re-stage the DV under it (hard link keeps the byte-length
+        // fingerprint valid). Without this, a DV'd post-state reads
+        // its deleted rows back and the feed diff collapses to empty.
+        if (DeleteVectors.read(src.toString).isDefined) {
+          val dvSrc = DeleteVectors.dvFile(src.toString).toPath
+          val dvDir = new File(d, "_dv"); dvDir.mkdirs()
+          val dvDst = new File(dvDir,
+            dst.getFileName.toString + ".dv").toPath
+          try Files.createLink(dvDst, dvSrc)
+          catch { case _: UnsupportedOperationException =>
+            Files.copy(dvSrc, dvDst)
+          }
+        }
       }
       d
     }
