@@ -256,6 +256,80 @@ object Similarity extends QueryModule {
       |  (2 * sabs_micro > n * 1000000) AS dominant
       |FROM a""".stripMargin
 
+  /** Semi-hard triplet mining (FaceNet's recipe — the metric-learning
+    * constructor [[graft.operators.Sampling]]'s random negatives stop
+    * short of): per anchor, the POSITIVE is its nearest same-label
+    * vector, and the NEGATIVE is the most-similar different-label
+    * vector that is still FARTHER than the positive
+    * (sim_neg < sim_pos) — close enough to carry gradient, not so
+    * close it's wrong. Cosines rounded to 6 dp (the suite-wide
+    * argmax-stability contract); ties break by vec_id; anchors with
+    * no semi-hard negative report NULLs.
+    *
+    * 100 TB posture: anchors broadcast, ONE codegen cosine pass over
+    * the corpus, two anchor-keyed rank windows; at scale the
+    * candidate pass rides the ANN index (bucket-adjacent candidates
+    * only), selection unchanged. */
+  private val tripletQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val anchors = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"),
+        col("label").as("alabel"))
+    val scored = e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("alabel"), col("vec_id"), col("label"),
+        cosRounded(col("embedding"), col("ae")).as("cos"))
+    val rkW = Window.partitionBy(col("aid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val pos = scored.filter(col("label") === col("alabel"))
+      .withColumn("rk", row_number().over(rkW)).filter(col("rk") === 1)
+      .select(col("aid"), col("vec_id").as("pos_id"),
+        col("cos").as("sim_pos"))
+    val neg = scored.filter(col("label") =!= col("alabel"))
+      .join(broadcast(pos.select(col("aid"), col("sim_pos"))), "aid")
+      .filter(col("cos") < col("sim_pos"))
+      .withColumn("rk", row_number().over(rkW)).filter(col("rk") === 1)
+      .select(col("aid"), col("vec_id").as("neg_id"),
+        col("cos").as("sim_neg"))
+    pos.join(neg, Seq("aid"), "left")
+  }
+
+  private def tripletSql: String = {
+    def cosE(x: String, y: String): String =
+      s"""round(
+         |  list_sum(list_transform(range(1, len($x)+1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(range(1, len($x)+1),
+         |       i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform(range(1, len($y)+1),
+         |       i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))))),
+         |  6)""".stripMargin
+    s"""WITH a AS (
+       |  SELECT vec_id AS aid, embedding AS ae, label AS alabel
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT a.aid, a.alabel, e.vec_id, e.label,
+       |    ${cosE("e.embedding", "a.ae")} AS cos
+       |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid),
+       |pos AS (
+       |  SELECT aid, vec_id AS pos_id, cos AS sim_pos
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid
+       |          ORDER BY cos DESC, vec_id ASC) AS rk
+       |        FROM scored WHERE label = alabel)
+       |  WHERE rk = 1),
+       |neg AS (
+       |  SELECT aid, vec_id AS neg_id, cos AS sim_neg
+       |  FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s.aid
+       |          ORDER BY s.cos DESC, s.vec_id ASC) AS rk
+       |        FROM scored s JOIN pos p ON s.aid = p.aid
+       |        WHERE s.label <> s.alabel AND s.cos < p.sim_pos)
+       |  WHERE rk = 1)
+       |SELECT pos.aid, pos.pos_id, pos.sim_pos, neg.neg_id,
+       |  neg.sim_neg
+       |FROM pos LEFT JOIN neg ON pos.aid = neg.aid""".stripMargin
+  }
+
   private def matryoshkaSql: String = {
     def cosE(x: String, y: String): String =
       s"""round(
@@ -2077,6 +2151,8 @@ object Similarity extends QueryModule {
       "Matryoshka truncation eval: half-dim vs full-dim top-10 rank tables + overlap@10"),
     "q_vec_ood" -> Q(oodQ, Some(oodSql),
       "embedding QA: top-5 farthest-from-own-centroid vectors per label, integer micro distances"),
+    "q_sim_triplet_semihard" -> Q(tripletQ, Some(tripletSql),
+      "semi-hard triplet mining: nearest positive, hardest negative below it"),
     "q_vec_dim_profile" -> Q(dimProfileQ, Some(dimProfileSql),
       "per-dimension embedding statistics + dead/dominant dimension flags, integer-exact"),
     "q_sim_topk_brute" -> Q(bruteQ, Some(bruteSql),

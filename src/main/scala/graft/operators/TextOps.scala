@@ -1697,7 +1697,55 @@ object TextOps extends QueryModule {
       |    AS BIGINT)) // COUNT(*) AS hapax_micro
       |FROM c GROUP BY 1""".stripMargin
 
+  /** Term burstiness — the index of dispersion D = var/mean of a
+    * term's per-document counts over ALL docs (zeros included; they
+    * cost nothing: D = (N·Σc² − tot²)/(N·tot) needs only the non-zero
+    * postings). D ≈ 1 is Poisson scatter; D ≫ 1 marks content-bearing
+    * bursty terms, the classic Church-Gale signal tf-idf's df alone
+    * misses. Top-20 corpus terms reported, ties by term.
+    *
+    * 100 TB posture: one (doc, term) partial-count shuffle, one
+    * term rollup, a 1-row doc-count broadcast; top-20 TakeOrdered. */
+  private val burstinessQ = (s: SparkSession, dir: String) => {
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    counts.groupBy(col("w"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("s2"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("d_micro", expr(
+        "(1000000 * (nd * s2 - tot * tot)) div (nd * tot)"))
+      .withColumn("bursty", col("d_micro") > 1000000L)
+      .select("w", "tot", "df", "d_micro", "bursty")
+      .orderBy(col("tot").desc, col("w").asc)
+      .limit(20)
+  }
+
+  private val burstinessSql =
+    """WITH c AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |pc AS (SELECT doc_id, w, COUNT(*) AS c FROM c GROUP BY 1, 2),
+      |nd AS (SELECT COUNT(*) AS nd FROM documents),
+      |t AS (
+      |  SELECT w, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS df,
+      |    CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM pc GROUP BY 1)
+      |SELECT w, tot, df,
+      |  (1000000 * (nd.nd * s2 - tot * tot)) // (nd.nd * tot)
+      |    AS d_micro,
+      |  (1000000 * (nd.nd * s2 - tot * tot)) // (nd.nd * tot) > 1000000
+      |    AS bursty
+      |FROM t, nd
+      |ORDER BY tot DESC, w ASC
+      |LIMIT 20""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_burstiness" -> Q(burstinessQ, Some(burstinessSql),
+      "term burstiness: index of dispersion over per-doc counts, top-20 terms"),
     "q_text_ttr" -> Q(ttrQ, Some(ttrSql),
       "lexical richness per doc: type-token ratio + hapax share, integer micro"),
     "q_text_rake" -> Q(rakeQ, Some(rakeSql),

@@ -1097,7 +1097,73 @@ object TimeSeries extends QueryModule {
       |  (tot > ma + 2 * sdv OR tot < ma - 2 * sdv) AS breakout
       |FROM sd""".stripMargin
 
+  /** Seasonality strength (the STL-style F_s statistic in integer
+    * form): per type, fit the hour-of-day profile (floor-mean per
+    * hod), then strength = 1 − SS_resid/SS_total over the hourly
+    * grid, in micro (clamped at 0). A strong daily cycle → near 10⁶;
+    * white noise → near 0. Floors at the profile and grand mean are
+    * the documented contract.
+    *
+    * 100 TB posture: grid → 24-row profile (broadcast back) → one
+    * grid pass for both sums of squares. */
+  private val seasonalStrengthQ = (s: SparkSession, dir: String) => {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value")).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("hm", expr("hs div hc"))
+      .withColumn("hod", hour(col("hour")).cast("long"))
+    val prof = grid.groupBy(col("event_type"), col("hod"))
+      .agg(expr("sum(hm) div count(1)").as("p"))
+    val mean = grid.groupBy(col("event_type"))
+      .agg(expr("sum(hm) div count(1)").as("m"))
+    grid.join(broadcast(prof), Seq("event_type", "hod"))
+      .join(broadcast(mean), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("hm") - col("m")) * (col("hm") - col("m")))
+          .as("ss_tot"),
+        sum((col("hm") - col("p")) * (col("hm") - col("p")))
+          .as("ss_res"))
+      .withColumn("strength_micro", greatest(lit(0L),
+        lit(1000000L) - expr("(1000000 * ss_res) div ss_tot")))
+  }
+
+  private val seasonalStrengthSql =
+    """WITH grid0 AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS hm
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT event_type, hour, hm,
+      |    CAST(hour(hour) AS BIGINT) AS hod
+      |  FROM grid0),
+      |prof AS (SELECT event_type, hod,
+      |    CAST(SUM(hm) AS BIGINT) // COUNT(*) AS p
+      |  FROM grid GROUP BY 1, 2),
+      |m AS (SELECT event_type,
+      |    CAST(SUM(hm) AS BIGINT) // COUNT(*) AS m
+      |  FROM grid GROUP BY 1)
+      |SELECT g.event_type, COUNT(*) AS n,
+      |  CAST(SUM((g.hm - m.m) * (g.hm - m.m)) AS BIGINT) AS ss_tot,
+      |  CAST(SUM((g.hm - prof.p) * (g.hm - prof.p)) AS BIGINT)
+      |    AS ss_res,
+      |  greatest(0, 1000000
+      |    - (1000000 * CAST(SUM((g.hm - prof.p) * (g.hm - prof.p))
+      |        AS BIGINT))
+      |      // CAST(SUM((g.hm - m.m) * (g.hm - m.m)) AS BIGINT))
+      |    AS strength_micro
+      |FROM grid g
+      |JOIN prof ON g.event_type = prof.event_type AND g.hod = prof.hod
+      |JOIN m ON g.event_type = m.event_type
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_seasonal_strength" -> Q(seasonalStrengthQ,
+      Some(seasonalStrengthSql),
+      "STL-style seasonality strength: 1 - SS_resid/SS_total vs the hod profile, micro"),
     "q_ts_bollinger" -> Q(bollingerQ, Some(bollingerSql),
       "Bollinger bands: trailing-14 mean +/- 2*isqrt(var), integer-exact, breakout flag"),
     "q_ts_lttb" -> Q(lttbQ, Some(lttbSql),
