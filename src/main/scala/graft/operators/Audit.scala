@@ -773,7 +773,61 @@ object Audit extends QueryModule {
       |  CAST(SUM(cell_micro) AS BIGINT) > 16919000 AS drift_flag
       |FROM sc GROUP BY 1""".stripMargin
 
+  /** Minimum k-anonymity generalization — the FIXER for what
+    * [[kanonQ]] audits: per nation, the SMALLEST balance-band width
+    * in {2000, 4000, 8000, 16000} under which every equivalence class
+    * reaches k = 5 ('suppress' when even the widest fails) — the
+    * k-anonymity lattice walked bottom-up, reported as the minimal
+    * generalization a release needs.
+    *
+    * 100 TB posture: ONE scan computes all four candidate widths'
+    * class counts (explode over 4 literals, one (nation, width, band)
+    * rollup); the per-nation min-class and width argmin run on the
+    * class table. */
+  private val generalizeQ = (s: SparkSession, dir: String) => {
+    val widths = array(lit(2000), lit(4000), lit(8000), lit(16000))
+    val classes = Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_acctbal"),
+        explode(widths).as("width"))
+      .withColumn("band",
+        floor(col("c_acctbal") / col("width")).cast("long"))
+      .groupBy(col("c_nationkey"), col("width"), col("band"))
+      .agg(count(lit(1)).as("k_size"))
+    val perWidth = classes.groupBy(col("c_nationkey"), col("width"))
+      .agg(min(col("k_size")).as("min_class"),
+        count(lit(1)).as("n_classes"))
+    perWidth
+      .withColumn("ok", col("min_class") >= 5L)
+      .groupBy(col("c_nationkey"))
+      .agg(min(when(col("ok"), col("width"))).as("min_ok_width"),
+        max(when(col("ok"), lit(1L)).otherwise(0L)).as("any_ok"))
+      .select(col("c_nationkey"),
+        when(col("any_ok") === 1L,
+          col("min_ok_width").cast("string"))
+          .otherwise(lit("suppress")).as("generalization"))
+  }
+
+  private val generalizeSql =
+    """WITH widths(width) AS (VALUES (2000), (4000), (8000), (16000)),
+      |classes AS (
+      |  SELECT c_nationkey, w.width,
+      |    CAST(floor(c_acctbal / w.width) AS BIGINT) AS band,
+      |    COUNT(*) AS k_size
+      |  FROM customer CROSS JOIN widths w
+      |  GROUP BY 1, 2, 3),
+      |pw AS (
+      |  SELECT c_nationkey, width, MIN(k_size) AS min_class
+      |  FROM classes GROUP BY 1, 2)
+      |SELECT c_nationkey,
+      |  CASE WHEN MAX(CASE WHEN min_class >= 5 THEN 1 ELSE 0 END) = 1
+      |    THEN CAST(MIN(CASE WHEN min_class >= 5 THEN width END)
+      |      AS VARCHAR)
+      |    ELSE 'suppress' END AS generalization
+      |FROM pw GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_priv_generalize" -> Q(generalizeQ, Some(generalizeSql),
+      "minimum k-anonymity generalization: smallest band width reaching k=5 per nation"),
     "q_dq_drift" -> Q(driftQ, Some(driftSql),
       "source drift gate: exact chi-square of length bins vs the reference source"),
     "q_eval_srm" -> Q(srmQ, Some(srmSql),

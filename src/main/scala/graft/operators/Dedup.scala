@@ -120,7 +120,7 @@ object Dedup extends QueryModule {
 
   // Exact shingle-jaccard similarity join (threshold 0.7) — the ground
   // truth the LSH pipeline is verified against.
-  private def jaccardPairs(s: SparkSession, dir: String, thresh: Double): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, dir: String, thresh: Double): DataFrame = {
     val edges = shared(s, s"edges|$dir")(shingleEdges(Tables.documents(s, dir)))
     val counts = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = edges.select(col("doc_id").as("ida"), col("s"))

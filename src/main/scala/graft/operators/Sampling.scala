@@ -431,7 +431,79 @@ object Sampling extends QueryModule {
       |  (100000 * w) // wtot AS epoch_quota
       |FROM c, t""".stripMargin
 
+  /** Dedup-aware train/val/test split — the eval-hygiene rule naive
+    * row splits break: near-duplicate documents must land in the SAME
+    * split, or test answers leak into training. Near-dup components
+    * (3-gram Jaccard ≥ 0.7 pairs → [[Dedup.connectedComponents]])
+    * become the split UNIT: the md5 bucket is taken of the COMPONENT
+    * label (singletons are their own component), so a whole near-dup
+    * family moves together — 80/10/10 by the same 256-bucket cuts as
+    * the row-level split.
+    *
+    * 100 TB posture: pair generation is the inverted-shingle
+    * discipline; CC runs over match edges; the split assignment is a
+    * map-only expression of the component label. */
+  private val dedupSplitQ = (s: SparkSession, dir: String) => {
+    val pairs = Dedup.jaccardPairs(s, dir, 0.7)
+      .select(col("ida"), col("idb"))
+    val cc = Dedup.connectedComponents(pairs)
+    val labeled = Tables.documents(s, dir).select(col("doc_id"))
+      .join(cc, col("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("grp"))
+    labeled
+      .withColumn("b", conv(substring(md5(concat(lit("ddsplit-v1:"),
+        col("grp").cast("string"))), 1, 2), 16, 10).cast("long"))
+      .withColumn("split",
+        when(col("b") < 204L, "train")
+          .when(col("b") < 230L, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_components"))
+  }
+
+  private val dedupSplitSql =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text,' ') AS tk
+      |         FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |       FROM toks),
+      |d AS (SELECT DISTINCT doc_id, s FROM sh),
+      |n AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+      |inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*) i
+      |          FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT ida, idb
+      |          FROM inter JOIN n na ON ida = na.doc_id
+      |                     JOIN n nb ON idb = nb.doc_id
+      |          WHERE round(i*1.0/(na.n+nb.n-i), 6) >= 0.7),
+      |edges AS (SELECT ida AS a, idb AS b FROM pairs
+      |          UNION SELECT idb, ida FROM pairs),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e
+      |          ON r.peer = e.a),
+      |lab AS (SELECT id, least(id, MIN(peer)) AS label
+      |        FROM reach GROUP BY id),
+      |grp AS (
+      |  SELECT doc.doc_id, COALESCE(lab.label, doc.doc_id) AS grp
+      |  FROM documents doc LEFT JOIN lab ON doc.doc_id = lab.id),
+      |assigned AS (
+      |  SELECT doc_id, grp,
+      |    CAST(concat('0x', substr(
+      |      md5('ddsplit-v1:' || CAST(grp AS VARCHAR)), 1, 2))
+      |      AS BIGINT) AS b
+      |  FROM grp)
+      |SELECT CASE WHEN b < 204 THEN 'train'
+      |            WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT grp) AS n_components
+      |FROM assigned GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_dedup_aware_split" -> Q(dedupSplitQ, Some(dedupSplitSql),
+      "near-dup components move as one unit across train/val/test, md5 of component label"),
     "q_sample_temperature_weights" -> Q(tempWeightsQ, Some(tempWeightsSql),
       "temperature alpha=1/2 corpus mixing weights via integer floor-sqrt"),
     "q_sample_group_kfold" -> Q(groupKfoldQ, Some(groupKfoldSql),

@@ -1160,7 +1160,108 @@ object TimeSeries extends QueryModule {
       |JOIN m ON g.event_type = m.event_type
       |GROUP BY 1""".stripMargin
 
+  /** Wald-Wolfowitz runs test — is the daily series random noise
+    * around its median, or structured? Values are signed against the
+    * EXACT median (2·v vs med2, the suite's half-free convention;
+    * exact ties dropped, standard practice), runs counted via a lag
+    * window, and z² computed fully rationally:
+    * z² = (Rn − 2n₁n₂ − n)²·(n−1) / (2n₁n₂·(2n₁n₂ − n)) in micro,
+    * flagged at the χ²₁ 95% cut. A low-R flag means trending/cyclic
+    * structure; a high-R flag means oscillation.
+    *
+    * 100 TB posture: everything after the daily collapse runs on the
+    * per-type DAY GRID (median rank, lag, one rollup). */
+  private val runsTestQ = (s: SparkSession, dir: String) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value")).cast("long")).as("tot"))
+    val ordV = Window.partitionBy(col("event_type"))
+      .orderBy(col("tot").asc, col("day").asc)
+    val t = Window.partitionBy(col("event_type"))
+    val med = daily
+      .withColumn("rn", row_number().over(ordV))
+      .withColumn("nn", count(lit(1)).over(t))
+      .filter(expr("rn = (nn + 1) div 2 OR rn = (nn + 2) div 2"))
+      .groupBy(col("event_type"))
+      .agg((sum(col("tot"))
+        + when(max(col("nn")) % 2 === 1, sum(col("tot")))
+          .otherwise(lit(0L))).as("med2"))
+    val signed = daily.join(broadcast(med), "event_type")
+      .filter(lit(2L) * col("tot") =!= col("med2"))
+      .withColumn("sgn",
+        when(lit(2L) * col("tot") > col("med2"), 1L).otherwise(0L))
+    val ordD = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    signed
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(ordD).isNull
+          || lag(col("sgn"), 1).over(ordD) =!= col("sgn"), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("sgn")).as("n1"),
+        sum(lit(1L) - col("sgn")).as("n2"),
+        sum(col("chg")).as("runs"))
+      .withColumn("z2_micro", expr(
+        """CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n) > 0 THEN
+          |  (1000000 * (runs * n - 2 * n1 * n2 - n)
+          |    * (runs * n - 2 * n1 * n2 - n) * (n - 1))
+          |  div (2 * n1 * n2 * (2 * n1 * n2 - n))
+          |END""".stripMargin))
+      .withColumn("nonrandom",
+        coalesce(col("z2_micro") > 3841459L, lit(false)))
+  }
+
+  private val runsTestSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+      |      AS day,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS tot
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, day, tot,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY tot ASC, day ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nn
+      |  FROM daily),
+      |med AS (
+      |  SELECT event_type,
+      |    CAST(SUM(tot) + CASE WHEN MAX(nn) % 2 = 1 THEN SUM(tot)
+      |      ELSE 0 END AS BIGINT) AS med2
+      |  FROM r WHERE rn = (nn + 1) // 2 OR rn = (nn + 2) // 2
+      |  GROUP BY 1),
+      |signed AS (
+      |  SELECT d.event_type, d.day,
+      |    CASE WHEN 2 * d.tot > m.med2 THEN 1 ELSE 0 END AS sgn
+      |  FROM daily d JOIN med m ON d.event_type = m.event_type
+      |  WHERE 2 * d.tot <> m.med2),
+      |runs AS (
+      |  SELECT event_type, sgn,
+      |    CASE WHEN LAG(sgn, 1) OVER (PARTITION BY event_type
+      |        ORDER BY day) IS DISTINCT FROM sgn THEN 1 ELSE 0 END
+      |      AS chg
+      |  FROM signed),
+      |g AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(sgn) AS BIGINT) AS n1,
+      |    CAST(SUM(1 - sgn) AS BIGINT) AS n2,
+      |    CAST(SUM(chg) AS BIGINT) AS runs
+      |  FROM runs GROUP BY 1)
+      |SELECT event_type, n, n1, n2, runs,
+      |  CAST(CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n) > 0 THEN
+      |    (1000000 * (runs * n - 2 * n1 * n2 - n)
+      |      * (runs * n - 2 * n1 * n2 - n) * (n - 1))
+      |    // (2 * n1 * n2 * (2 * n1 * n2 - n))
+      |  END AS BIGINT) AS z2_micro,
+      |  COALESCE(CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n) > 0 THEN
+      |    (1000000 * (runs * n - 2 * n1 * n2 - n)
+      |      * (runs * n - 2 * n1 * n2 - n) * (n - 1))
+      |    // (2 * n1 * n2 * (2 * n1 * n2 - n)) > 3841459
+      |  END, false) AS nonrandom
+      |FROM g""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_runs_test" -> Q(runsTestQ, Some(runsTestSql),
+      "Wald-Wolfowitz runs test on daily totals: exact rational z-squared, chi-square cut"),
     "q_ts_seasonal_strength" -> Q(seasonalStrengthQ,
       Some(seasonalStrengthSql),
       "STL-style seasonality strength: 1 - SS_resid/SS_total vs the hod profile, micro"),
