@@ -748,7 +748,112 @@ object Graph extends QueryModule {
        |GROUP BY 1""".stripMargin
   }
 
+  /** HITS hubs & authorities (Kleinberg) — 3 synchronous iterations
+    * on the weighted directed trade graph, fully integer: scores in
+    * micro, each half-step renormalized by the CURRENT MAX
+    * (a := 10⁶·Σ_in(h·w) div max — the L∞ norm, exact in floor-div,
+    * unlike L2's sqrt). Authorities = nations supplied by strong
+    * hubs; hubs = nations buying from strong authorities.
+    *
+    * 100 TB posture: the corpus collapses to ≤|nations|² weighted
+    * edges once (the PageRank discipline); each half-step is one
+    * edge⋈score join on the bounded edge list, `localCheckpoint`
+    * pinning plan depth per round.
+    *
+    * Magnitude bound: Σh·w ≤ |V|·10⁶·max(w) — documented safe while
+    * max edge weight < 3·10⁸ at |V| = 25; renormalization keeps every
+    * score ≤ 10⁶ between steps. */
+  private val hitsQ = (s: SparkSession, dir: String) => {
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val nodes = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("node"))
+    var hub = nodes.withColumn("h", lit(1000000L)).localCheckpoint()
+    var auth = nodes.withColumn("a", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to 3) {
+      val aRaw = edges.join(hub, edges("src") === hub("node"))
+        .groupBy(col("dst").as("n2")).agg(sum(col("h") * col("w")).as("s"))
+      val aFull = nodes.join(aRaw, nodes("node") === col("n2"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+      val aMax = aFull.agg(max(col("s")).as("mx"))
+      auth = aFull.crossJoin(broadcast(aMax))
+        .select(col("node"), expr("(1000000 * s) div mx").as("a"))
+        .localCheckpoint()
+      val hRaw = edges.join(auth, edges("dst") === auth("node"))
+        .groupBy(col("src").as("n2")).agg(sum(col("a") * col("w")).as("s"))
+      val hFull = nodes.join(hRaw, nodes("node") === col("n2"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+      val hMax = hFull.agg(max(col("s")).as("mx"))
+      hub = hFull.crossJoin(broadcast(hMax))
+        .select(col("node"), expr("(1000000 * s) div mx").as("h"))
+        .localCheckpoint()
+    }
+    hub.join(auth, "node")
+      .select(col("node").as("nation"), col("h").as("hub_micro"),
+        col("a").as("auth_micro"))
+  }
+
+  private val hitsSql = {
+    def round(i: Int, prevH: String): String =
+      s"""a$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    (1000000 * COALESCE(s.s, 0)) // mx.mx AS a
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      CAST(SUM($prevH.h * e.w) AS BIGINT) AS s
+         |    FROM edges e JOIN $prevH ON e.src = $prevH.node
+         |    GROUP BY 1) s ON n.node = s.node
+         |  CROSS JOIN (SELECT MAX(CAST(COALESCE(s2.s, 0) AS BIGINT))
+         |      AS mx
+         |    FROM nodes n2 LEFT JOIN (SELECT e.dst AS node,
+         |        CAST(SUM($prevH.h * e.w) AS BIGINT) AS s
+         |      FROM edges e JOIN $prevH ON e.src = $prevH.node
+         |      GROUP BY 1) s2 ON n2.node = s2.node) mx),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    (1000000 * COALESCE(s.s, 0)) // mx.mx AS h
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.src AS node,
+         |      CAST(SUM(a$i.a * e.w) AS BIGINT) AS s
+         |    FROM edges e JOIN a$i ON e.dst = a$i.node
+         |    GROUP BY 1) s ON n.node = s.node
+         |  CROSS JOIN (SELECT MAX(CAST(COALESCE(s2.s, 0) AS BIGINT))
+         |      AS mx
+         |    FROM nodes n2 LEFT JOIN (SELECT e.src AS node,
+         |        CAST(SUM(a$i.a * e.w) AS BIGINT) AS s
+         |      FROM edges e JOIN a$i ON e.dst = a$i.node
+         |      GROUP BY 1) s2 ON n2.node = s2.node) mx)"""
+        .stripMargin
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |    CAST(su.s_nationkey AS BIGINT) AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |  WHERE c.c_nationkey <> su.s_nationkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node
+       |          FROM nation),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |${round(1, "h0")},
+       |${round(2, "h1")},
+       |${round(3, "h2")}
+       |SELECT h3.node AS nation, h3.h AS hub_micro,
+       |  a3.a AS auth_micro
+       |FROM h3 JOIN a3 ON h3.node = a3.node""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_hits" -> Q(hitsQ, Some(hitsSql),
+      "HITS hubs/authorities: 3 integer iterations, L-infinity renormalization"),
     "q_graph_scc" -> Q(sccQ, Some(sccSql),
       "strongly connected components: exact closure by five squarings, mutual-reach labels"),
     "q_graph_common_neighbors" -> Q(commonNeighborsQ, Some(commonNeighborsSql),

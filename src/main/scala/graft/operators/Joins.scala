@@ -197,6 +197,61 @@ object Joins extends QueryModule {
     """SELECT r_name, COUNT(*) AS n_pairs
       |FROM region CROSS JOIN supplier GROUP BY r_name""".stripMargin
 
+  /** Spatial self-join by GRID BLOCKING — the classic distributed
+    * spatial-join plan (GeoSpark/Sedona's partitioned filter-refine):
+    * deterministic 2D points (from event value/user), hashed into
+    * 8×8 cells; each LEFT point explodes to its 3×3 neighbor cells,
+    * the candidate join is a pure cell equi-join, and the EXACT
+    * Chebyshev ≤ 2 residual refines — so the join cost is
+    * density-bounded per cell, never points². Reported as pair
+    * counts per exact Chebyshev distance.
+    *
+    * 100 TB posture: one cell-keyed shuffle; skewed cells are the
+    * documented salting candidate (same discipline as Skew.scala). */
+  private val spatialQ = (s: SparkSession, dir: String) => {
+    val pts = Tables.events(s, dir)
+      .select(col("event_id"),
+        pmod(floor(col("value") * 100d).cast("long"), lit(1000L))
+          .as("px"),
+        pmod(col("user_id"), lit(1000L)).as("py"))
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val left = pts
+      .withColumn("o", explode(offsets))
+      .select(col("event_id").as("ida"), col("px").as("xa"),
+        col("py").as("ya"),
+        (expr("px div 8") + col("o.dx")).as("cx"),
+        (expr("py div 8") + col("o.dy")).as("cy"))
+    val right = pts.select(col("event_id").as("idb"),
+      col("px").as("xb"), col("py").as("yb"),
+      expr("px div 8").as("cx"), expr("py div 8").as("cy"))
+    left.join(right, Seq("cx", "cy"))
+      .filter(col("ida") < col("idb")
+        && abs(col("xa") - col("xb")) <= 2L
+        && abs(col("ya") - col("yb")) <= 2L)
+      .select(col("ida"), col("idb"),
+        greatest(abs(col("xa") - col("xb")),
+          abs(col("ya") - col("yb"))).as("cheb"))
+      .distinct()
+      .groupBy(col("cheb"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val spatialSql =
+    """WITH pts AS (
+      |  SELECT event_id,
+      |    CAST(floor(value * 100) AS BIGINT) % 1000 AS px,
+      |    user_id % 1000 AS py
+      |  FROM events),
+      |pairs AS (
+      |  SELECT DISTINCT a.event_id AS ida, b.event_id AS idb,
+      |    greatest(abs(a.px - b.px), abs(a.py - b.py)) AS cheb
+      |  FROM pts a JOIN pts b
+      |    ON a.event_id < b.event_id
+      |    AND abs(a.px - b.px) <= 2 AND abs(a.py - b.py) <= 2)
+      |SELECT cheb, COUNT(*) AS n_pairs
+      |FROM pairs GROUP BY 1""".stripMargin
+
   // Range join: lineitems shipped within 60 days of their order date.
   private val range = (s: SparkSession, dir: String) => {
     val l = Tables.lineitem(s, dir)
@@ -556,6 +611,8 @@ object Joins extends QueryModule {
     "q_join_cross" -> Q(cross, Some(crossSql), "cross join"),
     "q_join_range" -> Q(range, Some(rangeSql),
       "range join: equi key + time interval condition"),
+    "q_join_spatial_grid" -> Q(spatialQ, Some(spatialSql),
+      "spatial self-join: grid blocking + 3x3 neighbor cells + exact residual"),
     "q_join_asof_tolerance" -> Q(asofToleranceQ, Some(asofToleranceSql),
       "as-of join with a 1-hour staleness bound (merge_asof tolerance semantics)"),
     "q_join_runtime_bloom" -> Q(runtimeBloomQ, Some(runtimeBloomSql),
