@@ -825,7 +825,63 @@ object Audit extends QueryModule {
       |    ELSE 'suppress' END AS generalization
       |FROM pw GROUP BY 1""".stripMargin
 
+  /** Kendall tau rank agreement between two rankers (the third leg of
+    * the ranking-eval family beside NDCG and MRR): per source, every
+    * doc pair is concordant or discordant between the length ranking
+    * and the md5 ranking — both made STRICT total orders by the
+    * doc_id tie-break, so there are no ties and τ = (2C − P)/P. The
+    * micro form is computed as (2·10⁶·C) div P − 10⁶ — the first term
+    * is non-negative, so Spark's truncating `div` and DuckDB's
+    * flooring `//` agree (a direct (C−D) numerator would diverge on
+    * negatives).
+    *
+    * 100 TB posture: the pair join is per-source (docs² within a
+    * source, the documented bound); per-source sampling is the swap
+    * when a source outgrows it. */
+  private val kendallQ = (s: SparkSession, dir: String) => {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        md5(concat(lit("rank-v1:"), col("doc_id").cast("string")))
+          .as("h"))
+    val a = d.select(col("source"), col("doc_id").as("id1"),
+      col("n_chars").as("a1"), col("h").as("h1"))
+    val b = d.select(col("source"), col("doc_id").as("id2"),
+      col("n_chars").as("a2"), col("h").as("h2"))
+    a.join(b, "source").filter(col("id1") < col("id2"))
+      .withColumn("gtA", col("a1") > col("a2")
+        || (col("a1") === col("a2") && col("id1") > col("id2")))
+      .withColumn("gtB", col("h1") > col("h2")
+        || (col("h1") === col("h2") && col("id1") > col("id2")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("gtA") === col("gtB"), 1L).otherwise(0L))
+          .as("concordant"))
+      .withColumn("tau_micro",
+        expr("(2000000 * concordant) div n_pairs - 1000000"))
+  }
+
+  private val kendallSql =
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    md5('rank-v1:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.source,
+      |    (a.n_chars > b.n_chars OR (a.n_chars = b.n_chars
+      |      AND a.doc_id > b.doc_id)) AS gtA,
+      |    (a.h > b.h OR (a.h = b.h AND a.doc_id > b.doc_id)) AS gtB
+      |  FROM d a JOIN d b
+      |    ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT source, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN gtA = gtB THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS concordant,
+      |  (2000000 * CAST(SUM(CASE WHEN gtA = gtB THEN 1 ELSE 0 END)
+      |    AS BIGINT)) // COUNT(*) - 1000000 AS tau_micro
+      |FROM p GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_kendall" -> Q(kendallQ, Some(kendallSql),
+      "Kendall tau between two strict rankings per source, negative-safe micro form"),
     "q_priv_generalize" -> Q(generalizeQ, Some(generalizeSql),
       "minimum k-anonymity generalization: smallest band width reaching k=5 per nation"),
     "q_dq_drift" -> Q(driftQ, Some(driftSql),

@@ -1259,7 +1259,87 @@ object TimeSeries extends QueryModule {
       |  END, false) AS nonrandom
       |FROM g""".stripMargin
 
+  /** Lagged cross-correlation — does one series LEAD another? For
+    * every ordered pair of event types and every lag in [-3, 3]
+    * hours, the integer covariance of hourly means
+    * n·Σxy − Σx·Σy (positive ⇒ co-movement at that lag), plus each
+    * pair's argmax lag — the lead-lag discovery pass before any
+    * causal claim. Only hours PRESENT IN BOTH series at the shifted
+    * alignment enter (the honest irregular-grid form).
+    *
+    * 100 TB posture: grids collapse once; the pair×lag join is
+    * (type × type × 7) over the GRID, an equi-join on the shifted
+    * hour index. */
+  private val xcorrQ = (s: SparkSession, dir: String) => {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value")).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("hm", expr("hs div hc"))
+      .withColumn("hi",
+        (unix_timestamp(col("hour")) / 3600L).cast("long"))
+      .select(col("event_type"), col("hi"), col("hm"))
+      .localCheckpoint()
+    val lags = array((-3 to 3).map(l => lit(l.toLong)): _*)
+    val a = grid.select(col("event_type").as("ta"), col("hi"),
+        col("hm").as("x"))
+      .withColumn("lag", explode(lags))
+      .withColumn("hj", col("hi") + col("lag"))
+    val b = grid.select(col("event_type").as("tb"),
+      col("hi").as("hj"), col("hm").as("y"))
+    val cells = a.join(b, "hj")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"), col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .withColumn("xcov", col("n") * col("sxy")
+        - col("sx") * col("sy"))
+    val pick = Window.partitionBy(col("ta"), col("tb"))
+      .orderBy(col("xcov").desc, col("lag").asc)
+    cells
+      .withColumn("best", first(col("lag")).over(
+        pick.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("ta"), col("tb"), col("lag"), col("n"), col("xcov"),
+        (col("lag") === col("best")).as("is_best_lag"))
+  }
+
+  private val xcorrSql =
+    """WITH grid AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hi,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS hm
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type AS ta, hi, hm AS x, l.lag, hi + l.lag AS hj
+      |  FROM grid CROSS JOIN (VALUES (-3), (-2), (-1), (0), (1), (2),
+      |    (3)) AS l(lag)),
+      |cells AS (
+      |  SELECT a.ta, b.event_type AS tb, CAST(a.lag AS BIGINT) AS lag,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(a.x) AS BIGINT) AS sx,
+      |    CAST(SUM(b.hm) AS BIGINT) AS sy,
+      |    CAST(SUM(a.x * b.hm) AS BIGINT) AS sxy
+      |  FROM a JOIN grid b ON a.hj = b.hi AND a.ta < b.event_type
+      |  GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT *, n * sxy - sx * sy AS xcov FROM cells),
+      |best AS (
+      |  SELECT ta, tb, lag AS best FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb
+      |      ORDER BY xcov DESC, lag ASC) AS rk FROM sc)
+      |  WHERE rk = 1)
+      |SELECT sc.ta, sc.tb, sc.lag, sc.n,
+      |  CAST(sc.xcov AS BIGINT) AS xcov,
+      |  sc.lag = best.best AS is_best_lag
+      |FROM sc JOIN best ON sc.ta = best.ta AND sc.tb = best.tb"""
+      .stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_xcorr" -> Q(xcorrQ, Some(xcorrSql),
+      "lagged cross-correlation over type pairs, integer covariance, argmax lag"),
     "q_ts_runs_test" -> Q(runsTestQ, Some(runsTestSql),
       "Wald-Wolfowitz runs test on daily totals: exact rational z-squared, chi-square cut"),
     "q_ts_seasonal_strength" -> Q(seasonalStrengthQ,

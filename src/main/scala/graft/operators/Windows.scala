@@ -742,7 +742,69 @@ object Windows extends QueryModule {
       |  (1000000 * cents) // tot_cents AS tot_share_micro
       |FROM w, t WHERE rk <= 5""".stripMargin
 
+  /** Alert debounce — the monitoring hysteresis rule that kills alert
+    * noise: a breach (hourly mean above the per-type grid mean) fires
+    * an alert only after ≥ 3 CONSECUTIVE breached grid rows; each
+    * surviving alert interval reports its span and peak. Islands via
+    * the id-minus-rank constant over the breach rows (the gap-islands
+    * discipline on the grid index).
+    *
+    * 100 TB posture: corpus → grid once; breach flag, islands, and
+    * the interval rollup all run per type over the GRID. */
+  private val debounceQ = (s: SparkSession, dir: String) => {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value")).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("hm", expr("hs div hc"))
+    val ordW = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val t = Window.partitionBy(col("event_type"))
+    val flagged = grid
+      .withColumn("i", row_number().over(ordW).cast("long"))
+      .withColumn("mean", expr(
+        "sum(hm) over (partition by event_type) div " +
+          "count(1) over (partition by event_type)"))
+      .filter(col("hm") > col("mean"))
+    val islW = Window.partitionBy(col("event_type")).orderBy(col("i"))
+    flagged
+      .withColumn("isl", col("i") - row_number().over(islW))
+      .groupBy(col("event_type"), col("isl"))
+      .agg(count(lit(1)).as("len"),
+        min(col("hour")).as("start_hour"),
+        max(col("hour")).as("end_hour"),
+        max(col("hm")).as("peak_hm"))
+      .filter(col("len") >= 3L)
+      .drop("isl")
+  }
+
+  private val debounceSql =
+    """WITH grid AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS hm
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hour, hm,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour)
+      |      AS i,
+      |    CAST(SUM(hm) OVER (PARTITION BY event_type) AS BIGINT)
+      |      // COUNT(*) OVER (PARTITION BY event_type) AS mean
+      |  FROM grid),
+      |f AS (
+      |  SELECT event_type, hour, hm, i,
+      |    i - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY i)
+      |      AS isl
+      |  FROM w WHERE hm > mean)
+      |SELECT event_type, COUNT(*) AS len,
+      |  MIN(hour) AS start_hour, MAX(hour) AS end_hour,
+      |  MAX(hm) AS peak_hm
+      |FROM f GROUP BY event_type, isl
+      |HAVING COUNT(*) >= 3""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_debounce" -> Q(debounceQ, Some(debounceSql),
+      "alert debounce: >=3 consecutive breached grid rows form one alert interval"),
     "q_win_ratio_to_report" -> Q(ratioToReportQ, Some(ratioToReportSql),
       "ratio-to-report: per-order share of segment and grand totals, top-5 per segment"),
     "q_win_drawdown" -> Q(drawdownQ, Some(drawdownSql),

@@ -1233,12 +1233,18 @@ object ObjectStoreMaintenance {
 }
 
 /** Deletion-vector sidecars (`_dv/<object>.dv`): magic, the object's
-  * byte-length fingerprint, then the deleted row ordinals. A DV whose
-  * fingerprint disagrees with the object's current length is STALE
-  * (the object was rewritten — compaction, CoW delete, relayout) and
-  * reads as absent, so no rewrite path needs DV awareness. */
+  * (byte length, mtime) fingerprint, then the deleted row ordinals.
+  * A DV whose fingerprint disagrees with the object's current state
+  * is STALE (the object was rewritten — compaction, CoW delete,
+  * relayout, overwrite) and reads as absent, so no rewrite path needs
+  * DV awareness. The mtime component matters: an OVERWRITE of the
+  * same data re-creates byte-identical objects under the same names,
+  * and a length-only fingerprint would resurrect the old DV against
+  * the truncated table's fresh objects (caught by ObjectStoreSpec's
+  * full-surface route). Hard links (the change feed's staging)
+  * preserve both length and mtime, so a staged DV stays valid. */
 object DeleteVectors {
-  val Magic = 0x47445631 // "GDV1"
+  val Magic = 0x47445632 // "GDV2" — v2: (length, mtime) fingerprint
 
   def dvFile(objPath: String): File = {
     val f = new File(objPath)
@@ -1253,6 +1259,7 @@ object DeleteVectors {
     try {
       out.writeInt(Magic)
       out.writeLong(new File(objPath).length())
+      out.writeLong(new File(objPath).lastModified())
       out.writeInt(ordinals.length)
       ordinals.foreach(out.writeInt)
     } finally out.close()
@@ -1268,6 +1275,7 @@ object DeleteVectors {
     try {
       if (in.readInt() != Magic) return None
       if (in.readLong() != new File(objPath).length()) return None
+      if (in.readLong() != new File(objPath).lastModified()) return None
       val n = in.readInt()
       val bs = new util.BitSet()
       var i = 0

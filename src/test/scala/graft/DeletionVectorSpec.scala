@@ -85,6 +85,24 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("overwrite with byte-identical data does not resurrect stale DVs") {
+    val dir = freshTable("resurrect")
+    ObjectStoreMaintenance.deleteMoR(dir, Array(LessThanOrEqual("id", 99L)))
+    assert(spark.read.format("graft-objects").load(dir).count() == 100)
+    // overwrite with the SAME deterministic data: objects re-created
+    // byte-identical under the same names — the (length, mtime)
+    // fingerprint must still kill the old DVs
+    spark.range(0, 200).selectExpr("id", "id * 2 AS v",
+      "concat('r', id) AS s")
+      .repartition(4)
+      .write.format("graft-objects").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-objects").load(dir).count() == 200,
+      "stale DV resurrected against the rewritten table")
+    GraftObjectTable.listObjects(dir).foreach { p =>
+      assert(!DeleteVectors.hasValid(p), s"stale DV still valid: $p")
+    }
+  }
+
   test("footer fast paths fall back: pushed COUNT and LIMIT stay exact") {
     val dir = freshTable("fastpath")
     ObjectStoreMaintenance.deleteMoR(dir, Array(LessThanOrEqual("id", 149L)))
