@@ -1246,7 +1246,50 @@ object Aggregates extends QueryModule {
       |    // CAST(SUM(n) OVER () AS BIGINT) AS cum_share_micro
       |FROM g""".stripMargin
 
+  /** UNPIVOT / melt — the inverse of [[q_agg_pivot]]'s wide form: the
+    * per-segment metrics table goes long as (segment, metric, value)
+    * rows via stack() (codegen'd, no UDTF), the shape every
+    * metrics-warehouse sink wants. Oracle is the honest UNION ALL
+    * spelling.
+    *
+    * 100 TB posture: melt is a map-side generate over the already-
+    * aggregated wide table — no new exchange. */
+  private val unpivotQ = (s: SparkSession, dir: String) => {
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .as("cents"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .selectExpr("c_mktsegment",
+        """stack(3,
+          |  'n_orders', n_orders,
+          |  'cents', cents,
+          |  'n_customers', n_customers) AS (metric, value)"""
+          .stripMargin)
+  }
+
+  private val unpivotSql =
+    """WITH wide AS (
+      |  SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents,
+      |    COUNT(DISTINCT o.o_custkey) AS n_customers
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1)
+      |SELECT c_mktsegment, 'n_orders' AS metric, n_orders AS value
+      |FROM wide
+      |UNION ALL
+      |SELECT c_mktsegment, 'cents', cents FROM wide
+      |UNION ALL
+      |SELECT c_mktsegment, 'n_customers', n_customers FROM wide"""
+      .stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_unpivot" -> Q(unpivotQ, Some(unpivotSql),
+      "melt the wide per-segment metrics to (segment, metric, value) via stack()"),
     "q_agg_log_histogram" -> Q(logHistQ, Some(logHistSql),
       "powers-of-two histogram via integer bit length, cumulative shares"),
     "q_agg_hhi" -> Q(hhiQ, Some(hhiSql),

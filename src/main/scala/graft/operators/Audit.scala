@@ -879,7 +879,49 @@ object Audit extends QueryModule {
       |    AS BIGINT)) // COUNT(*) - 1000000 AS tau_micro
       |FROM p GROUP BY 1""".stripMargin
 
+  /** Consistent pseudonymization — the privacy transform that keeps
+    * JOINS working: user ids become md5-derived tokens (a pure keyed
+    * function, so the same user maps to the same token everywhere,
+    * with no mapping table to leak). The query proves the two
+    * contract properties per event type: cardinality is preserved
+    * (distinct users == distinct tokens — md5 collisions at this
+    * scale would break it loudly) and the mapping is
+    * deterministic across rows (one token per user). */
+  private val pseudonymizeQ = (s: SparkSession, dir: String) => {
+    val tok = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        substring(md5(concat(lit("pseudo-v1:"),
+          col("user_id").cast("string"))), 1, 16).as("token"))
+    tok.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("token")).as("n_tokens"),
+        countDistinct(col("user_id"), col("token")).as("n_mappings"))
+      .withColumn("cardinality_preserved",
+        col("n_users") === col("n_tokens"))
+      .withColumn("mapping_deterministic",
+        col("n_mappings") === col("n_users"))
+  }
+
+  private val pseudonymizeSql =
+    """WITH t AS (
+      |  SELECT event_type, user_id,
+      |    substr(md5('pseudo-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+      |      AS token
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT token) AS n_tokens,
+      |  COUNT(DISTINCT (user_id, token)) AS n_mappings,
+      |  COUNT(DISTINCT user_id) = COUNT(DISTINCT token)
+      |    AS cardinality_preserved,
+      |  COUNT(DISTINCT (user_id, token)) = COUNT(DISTINCT user_id)
+      |    AS mapping_deterministic
+      |FROM t GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_priv_pseudonymize" -> Q(pseudonymizeQ, Some(pseudonymizeSql),
+      "keyed md5 pseudonymization: cardinality preserved, mapping deterministic"),
     "q_eval_kendall" -> Q(kendallQ, Some(kendallSql),
       "Kendall tau between two strict rankings per source, negative-safe micro form"),
     "q_priv_generalize" -> Q(generalizeQ, Some(generalizeSql),

@@ -1337,7 +1337,80 @@ object TimeSeries extends QueryModule {
       |FROM sc JOIN best ON sc.ta = best.ta AND sc.tb = best.tb"""
       .stripMargin
 
+  /** Motif discovery, SAX-style: the hourly series is discretized to
+    * a 3-symbol alphabet by DELTA sign against a flat-band threshold
+    * (u/d/f), and every 4-symbol word is counted per type — the most
+    * frequent word is the series' dominant motif (ties: lexicographic
+    * smallest). Top-3 words per type reported with counts.
+    *
+    * 100 TB posture: grid collapse once; symbolization is a lag
+    * window, word assembly 3 more lags, the word count a
+    * (type, word) rollup — all grid-domain. */
+  private val motifQ = (s: SparkSession, dir: String) => {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value")).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("hm", expr("hs div hc"))
+    val ordW = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val sym = grid
+      .withColumn("d", col("hm") - lag(col("hm"), 1).over(ordW))
+      .filter(col("d").isNotNull)
+      .withColumn("sym",
+        when(col("d") > 2L, "u").when(col("d") < -2L, "d")
+          .otherwise("f"))
+    val words = sym
+      .withColumn("w", concat(col("sym"),
+        lead(col("sym"), 1).over(ordW),
+        lead(col("sym"), 2).over(ordW),
+        lead(col("sym"), 3).over(ordW)))
+      .filter(length(col("w")) === 4)
+      .groupBy(col("event_type"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("w").asc)
+    words.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("w").as("motif"),
+        col("n"))
+  }
+
+  private val motifSql =
+    """WITH grid AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS hm
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT event_type, hour,
+      |    hm - LAG(hm, 1) OVER (PARTITION BY event_type ORDER BY hour)
+      |      AS d
+      |  FROM grid),
+      |sym AS (
+      |  SELECT event_type, hour,
+      |    CASE WHEN d > 2 THEN 'u' WHEN d < -2 THEN 'd'
+      |         ELSE 'f' END AS sym
+      |  FROM d WHERE d IS NOT NULL),
+      |words AS (
+      |  SELECT event_type,
+      |    sym || LEAD(sym, 1) OVER ww || LEAD(sym, 2) OVER ww
+      |      || LEAD(sym, 3) OVER ww AS w
+      |  FROM sym
+      |  WINDOW ww AS (PARTITION BY event_type ORDER BY hour)),
+      |c AS (
+      |  SELECT event_type, w, COUNT(*) AS n FROM words
+      |  WHERE length(w) = 4 GROUP BY 1, 2),
+      |p AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY n DESC, w ASC) AS rk
+      |  FROM c)
+      |SELECT event_type, CAST(rk AS INT) AS rk, w AS motif, n
+      |FROM p WHERE rk <= 3""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_motif" -> Q(motifQ, Some(motifSql),
+      "SAX-style motif discovery: 3-symbol delta alphabet, top-3 4-grams per type"),
     "q_ts_xcorr" -> Q(xcorrQ, Some(xcorrSql),
       "lagged cross-correlation over type pairs, integer covariance, argmax lag"),
     "q_ts_runs_test" -> Q(runsTestQ, Some(runsTestSql),
