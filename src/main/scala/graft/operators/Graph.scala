@@ -851,7 +851,133 @@ object Graph extends QueryModule {
        |FROM h3 JOIN a3 ON h3.node = a3.node""".stripMargin
   }
 
+  /** Newman modularity of the thresholded-CC communities, measured on
+    * the FULL weighted undirected trade graph: per community
+    * Q_c = (4m·w_in − deg_c²)/(4m²) in micro (per-community floor
+    * then sum — the defined contract), with the global Q as the sum.
+    * A positive Q says the threshold-derived communities capture more
+    * in-community weight than a random degree-preserving rewiring.
+    *
+    * Magnitude bound: 10⁶·deg_c² needs deg_c < 3·10⁶ — documented;
+    * beyond it, drop the scale to centi (deg ≤ 2m = 2·|lineitem|).
+    *
+    * 100 TB posture: the corpus collapses to ≤|nations|² undirected
+    * weighted edges once; CC runs on the THRESHOLDED edges only; all
+    * modularity arithmetic is on the edge/community tables. */
+  private val modularityQ = (s: SparkSession, dir: String) => {
+    val und = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey"))
+        .cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey"))
+          .cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val tot = und.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+    val kept = und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("ne") >= lit(2L) * col("tw"))
+      .select(col("a").as("ida"), col("b").as("idb"))
+    val cc = graft.operators.Dedup.connectedComponents(kept)
+    val labels = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("node"))
+      .join(cc, col("node") === cc("id"), "left")
+      .select(col("node"), coalesce(col("label"), col("node"))
+        .as("comm"))
+      .localCheckpoint()
+    val m = und.agg(sum(col("w")).as("m"))
+    val withComms = und
+      .join(labels.select(col("node").as("a"), col("comm").as("ca")), "a")
+      .join(labels.select(col("node").as("b"), col("comm").as("cb")), "b")
+    val wIn = withComms.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(sum(col("w")).as("w_in"))
+    val deg = withComms
+      .select(col("ca").as("comm"), col("w"))
+      .unionAll(withComms.select(col("cb").as("comm"), col("w")))
+      .groupBy(col("comm")).agg(sum(col("w")).as("deg"))
+    val sizes = labels.groupBy(col("comm"))
+      .agg(count(lit(1)).as("n_nations"))
+    val perComm = sizes
+      .join(wIn, Seq("comm"), "left").na.fill(0L, Seq("w_in"))
+      .join(deg, Seq("comm"), "left").na.fill(0L, Seq("deg"))
+      .crossJoin(broadcast(m))
+      // negative-safe contract: two NONNEG floor-divs subtracted
+      // (Spark's truncating div and DuckDB's flooring // agree only
+      // on non-negative operands)
+      .withColumn("q_contrib_micro", expr(
+        "(1000000 * w_in) div m - (1000000 * deg * deg) div (4 * m * m)"))
+    val t = Window.partitionBy(lit(1))
+    perComm
+      .withColumn("modularity_micro",
+        sum(col("q_contrib_micro")).over(t))
+      .select("comm", "n_nations", "w_in", "deg", "q_contrib_micro",
+        "modularity_micro")
+  }
+
+  private val modularitySql =
+    """WITH RECURSIVE
+      |und AS MATERIALIZED (
+      |  SELECT CAST(least(c.c_nationkey, su.s_nationkey) AS BIGINT)
+      |      AS a,
+      |    CAST(greatest(c.c_nationkey, su.s_nationkey) AS BIGINT)
+      |      AS b,
+      |    COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  WHERE c.c_nationkey <> su.s_nationkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne
+      |        FROM und),
+      |kept AS (SELECT a, b FROM und, tot WHERE w * ne >= 2 * tw),
+      |edges AS (SELECT a, b FROM kept UNION SELECT b, a FROM kept),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e
+      |          ON r.peer = e.a),
+      |lab AS (SELECT id, least(id, MIN(peer)) AS label
+      |        FROM reach GROUP BY id),
+      |labels AS (
+      |  SELECT CAST(n.n_nationkey AS BIGINT) AS node,
+      |    COALESCE(lab.label, CAST(n.n_nationkey AS BIGINT)) AS comm
+      |  FROM nation n LEFT JOIN lab ON n.n_nationkey = lab.id),
+      |m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM und),
+      |wc AS (
+      |  SELECT und.a, und.b, und.w, la.comm AS ca, lb.comm AS cb
+      |  FROM und JOIN labels la ON und.a = la.node
+      |           JOIN labels lb ON und.b = lb.node),
+      |win_ AS (SELECT ca AS comm, CAST(SUM(w) AS BIGINT) AS w_in
+      |         FROM wc WHERE ca = cb GROUP BY 1),
+      |deg AS (
+      |  SELECT comm, CAST(SUM(w) AS BIGINT) AS deg FROM (
+      |    SELECT ca AS comm, w FROM wc
+      |    UNION ALL SELECT cb AS comm, w FROM wc)
+      |  GROUP BY 1),
+      |sizes AS (SELECT comm, COUNT(*) AS n_nations FROM labels
+      |          GROUP BY 1),
+      |pc AS (
+      |  SELECT s.comm, s.n_nations,
+      |    COALESCE(win_.w_in, 0) AS w_in,
+      |    COALESCE(deg.deg, 0) AS deg,
+      |    (1000000 * COALESCE(win_.w_in, 0)) // m.m
+      |      - (1000000 * COALESCE(deg.deg, 0)
+      |         * COALESCE(deg.deg, 0)) // (4 * m.m * m.m)
+      |      AS q_contrib_micro
+      |  FROM sizes s
+      |  LEFT JOIN win_ ON s.comm = win_.comm
+      |  LEFT JOIN deg ON s.comm = deg.comm
+      |  CROSS JOIN m)
+      |SELECT comm, n_nations, w_in, deg, q_contrib_micro,
+      |  CAST(SUM(q_contrib_micro) OVER () AS BIGINT)
+      |    AS modularity_micro
+      |FROM pc""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_modularity" -> Q(modularityQ, Some(modularitySql),
+      "Newman modularity of the thresholded-CC communities on the full trade graph"),
     "q_graph_hits" -> Q(hitsQ, Some(hitsSql),
       "HITS hubs/authorities: 3 integer iterations, L-infinity renormalization"),
     "q_graph_scc" -> Q(sccQ, Some(sccSql),

@@ -1408,7 +1408,101 @@ object TimeSeries extends QueryModule {
       |SELECT event_type, CAST(rk AS INT) AS rk, w AS motif, n
       |FROM p WHERE rk <= 3""".stripMargin
 
+  /** Survival analysis — the Nelson-Aalen CUMULATIVE HAZARD of
+    * signup→purchase conversion (chosen over Kaplan-Meier because
+    * H(t) = Σ d_k/n_k is a SUM of rationals — exact in per-step
+    * micro floor-div, where KM's product is not): per user, the
+    * first signup and first subsequent purchase; users who never
+    * convert are right-censored at the observation horizon (max
+    * event time). At each distinct conversion time t (in hours since
+    * signup): d_t converts, n_t at risk (time-to-event ≥ t),
+    * H_micro(t) running sum.
+    *
+    * 100 TB posture: user collapse in one shuffle; the risk-set
+    * window runs over the DISTINCT EVENT-TIME domain (value-domain
+    * discipline, like AUC). */
+  private val hazardQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+    val horizon = ev.agg(max(col("ts")).cast("long").as("hz"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts").cast("long")).as("su"))
+    // FIRST PURCHASE AT-OR-AFTER SIGNUP — a purchase predating the
+    // signup is not a conversion (the spec's recount caught the
+    // global-min spelling conflating the two)
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("long").as("pt"))
+      .join(signup, "user_id")
+      .filter(col("pt") >= col("su"))
+      .groupBy(col("user_id")).agg(min(col("pt")).as("pu"))
+    val perUser = signup.join(firstConv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .withColumn("converted", col("pu").isNotNull)
+      .withColumn("tte", expr(
+        """CASE WHEN pu IS NOT NULL THEN (pu - su) div 3600
+          |  ELSE (hz - su) div 3600 END""".stripMargin))
+    val cells = perUser.groupBy(col("tte"))
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("c"))
+    val ordW = Window.orderBy(col("tte"))
+    val cum = cells
+      .withColumn("after", sum(col("c")).over(
+        ordW.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("d") > 0L)
+      .withColumn("h_step_micro", expr("(1000000 * d) div after"))
+      .withColumn("hazard_micro", sum(col("h_step_micro")).over(
+        ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.select(col("tte").as("hours_since_signup"),
+      col("d").as("n_converted"), col("after").as("n_at_risk"),
+      col("h_step_micro"), col("hazard_micro"))
+  }
+
+  private val hazardSql =
+    """WITH hz AS (SELECT CAST(epoch(MAX(ts)) AS BIGINT) AS hz
+      |            FROM events),
+      |su AS (
+      |  SELECT user_id, MIN(CAST(epoch(ts) AS BIGINT)) AS su
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |fc AS (
+      |  SELECT e.user_id, MIN(CAST(epoch(e.ts) AS BIGINT)) AS pu
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(epoch(e.ts) AS BIGINT) >= su.su
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT su.user_id,
+      |    fc.pu IS NOT NULL AS converted,
+      |    CASE WHEN fc.pu IS NOT NULL
+      |      THEN (fc.pu - su.su) // 3600
+      |      ELSE (hz.hz - su.su) // 3600 END AS tte
+      |  FROM su LEFT JOIN fc ON su.user_id = fc.user_id
+      |  CROSS JOIN hz),
+      |cells AS (
+      |  SELECT tte,
+      |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d,
+      |    COUNT(*) AS c
+      |  FROM t GROUP BY 1),
+      |cum AS (
+      |  SELECT tte, d,
+      |    CAST(SUM(c) OVER (ORDER BY tte
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS BIGINT) AS after
+      |  FROM cells),
+      |st AS (
+      |  SELECT tte, d, after,
+      |    (1000000 * d) // after AS h_step_micro
+      |  FROM cum WHERE d > 0)
+      |SELECT tte AS hours_since_signup, d AS n_converted,
+      |  after AS n_at_risk, h_step_micro,
+      |  CAST(SUM(h_step_micro) OVER (ORDER BY tte
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS hazard_micro
+      |FROM st""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_hazard" -> Q(hazardQ, Some(hazardSql),
+      "Nelson-Aalen cumulative conversion hazard with right-censoring, exact micro"),
     "q_ts_motif" -> Q(motifQ, Some(motifSql),
       "SAX-style motif discovery: 3-symbol delta alphabet, top-3 4-grams per type"),
     "q_ts_xcorr" -> Q(xcorrQ, Some(xcorrSql),
