@@ -1287,7 +1287,72 @@ object Aggregates extends QueryModule {
       |SELECT c_mktsegment, 'n_customers', n_customers FROM wide"""
       .stripMargin
 
+  /** Cohort LTV curve — the growth-analytics money twin of the
+    * retention matrix: users cohorted by signup week; for each cohort
+    * age (weeks since signup, 0..3), the CUMULATIVE purchase value in
+    * centi and the per-user LTV (floor-div by cohort size). Purchases
+    * before signup are excluded (the hazard query's discipline).
+    *
+    * 100 TB posture: one user collapse, one (cohort, age) rollup;
+    * the cumulative window runs over the 4-age domain per cohort. */
+  private val ltvQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts").cast("long")).as("su"))
+      .withColumn("cohort", expr("su div 604800"))
+    val sizes = signup.groupBy(col("cohort"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("long").as("pt"),
+        floor(col("value") * 100d).cast("long").as("centi"))
+      .join(signup, "user_id")
+      .filter(col("pt") >= col("su"))
+      .withColumn("age", expr("(pt - su) div 604800"))
+      .filter(col("age") <= 3L)
+      .groupBy(col("cohort"), col("age"))
+      .agg(sum(col("centi")).as("rev_centi"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purch
+      .withColumn("cum_centi", sum(col("rev_centi")).over(w))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("age"), col("n_users"),
+        col("rev_centi"), col("cum_centi"),
+        expr("cum_centi div n_users").as("ltv_centi_per_user"))
+  }
+
+  private val ltvSql =
+    """WITH su AS (
+      |  SELECT user_id, MIN(CAST(epoch(ts) AS BIGINT)) AS su,
+      |    MIN(CAST(epoch(ts) AS BIGINT)) // 604800 AS cohort
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |sizes AS (SELECT cohort, COUNT(DISTINCT user_id) AS n_users
+      |          FROM su GROUP BY 1),
+      |p AS (
+      |  SELECT su.cohort,
+      |    (CAST(epoch(e.ts) AS BIGINT) - su.su) // 604800 AS age,
+      |    CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_centi
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(epoch(e.ts) AS BIGINT) >= su.su
+      |    AND (CAST(epoch(e.ts) AS BIGINT) - su.su) // 604800 <= 3
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT cohort, age, rev_centi,
+      |    CAST(SUM(rev_centi) OVER (PARTITION BY cohort ORDER BY age
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_centi
+      |  FROM p)
+      |SELECT c.cohort, c.age, s.n_users, c.rev_centi, c.cum_centi,
+      |  c.cum_centi // s.n_users AS ltv_centi_per_user
+      |FROM c JOIN sizes s ON c.cohort = s.cohort""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_cohort_ltv" -> Q(ltvQ, Some(ltvSql),
+      "cohort LTV curve: cumulative purchase centi per signup-week cohort by age"),
     "q_agg_unpivot" -> Q(unpivotQ, Some(unpivotSql),
       "melt the wide per-segment metrics to (segment, metric, value) via stack()"),
     "q_agg_log_histogram" -> Q(logHistQ, Some(logHistSql),

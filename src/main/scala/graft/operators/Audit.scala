@@ -919,7 +919,38 @@ object Audit extends QueryModule {
       |    AS mapping_deterministic
       |FROM t GROUP BY 1""".stripMargin
 
+  /** Brier score — the proper scoring rule for the calibration
+    * story's pseudo-probability: mean (p − y)² per source, all in
+    * micro² arithmetic floor-div'd once at the mean. Decomposes the
+    * eval family: AUC ranks, calibration bins, Brier scores the
+    * probabilities themselves. */
+  private val brierQ = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir)
+      .select(col("source"),
+        least(lit(1000000L), expr("(1000000 * n_chars) div 1000"))
+          .as("p"),
+        when(col("lang") === "en", 1000000L).otherwise(0L).as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("p") - col("y")) * (col("p") - col("y"))).as("se"))
+      .withColumn("brier_micro", expr("se div (n * 1000000)"))
+      .drop("se")
+  }
+
+  private val brierSql =
+    """WITH d AS (
+      |  SELECT source,
+      |    least(1000000, (1000000 * n_chars) // 1000) AS p,
+      |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n,
+      |  CAST(SUM((p - y) * (p - y)) AS BIGINT)
+      |    // (COUNT(*) * 1000000) AS brier_micro
+      |FROM d GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_brier" -> Q(brierQ, Some(brierSql),
+      "Brier score of the pseudo-probability per source, exact micro"),
     "q_priv_pseudonymize" -> Q(pseudonymizeQ, Some(pseudonymizeSql),
       "keyed md5 pseudonymization: cardinality preserved, mapping deterministic"),
     "q_eval_kendall" -> Q(kendallQ, Some(kendallSql),

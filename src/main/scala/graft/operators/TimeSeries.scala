@@ -1500,7 +1500,44 @@ object TimeSeries extends QueryModule {
       |    AS BIGINT) AS hazard_micro
       |FROM st""".stripMargin
 
+  /** Calendar heatmap — the activity matrix every ops dashboard
+    * opens with: events bucketed by ISO day-of-week × hour-of-day,
+    * with counts, exact unit-value sums, and each cell's share of
+    * its weekday in micro. ISO weekday (1=Monday) is spelled
+    * explicitly on both engines (Spark's dayofweek is
+    * Sunday-based — the classic off-by-one trap, avoided via
+    * weekday()+1 vs DuckDB's isodow).
+    *
+    * 100 TB posture: map-side bucket ids, one ≤168-key rollup, a
+    * weekday-domain window for shares. */
+  private val calHeatQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, dir)
+      .select((weekday(col("ts")) + 1).cast("long").as("dow_iso"),
+        hour(col("ts")).cast("long").as("hod"),
+        floor(col("value")).cast("long").as("u"))
+      .groupBy(col("dow_iso"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("sum_u"))
+    val w = Window.partitionBy(col("dow_iso"))
+    cells.withColumn("dow_share_micro",
+      expr("(1000000 * n) div sum(n) over (partition by dow_iso)"))
+  }
+
+  private val calHeatSql =
+    """WITH cells AS (
+      |  SELECT CAST(isodow(ts) AS BIGINT) AS dow_iso,
+      |    CAST(hour(ts) AS BIGINT) AS hod,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_u
+      |  FROM events GROUP BY 1, 2)
+      |SELECT dow_iso, hod, n, sum_u,
+      |  (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY dow_iso)
+      |    AS BIGINT) AS dow_share_micro
+      |FROM cells""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_cal_heatmap" -> Q(calHeatQ, Some(calHeatSql),
+      "ISO dow x hod activity matrix with per-weekday shares, 168-cell rollup"),
     "q_ts_hazard" -> Q(hazardQ, Some(hazardSql),
       "Nelson-Aalen cumulative conversion hazard with right-censoring, exact micro"),
     "q_ts_motif" -> Q(motifQ, Some(motifSql),
