@@ -1325,20 +1325,20 @@ object Aggregates extends QueryModule {
 
   private val ltvSql =
     """WITH su AS (
-      |  SELECT user_id, MIN(CAST(epoch(ts) AS BIGINT)) AS su,
-      |    MIN(CAST(epoch(ts) AS BIGINT)) // 604800 AS cohort
+      |  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS su,
+      |    MIN(CAST(floor(epoch(ts)) AS BIGINT)) // 604800 AS cohort
       |  FROM events WHERE event_type = 'signup' GROUP BY 1),
       |sizes AS (SELECT cohort, COUNT(DISTINCT user_id) AS n_users
       |          FROM su GROUP BY 1),
       |p AS (
       |  SELECT su.cohort,
-      |    (CAST(epoch(e.ts) AS BIGINT) - su.su) // 604800 AS age,
+      |    (CAST(floor(epoch(e.ts)) AS BIGINT) - su.su) // 604800 AS age,
       |    CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
       |      AS rev_centi
       |  FROM events e JOIN su ON e.user_id = su.user_id
       |  WHERE e.event_type = 'purchase'
-      |    AND CAST(epoch(e.ts) AS BIGINT) >= su.su
-      |    AND (CAST(epoch(e.ts) AS BIGINT) - su.su) // 604800 <= 3
+      |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.su
+      |    AND (CAST(floor(epoch(e.ts)) AS BIGINT) - su.su) // 604800 <= 3
       |  GROUP BY 1, 2),
       |c AS (
       |  SELECT cohort, age, rev_centi,

@@ -1458,16 +1458,16 @@ object TimeSeries extends QueryModule {
   }
 
   private val hazardSql =
-    """WITH hz AS (SELECT CAST(epoch(MAX(ts)) AS BIGINT) AS hz
+    """WITH hz AS (SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT) AS hz
       |            FROM events),
       |su AS (
-      |  SELECT user_id, MIN(CAST(epoch(ts) AS BIGINT)) AS su
+      |  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS su
       |  FROM events WHERE event_type = 'signup' GROUP BY 1),
       |fc AS (
-      |  SELECT e.user_id, MIN(CAST(epoch(e.ts) AS BIGINT)) AS pu
+      |  SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS pu
       |  FROM events e JOIN su ON e.user_id = su.user_id
       |  WHERE e.event_type = 'purchase'
-      |    AND CAST(epoch(e.ts) AS BIGINT) >= su.su
+      |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.su
       |  GROUP BY 1),
       |t AS (
       |  SELECT su.user_id,

@@ -802,7 +802,130 @@ object Windows extends QueryModule {
       |FROM f GROUP BY event_type, isl
       |HAVING COUNT(*) >= 3""".stripMargin
 
+  /** Interval union (merge overlapping intervals) — the classic
+    * scheduling/SLA kernel: each event opens a 30-minute interval;
+    * per event type, overlapping intervals merge (an interval starts
+    * a NEW merged block iff its start exceeds the running max end of
+    * everything before it — the running-max sweep), reporting raw vs
+    * merged counts and the exact covered seconds.
+    *
+    * 100 TB posture: one type-keyed sort window (the sweep), one
+    * block rollup — both on the event domain, the documented cost of
+    * any order-dependent interval op. */
+  private val intervalMergeQ = (s: SparkSession, dir: String) => {
+    val iv = Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("long").as("st"))
+      .withColumn("en", col("st") + 1800L)
+    val ordW = Window.partitionBy(col("event_type"))
+      .orderBy(col("st"), col("en"))
+    val sweep = iv
+      .withColumn("max_en_before", max(col("en")).over(
+        ordW.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_block",
+        when(col("max_en_before").isNull
+          || col("st") > col("max_en_before"), 1L).otherwise(0L))
+      .withColumn("block", sum(col("new_block")).over(
+        ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sweep.groupBy(col("event_type"), col("block"))
+      .agg(count(lit(1)).as("n_raw"), min(col("st")).as("bs"),
+        max(col("en")).as("be"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_raw")).as("n_intervals"),
+        count(lit(1)).as("n_merged"),
+        sum(col("be") - col("bs")).as("covered_seconds"))
+  }
+
+  private val intervalMergeSql =
+    """WITH iv AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS st,
+      |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en
+      |  FROM events),
+      |sweep AS (
+      |  SELECT event_type, st, en,
+      |    CASE WHEN MAX(en) OVER (PARTITION BY event_type
+      |        ORDER BY st, en
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      IS NULL
+      |      OR st > MAX(en) OVER (PARTITION BY event_type
+      |        ORDER BY st, en
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS new_block
+      |  FROM iv),
+      |blocks AS (
+      |  SELECT event_type, st, en,
+      |    CAST(SUM(new_block) OVER (PARTITION BY event_type
+      |      ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS block
+      |  FROM sweep),
+      |g AS (
+      |  SELECT event_type, block, COUNT(*) AS n_raw,
+      |    MIN(st) AS bs, MAX(en) AS be
+      |  FROM blocks GROUP BY 1, 2)
+      |SELECT event_type, CAST(SUM(n_raw) AS BIGINT) AS n_intervals,
+      |  COUNT(*) AS n_merged,
+      |  CAST(SUM(be - bs) AS BIGINT) AS covered_seconds
+      |FROM g GROUP BY 1""".stripMargin
+
+  /** Maximum concurrency — the other classic interval kernel (room
+    * scheduling / peak sessions): +1 at each interval start, −1 at
+    * each end, running sum over the merged endpoint stream; the max
+    * is the peak number of simultaneously-open intervals, reported
+    * with the earliest time it is reached. Ends sort BEFORE starts
+    * at the same instant (half-open [st, en) intervals).
+    *
+    * 100 TB posture: endpoint stream = 2 rows per event, one
+    * type-keyed sort window — the unavoidable order dependency. */
+  private val concurrencyQ = (s: SparkSession, dir: String) => {
+    val iv = Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("long").as("st"))
+      .withColumn("en", col("st") + 1800L)
+    val pts = iv.select(col("event_type"), col("st").as("t"),
+        lit(1L).as("d"), lit(1L).as("ord"))
+      .unionByName(iv.select(col("event_type"), col("en").as("t"),
+        lit(-1L).as("d"), lit(0L).as("ord")))
+    val ordW = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("ord"))
+    val swept = pts
+      .withColumn("open", sum(col("d")).over(
+        ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val t = Window.partitionBy(col("event_type"))
+    swept
+      .withColumn("peak", max(col("open")).over(t))
+      .filter(col("open") === col("peak"))
+      .groupBy(col("event_type"))
+      .agg(max(col("peak")).as("peak_concurrency"),
+        min(col("t")).as("first_peak_epoch"))
+  }
+
+  private val concurrencySql =
+    """WITH iv AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS st,
+      |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en
+      |  FROM events),
+      |pts AS (
+      |  SELECT event_type, st AS t, 1 AS d, 1 AS ord FROM iv
+      |  UNION ALL
+      |  SELECT event_type, en AS t, -1 AS d, 0 AS ord FROM iv),
+      |sw AS (
+      |  SELECT event_type, t,
+      |    CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY t, ord
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS open
+      |  FROM pts),
+      |pk AS (
+      |  SELECT event_type, t, open,
+      |    MAX(open) OVER (PARTITION BY event_type) AS peak
+      |  FROM sw)
+      |SELECT event_type, MAX(peak) AS peak_concurrency,
+      |  MIN(t) AS first_peak_epoch
+      |FROM pk WHERE open = peak GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_interval_merge" -> Q(intervalMergeQ, Some(intervalMergeSql),
+      "interval union: running-max sweep merges overlaps, exact covered seconds"),
+    "q_win_concurrency" -> Q(concurrencyQ, Some(concurrencySql),
+      "peak concurrent intervals via the +1/-1 endpoint sweep, half-open semantics"),
     "q_win_debounce" -> Q(debounceQ, Some(debounceSql),
       "alert debounce: >=3 consecutive breached grid rows form one alert interval"),
     "q_win_ratio_to_report" -> Q(ratioToReportQ, Some(ratioToReportSql),
