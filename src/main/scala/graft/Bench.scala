@@ -109,7 +109,15 @@ object Bench {
     "q_vec_dim_profile", "q_vec_matryoshka",
     "q_text_boilerplate", "q_text_rake",
     "q_eval_auc", "q_eval_ab_test",
-    "q_win_rfm", "q_ts_changepoint", "q_ts_vwap")
+    "q_win_rfm", "q_ts_changepoint", "q_ts_vwap",
+    // round-5 waves 26-42: composed ER pipeline (block+score+CC),
+    // HITS iterations, grid spatial join (DuckDB pays the quadratic
+    // oracle), Theil-Sen pair medians, dedup-aware split (CC + md5),
+    // Nelson-Aalen hazard, DAU/MAU distinct rollups, interval union
+    "q_dedup_er_entities", "q_graph_hits",
+    "q_join_spatial_grid", "q_ts_theilsen",
+    "q_sample_dedup_aware_split", "q_ts_hazard",
+    "q_agg_dau_mau", "q_win_interval_merge")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

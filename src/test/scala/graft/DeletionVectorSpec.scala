@@ -170,6 +170,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got.count() == 80)
   }
 
+  test("concurrent MoR deletes serialize under the table lock: no lost update") {
+    val dir = freshTable("conc", 400)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two writers over OVERLAPPING ranges racing on the same objects:
+    // the lock serializes them; the second must see the first's DVs
+    // (fold) and the union of deletions must be exact
+    val f1 = Future(ObjectStoreMaintenance.deleteMoR(dir,
+      Array(LessThanOrEqual("id", 149L))))
+    val f2 = Future(ObjectStoreMaintenance.deleteMoR(dir,
+      Array(GreaterThan("id", 249L))))
+    val (r1, r2) = (Await.result(f1, 120.seconds),
+      Await.result(f2, 120.seconds))
+    assert(r1._3 == 150L && r2._3 == 150L)
+    val got = spark.read.format("graft-objects").load(dir)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (150L to 249L).toSeq,
+      "concurrent MoR deletes lost or resurrected rows")
+  }
+
   test("CALL delete_mor drives MoR from SQL") {
     val root = Files.createTempDirectory("graft-dv-proc").toString
     spark.conf.set("spark.sql.catalog.gdv", "graft.sources.GraftCatalog")

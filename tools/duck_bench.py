@@ -47,6 +47,11 @@ HEADLINE = [
     "q_text_boilerplate", "q_text_rake",
     "q_eval_auc", "q_eval_ab_test",
     "q_win_rfm", "q_ts_changepoint", "q_ts_vwap",
+    # round-5 waves 26-42 (mirror graft.Bench.headline)
+    "q_dedup_er_entities", "q_graph_hits",
+    "q_join_spatial_grid", "q_ts_theilsen",
+    "q_sample_dedup_aware_split", "q_ts_hazard",
+    "q_agg_dau_mau", "q_win_interval_merge",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
