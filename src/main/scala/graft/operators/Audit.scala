@@ -948,7 +948,197 @@ object Audit extends QueryModule {
       |    // (COUNT(*) * 1000000) AS brier_micro
       |FROM d GROUP BY 1""".stripMargin
 
+  /** Average precision (AP — the area under the precision/recall
+    * curve in its rank-sum form) per source: rank documents by the
+    * score (n_chars, descending; doc_id breaks ties so the order is
+    * TOTAL and engine-stable), and at every relevant hit take
+    * precision@k = cum_pos/k; AP = mean over hits. Integer contract:
+    * each hit contributes floor((10⁶·cum_pos)/k), the mean floors
+    * once more — both engines mirror the same double floor, so the
+    * result is bit-stable. Sources with zero positives drop out (the
+    * WHERE runs before the GROUP BY in both engines).
+    *
+    * 100 TB posture: one source-keyed sort window (ranking is
+    * inherently order-dependent — same cost class as MRR/NDCG); the
+    * aggregation after the filter touches positive rows only. */
+  private val apQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum_pos", sum(col("is_pos")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.filter(col("is_pos") === 1L)
+      .withColumn("term", expr("(1000000 * cum_pos) div k"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("pos_n"), sum(col("term")).as("term_sum"))
+      .withColumn("ap_micro", expr("term_sum div pos_n"))
+  }
+
+  private val apSql =
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS k,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_pos
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS pos_n,
+      |  CAST(SUM((1000000 * cum_pos) // k) AS BIGINT) AS term_sum,
+      |  CAST(SUM((1000000 * cum_pos) // k) AS BIGINT) // COUNT(*)
+      |    AS ap_micro
+      |FROM r WHERE is_pos = 1 GROUP BY 1""".stripMargin
+
+  /** Cohen's kappa per source — chance-corrected agreement between
+    * two binary labelers over the same documents: rater A = the
+    * length heuristic (n_chars ≥ 250), rater B = lang = 'en'. With
+    * confusion counts a/b/c/d and n = a+b+c+d,
+    * po = (a+d)/n, pe = ((a+b)(a+c)+(c+d)(b+d))/n², and
+    * κ = (po−pe)/(1−pe). Negative-safe floor-div form (the Kendall
+    * discipline): κ+1 = (n(a+d) + n² − 2·pe_num)/(n² − pe_num) has a
+    * provably nonnegative numerator (κ ≥ −1 always), so
+    * kappa_micro = (10⁶·num) div den − 10⁶ floors identically in
+    * both engines for any sign of κ. Degenerate marginals
+    * (n² = pe_num, i.e. a constant rater) report NULL.
+    *
+    * Magnitude bound: 10⁶·n² must stay inside BIGINT ⇒ n < 3·10⁶
+    * rows per source; beyond that, switch the scale to centi or
+    * compute on the per-source sample. Fixture n ≤ 100 per source
+    * at sf0.1 — safe by 10⁴×.
+    *
+    * 100 TB posture: ONE conditional-aggregate pass (partial→final
+    * on the source key); the kappa arithmetic runs on the collapsed
+    * per-source row. */
+  private val kappaQ = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir)
+      .select(col("source"),
+        (col("n_chars") >= 250L).cast("long").as("ra"),
+        (col("lang") === "en").cast("long").as("rb"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra") * col("rb")).as("a"),
+        sum(col("ra") * (lit(1L) - col("rb"))).as("b"),
+        sum((lit(1L) - col("ra")) * col("rb")).as("c"),
+        sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("d"))
+      .withColumn("pe_num", expr("(a+b)*(a+c) + (c+d)*(b+d)"))
+      .withColumn("kappa_micro",
+        when(expr("n*n - pe_num") > 0L,
+          expr("(1000000 * (n*(a+d) + n*n - 2*pe_num))" +
+            " div (n*n - pe_num) - 1000000")))
+  }
+
+  private val kappaSql =
+    """WITH t AS (
+      |  SELECT source,
+      |    CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rb
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM(ra * rb) AS BIGINT) AS a,
+      |    CAST(SUM(ra * (1 - rb)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - ra) * rb) AS BIGINT) AS c,
+      |    CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS d
+      |  FROM t GROUP BY 1)
+      |SELECT source, n, a, b, c, d,
+      |  (a+b)*(a+c) + (c+d)*(b+d) AS pe_num,
+      |  CASE WHEN n*n - ((a+b)*(a+c) + (c+d)*(b+d)) > 0 THEN
+      |    (1000000 * (n*(a+d) + n*n
+      |        - 2*((a+b)*(a+c) + (c+d)*(b+d))))
+      |      // (n*n - ((a+b)*(a+c) + (c+d)*(b+d))) - 1000000
+      |  END AS kappa_micro
+      |FROM g""".stripMargin
+
+  /** Decile lift / gains table — the campaign-targeting read-out:
+    * rank the corpus by score (n_chars), cut into 10 score deciles,
+    * and report per-decile and cumulative positive capture vs the
+    * random baseline (lift). NO row-level sort: scores collapse to
+    * their VALUE DOMAIN first (the AUC/skyline discipline), the
+    * decile of a score value is (cum_rows_before·10) div n_total —
+    * every row of a tied value lands in ONE decile, so the cut is
+    * deterministic in both engines (ntile would split ties
+    * arbitrarily). Heavy ties can merge adjacent deciles — the
+    * honest behavior, documented.
+    *
+    * Magnitude bound: lift's 10⁶·cum_pos·n_tot needs n < 3·10⁶; at
+    * scale divide the shares first (gain stays exact, lift moves to
+    * centi on share integers).
+    *
+    * 100 TB posture: one (score) partial-agg shuffle; both windows
+    * run over collapsed domains (distinct scores, then ≤10 decile
+    * rows) — never corpus rows. */
+  private val liftQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("n_chars").as("score"))
+      .agg(count(lit(1)).as("g"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("p"))
+    val tot = cells.agg(sum(col("g")).as("n_tot"), sum(col("p")).as("p_tot"))
+    val wv = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wd = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_before", coalesce(sum(col("g")).over(wv), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(cum_before * 10) div n_tot"))
+      .groupBy(col("decile"), col("n_tot"), col("p_tot"))
+      .agg(sum(col("g")).as("n_d"), sum(col("p")).as("pos_d"))
+      .withColumn("cum_n", sum(col("n_d")).over(wd))
+      .withColumn("cum_pos", sum(col("pos_d")).over(wd))
+      .withColumn("lift_micro",
+        expr("(1000000 * cum_pos * n_tot) div (cum_n * p_tot)"))
+      .withColumn("gain_micro", expr("(1000000 * cum_pos) div p_tot"))
+      .select(col("decile"), col("n_d"), col("pos_d"), col("cum_n"),
+        col("cum_pos"), col("lift_micro"), col("gain_micro"))
+  }
+
+  private val liftSql =
+    """WITH cells AS (
+      |  SELECT n_chars AS score, COUNT(*) AS g,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS p
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(g) AS BIGINT) AS n_tot,
+      |    CAST(SUM(p) AS BIGINT) AS p_tot FROM cells),
+      |dec AS (
+      |  SELECT score, g, p,
+      |    CAST(COALESCE(SUM(g) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_before
+      |  FROM cells),
+      |d AS (
+      |  SELECT (cum_before * 10) // n_tot AS decile, g, p, n_tot, p_tot
+      |  FROM dec, tot),
+      |agg AS (
+      |  SELECT decile, n_tot, p_tot, CAST(SUM(g) AS BIGINT) AS n_d,
+      |    CAST(SUM(p) AS BIGINT) AS pos_d
+      |  FROM d GROUP BY 1, 2, 3)
+      |SELECT decile, n_d, pos_d,
+      |  CAST(SUM(n_d) OVER w AS BIGINT) AS cum_n,
+      |  CAST(SUM(pos_d) OVER w AS BIGINT) AS cum_pos,
+      |  (1000000 * CAST(SUM(pos_d) OVER w AS BIGINT) * n_tot)
+      |    // (CAST(SUM(n_d) OVER w AS BIGINT) * p_tot) AS lift_micro,
+      |  (1000000 * CAST(SUM(pos_d) OVER w AS BIGINT)) // p_tot
+      |    AS gain_micro
+      |FROM agg
+      |WINDOW w AS (ORDER BY decile
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_ap" -> Q(apQ, Some(apSql),
+      "average precision per source: total-order ranking, exact micro rank-sum"),
+    "q_eval_kappa" -> Q(kappaQ, Some(kappaSql),
+      "Cohen's kappa per source, negative-safe floor-div form, one pass"),
+    "q_eval_lift" -> Q(liftQ, Some(liftSql),
+      "decile lift/gains table over the score value domain, deterministic tie cut"),
     "q_eval_brier" -> Q(brierQ, Some(brierSql),
       "Brier score of the pseudo-probability per source, exact micro"),
     "q_priv_pseudonymize" -> Q(pseudonymizeQ, Some(pseudonymizeSql),
