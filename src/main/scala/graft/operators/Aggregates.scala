@@ -1350,7 +1350,46 @@ object Aggregates extends QueryModule {
       |  c.cum_centi // s.n_users AS ltv_centi_per_user
       |FROM c JOIN sizes s ON c.cohort = s.cohort""".stripMargin
 
+  /** Simpson diversity index per nation over customer market
+    * segments — the ecology/catalog-diversity measure that, unlike
+    * Shannon entropy, is EXACTLY rational: with class counts nᵢ and
+    * N = Σnᵢ, D = Σnᵢ(nᵢ−1) / (N(N−1)) is the probability two
+    * customers drawn without replacement share a segment, and
+    * 1 − D is the diversity. simpson_micro floors once; nations with
+    * N < 2 report NULL (the index is undefined).
+    *
+    * 100 TB posture: two stacked partial aggs ((nation, segment)
+    * cells, then nation) — the cells domain is |nations|·|segments|,
+    * so the second agg is free. */
+  private val simpsonQ = (s: SparkSession, dir: String) => {
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("ni"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cats"), sum(col("ni")).as("n"),
+        sum(col("ni") * (col("ni") - 1L)).as("dnum"))
+      .withColumn("simpson_micro", when(col("n") >= 2L,
+        lit(1000000L) - expr("(1000000 * dnum) div (n * (n - 1))")))
+  }
+
+  private val simpsonSql =
+    """WITH cells AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS ni
+      |  FROM customer GROUP BY 1, 2),
+      |g AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_cats,
+      |    CAST(SUM(ni) AS BIGINT) AS n,
+      |    CAST(SUM(ni * (ni - 1)) AS BIGINT) AS dnum
+      |  FROM cells GROUP BY 1)
+      |SELECT c_nationkey, n_cats, n, dnum,
+      |  CASE WHEN n >= 2 THEN
+      |    1000000 - (1000000 * dnum) // (n * (n - 1))
+      |  END AS simpson_micro
+      |FROM g""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_simpson" -> Q(simpsonQ, Some(simpsonSql),
+      "Simpson diversity per nation: exact rational pair-collision index"),
     "q_agg_cohort_ltv" -> Q(ltvQ, Some(ltvSql),
       "cohort LTV curve: cumulative purchase centi per signup-week cohort by age"),
     "q_agg_unpivot" -> Q(unpivotQ, Some(unpivotSql),

@@ -975,7 +975,64 @@ object Graph extends QueryModule {
       |    AS modularity_micro
       |FROM pc""".stripMargin
 
+  /** Degree assortativity of the undirected trade graph — does a
+    * well-connected nation trade with other hubs (assortative, r>0)
+    * or with the periphery (disassortative, r<0)? Newman's r is the
+    * Pearson correlation of end degrees over all DIRECTED edge ends;
+    * including both orientations makes the two marginals identical
+    * (Σx=Σy=S, Σx²=Σy²), so r = (M·Σxy − S²)/(M·Σx² − S²) — a ratio
+    * of INTEGERS: no sqrt, no doubles, bit-stable by construction.
+    * Negative-safe floor form (r ≥ −1 ⇒ num+den ≥ 0, the Kendall
+    * discipline): assort_micro = (10⁶·(num+den)) div den − 10⁶.
+    * A regular graph (den = 0) reports NULL.
+    *
+    * 100 TB posture: the corpus collapses to the |nations|²-bounded
+    * edge list first (the PageRank discipline); degrees and moments
+    * are edge-domain arithmetic. */
+  private val assortQ = (s: SparkSession, dir: String) => {
+    val und = undirectedEdges(s, dir).select(col("a"), col("b"))
+    val oriented = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = oriented.groupBy(col("u")).agg(count(lit(1)).as("k"))
+    val degU = deg.select(col("u").as("ju"), col("k").as("ku"))
+    val degV = deg.select(col("u").as("jv"), col("k").as("kv"))
+    oriented
+      .join(degU, col("u") === col("ju"))
+      .join(degV, col("v") === col("jv"))
+      .agg(count(lit(1)).as("m"), sum(col("ku")).as("sk"),
+        sum(col("ku") * col("ku")).as("skk"),
+        sum(col("ku") * col("kv")).as("sxy"))
+      .withColumn("assort_micro",
+        when(expr("m*skk - sk*sk") > 0L,
+          expr("(1000000 * (m*sxy - sk*sk + m*skk - sk*sk))" +
+            " div (m*skk - sk*sk) - 1000000")))
+  }
+
+  private val assortSql =
+    s"""WITH $edgesSqlCte,
+       |o AS (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b AS u, a AS v FROM und),
+       |deg AS (SELECT u, COUNT(*) AS k FROM o GROUP BY 1),
+       |p AS (
+       |  SELECT du.k AS ku, dv.k AS kv
+       |  FROM o JOIN deg du ON o.u = du.u JOIN deg dv ON o.v = dv.u),
+       |mo AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |    CAST(SUM(ku) AS BIGINT) AS sk,
+       |    CAST(SUM(ku*ku) AS BIGINT) AS skk,
+       |    CAST(SUM(ku*kv) AS BIGINT) AS sxy
+       |  FROM p)
+       |SELECT m, sk, skk, sxy,
+       |  CASE WHEN m*skk - sk*sk > 0 THEN
+       |    (1000000 * (m*sxy - sk*sk + m*skk - sk*sk))
+       |      // (m*skk - sk*sk) - 1000000
+       |  END AS assort_micro
+       |FROM mo""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_assortativity" -> Q(assortQ, Some(assortSql),
+      "degree assortativity: all-integer Newman r, no sqrt, negative-safe floor"),
     "q_graph_modularity" -> Q(modularityQ, Some(modularitySql),
       "Newman modularity of the thresholded-CC communities on the full trade graph"),
     "q_graph_hits" -> Q(hitsQ, Some(hitsSql),

@@ -1535,7 +1535,78 @@ object TimeSeries extends QueryModule {
       |    AS BIGINT) AS dow_share_micro
       |FROM cells""".stripMargin
 
+  /** Autocorrelation function at lags 1..6 hours per event type on
+    * the hourly floor-mean grid — the multi-lag extension of
+    * q_ts_autocorr (seasonality/memory discovery: which lags carry
+    * signal). The grid may have holes (hours with no events); the
+    * alignment is a self-JOIN on h = h + lag, so only genuinely
+    * adjacent-at-that-lag pairs are compared (the q_ts_xcorr honest-
+    * alignment discipline, never an index shift over a dense
+    * assumption). ALL SIX lags come from ONE join: the grid fans out
+    * map-side ×6 with (h+lag, lag, x) and joins the original once.
+    * Moments are exact DECIMAL sums; r is ONE mirrored double
+    * expression (the OLS/corr-matrix discipline).
+    *
+    * 100 TB posture: corpus → (type, hour) grid in one partial agg;
+    * the ×6 fan-out and join run on the collapsed grid domain. */
+  private val acfQ = (s: SparkSession, dir: String) => {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) div 3600").as("h"))
+      .agg(sum(floor(col("value")).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("hm", expr("hs div hc"))
+      .select(col("event_type"), col("h"), col("hm"))
+    val shifted = grid
+      .withColumn("lag", explode(array((1 to 6).map(lit(_)): _*)))
+      .select(col("event_type"), (col("h") + col("lag")).as("h"),
+        col("lag"), col("hm").as("x"))
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(27,0)"))
+    grid.join(shifted, Seq("event_type", "h"))
+      .select(col("event_type"), col("lag"), col("hm").as("y"), col("x"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"), m(col("x")).as("sx"), m(col("y")).as("sy"),
+        m(col("x") * col("x")).as("sxx"), m(col("y") * col("y")).as("syy"),
+        m(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= 3)
+      .select(col("event_type"), col("lag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("r_acf"))
+  }
+
+  private val acfSql =
+    """WITH grid AS (
+      |  SELECT event_type,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS hm
+      |  FROM events GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT event_type, h + l AS h, l AS lag, hm AS x
+      |  FROM grid CROSS JOIN (SELECT unnest([1,2,3,4,5,6]) AS l) ls),
+      |p AS (
+      |  SELECT g.event_type, s.lag, g.hm AS y, s.x
+      |  FROM grid g
+      |  JOIN sh s ON g.event_type = s.event_type AND g.h = s.h),
+      |mo AS (
+      |  SELECT event_type, lag, CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+      |    SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+      |    SUM(CAST(x*x AS DECIMAL(27,0))) AS sxx,
+      |    SUM(CAST(y*y AS DECIMAL(27,0))) AS syy,
+      |    SUM(CAST(x*y AS DECIMAL(27,0))) AS sxy
+      |  FROM p GROUP BY 1, 2)
+      |SELECT event_type, lag, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_acf
+      |FROM mo WHERE n >= 3""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_acf" -> Q(acfQ, Some(acfSql),
+      "ACF at lags 1-6h on the hourly grid: one fan-out join, honest alignment"),
     "q_ts_cal_heatmap" -> Q(calHeatQ, Some(calHeatSql),
       "ISO dow x hod activity matrix with per-weekday shares, 168-cell rollup"),
     "q_ts_hazard" -> Q(hazardQ, Some(hazardSql),
