@@ -1030,7 +1030,66 @@ object Graph extends QueryModule {
        |  END AS assort_micro
        |FROM mo""".stripMargin
 
+  /** Harmonic closeness centrality — all-pairs hop distances on the
+    * undirected trade graph, bounded at 6 hops (the BFS/Bellman-Ford
+    * round discipline: "min within ≤6 rounds" is well-defined at any
+    * scale, no data-dependent fixpoint). Harmonic form because it
+    * handles disconnection honestly: C(u) = Σ_{v≠u} 1/d(u,v), with
+    * unreachable pairs contributing exactly 0 — and with d ≤ 6 the
+    * reciprocals are exact integers in micro (10⁶ div d), so the
+    * score is bit-stable with NO floats. Expansion is layered BFS
+    * from ALL sources at once: each round extends only the frontier
+    * (pairs whose min-dist is the previous round), one frontier⋈edges
+    * equi-join + min-combine, `localCheckpoint` pinning plan depth.
+    *
+    * 100 TB posture: all-pairs state is |nations|²-bounded after the
+    * corpus collapses to the edge list; at web scale the same code
+    * runs on a sampled source set (harmonic centrality estimation),
+    * the documented swap. */
+  private val closenessQ = (s: SparkSession, dir: String) => {
+    val und = undirectedEdges(s, dir).select(col("a"), col("b"))
+    val o = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var dist = o.select(col("u").as("src"), col("v").as("dst"),
+      lit(1).as("d"))
+    for (k <- 2 to 6) {
+      val frontier = dist.filter(col("d") === (k - 1))
+        .select(col("src"), col("dst").as("mid"))
+      val ext = frontier
+        .join(o.select(col("u").as("mid"), col("v").as("nd")), "mid")
+        .select(col("src"), col("nd").as("dst"), lit(k).as("d"))
+      dist = dist.unionByName(ext)
+        .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.filter(col("src") =!= col("dst"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div d")).as("harmonic_micro"))
+      .withColumnRenamed("src", "node")
+  }
+
+  private val closenessSql =
+    s"""WITH RECURSIVE $edgesSqlCte,
+       |o AS (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b AS u, a AS v FROM und),
+       |r(src, dst, d) AS (
+       |  SELECT u, v, 1 FROM o
+       |  UNION
+       |  SELECT r.src, o.v, r.d + 1
+       |  FROM r JOIN o ON r.dst = o.u WHERE r.d < 6),
+       |md AS (
+       |  SELECT src, dst, MIN(d) AS d
+       |  FROM r WHERE src <> dst GROUP BY 1, 2)
+       |SELECT src AS node, COUNT(*) AS n_reached,
+       |  CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_micro
+       |FROM md GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_closeness" -> Q(closenessQ, Some(closenessSql),
+      "harmonic closeness: 6-hop layered all-sources BFS, exact integer reciprocals"),
     "q_graph_assortativity" -> Q(assortQ, Some(assortSql),
       "degree assortativity: all-integer Newman r, no sqrt, negative-safe floor"),
     "q_graph_modularity" -> Q(modularityQ, Some(modularitySql),

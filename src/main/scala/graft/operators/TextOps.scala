@@ -1743,7 +1743,61 @@ object TextOps extends QueryModule {
       |ORDER BY tot DESC, w ASC
       |LIMIT 20""".stripMargin
 
+  /** Encoding-integrity audit per source — the mojibake/corruption
+    * gate a crawl-scale training-data acquisition runs before
+    * anything downstream trusts the bytes: documents containing
+    * U+FFFD replacement characters (a decoder already gave up),
+    * documents containing C0 control characters (binary leakage;
+    * tab/LF/CR exempt), and the per-source non-ASCII character share
+    * (a spike against the source's declared-language baseline is the
+    * classic double-encoding signature). On the clean fixture corpus
+    * the counts are exact ZEROS — the audit proves absence, and the
+    * spec plants corruption to prove detection.
+    *
+    * 100 TB posture: map-only per-document flags (regex inside
+    * codegen), one source-keyed partial agg. */
+  private val mojibakeQ = (s: SparkSession, dir: String) => {
+    Tables.documents(s, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("len"),
+        length(regexp_replace(col("text"), "[\\x00-\\x7F]", ""))
+          .cast("long").as("non_ascii"),
+        col("text").contains("�").cast("long").as("has_repl"),
+        col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+          .cast("long").as("has_ctrl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("has_repl")).as("n_replacement"),
+        sum(col("has_ctrl")).as("n_control"),
+        sum(col("non_ascii")).as("non_ascii_chars"),
+        sum(col("len")).as("total_chars"))
+      .withColumn("non_ascii_micro",
+        expr("(1000000 * non_ascii_chars) div greatest(total_chars, 1)"))
+  }
+
+  private val mojibakeSql =
+    """WITH d AS (
+      |  SELECT source, length(text) AS len,
+      |    length(regexp_replace(text, '[\x00-\x7F]', '', 'g'))
+      |      AS non_ascii,
+      |    CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END
+      |      AS has_repl,
+      |    CASE WHEN regexp_matches(text,
+      |        '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END
+      |      AS has_ctrl
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(has_repl) AS BIGINT) AS n_replacement,
+      |  CAST(SUM(has_ctrl) AS BIGINT) AS n_control,
+      |  CAST(SUM(non_ascii) AS BIGINT) AS non_ascii_chars,
+      |  CAST(SUM(len) AS BIGINT) AS total_chars,
+      |  (1000000 * CAST(SUM(non_ascii) AS BIGINT))
+      |    // greatest(CAST(SUM(len) AS BIGINT), 1) AS non_ascii_micro
+      |FROM d GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_mojibake" -> Q(mojibakeQ, Some(mojibakeSql),
+      "encoding-integrity audit: replacement/control-char flags, non-ASCII share"),
     "q_text_burstiness" -> Q(burstinessQ, Some(burstinessSql),
       "term burstiness: index of dispersion over per-doc counts, top-20 terms"),
     "q_text_ttr" -> Q(ttrQ, Some(ttrSql),

@@ -1604,7 +1604,75 @@ object TimeSeries extends QueryModule {
       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_acf
       |FROM mo WHERE n >= 3""".stripMargin
 
+  /** M4 downsampling — the visualization-lossless reduction (Jugel
+    * et al., VLDB'14): split each series' own time span into W
+    * equal-width buckets and keep per bucket the FOUR extreme points
+    * (first, last, min, max) — exactly what a W-pixel line chart
+    * renders, the canonical companion to LTTB (q_ts_lttb) that is
+    * error-free for min/max envelopes. Value domain is exact cents;
+    * first/last use the OHLC row_number discipline with total-order
+    * tiebreaks; the bucket cut ((st−mn)·W) div (mx−mn+1) maps the
+    * span edge-inclusively in both engines.
+    *
+    * 100 TB posture: per-type bounds broadcast back (never a global
+    * constant), then one (type, bucket)-keyed sort window + rollup —
+    * the same cost class as OHLC resampling. */
+  private val m4Q = (s: SparkSession, dir: String) => {
+    val W = 50
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        col("ts").cast("long").as("st"),
+        round(col("value") * 100).cast("long").as("v"))
+    val bounds = ev.groupBy(col("event_type").as("bt"))
+      .agg(min(col("st")).as("mn"), max(col("st")).as("mx"))
+    val bucketed = ev
+      .join(broadcast(bounds), col("event_type") === col("bt"))
+      .withColumn("bucket",
+        expr(s"((st - mn) * $W) div (mx - mn + 1)"))
+    val asc = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("st").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("st").desc, col("event_id").desc)
+    bucketed
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("ra") === 1, col("v"))).as("v_first"),
+        max(when(col("rd") === 1, col("v"))).as("v_last"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+        min(col("st")).as("t_min"), max(col("st")).as("t_max"))
+  }
+
+  private val m4Sql =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS st,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |bounds AS (
+      |  SELECT event_type AS bt, MIN(st) AS mn, MAX(st) AS mx
+      |  FROM ev GROUP BY 1),
+      |bk AS (
+      |  SELECT ev.*, ((st - mn) * 50) // (mx - mn + 1) AS bucket
+      |  FROM ev JOIN bounds ON ev.event_type = bounds.bt),
+      |rk AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+      |      ORDER BY st ASC, event_id ASC) AS ra,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+      |      ORDER BY st DESC, event_id DESC) AS rd
+      |  FROM bk)
+      |SELECT event_type, bucket, COUNT(*) AS n,
+      |  max(CASE WHEN ra = 1 THEN v END) AS v_first,
+      |  max(CASE WHEN rd = 1 THEN v END) AS v_last,
+      |  min(v) AS v_min, max(v) AS v_max,
+      |  min(st) AS t_min, max(st) AS t_max
+      |FROM rk GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_m4" -> Q(m4Q, Some(m4Sql),
+      "M4 downsampling: first/last/min/max per equal-width bucket, exact cents"),
     "q_ts_acf" -> Q(acfQ, Some(acfSql),
       "ACF at lags 1-6h on the hourly grid: one fan-out join, honest alignment"),
     "q_ts_cal_heatmap" -> Q(calHeatQ, Some(calHeatSql),
