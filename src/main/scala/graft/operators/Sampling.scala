@@ -501,7 +501,84 @@ object Sampling extends QueryModule {
       |  COUNT(DISTINCT grp) AS n_components
       |FROM assigned GROUP BY 1""".stripMargin
 
+  /** Deterministic SMOTE — synthetic-minority oversampling for class
+    * rebalance: the label with the FEWEST embeddings (min-label
+    * tiebreak) gets one synthetic vector per member, interpolated
+    * toward its exact nearest same-label neighbor
+    * (integer micro dist², min-vec_id tiebreak, self excluded):
+    * synth = v + α·(nn − v). α is md5-derived per vector (the
+    * content-hash discipline — rerun/engine/partitioning stable),
+    * and the interpolation uses the SHIFT-floor form
+    * (α·diff + 10¹³) div 10⁶ − 10⁷ so a negative diff floors
+    * identically in Spark (truncating div) and DuckDB (flooring //):
+    * the numerator is provably nonnegative (|α·diff| ≤ 4·10¹²).
+    *
+    * 100 TB posture: the NN search is |minority|²-bounded (the
+    * minority class is small by definition); at scale the candidate
+    * pool swaps to the ANN-bucketed recall set, same plan. */
+  private val smoteQ = (s: SparkSession, dir: String) => {
+    val emb = Tables.embeddings(s, dir)
+    val minority = emb.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").asc, col("label").asc).limit(1)
+      .select(col("label").as("mlabel"))
+    val pts = emb.join(broadcast(minority), col("label") === col("mlabel"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("vm"))
+    val a = pts.select(col("vec_id"), col("label"), col("vm"))
+    val b = pts.select(col("vec_id").as("nid"), col("vm").as("nvm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("nid").asc)
+    a.crossJoin(b).filter(col("vec_id") =!= col("nid"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(vm, nvm, (x, y) -> (x - y) * (x - y))," +
+          " 0L, (acc, v) -> acc + v)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .withColumn("alpha_micro",
+        conv(substring(md5(concat(lit("smote-v1:"),
+          col("vec_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("synth", expr(
+        "zip_with(vm, nvm, (x, y) -> x + (alpha_micro * (y - x)" +
+          " + 10000000000000) div 1000000 - 10000000)"))
+      .select(col("label"), col("vec_id"), col("nid").as("nn_id"),
+        col("d2").as("nn_dist2"), col("alpha_micro"), col("synth"))
+  }
+
+  private val smoteSql =
+    """WITH mino AS (
+      |  SELECT label AS mlabel FROM embeddings
+      |  GROUP BY 1 ORDER BY COUNT(*) ASC, label ASC LIMIT 1),
+      |pts AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+      |  FROM embeddings JOIN mino ON label = mlabel),
+      |pairs AS (
+      |  SELECT a.vec_id, a.label, a.vm, b.vec_id AS nid, b.vm AS nvm,
+      |    CAST(list_sum(list_transform(range(1, len(a.vm) + 1),
+      |      i -> (a.vm[i] - b.vm[i]) * (a.vm[i] - b.vm[i])))
+      |      AS BIGINT) AS d2
+      |  FROM pts a, pts b WHERE a.vec_id <> b.vec_id),
+      |nn AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY d2 ASC, nid ASC) AS rnk
+      |  FROM pairs)
+      |SELECT label, vec_id, nid AS nn_id, d2 AS nn_dist2,
+      |  CAST(concat('0x', substr(md5('smote-v1:' ||
+      |    CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000
+      |    AS alpha_micro,
+      |  list_transform(range(1, len(vm) + 1),
+      |    i -> vm[i] + (CAST(concat('0x', substr(md5('smote-v1:' ||
+      |      CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000
+      |      * (nvm[i] - vm[i]) + 10000000000000) // 1000000
+      |      - 10000000) AS synth
+      |FROM nn WHERE rnk = 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_smote" -> Q(smoteQ, Some(smoteSql),
+      "deterministic SMOTE: exact-NN interpolation toward the minority class"),
     "q_sample_dedup_aware_split" -> Q(dedupSplitQ, Some(dedupSplitSql),
       "near-dup components move as one unit across train/val/test, md5 of component label"),
     "q_sample_temperature_weights" -> Q(tempWeightsQ, Some(tempWeightsSql),

@@ -2124,7 +2124,163 @@ object Similarity extends QueryModule {
       |FROM edges e LEFT JOIN m ON m.qid = e.qid
       |GROUP BY 1""".stripMargin
 
+  /** Scalar quantization (SQ8) recall eval — the int8 compression
+    * every production vector store offers (4× smaller than float32),
+    * evaluated the way q_vec_matryoshka evaluates truncation: per
+    * dimension, min/max train the affine quantizer; each component
+    * encodes to an 8-bit code ((vm−mn)·256) div width ∈ [0,255] and
+    * reconstructs to its bucket midpoint; top-10 by exact INTEGER
+    * dot product (micro² units — 64·(2·10⁶)² ≈ 2.6·10¹⁴, inside
+    * BIGINT) is compared between full-precision and reconstructed
+    * corpora (asymmetric/ADC style: the query stays full-precision).
+    * overlap10 is the recall@10 a rollout decision reads.
+    *
+    * 100 TB posture: the quantizer stats are a |dim|-row table
+    * (one partial-agg collapse, broadcast back); encode/reconstruct
+    * are map-side; the only corpus exchange is the top-10 rank. */
+  private val sq8Q = (s: SparkSession, dir: String) => {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("ev").cast("double") * 1000000L).cast("long").as("vm"))
+    val stats = v.groupBy(col("pos"))
+      .agg(min(col("vm")).as("mn"), max(col("vm")).as("mx"))
+    val enc = v.join(broadcast(stats), "pos")
+      .withColumn("w", col("mx") - col("mn") + 1L)
+      .withColumn("q", expr("((vm - mn) * 256) div w"))
+      .withColumn("rm", expr("mn + ((2*q + 1) * w) div 512"))
+    val qd = enc.filter(col("vec_id") === 0)
+      .select(col("pos").as("qpos"), col("vm").as("qm"))
+    val dots = enc.filter(col("vec_id") =!= 0)
+      .join(broadcast(qd), col("pos") === col("qpos"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qm") * col("vm")).as("dot_full"),
+        sum(col("qm") * col("rm")).as("dot_sq8"))
+    def top10(c: String, alias: String): DataFrame = {
+      val t = dots.select(col("vec_id"), col(c))
+        .orderBy(col(c).desc, col("vec_id").asc).limit(10)
+      val w = Window.orderBy(col(c).desc, col("vec_id").asc)
+      t.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("vec_id").as(s"${alias}_id"),
+          col(c).as(s"${alias}_dot"))
+    }
+    val f = top10("dot_full", "full")
+    val h = top10("dot_sq8", "sq8")
+    val ov = f.select(col("full_id").as("vec_id"))
+      .join(h.select(col("sq8_id").as("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("overlap10"))
+    f.join(h, "rank").crossJoin(broadcast(ov))
+  }
+
+  private val sq8Sql =
+    """WITH v AS (
+      |  SELECT vec_id, i AS pos,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS vm
+      |  FROM embeddings CROSS JOIN
+      |    unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |st AS (SELECT pos, MIN(vm) AS mn, MAX(vm) AS mx FROM v GROUP BY 1),
+      |enc AS (
+      |  SELECT vec_id, v.pos, vm, mn, mx - mn + 1 AS w,
+      |    ((vm - mn) * 256) // (mx - mn + 1) AS q
+      |  FROM v JOIN st ON v.pos = st.pos),
+      |r AS (
+      |  SELECT vec_id, pos, vm,
+      |    mn + ((2*q + 1) * w) // 512 AS rm
+      |  FROM enc),
+      |qd AS (SELECT pos, vm AS qm FROM r WHERE vec_id = 0),
+      |d AS (
+      |  SELECT r.vec_id,
+      |    CAST(SUM(qm * vm) AS BIGINT) AS dot_full,
+      |    CAST(SUM(qm * rm) AS BIGINT) AS dot_sq8
+      |  FROM r JOIN qd ON r.pos = qd.pos
+      |  WHERE r.vec_id <> 0 GROUP BY 1),
+      |f AS (
+      |  SELECT vec_id AS full_id, dot_full, row_number() OVER (
+      |    ORDER BY dot_full DESC, vec_id ASC) AS rank
+      |  FROM d ORDER BY dot_full DESC, vec_id ASC LIMIT 10),
+      |h AS (
+      |  SELECT vec_id AS sq8_id, dot_sq8, row_number() OVER (
+      |    ORDER BY dot_sq8 DESC, vec_id ASC) AS rank
+      |  FROM d ORDER BY dot_sq8 DESC, vec_id ASC LIMIT 10),
+      |ov AS (SELECT COUNT(*) AS overlap10
+      |       FROM f JOIN h ON f.full_id = h.sq8_id)
+      |SELECT f.rank, f.full_id, f.dot_full AS full_dot,
+      |  h.sq8_id, h.dot_sq8 AS sq8_dot, ov.overlap10
+      |FROM f JOIN h ON f.rank = h.rank, ov""".stripMargin
+
+  /** Greedy k-center selection (Gonzalez farthest-first traversal) —
+    * the coreset/diverse-sampling primitive (2-approximation to the
+    * k-center objective, the standard seed for diverse eval sets and
+    * k-means++ style initialization). Seed = vec_id 0; each of 4
+    * further rounds picks the point FARTHEST from everything chosen
+    * so far (exact integer micro dist², min-vec_id tiebreak). The
+    * selected set never leaves the cluster: each round is a
+    * points × (≤5 broadcast centers) map-side min-distance pass +
+    * one argmax, `localCheckpoint` pinning plan depth.
+    *
+    * 100 TB posture: cost is rounds × one corpus scan with a tiny
+    * broadcast — the documented swap at billions of points is
+    * running rounds over an ANN-recalled candidate pool. */
+  private val kcenterQ = (s: SparkSession, dir: String) => {
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("vm"))
+      .localCheckpoint()
+    var sel = pts.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cid"), col("vm").as("cvm"),
+        lit(1).as("sel_round"), lit(null).cast("long").as("sel_dist2"))
+    for (k <- 2 to 5) {
+      val dmin = pts
+        .crossJoin(broadcast(sel.select(col("cid"), col("cvm"))))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(vm, cvm, (x, y) -> (x - y) * (x - y))," +
+            " 0L, (acc, v) -> acc + v)"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("dmin"))
+      val pick = dmin.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+        .join(pts, "vec_id")
+        .select(col("vec_id").as("cid"), col("vm").as("cvm"),
+          lit(k).as("sel_round"), col("dmin").as("sel_dist2"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("sel_round"), col("cid").as("vec_id"), col("sel_dist2"))
+  }
+
+  private def kcenterSql: String = {
+    def mic(e: String) =
+      s"CAST(floor(CAST($e AS DOUBLE) * 1000000) AS BIGINT)"
+    def d2(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
+         |    i -> (${mic(s"$a[i]")} - ${mic(s"$b[i]")})
+         |       * (${mic(s"$a[i]")} - ${mic(s"$b[i]")}))) AS BIGINT)""".stripMargin
+    val rounds = (2 to 5).map { k =>
+      s"""dm$k AS MATERIALIZED (
+         |  SELECT e.vec_id, MIN(${d2("e.embedding", "s.ce")}) AS dmin
+         |  FROM embeddings e, sel${k - 1} s GROUP BY 1),
+         |p$k AS (
+         |  SELECT d.vec_id AS cid, e.embedding AS ce,
+         |    $k AS sel_round, d.dmin AS sel_dist2
+         |  FROM dm$k d JOIN embeddings e ON d.vec_id = e.vec_id
+         |  ORDER BY d.dmin DESC, d.vec_id ASC LIMIT 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM p$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH sel1 AS (
+       |  SELECT vec_id AS cid, embedding AS ce, 1 AS sel_round,
+       |    CAST(NULL AS BIGINT) AS sel_dist2
+       |  FROM embeddings WHERE vec_id = 0),
+       |$rounds
+       |SELECT sel_round, cid AS vec_id, sel_dist2 FROM sel5""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_vec_sq8" -> Q(sq8Q, Some(sq8Sql),
+      "SQ8 int8 quantization recall eval: exact integer ADC dots, overlap@10"),
+    "q_sim_kcenter" -> Q(kcenterQ, Some(kcenterSql),
+      "greedy k-center (farthest-first) coreset selection, exact micro distances"),
     "q_sim_knn_graph" -> Q(knnGraphQ, Some(knnGraphSql),
       "top-3 cosine neighbor graph + edge reciprocity (the HNSW-construction primitive)"),
     "q_vec_standardize" -> Q(standardizeQ, Some(standardizeSql),
