@@ -1132,7 +1132,79 @@ object Audit extends QueryModule {
       |WINDOW w AS (ORDER BY decile
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** t-closeness audit — the release gate k-anonymity/l-diversity
+    * (q_priv_kanon) cannot express: a QI class can be large AND
+    * diverse yet still leak if its sensitive-value DISTRIBUTION
+    * differs from the table's. For the categorical sensitive
+    * attribute (market segment) the EMD is the variational distance
+    * t = ½·Σᵢ|pᵢ − qᵢ|, which is EXACTLY rational in counts:
+    * t_micro = (10⁶·Σᵢ|nᵢ·N − Nᵢ·n|) div (2·n·N). Zero cells are
+    * completed (a class MISSING a segment is exactly the leak this
+    * audit exists to find) via the contingency cross-completion.
+    *
+    * Magnitude bound: the summand |nᵢ·N| ≤ n·N needs 10⁶·n·N inside
+    * BIGINT ⇒ n·N < 9·10¹² (N = table rows, n = class size) — safe
+    * to ~3·10⁶ rows even with one giant class; switch to centi
+    * above. Fixture N ≤ 1.5·10⁴: safe by 10⁴×.
+    *
+    * 100 TB posture: one (QI, segment) partial-agg collapse; the
+    * cross-completion and scoring run on the category domain. */
+  private val tclosenessQ = (s: SparkSession, dir: String) => {
+    val base = Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 2000d).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+    val cells = base.groupBy(col("c_nationkey"), col("bal_band"),
+      col("c_mktsegment")).agg(count(lit(1)).as("ni"))
+    val classes = base.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    val global = base.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("gi"))
+    val total = base.agg(count(lit(1)).as("nn"))
+    classes.crossJoin(broadcast(global)).crossJoin(broadcast(total))
+      .join(cells, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .withColumn("ni0", coalesce(col("ni"), lit(0L)))
+      .groupBy(col("c_nationkey"), col("bal_band"), col("n"), col("nn"))
+      .agg(sum(abs(col("ni0") * col("nn") - col("gi") * col("n")))
+        .as("emd_num"))
+      .withColumn("t_micro",
+        expr("(1000000 * emd_num) div (2 * n * nn)"))
+      .withColumn("viol_t", col("t_micro") > 300000L)
+      .select(col("c_nationkey"), col("bal_band"), col("n"),
+        col("emd_num"), col("t_micro"), col("viol_t"))
+  }
+
+  private val tclosenessSql =
+    """WITH base AS (
+      |  SELECT c_nationkey,
+      |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+      |    c_mktsegment
+      |  FROM customer),
+      |cells AS (
+      |  SELECT c_nationkey, bal_band, c_mktsegment, COUNT(*) AS ni
+      |  FROM base GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT c_nationkey, bal_band, COUNT(*) AS n
+      |  FROM base GROUP BY 1, 2),
+      |gl AS (SELECT c_mktsegment, COUNT(*) AS gi FROM base GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS nn FROM base),
+      |sc AS (
+      |  SELECT cls.c_nationkey, cls.bal_band, cls.n, tot.nn,
+      |    CAST(SUM(abs(COALESCE(cells.ni, 0) * tot.nn
+      |      - gl.gi * cls.n)) AS BIGINT) AS emd_num
+      |  FROM cls CROSS JOIN gl CROSS JOIN tot
+      |  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+      |    AND cells.bal_band = cls.bal_band
+      |    AND cells.c_mktsegment = gl.c_mktsegment
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT c_nationkey, bal_band, n, emd_num,
+      |  (1000000 * emd_num) // (2 * n * nn) AS t_micro,
+      |  (1000000 * emd_num) // (2 * n * nn) > 300000 AS viol_t
+      |FROM sc""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_priv_tcloseness" -> Q(tclosenessQ, Some(tclosenessSql),
+      "t-closeness audit: exact rational EMD of class vs global segment shares"),
     "q_eval_ap" -> Q(apQ, Some(apSql),
       "average precision per source: total-order ranking, exact micro rank-sum"),
     "q_eval_kappa" -> Q(kappaQ, Some(kappaSql),

@@ -587,7 +587,69 @@ object Joins extends QueryModule {
       |    ORDER BY adt_us ASC, c_ts ASC, c_id ASC) AS rn
       |  FROM cand) WHERE rn = 1""".stripMargin
 
+  /** Edit-distance (fuzzy string) join — dirty probe names matched
+    * back to the customer roster at Levenshtein ≤ 1. Probes are every
+    * 50th customer's name with ONE digit deterministically corrupted
+    * (position 10 + key mod 8, digit+1 mod 10 — always a real edit).
+    * Blocking is the PIGEONHOLE half split: two equal-length strings
+    * within substitution distance 1 must agree on their first OR
+    * their second half, so candidates come from two equi-joins on the
+    * 9-char halves (the simhash band discipline — never all pairs);
+    * `levenshtein` verifies candidates exactly. Scope note: indel
+    * edits across different lengths need the length±1 gram blocks —
+    * the fixture roster is fixed-length so the half split is
+    * provably complete here (the spec re-verifies against the
+    * quadratic scan). The oracle IS the honest quadratic
+    * (the spatial-grid discipline).
+    *
+    * 100 TB posture: both block joins are hash equi-joins on
+    * half-prefix keys; candidate count ∝ block collisions, and the
+    * verify touches candidates only. */
+  private val editJoinQ = (s: SparkSession, dir: String) => {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"))
+    val probes = cust.filter(col("c_custkey") % 50L === 0L)
+      .withColumn("ppos", (lit(10L) + col("c_custkey") % 8L).cast("int"))
+      .select(col("c_custkey").as("probe_id"),
+        expr("concat(substr(c_name, 1, ppos - 1)," +
+          " CAST((CAST(substr(c_name, ppos, 1) AS INT) + 1) % 10" +
+          " AS STRING), substr(c_name, ppos + 1))").as("probe_name"))
+    val pb = probes
+      .withColumn("h1", expr("substr(probe_name, 1, 9)"))
+      .withColumn("h2", expr("substr(probe_name, 10, 9)"))
+    val cb = cust
+      .withColumn("g1", expr("substr(c_name, 1, 9)"))
+      .withColumn("g2", expr("substr(c_name, 10, 9)"))
+    val cand = pb.join(cb, col("h1") === col("g1"))
+      .select(col("probe_id"), col("probe_name"),
+        col("c_custkey"), col("c_name"))
+      .unionByName(pb.join(cb, col("h2") === col("g2"))
+        .select(col("probe_id"), col("probe_name"),
+          col("c_custkey"), col("c_name")))
+      .distinct()
+    cand.withColumn("dist",
+        levenshtein(col("probe_name"), col("c_name")).cast("long"))
+      .filter(col("dist") <= 1L)
+  }
+
+  private val editJoinSql =
+    """WITH probes AS (
+      |  SELECT c_custkey AS probe_id,
+      |    concat(substr(c_name, 1, CAST(10 + c_custkey % 8 AS INT) - 1),
+      |      CAST((CAST(substr(c_name,
+      |        CAST(10 + c_custkey % 8 AS INT), 1) AS INT) + 1) % 10
+      |        AS VARCHAR),
+      |      substr(c_name, CAST(10 + c_custkey % 8 AS INT) + 1))
+      |      AS probe_name
+      |  FROM customer WHERE c_custkey % 50 = 0)
+      |SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name,
+      |  CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS dist
+      |FROM probes p, customer c
+      |WHERE levenshtein(p.probe_name, c.c_name) <= 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_join_editdist" -> Q(editJoinQ, Some(editJoinSql),
+      "fuzzy string join: pigeonhole half-blocking + levenshtein<=1 verify"),
     "q_join_asof_nearest" -> Q(asofNearestQ, Some(asofNearestSql),
       "nearest-event join: hour-banded equi-join + rank-1 window, bidirectional as-of"),
     "q_join_interval_overlap" -> Q(intervalOverlapQ, Some(intervalOverlapSql),

@@ -1670,7 +1670,73 @@ object TimeSeries extends QueryModule {
       |  min(st) AS t_min, max(st) AS t_max
       |FROM rk GROUP BY 1, 2""".stripMargin
 
+  /** Holt double-exponential smoothing (level + trend) per event
+    * type on the daily-total series, α = β = ½ in exact integer
+    * cents: lₜ = (yₜ + lₜ₋₁ + bₜ₋₁)/2, bₜ = (bₜ₋₁ + lₜ − lₜ₋₁)/2,
+    * forecast = l + b. The recurrence is inherently sequential, so
+    * each type's series collapses to ONE ordered array and the state
+    * walk runs inside the `aggregate` higher-order function with a
+    * (level, trend) struct accumulator — still whole-stage codegen,
+    * no UDF, no driver loop. Both halvings use the SHIFT-floor form
+    * (x + 10¹²) div 2 − 5·10¹¹ because a falling level makes the
+    * trend numerator negative (Spark div truncates, DuckDB //
+    * floors; the shift makes them identical). The oracle walks the
+    * same recurrence through a WITH RECURSIVE step join.
+    *
+    * 100 TB posture: one (type, day) partial-agg collapse, one
+    * type-keyed sort-collect — per-series state is 2 integers; a
+    * series too long for one array is chunked by the same recurrence
+    * applied per segment with carried state (documented swap). */
+  private val holtQ = (s: SparkSession, dir: String) => {
+    val K = 1000000000000L
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(struct(col("day"), col("y")))).as("sd"))
+      .withColumn("ys", expr("transform(sd, p -> p.y)"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(ys, 2, size(ys) - 1),
+           |  named_struct('l', ys[0], 'b', 0L),
+           |  (acc, y) -> named_struct(
+           |    'l', (y + acc.l + acc.b + ${K}L) div 2 - ${K / 2}L,
+           |    'b', (acc.b + ((y + acc.l + acc.b + ${K}L) div 2 - ${K / 2}L)
+           |          - acc.l + ${K}L) div 2 - ${K / 2}L))""".stripMargin))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+        (col("st.l") + col("st.b")).as("forecast_cents"))
+  }
+
+  private val holtSql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT event_type, y, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY day) AS i
+      |  FROM daily),
+      |nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1),
+      |r(event_type, i, l, b) AS (
+      |  SELECT event_type, i, y, CAST(0 AS BIGINT) FROM series WHERE i = 1
+      |  UNION ALL
+      |  SELECT s.event_type, s.i,
+      |    (s.y + r.l + r.b + 1000000000000) // 2 - 500000000000,
+      |    (r.b + ((s.y + r.l + r.b + 1000000000000) // 2 - 500000000000)
+      |      - r.l + 1000000000000) // 2 - 500000000000
+      |  FROM r JOIN series s
+      |    ON s.event_type = r.event_type AND s.i = r.i + 1)
+      |SELECT r.event_type, nd.n_days, r.l AS level_cents,
+      |  r.b AS trend_cents, r.l + r.b AS forecast_cents
+      |FROM r JOIN nd ON r.event_type = nd.event_type
+      |WHERE r.i = nd.n_days""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_holt" -> Q(holtQ, Some(holtSql),
+      "Holt level+trend smoothing: HOF state walk, shift-floor halvings, exact cents"),
     "q_ts_m4" -> Q(m4Q, Some(m4Sql),
       "M4 downsampling: first/last/min/max per equal-width bucket, exact cents"),
     "q_ts_acf" -> Q(acfQ, Some(acfSql),
