@@ -1387,7 +1387,73 @@ object Aggregates extends QueryModule {
       |  END AS simpson_micro
       |FROM g""".stripMargin
 
+  /** Winsorized mean per event type — the robust-stats cleaning op:
+    * clip values at the type's own exact P5/P95 (value-domain
+    * percentile-disc: the smallest cent value whose cumulative count
+    * reaches ⌈q·n⌉ — no interpolation, no floats), then the clipped
+    * mean in exact cents. Reported beside the raw mean so the
+    * outlier pull is visible. The value-domain discipline keeps both
+    * the bounds and the clip deterministic: ties never split.
+    *
+    * 100 TB posture: one (type, cent-value) partial-agg collapse;
+    * the cumulative window runs over the distinct value domain; the
+    * bounds broadcast back onto the cells for the clipped rollup —
+    * the corpus is scanned once. */
+  private val winsorQ = (s: SparkSession, dir: String) => {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
+    val bounds = cum.groupBy(col("event_type").as("bt"), col("n"))
+      .agg(min(when(expr("cum * 20 >= n"), col("vc"))).as("p5"),
+        min(when(expr("cum * 20 >= 19 * n"), col("vc"))).as("p95"))
+    cells.join(broadcast(bounds), col("event_type") === col("bt"))
+      .withColumn("cv", greatest(least(col("vc"), col("p95")), col("p5")))
+      .groupBy(col("event_type"), col("n"), col("p5"), col("p95"))
+      .agg(sum(col("vc") * col("cnt")).as("raw_sum"),
+        sum(col("cv") * col("cnt")).as("wins_sum"))
+      .select(col("event_type"), col("n"),
+        col("p5").as("p5_cents"), col("p95").as("p95_cents"),
+        expr("raw_sum div n").as("raw_mean_cents"),
+        expr("wins_sum div n").as("wins_mean_cents"))
+  }
+
+  private val winsorSql =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, vc, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM cells),
+      |bounds AS (
+      |  SELECT event_type AS bt, n,
+      |    MIN(CASE WHEN cum * 20 >= n THEN vc END) AS p5,
+      |    MIN(CASE WHEN cum * 20 >= 19 * n THEN vc END) AS p95
+      |  FROM cum GROUP BY 1, 2),
+      |cl AS (
+      |  SELECT c.event_type, b.n, b.p5, b.p95,
+      |    greatest(least(c.vc, b.p95), b.p5) AS cv, c.vc, c.cnt
+      |  FROM cells c JOIN bounds b ON c.event_type = b.bt)
+      |SELECT event_type, n, p5 AS p5_cents, p95 AS p95_cents,
+      |  CAST(SUM(vc * cnt) AS BIGINT) // n AS raw_mean_cents,
+      |  CAST(SUM(cv * cnt) AS BIGINT) // n AS wins_mean_cents
+      |FROM cl GROUP BY 1, 2, 3, 4""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_winsorized" -> Q(winsorQ, Some(winsorSql),
+      "winsorized mean: exact value-domain P5/P95 clip, no interpolation"),
     "q_agg_simpson" -> Q(simpsonQ, Some(simpsonSql),
       "Simpson diversity per nation: exact rational pair-collision index"),
     "q_agg_cohort_ltv" -> Q(ltvQ, Some(ltvSql),

@@ -2276,7 +2276,109 @@ object Similarity extends QueryModule {
        |SELECT sel_round, cid AS vec_id, sel_dist2 FROM sel5""".stripMargin
   }
 
+  /** Binary quantization recall eval — the 1-bit-per-dimension
+    * compression (32× smaller than float32) behind binary-vector
+    * search: each embedding becomes its SIGN PATTERN, packed into two
+    * 32-bit words (bits 33..64 in a second word so bit 63 never
+    * touches BIGINT's sign), distance = popcount(xor) — exact integer
+    * hamming via codegen `^` and `bit_count`. Top-10 by (hamming asc,
+    * vec_id) is compared against the exact full-precision integer-dot
+    * top-10; overlap10 is the recall a binary-prefilter rollout
+    * reads. Completes the compression-eval family: truncation
+    * (matryoshka) / int8 (sq8) / 1-bit (this).
+    *
+    * 100 TB posture: packing is map-side (the stored-column candidate
+    * for the object layout); the only exchanges are the two top-10
+    * ranks. */
+  private val binaryQ = (s: SparkSession, dir: String) => {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("ev").cast("double") * 1000000L).cast("long").as("vm"))
+      .withColumn("bit", (col("vm") >= 0L).cast("long"))
+    val words = v.groupBy(col("vec_id"))
+      .agg(sum(expr("CASE WHEN pos < 32 THEN shiftleft(bit, pos)" +
+          " ELSE 0L END")).as("w1"),
+        sum(expr("CASE WHEN pos >= 32 THEN shiftleft(bit, pos - 32)" +
+          " ELSE 0L END")).as("w2"))
+    val full = v.filter(col("vec_id") === 0)
+      .select(col("pos").as("qpos"), col("vm").as("qm"))
+    val dots = v.filter(col("vec_id") =!= 0)
+      .join(broadcast(full), col("pos") === col("qpos"))
+      .groupBy(col("vec_id")).agg(sum(col("qm") * col("vm")).as("dot_full"))
+    val qw = words.filter(col("vec_id") === 0)
+      .select(col("w1").as("qw1"), col("w2").as("qw2"))
+    val ham = words.filter(col("vec_id") =!= 0).crossJoin(broadcast(qw))
+      .select(col("vec_id"),
+        (expr("bit_count(w1 ^ qw1)") + expr("bit_count(w2 ^ qw2)"))
+          .cast("long").as("hamming"))
+    def top10(df: DataFrame, c: String, asc: Boolean, alias: String)
+        : DataFrame = {
+      val key = if (asc) col(c).asc else col(c).desc
+      val t = df.select(col("vec_id"), col(c))
+        .orderBy(key, col("vec_id").asc).limit(10)
+      val w = Window.orderBy(key, col("vec_id").asc)
+      t.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("vec_id").as(s"${alias}_id"),
+          col(c).as(s"${alias}_$c"))
+    }
+    val f = top10(dots, "dot_full", asc = false, "full")
+    val h = top10(ham, "hamming", asc = true, "bin")
+    val ov = f.select(col("full_id").as("vec_id"))
+      .join(h.select(col("bin_id").as("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("overlap10"))
+    f.join(h, "rank").crossJoin(broadcast(ov))
+  }
+
+  private val binarySql =
+    """WITH v AS (
+      |  SELECT vec_id, i - 1 AS pos,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS vm
+      |  FROM embeddings CROSS JOIN
+      |    unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |b AS (
+      |  SELECT vec_id, pos, vm,
+      |    CASE WHEN vm >= 0 THEN CAST(1 AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM v),
+      |words AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN pos < 32 THEN bit * (CAST(1 AS BIGINT) << pos)
+      |      ELSE 0 END) AS BIGINT) AS w1,
+      |    CAST(SUM(CASE WHEN pos >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (pos - 32))
+      |      ELSE 0 END) AS BIGINT) AS w2
+      |  FROM b GROUP BY 1),
+      |qd AS (SELECT pos, vm AS qm FROM v WHERE vec_id = 0),
+      |d AS (
+      |  SELECT v.vec_id, CAST(SUM(qm * vm) AS BIGINT) AS dot_full
+      |  FROM v JOIN qd ON v.pos = qd.pos
+      |  WHERE v.vec_id <> 0 GROUP BY 1),
+      |qw AS (SELECT w1 AS qw1, w2 AS qw2 FROM words WHERE vec_id = 0),
+      |hm AS (
+      |  SELECT vec_id,
+      |    CAST(bit_count(xor(w1, qw1)) AS BIGINT)
+      |      + CAST(bit_count(xor(w2, qw2)) AS BIGINT) AS hamming
+      |  FROM words, qw WHERE vec_id <> 0),
+      |f AS (
+      |  SELECT vec_id AS full_id, dot_full, row_number() OVER (
+      |    ORDER BY dot_full DESC, vec_id ASC) AS rank
+      |  FROM d ORDER BY dot_full DESC, vec_id ASC LIMIT 10),
+      |h AS (
+      |  SELECT vec_id AS bin_id, hamming AS bin_hamming,
+      |    row_number() OVER (ORDER BY hamming ASC, vec_id ASC) AS rank
+      |  FROM hm ORDER BY hamming ASC, vec_id ASC LIMIT 10),
+      |ov AS (SELECT COUNT(*) AS overlap10
+      |       FROM f JOIN h ON f.full_id = h.bin_id)
+      |SELECT f.rank, f.full_id, f.dot_full AS full_dot_full,
+      |  h.bin_id, h.bin_hamming, ov.overlap10
+      |FROM f JOIN h ON f.rank = h.rank, ov""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_vec_binary" -> Q(binaryQ, Some(binarySql),
+      "1-bit binary quantization recall: packed sign words, popcount-xor hamming"),
     "q_vec_sq8" -> Q(sq8Q, Some(sq8Sql),
       "SQ8 int8 quantization recall eval: exact integer ADC dots, overlap@10"),
     "q_sim_kcenter" -> Q(kcenterQ, Some(kcenterSql),

@@ -921,7 +921,53 @@ object Windows extends QueryModule {
       |  MIN(t) AS first_peak_epoch
       |FROM pk WHERE open = peak GROUP BY 1""".stripMargin
 
+  /** Longest consecutive-day activity streak per user — the
+    * engagement kernel (login streaks / habit metrics): collapse to
+    * DISTINCT active days, then the day-minus-rank constant groups
+    * each run of consecutive days into one island (the gaps-and-
+    * islands trick lifted from id-space to the calendar), and the
+    * longest island is the streak. Reported with total active days
+    * and number of distinct streaks — n_days = Σ streak lengths is
+    * the built-in consistency check.
+    *
+    * 100 TB posture: corpus collapses to (user, day) first (one
+    * partial-distinct agg); the rank window and island rollup run on
+    * active-day rows only. */
+  private val streakQ = (s: SparkSession, dir: String) => {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+  }
+
+  private val streakSql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS grp
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS len
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  COUNT(*) AS n_streaks
+      |FROM runs GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_streak" -> Q(streakQ, Some(streakSql),
+      "longest consecutive-day streak per user: calendar gaps-and-islands"),
     "q_win_interval_merge" -> Q(intervalMergeQ, Some(intervalMergeSql),
       "interval union: running-max sweep merges overlaps, exact covered seconds"),
     "q_win_concurrency" -> Q(concurrencyQ, Some(concurrencySql),
