@@ -1202,7 +1202,83 @@ object Audit extends QueryModule {
       |  (1000000 * emd_num) // (2 * n * nn) > 300000 AS viol_t
       |FROM sc""".stripMargin
 
+  /** Cohen's d effect size for the A/B read-out — the companion to
+    * q_eval_ab_test's significance flag: HOW BIG is the difference,
+    * in pooled-standard-deviation units (the number a launch
+    * decision actually reads; significance alone saturates at scale).
+    * Arms are the same deterministic user-parity assignment. Moments
+    * are exact DECIMAL(38) power sums in cents; d is a STAGED double
+    * expression (per-arm sample variance, pooled variance, mean
+    * difference) mirrored token-for-token in the oracle — the
+    * skew/kurtosis discipline, so the result is bit-stable.
+    *
+    * 100 TB posture: ONE conditional-aggregate pass on the type key;
+    * everything after runs on the per-type moment row. */
+  private val cohensDQ = (s: SparkSession, dir: String) => {
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("user_id") % 2L === 0L).cast("long").as("ia"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val mo = ev.groupBy(col("event_type"))
+      .agg(sum(col("ia")).as("na"),
+        sum(lit(1L) - col("ia")).as("nb"),
+        m(col("ia") * col("vc")).as("sa"),
+        m((lit(1L) - col("ia")) * col("vc")).as("sb"),
+        m(col("ia") * col("vc") * col("vc")).as("qa"),
+        m((lit(1L) - col("ia")) * col("vc") * col("vc")).as("qb"))
+    mo.filter(col("na") >= 2L && col("nb") >= 2L)
+      .withColumn("va",
+        (col("na") * col("qa") - col("sa") * col("sa")).cast("double") /
+          (col("na") * (col("na") - 1L)).cast("double"))
+      .withColumn("vb",
+        (col("nb") * col("qb") - col("sb") * col("sb")).cast("double") /
+          (col("nb") * (col("nb") - 1L)).cast("double"))
+      .withColumn("pooled",
+        ((col("na") - 1L).cast("double") * col("va") +
+          (col("nb") - 1L).cast("double") * col("vb")) /
+          (col("na") + col("nb") - 2L).cast("double"))
+      .withColumn("cohens_d",
+        (col("sa").cast("double") / col("na").cast("double") -
+          col("sb").cast("double") / col("nb").cast("double")) /
+          sqrt(col("pooled")))
+      .select(col("event_type"), col("na"), col("nb"), col("cohens_d"))
+  }
+
+  private val cohensDSql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+      |    CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events),
+      |mo AS (
+      |  SELECT event_type,
+      |    CAST(SUM(ia) AS BIGINT) AS na,
+      |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+      |    SUM(CAST(ia * vc AS DECIMAL(38,0))) AS sa,
+      |    SUM(CAST((1 - ia) * vc AS DECIMAL(38,0))) AS sb,
+      |    SUM(CAST(ia * vc * vc AS DECIMAL(38,0))) AS qa,
+      |    SUM(CAST((1 - ia) * vc * vc AS DECIMAL(38,0))) AS qb
+      |  FROM ev GROUP BY 1),
+      |st AS (
+      |  SELECT event_type, na, nb,
+      |    CAST(na * qa - sa * sa AS DOUBLE)
+      |      / CAST(na * (na - 1) AS DOUBLE) AS va,
+      |    CAST(nb * qb - sb * sb AS DOUBLE)
+      |      / CAST(nb * (nb - 1) AS DOUBLE) AS vb,
+      |    sa, sb
+      |  FROM mo WHERE na >= 2 AND nb >= 2)
+      |SELECT event_type, na, nb,
+      |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+      |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |  / sqrt((CAST(na - 1 AS DOUBLE) * va
+      |      + CAST(nb - 1 AS DOUBLE) * vb)
+      |    / CAST(na + nb - 2 AS DOUBLE)) AS cohens_d
+      |FROM st""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_cohens_d" -> Q(cohensDQ, Some(cohensDSql),
+      "Cohen's d effect size: exact decimal moments, mirrored staged double"),
     "q_priv_tcloseness" -> Q(tclosenessQ, Some(tclosenessSql),
       "t-closeness audit: exact rational EMD of class vs global segment shares"),
     "q_eval_ap" -> Q(apQ, Some(apSql),

@@ -1046,7 +1046,9 @@ object Graph extends QueryModule {
     * corpus collapses to the edge list; at web scale the same code
     * runs on a sampled source set (harmonic centrality estimation),
     * the documented swap. */
-  private val closenessQ = (s: SparkSession, dir: String) => {
+  /** All-pairs hop distances (≤ 6) by layered all-sources BFS —
+    * shared by closeness and eccentricity. */
+  private def allPairsDist(s: SparkSession, dir: String): DataFrame = {
     val und = undirectedEdges(s, dir).select(col("a"), col("b"))
     val o = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
@@ -1064,6 +1066,10 @@ object Graph extends QueryModule {
         .localCheckpoint()
     }
     dist.filter(col("src") =!= col("dst"))
+  }
+
+  private val closenessQ = (s: SparkSession, dir: String) => {
+    allPairsDist(s, dir)
       .groupBy(col("src"))
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 div d")).as("harmonic_micro"))
@@ -1087,7 +1093,53 @@ object Graph extends QueryModule {
        |  CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_micro
        |FROM md GROUP BY 1""".stripMargin
 
+  /** Eccentricity / diameter / radius — the graph-shape summary on
+    * top of the same bounded all-pairs distances: ecc(u) = max hop
+    * distance from u (within the 6-hop horizon — documented bound,
+    * same contract as BFS/closeness), diameter = max ecc, radius =
+    * min ecc, with center/periphery membership flags. The trade
+    * graph is dense (diameter ~2), so the horizon is not binding —
+    * the spec asserts that no eccentricity touches the bound.
+    *
+    * 100 TB posture: identical to closeness — all-pairs state is
+    * |nations|²-bounded after the edge-list collapse; the summary
+    * windows run over the node domain. */
+  private val eccQ = (s: SparkSession, dir: String) => {
+    val ecc = allPairsDist(s, dir)
+      .groupBy(col("src")).agg(max(col("d")).as("ecc"))
+    val w = Window.partitionBy(lit(1))
+    ecc
+      .withColumn("diameter", max(col("ecc")).over(w))
+      .withColumn("radius", min(col("ecc")).over(w))
+      .withColumn("is_center", col("ecc") === col("radius"))
+      .withColumn("is_periphery", col("ecc") === col("diameter"))
+      .withColumnRenamed("src", "node")
+  }
+
+  private val eccSql =
+    s"""WITH RECURSIVE $edgesSqlCte,
+       |o AS (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b AS u, a AS v FROM und),
+       |r(src, dst, d) AS (
+       |  SELECT u, v, 1 FROM o
+       |  UNION
+       |  SELECT r.src, o.v, r.d + 1
+       |  FROM r JOIN o ON r.dst = o.u WHERE r.d < 6),
+       |md AS (
+       |  SELECT src, dst, MIN(d) AS d
+       |  FROM r WHERE src <> dst GROUP BY 1, 2),
+       |e AS (SELECT src AS node, MAX(d) AS ecc FROM md GROUP BY 1)
+       |SELECT node, ecc,
+       |  MAX(ecc) OVER () AS diameter,
+       |  MIN(ecc) OVER () AS radius,
+       |  ecc = MIN(ecc) OVER () AS is_center,
+       |  ecc = MAX(ecc) OVER () AS is_periphery
+       |FROM e""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_eccentricity" -> Q(eccQ, Some(eccSql),
+      "eccentricity/diameter/radius with center and periphery flags, 6-hop horizon"),
     "q_graph_closeness" -> Q(closenessQ, Some(closenessSql),
       "harmonic closeness: 6-hop layered all-sources BFS, exact integer reciprocals"),
     "q_graph_assortativity" -> Q(assortQ, Some(assortSql),

@@ -1734,7 +1734,71 @@ object TimeSeries extends QueryModule {
       |FROM r JOIN nd ON r.event_type = nd.event_type
       |WHERE r.i = nd.n_days""".stripMargin
 
+  /** Moving-average crossover detection (the golden/death-cross
+    * trading signal, and generally the trend-change alert): per
+    * event type, the 3-day and 10-day trailing means of daily totals
+    * cross. EXACT integer comparison — SMA3 > SMA10 ⟺ S3·10 > S10·3
+    * (cross-multiplied sums, no division at all); a cross fires on
+    * the first full-window day where today's relation differs from
+    * yesterday's. Output: every crossover with direction.
+    *
+    * 100 TB posture: corpus → (type, day) grid in one partial agg;
+    * the two trailing frames and the lag run on the grid. */
+  private val smaCrossQ = (s: SparkSession, dir: String) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    val ow = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    def trail(n: Int) = ow.rowsBetween(-(n - 1), 0)
+    val sig = daily
+      .withColumn("s3", sum(col("y")).over(trail(3)))
+      .withColumn("c3", count(lit(1)).over(trail(3)))
+      .withColumn("s10", sum(col("y")).over(trail(10)))
+      .withColumn("c10", count(lit(1)).over(trail(10)))
+      .filter(col("c10") === 10L)
+      .withColumn("above", (col("s3") * 10L > col("s10") * 3L).cast("long"))
+      .withColumn("prev_above", lag(col("above"), 1).over(ow))
+    sig.filter(col("prev_above").isNotNull &&
+        col("above") =!= col("prev_above"))
+      .select(col("event_type"), col("day"),
+        when(col("above") === 1L, lit("golden")).otherwise(lit("death"))
+          .as("cross"),
+        col("s3"), col("s10"))
+  }
+
+  private val smaCrossSql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT event_type, day,
+      |    CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3,
+      |    CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS s10,
+      |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS c10
+      |  FROM daily),
+      |g AS (
+      |  SELECT event_type, day, s3, s10,
+      |    CASE WHEN s3 * 10 > s10 * 3 THEN 1 ELSE 0 END AS above
+      |  FROM f WHERE c10 = 10),
+      |h AS (
+      |  SELECT *, lag(above) OVER (PARTITION BY event_type
+      |    ORDER BY day) AS prev_above
+      |  FROM g)
+      |SELECT event_type, day,
+      |  CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS cross,
+      |  s3, s10
+      |FROM h WHERE prev_above IS NOT NULL AND above <> prev_above"""
+      .stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_sma_cross" -> Q(smaCrossQ, Some(smaCrossSql),
+      "SMA3/SMA10 crossover signals: cross-multiplied exact integer compare"),
     "q_ts_holt" -> Q(holtQ, Some(holtSql),
       "Holt level+trend smoothing: HOF state walk, shift-floor halvings, exact cents"),
     "q_ts_m4" -> Q(m4Q, Some(m4Sql),
