@@ -1137,7 +1137,51 @@ object Graph extends QueryModule {
        |  ecc = MAX(ecc) OVER () AS is_periphery
        |FROM e""".stripMargin
 
+  /** Edge reciprocity of the DIRECTED trade graph (customer-nation →
+    * supplier-nation): the share of directed edges whose reverse edge
+    * also exists — the macro-level "is trade mutual?" indicator that
+    * complements assortativity (who trades with whom) and modularity
+    * (in what blocks). Exact rational in micro; the reverse test is
+    * one self-join on the collapsed edge list.
+    *
+    * 100 TB posture: corpus → directed |nations|²-bounded edge list
+    * in one collapse; the self-join and ratio are edge-domain. */
+  private val reciprocityQ = (s: SparkSession, dir: String) => {
+    val e = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("has_rev", lit(1L))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_directed"),
+        sum(coalesce(col("has_rev"), lit(0L))).as("n_reciprocal"))
+      .withColumn("reciprocity_micro",
+        expr("(1000000 * n_reciprocal) div n_directed"))
+  }
+
+  private val reciprocitySql =
+    """WITH e AS (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey)
+      |SELECT COUNT(*) AS n_directed,
+      |  CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_reciprocal,
+      |  (1000000 * CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0
+      |    END) AS BIGINT)) // COUNT(*) AS reciprocity_micro
+      |FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src"""
+      .stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_reciprocity" -> Q(reciprocityQ, Some(reciprocitySql),
+      "directed-edge reciprocity: one edge-domain self-join, exact micro ratio"),
     "q_graph_eccentricity" -> Q(eccQ, Some(eccSql),
       "eccentricity/diameter/radius with center and periphery flags, 6-hop horizon"),
     "q_graph_closeness" -> Q(closenessQ, Some(closenessSql),

@@ -1795,7 +1795,76 @@ object TextOps extends QueryModule {
       |    // greatest(CAST(SUM(len) AS BIGINT), 1) AS non_ascii_micro
       |FROM d GROUP BY 1""".stripMargin
 
+  /** Heaps'-law vocabulary-growth audit — how fast does the corpus
+    * stop teaching the tokenizer new words? At 8 corpus-order octile
+    * checkpoints (rank over doc_id — data-relative, never absolute
+    * ids), report cumulative tokens, cumulative DISTINCT vocabulary,
+    * and the cumulative TTR. Vocabulary at a checkpoint is counted
+    * WITHOUT re-scanning prefixes: each term collapses to its FIRST
+    * occurrence rank (the novelty-index discipline), so vocab(cut) is
+    * just count(first_rank ≤ cut) — one pass over the term domain per
+    * checkpoint, 8 checkpoints from one ×8 fan-out.
+    *
+    * 100 TB posture: one explode→(term) collapse (the inverted-index
+    * shuffle) + one doc-domain rollup; the ×8 fan-outs run on the
+    * collapsed term/doc domains. */
+  private val heapsQ = (s: SparkSession, dir: String) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("doc_id"))).cast("long"))
+    val perDoc = docs.select(col("rn"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val firsts = docs
+      .select(col("rn"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(min(col("rn")).as("first_rn"))
+    val nDocs = perDoc.agg(count(lit(1)).as("nd"))
+    val cuts = nDocs.withColumn("j",
+        explode(array((1 to 8).map(lit(_)): _*)))
+      .select(col("j"), expr("(nd * j) div 8").as("cut"))
+    val toks = perDoc.crossJoin(broadcast(cuts))
+      .filter(col("rn") <= col("cut"))
+      .groupBy(col("j"), col("cut"))
+      .agg(sum(col("n_tok")).as("tokens"))
+    val vocab = firsts.crossJoin(broadcast(cuts))
+      .filter(col("first_rn") <= col("cut"))
+      .groupBy(col("j")).agg(count(lit(1)).as("vocab"))
+    toks.join(vocab, "j")
+      .withColumn("ttr_micro", expr("(1000000 * vocab) div tokens"))
+      .select(col("j"), col("cut").as("n_docs"), col("tokens"),
+        col("vocab"), col("ttr_micro"))
+  }
+
+  private val heapsSql =
+    """WITH docs AS (
+      |  SELECT doc_id, text,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+      |  FROM documents),
+      |per_doc AS (
+      |  SELECT rn, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM docs),
+      |firsts AS (
+      |  SELECT term, MIN(rn) AS first_rn
+      |  FROM (SELECT rn, unnest(string_split(text, ' ')) AS term
+      |        FROM docs)
+      |  GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS nd FROM per_doc),
+      |cuts AS (
+      |  SELECT j, (nd * j) // 8 AS cut
+      |  FROM nd CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8]) AS j) js),
+      |toks AS (
+      |  SELECT j, cut, CAST(SUM(n_tok) AS BIGINT) AS tokens
+      |  FROM per_doc, cuts WHERE rn <= cut GROUP BY 1, 2),
+      |voc AS (
+      |  SELECT j, COUNT(*) AS vocab
+      |  FROM firsts, cuts WHERE first_rn <= cut GROUP BY 1)
+      |SELECT toks.j, cut AS n_docs, tokens, vocab,
+      |  (1000000 * vocab) // tokens AS ttr_micro
+      |FROM toks JOIN voc ON toks.j = voc.j""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_heaps" -> Q(heapsQ, Some(heapsSql),
+      "Heaps-law vocabulary growth at 8 corpus octiles via first-occurrence ranks"),
     "q_text_mojibake" -> Q(mojibakeQ, Some(mojibakeSql),
       "encoding-integrity audit: replacement/control-char flags, non-ASCII share"),
     "q_text_burstiness" -> Q(burstinessQ, Some(burstinessSql),

@@ -965,7 +965,82 @@ object Windows extends QueryModule {
       |  COUNT(*) AS n_streaks
       |FROM runs GROUP BY 1""".stripMargin
 
+  /** Inter-purchase interval distribution per market segment — the
+    * repeat-purchase cadence metric (the "when will they buy again"
+    * input to CLV models): per customer, gaps in days between
+    * consecutive orders (lag over the order timeline, orderkey
+    * tiebreak), rolled up per segment with the exact med2 integer
+    * median (the time-to-convert discipline: sum of the two middle
+    * ranks — interpolation-free, engine-stable) and the exact P90
+    * (value-domain disc).
+    *
+    * 100 TB posture: one customer-keyed sort window builds the gaps;
+    * the segment rollup windows run per segment over gap rows. */
+  private val interpurchaseQ = (s: SparkSession, dir: String) => {
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ in the fixture; the session is
+        // pinned UTC, so NTZ→TZ is wall-clock-preserving (= DuckDB's
+        // naive epoch)
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+          .as("day"),
+        col("o_orderkey"))
+    val wc = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = o
+      .withColumn("prev_day", lag(col("day"), 1).over(wc))
+      .filter(col("prev_day").isNotNull)
+      .select(col("c_mktsegment"),
+        (col("day") - col("prev_day")).as("gap_days"))
+    val wR = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("gap_days").asc)
+    val wS = Window.partitionBy(col("c_mktsegment"))
+    gaps
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(wS))
+      .withColumn("lo", expr("(n + 1) div 2"))
+      .withColumn("hi", expr("(n + 2) div 2"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(when(col("rn") === col("lo"), col("gap_days")).otherwise(0L))
+          + sum(when(col("rn") === col("hi"), col("gap_days"))
+            .otherwise(0L))).as("med2_days"),
+        min(when(expr("rn * 10 >= 9 * n"), col("gap_days")))
+          .as("p90_days"),
+        max(col("gap_days")).as("max_days"))
+  }
+
+  private val interpurchaseSql =
+    """WITH o AS (
+      |  SELECT c.c_mktsegment, o.o_custkey,
+      |    CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS day,
+      |    o.o_orderkey
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |g AS (
+      |  SELECT c_mktsegment,
+      |    day - lag(day) OVER (PARTITION BY o_custkey
+      |      ORDER BY day, o_orderkey) AS gap_days
+      |  FROM o),
+      |gg AS (SELECT c_mktsegment, gap_days FROM g
+      |       WHERE gap_days IS NOT NULL),
+      |rk AS (
+      |  SELECT c_mktsegment, gap_days,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY gap_days ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM gg)
+      |SELECT c_mktsegment, COUNT(*) AS n_gaps,
+      |  CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN gap_days ELSE 0 END)
+      |    + SUM(CASE WHEN rn = (n + 2) // 2 THEN gap_days ELSE 0 END)
+      |    AS BIGINT) AS med2_days,
+      |  MIN(CASE WHEN rn * 10 >= 9 * n THEN gap_days END) AS p90_days,
+      |  MAX(gap_days) AS max_days
+      |FROM rk GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_interpurchase" -> Q(interpurchaseQ, Some(interpurchaseSql),
+      "inter-purchase gap distribution per segment: exact med2 + P90 disc"),
     "q_win_streak" -> Q(streakQ, Some(streakSql),
       "longest consecutive-day streak per user: calendar gaps-and-islands"),
     "q_win_interval_merge" -> Q(intervalMergeQ, Some(intervalMergeSql),
