@@ -918,7 +918,131 @@ object Dedup extends QueryModule {
       |        AS BIGINT)) AS BIGINT) AS err_micro
       |FROM pairs""".stripMargin
 
+  /** LSH band-tuning audit — the S-curve, measured on the data
+    * instead of trusted from the formula: for three bandings of the
+    * same 16-component md5-seeded minhash signature — (4 bands × 4
+    * rows), (8 × 2), (2 × 8) — report candidate-pair count, true
+    * positives, recall and precision against the EXACT shingle-
+    * Jaccard ≥ 0.7 ground truth (integer rational 17·i ≥ 7·(na+nb) —
+    * no float threshold). This is the table a curator reads to pick
+    * b×r before a corpus-scale dedup run: more rows per band ⇒
+    * higher precision / lower recall, and the planted near-dups make
+    * the trade-off visible.
+    *
+    * 100 TB posture: candidates come from band equi-joins on the
+    * signature table (never all pairs); the exact-Jaccard truth side
+    * is fixture-scale verification, exactly like
+    * q_dedup_minhash_estimate. */
+  private val lshTuneQ = (s: SparkSession, dir: String) => {
+    val edges = shared(s, s"edges|$dir")(shingleEdges(Tables.documents(s, dir)))
+    // 16-component signature per doc (the mhEstimate construction)
+    val mins = (0 until MheK).map { k =>
+      min(conv(substring(md5(concat_ws("|", lit(k.toString), col("s"))),
+        1, 15), 16, 10).cast("long")).as(s"m$k")
+    }
+    val prof = edges.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), mins: _*)
+      .select(col("doc_id"), col("n"),
+        array((0 until MheK).map(k => col(s"m$k")): _*).as("ml"))
+    // ground truth: exact jaccard >= 0.7 as an integer rational
+    val counts = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = edges.select(col("doc_id").as("ida"), col("s"))
+      .join(edges.select(col("doc_id").as("idb"), col("s")), Seq("s"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(counts.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(counts.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+      .filter(expr("17 * i >= 7 * (na + nb)"))
+      .select(col("ida"), col("idb")).withColumn("is_true", lit(1L))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    // band fan-out for the three configs
+    val bands = prof
+      .withColumn("cfg", explode(array(
+        struct(lit(4).as("b"), lit(4).as("r")),
+        struct(lit(8).as("b"), lit(2).as("r")),
+        struct(lit(2).as("b"), lit(8).as("r")))))
+      .select(col("doc_id"), col("cfg.b").as("b"), col("cfg.r").as("r"),
+        col("ml"))
+      .withColumn("j", explode(expr("sequence(0, b - 1)")))
+      .select(col("doc_id"), col("b"), col("r"), col("j"),
+        expr("CAST(slice(ml, j * r + 1, r) AS STRING)").as("sig"))
+    val cand = bands.select(col("b"), col("r"), col("j"), col("sig"),
+        col("doc_id").as("ida"))
+      .join(bands.select(col("b"), col("r"), col("j"), col("sig"),
+        col("doc_id").as("idb")), Seq("b", "r", "j", "sig"))
+      .filter(col("ida") < col("idb"))
+      .select(col("b"), col("r"), col("ida"), col("idb"))
+      .distinct()
+    cand.join(truth, Seq("ida", "idb"), "left")
+      .groupBy(col("b"), col("r"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("is_true"), lit(0L))).as("tp"))
+      .crossJoin(broadcast(nTrue))
+      .withColumn("recall_micro",
+        when(col("n_true") > 0L, expr("(1000000 * tp) div n_true")))
+      .withColumn("precision_micro",
+        when(col("n_cand") > 0L, expr("(1000000 * tp) div n_cand")))
+      .select(col("b"), col("r"), col("n_true"), col("n_cand"),
+        col("tp"), col("recall_micro"), col("precision_micro"))
+  }
+
+  private val lshTuneSql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM toks),
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh0),
+      |mh AS (
+      |  SELECT doc_id, t.k,
+      |    MIN(CAST(concat('0x', substr(md5(CAST(t.k AS VARCHAR)
+      |      || '|' || s), 1, 15)) AS BIGINT)) AS m
+      |  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(k)
+      |  GROUP BY 1, 2),
+      |prof AS MATERIALIZED (
+      |  SELECT doc_id, list(m ORDER BY k) AS ml FROM mh GROUP BY 1),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS MATERIALIZED (
+      |  SELECT ida, idb
+      |  FROM inter
+      |  JOIN cnt na ON ida = na.doc_id
+      |  JOIN cnt nb ON idb = nb.doc_id
+      |  WHERE 17 * i >= 7 * (na.n + nb.n)),
+      |ntr AS (SELECT COUNT(*) AS n_true FROM truth),
+      |cfg(b, r) AS (VALUES (4, 4), (8, 2), (2, 8)),
+      |bands AS (
+      |  SELECT doc_id, b, r, t.j,
+      |    CAST(ml[t.j * r + 1 : t.j * r + r] AS VARCHAR) AS sig
+      |  FROM prof CROSS JOIN cfg,
+      |    LATERAL unnest(generate_series(0, b - 1)) AS t(j)),
+      |cand AS (
+      |  SELECT DISTINCT x.b, x.r, x.doc_id AS ida, y.doc_id AS idb
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.r = y.r AND x.j = y.j AND x.sig = y.sig
+      |    AND x.doc_id < y.doc_id),
+      |sc AS (
+      |  SELECT c.b, c.r, COUNT(*) AS n_cand,
+      |    CAST(SUM(CASE WHEN t.ida IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp
+      |  FROM cand c LEFT JOIN truth t
+      |    ON c.ida = t.ida AND c.idb = t.idb
+      |  GROUP BY 1, 2)
+      |SELECT b, r, ntr.n_true, sc.n_cand, sc.tp,
+      |  CASE WHEN ntr.n_true > 0 THEN (1000000 * sc.tp) // ntr.n_true
+      |    END AS recall_micro,
+      |  CASE WHEN sc.n_cand > 0 THEN (1000000 * sc.tp) // sc.n_cand
+      |    END AS precision_micro
+      |FROM sc CROSS JOIN ntr""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_dedup_lsh_tuning" -> Q(lshTuneQ, Some(lshTuneSql),
+      "LSH S-curve audit: recall/precision of three bandings vs exact jaccard truth"),
     "q_dedup_minhash_estimate" -> Q(mhEstimateQ, Some(mhEstimateSql),
       "16-component md5 minhash Jaccard estimator vs exact ground truth per source pair"),
     "q_dedup_jaccard_prefix" -> Q(jaccardPrefixQ, Some(jaccardSql),

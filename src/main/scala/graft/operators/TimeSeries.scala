@@ -1796,7 +1796,86 @@ object TimeSeries extends QueryModule {
       |FROM h WHERE prev_above IS NOT NULL AND above <> prev_above"""
       .stripMargin
 
+  /** STL-lite additive decomposition per event type on the hourly
+    * grid: trend = centered 25-hour moving mean (full windows only —
+    * edge rows are excluded rather than padded), detrended = y −
+    * trend, seasonal = per hour-of-day mean of the detrended series,
+    * residual = detrended − seasonal. Entirely integer: the grid is
+    * floor-mean cents, the trend mean is a nonneg floor-div, and the
+    * SEASONAL mean uses the SHIFT-floor form (Σd + K·n) div n − K
+    * because detrended values go negative (truncating div vs
+    * flooring // — the Holt discipline). Output: the 24-cell
+    * seasonal profile per type with residual mass, the table a
+    * forecaster reads to split signal from noise.
+    *
+    * 100 TB posture: corpus → (type, hour) grid in one partial agg;
+    * the trend window is one type-keyed sort; seasonal/residual
+    * rollups run on the grid and hod domains. */
+  private val stlQ = (s: SparkSession, dir: String) => {
+    val K = 1000000L
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) div 3600").as("h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("y", expr("hs div hc"))
+    val ow = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-12, 12)
+    val det = grid
+      .withColumn("tsum", sum(col("y")).over(ow))
+      .withColumn("tcnt", count(lit(1)).over(ow))
+      .filter(col("tcnt") === 25L)
+      .withColumn("trend", expr("tsum div 25"))
+      .withColumn("d", col("y") - col("trend"))
+      .withColumn("hod", col("h") % 24L)
+    val seasonal = det.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
+      .withColumn("seasonal_cents",
+        expr(s"(sd + ${K}L * n) div n - ${K}L"))
+    det.join(seasonal.select(col("event_type"), col("hod"),
+        col("seasonal_cents")), Seq("event_type", "hod"))
+      .withColumn("resid", col("d") - col("seasonal_cents"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        max(col("seasonal_cents")).as("seasonal_cents"),
+        sum(abs(col("resid"))).as("sum_abs_resid"),
+        sum(abs(col("d"))).as("sum_abs_detrended"))
+  }
+
+  private val stlSql =
+    """WITH grid AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT event_type, h, y,
+      |    CAST(SUM(y) OVER w AS BIGINT) AS tsum,
+      |    COUNT(*) OVER w AS tcnt
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |det AS (
+      |  SELECT event_type, h, y - tsum // 25 AS d, h % 24 AS hod
+      |  FROM tr WHERE tcnt = 25),
+      |seas AS (
+      |  SELECT event_type, hod, COUNT(*) AS n,
+      |    (CAST(SUM(d) AS BIGINT) + 1000000 * COUNT(*)) // COUNT(*)
+      |      - 1000000 AS seasonal_cents
+      |  FROM det GROUP BY 1, 2)
+      |SELECT det.event_type, det.hod, COUNT(*) AS n,
+      |  MAX(seas.seasonal_cents) AS seasonal_cents,
+      |  CAST(SUM(abs(det.d - seas.seasonal_cents)) AS BIGINT)
+      |    AS sum_abs_resid,
+      |  CAST(SUM(abs(det.d)) AS BIGINT) AS sum_abs_detrended
+      |FROM det JOIN seas
+      |  ON det.event_type = seas.event_type AND det.hod = seas.hod
+      |GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_stl" -> Q(stlQ, Some(stlSql),
+      "STL-lite decomposition: integer trend/seasonal/residual split per type"),
     "q_ts_sma_cross" -> Q(smaCrossQ, Some(smaCrossSql),
       "SMA3/SMA10 crossover signals: cross-multiplied exact integer compare"),
     "q_ts_holt" -> Q(holtQ, Some(holtSql),
