@@ -2186,6 +2186,12 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
     // MvRewrite optimizer rule, whose logical match needs the plain
     // Aggregate-over-scan shape) can hold storage aggregation off.
     if (!options.getBoolean("agg.pushdown", true)) return false
+    // Object sampling: the sampled ROW stream must be what Spark
+    // aggregates — a footer/reader-tier partial over all objects (or
+    // even over the sampled set's footers) would bypass the sample's
+    // row-level semantics for COUNT/SUM finals. Refuse; the ordinary
+    // sampled scan feeds the aggregate.
+    if (GraftScanBuilder.parseSample(options).isDefined) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -2348,7 +2354,41 @@ class GraftScanBuilder(fullSchema: StructType, path: String,
     case _ => new GraftObjectScan(fullSchema, required, accepted, path,
       maxObjectsPerTrigger, limit, topN,
       Option(options.get("clusteredBy")), maxBytesPerTrigger,
-      Option(options.get("clusterWidth")).map(_.toLong))
+      Option(options.get("clusterWidth")).map(_.toLong),
+      GraftScanBuilder.parseSample(options))
+  }
+}
+
+object GraftScanBuilder {
+  /** `option("sample.objects", "k/n")` — OBJECT-granular sampling,
+    * the approximate-scan mode the object layout makes natural: keep
+    * an object iff md5(object file name) mod n < k. The subset is a
+    * pure function of the layout (no rand()), so repeated reads, other
+    * queries, and other engines pointed at the same objects see the
+    * SAME sample — and the scan cost drops to k/n of the objects
+    * before a byte of any body is read (row-level TABLESAMPLE still
+    * decodes everything). Batch reads only; aggregate pushdown is
+    * held off under sampling so the sampled row stream is what Spark
+    * aggregates (a footer-tier answer would ignore the sample). */
+  def parseSample(options: CaseInsensitiveStringMap): Option[(Int, Int)] =
+    Option(options.get("sample.objects")).map { s =>
+      val parts = s.split("/")
+      require(parts.length == 2,
+        s"graft-objects: sample.objects must be 'k/n', got '$s'")
+      val (k, n) = (parts(0).trim.toInt, parts(1).trim.toInt)
+      require(n > 0 && k >= 0 && k <= n,
+        s"graft-objects: sample.objects needs 0 <= k <= n, got '$s'")
+      (k, n)
+    }
+
+  /** Deterministic object-name hash bucket in [0, n). */
+  def sampleBucket(objPath: String, n: Int): Int = {
+    val name = new File(objPath).getName
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+      ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+    (h % n).toInt
   }
 }
 
@@ -2586,7 +2626,8 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
     val limit: Option[Int] = None, val topN: Option[PushedTopN] = None,
     clusteredBy: Option[String] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    clusteredWidth: Option[Long] = None)
+    clusteredWidth: Option[Long] = None,
+    sampleObjects: Option[(Int, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -2601,16 +2642,24 @@ class GraftObjectScan(fullSchema: StructType, readSchema_ : StructType,
         s"${if (t.descending) "DESC" else "ASC"} " +
         s"${if (t.nullsFirst) "NULLS FIRST" else "NULLS LAST"} " +
         s"LIMIT ${t.k}, ").getOrElse("") +
+      sampleObjects.map { case (k, n) =>
+        s"SampledObjects: $k/$n, " }.getOrElse("") +
       s"ReadSchema: ${readSchema_.catalogString}"
 
-  /** Object pruning = the reference's object-local index: footers only. */
+  /** Object pruning = the reference's object-local index: footers only.
+    * The deterministic object sample (if any) applies FIRST — unkept
+    * objects never even have their footers consulted. */
   private lazy val selected: Seq[(String, ObjectFormat.Footer)] =
-    GraftObjectTable.listObjects(path).map { obj =>
-      obj -> ObjectFormat.readFooter(obj)
-    }.filter { case (_, footer) =>
-      footer.rowCount > 0 &&
-        pushed.forall(ObjectFormat.mightMatch(_, footer))
-    }
+    GraftObjectTable.listObjects(path)
+      .filter(obj => sampleObjects.forall { case (k, n) =>
+        GraftScanBuilder.sampleBucket(obj, n) < k
+      })
+      .map { obj =>
+        obj -> ObjectFormat.readFooter(obj)
+      }.filter { case (_, footer) =>
+        footer.rowCount > 0 &&
+          pushed.forall(ObjectFormat.mightMatch(_, footer))
+      }
 
   /** Runtime object pruning — Spark's dynamic-partition-pruning hook
     * for DSv2. At execution time the equi-join build side's distinct
