@@ -1451,7 +1451,72 @@ object Aggregates extends QueryModule {
       |  CAST(SUM(cv * cnt) AS BIGINT) // n AS wins_mean_cents
       |FROM cl GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** 10%-trimmed mean per event type — the winsorized mean's sibling
+    * that EXCLUDES the tails instead of clipping them (the robust
+    * location estimate olympic scoring uses). Same value-domain
+    * machinery: rank the distinct cent values cumulatively, keep the
+    * mass strictly inside (P10, P90] rank bounds, where a BOUNDARY
+    * value's kept multiplicity is computed exactly from the rank
+    * overlap (lo/hi cut INSIDE a tied value splits that value's
+    * copies — count arithmetic, no row sort).
+    *
+    * 100 TB posture: identical to winsorized — one (type, cent)
+    * collapse, value-domain windows, one broadcast-back rollup. */
+  private val trimmedQ = (s: SparkSession, dir: String) => {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
+      // trim bounds as ROW RANKS: drop ranks <= lo and > hi
+      .withColumn("lo", expr("n div 10"))
+      .withColumn("hi", expr("n - n div 10"))
+      // kept copies of this value = overlap of (cum-cnt, cum] with (lo, hi]
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum"), col("hi")) -
+          greatest(col("cum") - col("cnt"), col("lo"))))
+    cum.groupBy(col("event_type"), col("n"))
+      .agg(sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col("vc")).as("kept_sum"),
+        sum(col("cnt") * col("vc")).as("raw_sum"))
+      .select(col("event_type"), col("n"), col("n_kept"),
+        expr("raw_sum div n").as("raw_mean_cents"),
+        expr("kept_sum div n_kept").as("trimmed_mean_cents"))
+  }
+
+  private val trimmedSql =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, vc, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM cells),
+      |k AS (
+      |  SELECT event_type, vc, cnt, cum, n,
+      |    greatest(0, least(cum, n - n // 10)
+      |      - greatest(cum - cnt, n // 10)) AS kept
+      |  FROM cum)
+      |SELECT event_type, n,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(cnt * vc) AS BIGINT) // n AS raw_mean_cents,
+      |  CAST(SUM(kept * vc) AS BIGINT)
+      |    // CAST(SUM(kept) AS BIGINT) AS trimmed_mean_cents
+      |FROM k GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_trimmed_mean" -> Q(trimmedQ, Some(trimmedSql),
+      "10%-trimmed mean: value-domain rank-overlap trim, exact tie splitting"),
     "q_agg_winsorized" -> Q(winsorQ, Some(winsorSql),
       "winsorized mean: exact value-domain P5/P95 clip, no interpolation"),
     "q_agg_simpson" -> Q(simpsonQ, Some(simpsonSql),

@@ -1276,7 +1276,91 @@ object Audit extends QueryModule {
       |    / CAST(na + nb - 2 AS DOUBLE)) AS cohens_d
       |FROM st""".stripMargin
 
+  /** Precision/recall curve table — the operating points between
+    * AUC's single number and a deployed threshold: at the score's own
+    * QUINTILE cuts (value-domain disc — data-relative thresholds, the
+    * same discipline as the lift deciles), classify score ≥ cut as
+    * positive and report the exact confusion counts with micro
+    * precision / recall / F1 (2tp/(2tp+fp+fn) — one floor, the
+    * q_eval_f1 form). Score = n_chars, truth = lang 'en'.
+    *
+    * 100 TB posture: one (score) collapse; cuts come from the
+    * cumulative window over the value domain; the 5 thresholds
+    * broadcast back onto the CELLS (not the corpus) for counting. */
+  private val prCurveQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("g"), sum(col("pos")).as("p"))
+    val wv = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("g")).as("n"), sum(col("p")).as("np"))
+    val cum = cells.withColumn("cum", sum(col("g")).over(wv))
+      .crossJoin(broadcast(tot))
+    val cuts = cum
+      .withColumn("j", explode(array((1 to 5).map(lit(_)): _*)))
+      .filter(expr("cum * 5 >= (5 - j) * n"))
+      .groupBy(col("j")).agg(min(col("score")).as("cut"))
+    cells.crossJoin(broadcast(cuts)).crossJoin(broadcast(tot))
+      .groupBy(col("j"), col("cut"), col("np"))
+      .agg(sum(when(col("score") >= col("cut"), col("p"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("cut"), col("g") - col("p"))
+          .otherwise(0L)).as("fp"))
+      .withColumn("fn", col("np") - col("tp"))
+      .withColumn("precision_micro",
+        when(col("tp") + col("fp") > 0L,
+          expr("(1000000 * tp) div (tp + fp)")))
+      .withColumn("recall_micro",
+        when(col("np") > 0L, expr("(1000000 * tp) div np")))
+      .withColumn("f1_micro",
+        when(expr("2 * tp + fp + fn") > 0L,
+          expr("(1000000 * 2 * tp) div (2 * tp + fp + fn)")))
+      .select(col("j"), col("cut"), col("tp"), col("fp"), col("fn"),
+        col("precision_micro"), col("recall_micro"), col("f1_micro"))
+  }
+
+  private val prCurveSql =
+    """WITH cells AS (
+      |  SELECT n_chars AS score, COUNT(*) AS g,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS p
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(g) AS BIGINT) AS n,
+      |    CAST(SUM(p) AS BIGINT) AS np FROM cells),
+      |cum AS (
+      |  SELECT score, CAST(SUM(g) OVER (ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum
+      |  FROM cells),
+      |cuts AS (
+      |  SELECT j, MIN(score) AS cut
+      |  FROM cum, tot,
+      |    (SELECT unnest([1,2,3,4,5]) AS j) js
+      |  WHERE cum * 5 >= (5 - j) * n
+      |  GROUP BY 1),
+      |sc AS (
+      |  SELECT j, cut, np,
+      |    CAST(SUM(CASE WHEN score >= cut THEN p ELSE 0 END)
+      |      AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN score >= cut THEN g - p ELSE 0 END)
+      |      AS BIGINT) AS fp
+      |  FROM cells, cuts, tot GROUP BY 1, 2, 3)
+      |SELECT j, cut, tp, fp, np - tp AS fn,
+      |  CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp)
+      |    END AS precision_micro,
+      |  CASE WHEN np > 0 THEN (1000000 * tp) // np END AS recall_micro,
+      |  CASE WHEN 2 * tp + fp + (np - tp) > 0 THEN
+      |    (1000000 * 2 * tp) // (2 * tp + fp + (np - tp))
+      |  END AS f1_micro
+      |FROM sc""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_pr_curve" -> Q(prCurveQ, Some(prCurveSql),
+      "PR curve at score-quintile thresholds: exact confusion counts per cut"),
     "q_eval_cohens_d" -> Q(cohensDQ, Some(cohensDSql),
       "Cohen's d effect size: exact decimal moments, mirrored staged double"),
     "q_priv_tcloseness" -> Q(tclosenessQ, Some(tclosenessSql),

@@ -576,7 +576,91 @@ object Sampling extends QueryModule {
       |      - 10000000) AS synth
       |FROM nn WHERE rnk = 1""".stripMargin
 
+  /** Temporal train/test split — the anti-leakage split for anything
+    * that forecasts: the cutoff is the exact P80 of event time
+    * (value-domain disc on the second domain — data-relative, never a
+    * wall-clock constant), train = strictly before, test = at/after.
+    * Reported per event type with the USER-overlap count across the
+    * boundary — the quantity a leakage review reads (user overlap is
+    * EXPECTED in a temporal split, unlike in the group-kfold split
+    * two queries over; the point is to measure it, not hide it).
+    *
+    * 100 TB posture: the cutoff comes from a value-domain cumulative
+    * (distinct seconds), the split flags are map-side, and the
+    * overlap is a two-grain distinct rollup (the DAU/MAU shape). */
+  private val timeSplitQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        col("ts").cast("long").as("sec"))
+    val cells = ev.groupBy(col("sec")).agg(count(lit(1)).as("cnt"))
+    val wv = Window.orderBy(col("sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("cnt")).as("n")).select(col("n"))
+    val cutoff = cells.withColumn("cum", sum(col("cnt")).over(wv))
+      .crossJoin(broadcast(tot))
+      .filter(expr("cum * 5 >= 4 * n"))
+      .agg(min(col("sec")).as("cutoff"))
+    val flagged = ev.crossJoin(broadcast(cutoff))
+      .withColumn("split",
+        when(col("sec") < col("cutoff"), lit("train")).otherwise(lit("test")))
+    val counts = flagged.groupBy(col("event_type"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val users = flagged.select(col("event_type"), col("user_id"), col("split"))
+      .distinct()
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_sides"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_sides") === 2L, 1L).otherwise(0L))
+          .as("n_overlap_users"))
+    counts.join(users, "event_type")
+      .withColumn("overlap_micro",
+        expr("(1000000 * n_overlap_users) div n_users"))
+  }
+
+  private val timeSplitSql =
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |cells AS (SELECT sec, COUNT(*) AS cnt FROM ev GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+      |cum AS (
+      |  SELECT sec, CAST(SUM(cnt) OVER (ORDER BY sec
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum
+      |  FROM cells),
+      |cutoff AS (
+      |  SELECT MIN(sec) AS cutoff FROM cum, tot WHERE cum * 5 >= 4 * n),
+      |fl AS (
+      |  SELECT event_type, user_id,
+      |    CASE WHEN sec < cutoff THEN 'train' ELSE 'test' END AS split
+      |  FROM ev, cutoff),
+      |cnts AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_train,
+      |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_test
+      |  FROM fl GROUP BY 1),
+      |du AS (SELECT DISTINCT event_type, user_id, split FROM fl),
+      |us AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n_sides
+      |  FROM du GROUP BY 1, 2),
+      |uo AS (
+      |  SELECT event_type, COUNT(*) AS n_users,
+      |    CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_overlap_users
+      |  FROM us GROUP BY 1)
+      |SELECT c.event_type, c.n_train, c.n_test, u.n_users,
+      |  u.n_overlap_users,
+      |  (1000000 * u.n_overlap_users) // u.n_users AS overlap_micro
+      |FROM cnts c JOIN uo u ON c.event_type = u.event_type""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_time_split" -> Q(timeSplitQ, Some(timeSplitSql),
+      "temporal P80 train/test split with measured user overlap, value-domain cutoff"),
     "q_sample_smote" -> Q(smoteQ, Some(smoteSql),
       "deterministic SMOTE: exact-NN interpolation toward the minority class"),
     "q_sample_dedup_aware_split" -> Q(dedupSplitQ, Some(dedupSplitSql),
