@@ -117,7 +117,15 @@ object Bench {
     "q_dedup_er_entities", "q_graph_hits",
     "q_join_spatial_grid", "q_ts_theilsen",
     "q_sample_dedup_aware_split", "q_ts_hazard",
-    "q_agg_dau_mau", "q_win_interval_merge")
+    "q_agg_dau_mau", "q_win_interval_merge",
+    // round-5 waves 43-53 (this session): the LSH S-curve audit
+    // (signatures + exact-truth verification — the heaviest new
+    // shape), pigeonhole edit-distance join vs DuckDB's honest
+    // quadratic, Heaps vocabulary growth (inverted-gram + ×8
+    // checkpoint fan-out), harmonic closeness (iterative all-sources
+    // BFS), SQ8 quantization eval, STL-lite decomposition
+    "q_dedup_lsh_tuning", "q_join_editdist", "q_text_heaps",
+    "q_graph_closeness", "q_vec_sq8", "q_ts_stl")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

@@ -591,20 +591,24 @@ object Joins extends QueryModule {
     * back to the customer roster at Levenshtein ≤ 1. Probes are every
     * 50th customer's name with ONE digit deterministically corrupted
     * (position 10 + key mod 8, digit+1 mod 10 — always a real edit).
-    * Blocking is the PIGEONHOLE half split: two equal-length strings
-    * within substitution distance 1 must agree on their first OR
-    * their second half, so candidates come from two equi-joins on the
-    * 9-char halves (the simhash band discipline — never all pairs);
-    * `levenshtein` verifies candidates exactly. Scope note: indel
-    * edits across different lengths need the length±1 gram blocks —
-    * the fixture roster is fixed-length so the half split is
-    * provably complete here (the spec re-verifies against the
-    * quadratic scan). The oracle IS the honest quadratic
-    * (the spatial-grid discipline).
+    * Blocking is the PIGEONHOLE 2-of-3 segment scheme: split each
+    * name into three 6-char segments — one substitution leaves AT
+    * LEAST TWO segments intact, so candidates come from three
+    * equi-joins on segment PAIRS (the simhash band discipline —
+    * never all pairs). The pair keys matter: a naive half split puts
+    * the constant "Customer#" prefix alone in one key and the block
+    * DEGENERATES to the cross product (measured 3.4 s at sf0.1);
+    * every 2-of-3 pair key here contains digit positions, so each
+    * block is selective. `levenshtein` verifies candidates exactly.
+    * Scope note: indel edits across different lengths need the
+    * length±1 gram blocks — the fixture roster is fixed-length so
+    * the segment split is provably complete here (the spec
+    * re-verifies against the quadratic scan). The oracle IS the
+    * honest quadratic (the spatial-grid discipline).
     *
-    * 100 TB posture: both block joins are hash equi-joins on
-    * half-prefix keys; candidate count ∝ block collisions, and the
-    * verify touches candidates only. */
+    * 100 TB posture: three hash equi-joins on composite segment
+    * keys; candidate count ∝ block collisions, and the verify
+    * touches candidates only. */
   private val editJoinQ = (s: SparkSession, dir: String) => {
     val cust = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"))
@@ -615,17 +619,20 @@ object Joins extends QueryModule {
           " CAST((CAST(substr(c_name, ppos, 1) AS INT) + 1) % 10" +
           " AS STRING), substr(c_name, ppos + 1))").as("probe_name"))
     val pb = probes
-      .withColumn("h1", expr("substr(probe_name, 1, 9)"))
-      .withColumn("h2", expr("substr(probe_name, 10, 9)"))
+      .withColumn("h1", expr("substr(probe_name, 1, 6)"))
+      .withColumn("h2", expr("substr(probe_name, 7, 6)"))
+      .withColumn("h3", expr("substr(probe_name, 13, 6)"))
     val cb = cust
-      .withColumn("g1", expr("substr(c_name, 1, 9)"))
-      .withColumn("g2", expr("substr(c_name, 10, 9)"))
-    val cand = pb.join(cb, col("h1") === col("g1"))
-      .select(col("probe_id"), col("probe_name"),
-        col("c_custkey"), col("c_name"))
-      .unionByName(pb.join(cb, col("h2") === col("g2"))
+      .withColumn("g1", expr("substr(c_name, 1, 6)"))
+      .withColumn("g2", expr("substr(c_name, 7, 6)"))
+      .withColumn("g3", expr("substr(c_name, 13, 6)"))
+    def block(pa: String, pc: String, qa: String, qc: String) =
+      pb.join(cb, col(pa) === col(qa) && col(pc) === col(qc))
         .select(col("probe_id"), col("probe_name"),
-          col("c_custkey"), col("c_name")))
+          col("c_custkey"), col("c_name"))
+    val cand = block("h1", "h2", "g1", "g2")
+      .unionByName(block("h1", "h3", "g1", "g3"))
+      .unionByName(block("h2", "h3", "g2", "g3"))
       .distinct()
     cand.withColumn("dist",
         levenshtein(col("probe_name"), col("c_name")).cast("long"))

@@ -446,7 +446,7 @@ object Sampling extends QueryModule {
   private val dedupSplitQ = (s: SparkSession, dir: String) => {
     val pairs = Dedup.jaccardPairs(s, dir, 0.7)
       .select(col("ida"), col("idb"))
-    val cc = Dedup.connectedComponents(pairs)
+    val cc = Dedup.connectedComponentsStars(pairs)
     val labeled = Tables.documents(s, dir).select(col("doc_id"))
       .join(cc, col("doc_id") === cc("id"), "left")
       .select(col("doc_id"),

@@ -52,6 +52,9 @@ HEADLINE = [
     "q_join_spatial_grid", "q_ts_theilsen",
     "q_sample_dedup_aware_split", "q_ts_hazard",
     "q_agg_dau_mau", "q_win_interval_merge",
+    # round-5 waves 43-53 (mirror graft.Bench.headline)
+    "q_dedup_lsh_tuning", "q_join_editdist", "q_text_heaps",
+    "q_graph_closeness", "q_vec_sq8", "q_ts_stl",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
