@@ -445,43 +445,48 @@ object Dedup extends QueryModule {
     * all-pairs); CC runs over match EDGES only; the final rollup is
     * entity-keyed. */
   private val erQ = (s: SparkSession, dir: String) => {
+    // 7-digit codespace (k·7919 mod 10⁷): sparsity is the POINT — at
+    // sf0.1's 15 750 records a 5-digit space (15% occupied) PERCOLATES
+    // under hamming-1 adjacency and the whole roster over-merges into
+    // one 15 750-record entity of diameter 26 (measured) — the classic
+    // ER failure this query exists to document, but as the OUTPUT, not
+    // a demonstration. 10⁷ codes keep occupancy < 0.2% at any fixture
+    // SF, so entities are the planted typo pairs plus rare genuine
+    // collisions.
     val base = Tables.customer(s, dir)
       .select(col("c_custkey").as("k"),
-        lpad((col("c_custkey") * 7919L % 100000L).cast("string"),
-          5, "0").as("code"))
+        lpad((col("c_custkey") * 7919L % 10000000L).cast("string"),
+          7, "0").as("code"))
     val roster = base
       .select(col("k").as("rid"), col("code"),
         concat(lit("C-"), col("code")).as("name"))
       .unionByName(base.filter(col("k") % 20L === 0L)
-        .select((col("k") + 1000000L).as("rid"),
+        .select((col("k") + 10000000L).as("rid"),
           concat(substring(col("code"), 1, 2),
             ((substring(col("code"), 3, 1).cast("long") + 1L) % 10L)
               .cast("string"),
-            substring(col("code"), 4, 2)).as("code"),
+            substring(col("code"), 4, 4)).as("code"),
           concat(lit("C-typo-"), col("code")).as("name")))
-    // 2-of-3 segment blocking (segments 2+2+1 digits): hamming ≤ 1
+    // 2-of-3 segment blocking (segments 3+2+2 digits): hamming ≤ 1
     // leaves at least two segments intact, so every true pair shares
-    // one of the three COMPOSITE keys — each of which carries ≥ 3
-    // digits. The original half split keyed one band on just the
-    // first 2 digits (100 buckets): bucket size grows linearly with
-    // the roster and the band join quadratically (measured 1.3M
-    // candidate pairs at sf0.1); the composite keys cut that ~5×
-    // with the same exact-verify completeness.
+    // one of the three COMPOSITE keys — each carrying ≥ 4 digits
+    // (a half split keyed on 2 digits alone makes bucket size grow
+    // linearly with the roster and the band join quadratically).
     val banded = roster.select(col("rid"), col("code"),
       explode(array(
-        struct(lit(0).as("bi"), substring(col("code"), 1, 4).as("bv")),
-        struct(lit(1).as("bi"), concat(substring(col("code"), 1, 2),
-          substring(col("code"), 5, 1)).as("bv")),
-        struct(lit(2).as("bi"), substring(col("code"), 3, 3).as("bv"))))
+        struct(lit(0).as("bi"), substring(col("code"), 1, 5).as("bv")),
+        struct(lit(1).as("bi"), concat(substring(col("code"), 1, 3),
+          substring(col("code"), 6, 2)).as("bv")),
+        struct(lit(2).as("bi"), substring(col("code"), 4, 4).as("bv"))))
         .as("b"))
       .select(col("rid"), col("code"), col("b.bi").as("bi"),
         col("b.bv").as("bv"))
-    // hamming as 5 unrolled codegen comparisons (an `aggregate` HOF
+    // hamming as 7 unrolled codegen comparisons (an `aggregate` HOF
     // here is interpreted per candidate pair — measured as the hot
     // spot of the whole query), and the verified pair set
     // `localCheckpoint`ed so the CC loop's edge union doesn't
     // re-execute the band join per branch
-    val hamExpr = (1 to 5).map(p =>
+    val hamExpr = (1 to 7).map(p =>
       s"(CASE WHEN substring(d1, $p, 1) = substring(d2, $p, 1)" +
         " THEN 0 ELSE 1 END)").mkString(" + ")
     val pairs = banded.select(col("rid").as("ida"),
@@ -509,29 +514,30 @@ object Dedup extends QueryModule {
   private val erSql =
     """WITH RECURSIVE
       |base AS (SELECT c_custkey AS k,
-      |          lpad(CAST(c_custkey * 7919 % 100000 AS VARCHAR),
-      |            5, '0') AS code
+      |          lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR),
+      |            7, '0') AS code
       |         FROM customer),
       |roster AS (
       |  SELECT k AS rid, code, 'C-' || code AS name FROM base
       |  UNION ALL
-  SELECT k + 1000000 AS rid,
+  SELECT k + 10000000 AS rid,
       |    substr(code, 1, 2)
       |      || CAST((CAST(substr(code, 3, 1) AS BIGINT) + 1) % 10
       |        AS VARCHAR)
-      |      || substr(code, 4, 2) AS code,
+      |      || substr(code, 4, 4) AS code,
       |    'C-typo-' || code AS name
       |  FROM base WHERE k % 20 = 0),
       |banded AS (
       |  SELECT rid, code, t.bi,
-      |    CASE WHEN t.bi = 0 THEN substr(code, 1, 2)
-      |         ELSE substr(code, 3, 3) END AS bv
-      |  FROM roster CROSS JOIN (VALUES (0), (1)) AS t(bi)),
+      |    CASE WHEN t.bi = 0 THEN substr(code, 1, 5)
+      |         WHEN t.bi = 1 THEN substr(code, 1, 3) || substr(code, 6, 2)
+      |         ELSE substr(code, 4, 4) END AS bv
+      |  FROM roster CROSS JOIN (VALUES (0), (1), (2)) AS t(bi)),
       |pairs AS (
       |  SELECT DISTINCT a.rid AS ida, b.rid AS idb
       |  FROM banded a JOIN banded b ON a.bi = b.bi AND a.bv = b.bv
       |    AND a.rid < b.rid
-      |  WHERE CAST(list_sum(list_transform(range(1, 6), p ->
+      |  WHERE CAST(list_sum(list_transform(range(1, 8), p ->
       |      CASE WHEN substr(a.code, p, 1) = substr(b.code, p, 1)
       |           THEN 0 ELSE 1 END)) AS INT) <= 1),
       |edges AS (SELECT ida AS a, idb AS b FROM pairs

@@ -9,16 +9,16 @@ class Round5WaveThirtyThreeSpec extends SparkSpec {
   test("er: every planted typo lands in its source's entity") {
     val rows = run("q_dedup_er_entities").collect()
     assert(rows.nonEmpty)
-    // brute recount: roster, pairwise ham<=1 (codes are only 5 chars,
+    // brute recount: roster, pairwise ham<=1 (codes are 7 chars,
     // sf0.001 roster ~158 rows -> full pairwise is fine here)
     val ks = Tables.customer(spark, sf).select("c_custkey").collect()
       .map(_.getLong(0))
-    def codeOf(k: Long): String = f"${k * 7919L % 100000L}%05d"
+    def codeOf(k: Long): String = f"${k * 7919L % 10000000L}%07d"
     def typo(c: String): String =
       c.substring(0, 2) + ((c.charAt(2) - '0' + 1) % 10).toString +
         c.substring(3)
     val roster = ks.map(k => k -> codeOf(k)) ++
-      ks.filter(_ % 20 == 0).map(k => (k + 1000000L) -> typo(codeOf(k)))
+      ks.filter(_ % 20 == 0).map(k => (k + 10000000L) -> typo(codeOf(k)))
     def ham(a: String, b: String): Int =
       a.zip(b).count(p => p._1 != p._2)
     val ids = roster.map(_._1)
@@ -52,7 +52,7 @@ class Round5WaveThirtyThreeSpec extends SparkSpec {
     }
     // every planted typo shares an entity with its source record
     ks.filter(_ % 20 == 0).foreach { k =>
-      assert(label(k) == label(k + 1000000L), s"typo of $k split off")
+      assert(label(k) == label(k + 10000000L), s"typo of $k split off")
     }
   }
 
