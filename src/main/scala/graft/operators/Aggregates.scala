@@ -1514,7 +1514,59 @@ object Aggregates extends QueryModule {
       |    // CAST(SUM(kept) AS BIGINT) AS trimmed_mean_cents
       |FROM k GROUP BY 1, 2""".stripMargin
 
+  /** Revenue-concentration Gini per market segment — the inequality
+    * measure over CUSTOMER revenue (is the segment carried by a few
+    * whales?), complementing HHI (share-of-squares) and the per-user
+    * event Gini. Exact rank form: with per-customer revenues x₍ᵢ₎
+    * sorted ascending (custkey tiebreak — deterministic under ties,
+    * documented), G = Σ(2i−n−1)x₍ᵢ₎ / (n·Σx). Reported in BASIS
+    * POINTS: 10⁴·num stays inside BIGINT to n·Σx < 9·10¹⁴ (about
+    * 10⁶ customers × 10⁹ cents each per segment — the HHI magnitude
+    * discipline; switch to per-mille beyond).
+    *
+    * 100 TB posture: fact collapses to one row per customer first;
+    * the rank window and rollup run on the customer domain. */
+  private val revenueGiniQ = (s: SparkSession, dir: String) => {
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("x").asc, col("c_custkey").asc)
+    rev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("c_mktsegment"))))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).as("n"), sum(col("x")).as("sx"),
+        sum((lit(2L) * col("rn") - col("n") - 1L) * col("x")).as("num"))
+      .withColumn("gini_bp", expr("(10000 * num) div (n * sx)"))
+  }
+
+  private val revenueGiniSql =
+    """WITH rev AS (
+      |  SELECT c.c_mktsegment, c.c_custkey,
+      |    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT c_mktsegment, x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY x ASC, c_custkey ASC) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+      |      AS n
+      |  FROM rev)
+      |SELECT c_mktsegment, MAX(n) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sx,
+      |  CAST(SUM((2 * rn - n - 1) * x) AS BIGINT) AS num,
+      |  (10000 * CAST(SUM((2 * rn - n - 1) * x) AS BIGINT))
+      |    // (MAX(n) * CAST(SUM(x) AS BIGINT)) AS gini_bp
+      |FROM rk GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_revenue_gini" -> Q(revenueGiniQ, Some(revenueGiniSql),
+      "revenue-concentration Gini per segment: exact rank form, basis points"),
     "q_agg_trimmed_mean" -> Q(trimmedQ, Some(trimmedSql),
       "10%-trimmed mean: value-domain rank-overlap trim, exact tie splitting"),
     "q_agg_winsorized" -> Q(winsorQ, Some(winsorSql),

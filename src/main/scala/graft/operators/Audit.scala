@@ -1358,7 +1358,63 @@ object Audit extends QueryModule {
       |  END AS f1_micro
       |FROM sc""".stripMargin
 
+  /** Expected calibration error (ECE) — the single number on top of
+    * q_eval_calibration's reliability table: the bin-size-weighted
+    * mean |confidence − accuracy|, here entirely in integer micro:
+    * per bin, |n·ssum_rate − n·pos_rate| collapses to
+    * |ssum − npos·... | — computed as n·|mean gap| with the per-bin
+    * floor-div means shared with the calibration table, then ONE
+    * final floor over N. Also reports max_gap (the worst bin) —
+    * the two numbers a model card quotes.
+    *
+    * 100 TB posture: one map-side bin pass + a 10-row rollup. */
+  private val eceQ = (s: SparkSession, dir: String) => {
+    val bins = Tables.documents(s, dir)
+      .select(
+        least(lit(1000000L), expr("(1000000 * n_chars) div 1000"))
+          .as("score_micro"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("bin", least(lit(9L), expr("score_micro div 100000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score_micro")).as("ssum"),
+        sum(col("pos")).as("npos"))
+      .withColumn("gap_micro",
+        abs(expr("ssum div n - (1000000 * npos) div n")))
+    bins.agg(sum(col("n")).as("n_total"),
+        count(lit(1)).as("n_bins"),
+        sum(col("n") * col("gap_micro")).as("wsum"),
+        max(col("gap_micro")).as("max_gap_micro"))
+      .withColumn("ece_micro", expr("wsum div n_total"))
+      .select(col("n_total"), col("n_bins"), col("ece_micro"),
+        col("max_gap_micro"))
+  }
+
+  private val eceSql =
+    """WITH d AS (
+      |  SELECT least(1000000, (1000000 * n_chars) // 1000)
+      |      AS score_micro,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |b AS (
+      |  SELECT least(9, score_micro // 100000) AS bin,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(score_micro) AS BIGINT) AS ssum,
+      |    CAST(SUM(pos) AS BIGINT) AS npos
+      |  FROM d GROUP BY 1),
+      |g AS (
+      |  SELECT n, abs(ssum // n - (1000000 * npos) // n) AS gap
+      |  FROM b)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+      |  COUNT(*) AS n_bins,
+      |  CAST(SUM(n * gap) AS BIGINT) // CAST(SUM(n) AS BIGINT)
+      |    AS ece_micro,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap_micro
+      |FROM g""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_eval_ece" -> Q(eceQ, Some(eceSql),
+      "expected calibration error: bin-weighted mean |conf - acc| in micro"),
     "q_eval_pr_curve" -> Q(prCurveQ, Some(prCurveSql),
       "PR curve at score-quintile thresholds: exact confusion counts per cut"),
     "q_eval_cohens_d" -> Q(cohensDQ, Some(cohensDSql),

@@ -1038,7 +1038,83 @@ object Windows extends QueryModule {
       |  MAX(gap_days) AS max_days
       |FROM rk GROUP BY 1""".stripMargin
 
+  /** Linear multi-touch attribution — the fairness upgrade over
+    * q_win_attribution's last-touch rule: every purchase's value is
+    * split EQUALLY across all of the user's view/click touches in
+    * the trailing 3 days. Credits are exact rationals in
+    * micro-cents: per (purchase, channel), (cents·10⁶·n_ch) div k —
+    * one floor per purchase-channel cell, both engines identical.
+    * Touchless purchases credit 'none' in full. The per-channel
+    * totals are what a marketing-mix readout compares against the
+    * last-touch table.
+    *
+    * 100 TB posture: the purchase×touch pairing is a USER-keyed
+    * equi-join with a residual time-range filter (the interval-join
+    * discipline) — never a time-only cross; everything after runs on
+    * purchase-channel cells. */
+  private val attributionLinearQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("sec").as("psec"), col("cents"))
+    val t = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("sec").as("tsec"))
+    val cells = p.join(t,
+        p("user_id") === t("user_id") &&
+          col("tsec") < col("psec") &&
+          col("tsec") >= col("psec") - 3L * 24 * 3600, "left")
+      .select(col("pid"), col("cents"),
+        coalesce(col("channel"), lit("none")).as("channel"))
+      .groupBy(col("pid"), col("cents"), col("channel"))
+      .agg(count(lit(1)).as("n_ch"))
+    val wp = Window.partitionBy(col("pid"))
+    cells
+      .withColumn("k", sum(col("n_ch")).over(wp))
+      .withColumn("credit_microcents",
+        expr("(cents * 1000000 * n_ch) div k"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("credit_microcents")).as("credit_microcents"))
+  }
+
+  private val attributionLinearSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |p AS (
+      |  SELECT user_id, event_id AS pid, sec AS psec, cents
+      |  FROM ev WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_type AS channel, sec AS tsec
+      |  FROM ev WHERE event_type <> 'purchase'),
+      |cells AS (
+      |  SELECT p.pid, p.cents,
+      |    COALESCE(t.channel, 'none') AS channel, COUNT(*) AS n_ch
+      |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |    AND t.tsec < p.psec AND t.tsec >= p.psec - 259200
+      |  GROUP BY 1, 2, 3),
+      |cr AS (
+      |  SELECT channel, n_ch, cents,
+      |    (cents * 1000000 * n_ch)
+      |      // CAST(SUM(n_ch) OVER (PARTITION BY pid) AS BIGINT)
+      |      AS credit
+      |  FROM cells)
+      |SELECT channel, COUNT(*) AS n_cells,
+      |  CAST(SUM(credit) AS BIGINT) AS credit_microcents
+      |FROM cr GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_attribution_linear" -> Q(attributionLinearQ,
+      Some(attributionLinearSql),
+      "linear multi-touch attribution: exact rational credit split, 3-day window"),
     "q_win_interpurchase" -> Q(interpurchaseQ, Some(interpurchaseSql),
       "inter-purchase gap distribution per segment: exact med2 + P90 disc"),
     "q_win_streak" -> Q(streakQ, Some(streakSql),
