@@ -658,7 +658,64 @@ object Sampling extends QueryModule {
       |  (1000000 * u.n_overlap_users) // u.n_users AS overlap_micro
       |FROM cnts c JOIN uo u ON c.event_type = u.event_type""".stripMargin
 
+  /** Neyman optimal allocation — the survey-sampling answer to "how
+    * do I spend a 1000-row label budget across strata?": sample each
+    * stratum proportionally to N_h·σ_h (big AND noisy strata get
+    * more). Population variance per stratum is the exact integer
+    * (n·Σx² − (Σx)²) div n² in cents²; σ_h = isqrt (floor(sqrt),
+    * IEEE-exact below 4·10¹⁵ — the Bollinger/temperature-weights
+    * precedent); the allocation floors once per stratum.
+    *
+    * Magnitude bound: n·Σx² needs Σx² < 9·10¹⁸/n — with cents ≤
+    * 5·10⁴ that holds to ~10⁵ rows per stratum (sf0.1 is 2·10⁴);
+    * switch the moments to DECIMAL(38) beyond.
+    *
+    * 100 TB posture: ONE conditional-aggregate pass on the stratum
+    * key; the allocation arithmetic runs on the |strata|-row table
+    * (window over 5 rows). */
+  private val neymanQ = (s: SparkSession, dir: String) => {
+    val Budget = 1000L
+    val mo = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sx"),
+        sum(col("vc") * col("vc")).as("sxx"))
+      .withColumn("var_cents2", expr("(n * sxx - sx * sx) div (n * n)"))
+      .withColumn("sd_cents",
+        floor(sqrt(col("var_cents2").cast("double"))).cast("long"))
+      .withColumn("weight", col("n") * col("sd_cents"))
+    val wAll = Window.partitionBy(lit(1))
+    mo.withColumn("wtot", sum(col("weight")).over(wAll))
+      .withColumn("alloc_n", expr(s"($Budget * weight) div wtot"))
+      .select(col("event_type"), col("n"), col("sd_cents"),
+        col("weight"), col("alloc_n"))
+  }
+
+  private val neymanSql =
+    """WITH mo AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS sx,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)
+      |      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+      |  FROM events GROUP BY 1),
+      |sd AS (
+      |  SELECT event_type, n,
+      |    CAST(floor(sqrt(CAST((n * sxx - sx * sx) // (n * n)
+      |      AS DOUBLE))) AS BIGINT) AS sd_cents
+      |  FROM mo),
+      |w AS (
+      |  SELECT event_type, n, sd_cents, n * sd_cents AS weight,
+      |    CAST(SUM(n * sd_cents) OVER () AS BIGINT) AS wtot
+      |  FROM sd)
+      |SELECT event_type, n, sd_cents, weight,
+      |  (1000 * weight) // wtot AS alloc_n
+      |FROM w""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_neyman" -> Q(neymanQ, Some(neymanSql),
+      "Neyman label-budget allocation: N_h*sigma_h shares, integer isqrt variance"),
     "q_sample_time_split" -> Q(timeSplitQ, Some(timeSplitSql),
       "temporal P80 train/test split with measured user overlap, value-domain cutoff"),
     "q_sample_smote" -> Q(smoteQ, Some(smoteSql),

@@ -1873,7 +1873,97 @@ object TimeSeries extends QueryModule {
       |  ON det.event_type = seas.event_type AND det.hod = seas.hod
       |GROUP BY 1, 2""".stripMargin
 
+  /** Haar wavelet energy spectrum — which TIMESCALE carries the
+    * series' variance? Per event type, the last 16 daily totals
+    * (exact cents, data-relative window) run a 4-level unnormalized
+    * Haar transform: level-k details are pairwise differences of the
+    * previous level's pairwise sums, and Σd² per level is the energy
+    * at scale 2^k days. Entirely integer (no √2 normalization — the
+    * UNNORMALIZED transform is still orthogonal up to known
+    * per-level constants, which a reader can divide out; the engine
+    * never touches floats). The 1-based `element_at`/[i] indexing is
+    * mirrored exactly in both engines.
+    *
+    * 100 TB posture: one (type, day) collapse + one type-keyed
+    * sort-collect of a FIXED 16-row tail; the transform is map-side
+    * array arithmetic. */
+  private val haarQ = (s: SparkSession, dir: String) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    val wd = Window.partitionBy(col("event_type"))
+      .orderBy(col("day").desc)
+    def lvl(src: String, n: Int, d: String, a: String) = Seq(
+      d -> s"transform(sequence(1, $n), i -> element_at($src, 2*i-1) - element_at($src, 2*i))",
+      a -> s"transform(sequence(1, $n), i -> element_at($src, 2*i-1) + element_at($src, 2*i))")
+    val exprs = lvl("a0", 8, "d1", "a1") ++ lvl("a1", 4, "d2", "a2") ++
+      lvl("a2", 2, "d3", "a3") ++ lvl("a3", 1, "d4", "a4")
+    def energy(c: String) =
+      expr(s"aggregate($c, 0L, (acc, x) -> acc + x * x)")
+    val base = daily
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= 16)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("day"), col("y")))).as("sd"))
+      .filter(col("n") === 16L)
+      .withColumn("a0", expr("transform(sd, p -> p.y)"))
+    exprs.foldLeft(base) { case (df, (name, e)) =>
+      df.withColumn(name, expr(e))
+    }
+      .select(col("event_type"),
+        energy("d1").as("e1"), energy("d2").as("e2"),
+        energy("d3").as("e3"), energy("d4").as("e4"),
+        expr("element_at(a4, 1)").as("total_sum"))
+  }
+
+  private val haarSql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |tail16 AS (
+      |  SELECT event_type, day, y,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY day DESC) AS rn
+      |  FROM daily),
+      |arr AS (
+      |  SELECT event_type, list(y ORDER BY day) AS a0
+      |  FROM tail16 WHERE rn <= 16
+      |  GROUP BY 1 HAVING COUNT(*) = 16),
+      |lv AS (
+      |  SELECT event_type,
+      |    list_transform(range(1, 9), i -> a0[2*i-1] - a0[2*i]) AS d1,
+      |    list_transform(range(1, 9), i -> a0[2*i-1] + a0[2*i]) AS a1
+      |  FROM arr),
+      |lv2 AS (
+      |  SELECT *, list_transform(range(1, 5), i -> a1[2*i-1] - a1[2*i])
+      |      AS d2,
+      |    list_transform(range(1, 5), i -> a1[2*i-1] + a1[2*i]) AS a2
+      |  FROM lv),
+      |lv3 AS (
+      |  SELECT *, list_transform(range(1, 3), i -> a2[2*i-1] - a2[2*i])
+      |      AS d3,
+      |    list_transform(range(1, 3), i -> a2[2*i-1] + a2[2*i]) AS a3
+      |  FROM lv2),
+      |lv4 AS (
+      |  SELECT *, list_transform(range(1, 2), i -> a3[2*i-1] - a3[2*i])
+      |      AS d4,
+      |    list_transform(range(1, 2), i -> a3[2*i-1] + a3[2*i]) AS a4
+      |  FROM lv3)
+      |SELECT event_type,
+      |  CAST(list_sum(list_transform(d1, x -> x*x)) AS BIGINT) AS e1,
+      |  CAST(list_sum(list_transform(d2, x -> x*x)) AS BIGINT) AS e2,
+      |  CAST(list_sum(list_transform(d3, x -> x*x)) AS BIGINT) AS e3,
+      |  CAST(list_sum(list_transform(d4, x -> x*x)) AS BIGINT) AS e4,
+      |  a4[1] AS total_sum
+      |FROM lv4""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_haar" -> Q(haarQ, Some(haarSql),
+      "Haar energy spectrum: 4-level integer wavelet on the 16-day tail"),
     "q_ts_stl" -> Q(stlQ, Some(stlSql),
       "STL-lite decomposition: integer trend/seasonal/residual split per type"),
     "q_ts_sma_cross" -> Q(smaCrossQ, Some(smaCrossSql),

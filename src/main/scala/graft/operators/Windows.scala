@@ -1111,7 +1111,85 @@ object Windows extends QueryModule {
       |  CAST(SUM(credit) AS BIGINT) AS credit_microcents
       |FROM cr GROUP BY 1""".stripMargin
 
+  /** Weekly growth accounting — the new/retained/resurrected/churned
+    * decomposition every growth review reads (the counterpart to the
+    * cohort retention MATRIX, which slices by signup cohort instead
+    * of state transition). Activity collapses to DISTINCT
+    * (user, week); per user-week the state is decided by first-week
+    * and previous-week membership (one self-join on week−1); churn
+    * into week w = active in w−1, absent in w (only counted while w
+    * is inside the observed range). The identity
+    * active(w) = new + retained + resurrected is spec-asserted.
+    *
+    * 100 TB posture: one (user, week) partial-distinct collapse;
+    * the state joins are user-keyed on the collapsed table. */
+  private val growthQ = (s: SparkSession, dir: String) => {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("(CAST(ts AS LONG) div 86400 + 3) div 7").as("w"))
+      .distinct()
+    val firsts = uw.groupBy(col("user_id")).agg(min(col("w")).as("fw"))
+    val prev = uw.select(col("user_id"), (col("w") + 1L).as("w"))
+      .withColumn("had_prev", lit(1L))
+    val states = uw.join(firsts, "user_id")
+      .join(prev, Seq("user_id", "w"), "left")
+      .withColumn("is_new", (col("w") === col("fw")).cast("long"))
+      .withColumn("is_retained",
+        (col("had_prev").isNotNull && col("w") > col("fw")).cast("long"))
+      .withColumn("is_resurrected",
+        (col("had_prev").isNull && col("w") > col("fw")).cast("long"))
+    val active = states.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("is_new")).as("n_new"),
+        sum(col("is_retained")).as("n_retained"),
+        sum(col("is_resurrected")).as("n_resurrected"))
+    val maxW = uw.agg(max(col("w")).as("mw"))
+    val churn = uw.select(col("user_id"), (col("w") + 1L).as("w"))
+      .join(uw.withColumn("still", lit(1L)), Seq("user_id", "w"), "left")
+      .filter(col("still").isNull)
+      .crossJoin(broadcast(maxW))
+      .filter(col("w") <= col("mw"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_churned_in"))
+    active.join(churn, Seq("w"), "left")
+      .withColumn("n_churned_in", coalesce(col("n_churned_in"), lit(0L)))
+  }
+
+  private val growthSql =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) // 7 AS w
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(w) AS fw FROM uw GROUP BY 1),
+      |st AS (
+      |  SELECT uw.user_id, uw.w, f.fw,
+      |    CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS had_prev
+      |  FROM uw JOIN f ON uw.user_id = f.user_id
+      |  LEFT JOIN uw p ON p.user_id = uw.user_id AND p.w = uw.w - 1),
+      |act AS (
+      |  SELECT w, COUNT(*) AS n_active,
+      |    CAST(SUM(CASE WHEN w = fw THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(SUM(CASE WHEN had_prev = 1 AND w > fw THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN had_prev = 0 AND w > fw THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_resurrected
+      |  FROM st GROUP BY 1),
+      |mw AS (SELECT MAX(w) AS mw FROM uw),
+      |ch AS (
+      |  SELECT a.w + 1 AS w, COUNT(*) AS n_churned_in
+      |  FROM uw a LEFT JOIN uw b
+      |    ON a.user_id = b.user_id AND b.w = a.w + 1
+      |  CROSS JOIN mw
+      |  WHERE b.user_id IS NULL AND a.w + 1 <= mw.mw
+      |  GROUP BY 1)
+      |SELECT act.w, act.n_active, act.n_new, act.n_retained,
+      |  act.n_resurrected,
+      |  COALESCE(ch.n_churned_in, 0) AS n_churned_in
+      |FROM act LEFT JOIN ch ON act.w = ch.w""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_win_growth_accounting" -> Q(growthQ, Some(growthSql),
+      "weekly growth accounting: new/retained/resurrected/churned decomposition"),
     "q_win_attribution_linear" -> Q(attributionLinearQ,
       Some(attributionLinearSql),
       "linear multi-touch attribution: exact rational credit split, 3-day window"),
