@@ -1066,7 +1066,102 @@ object Dedup extends QueryModule {
       |    END AS precision_micro
       |FROM sc CROSS JOIN ntr""".stripMargin
 
+  /** Dedup ROI report — the one-row summary a curation run publishes
+    * before anyone approves the compute bill: corpus size, exact-dup
+    * survivors (md5 groups), near-dup survivors (Jaccard ≥ 0.7
+    * components, one canonical per component), and the exact
+    * character savings of each tier in micro. Composes the exact
+    * tier and the CC tier this module already maintains — the
+    * number pipelines actually report ("dedup removed X% of bytes").
+    *
+    * 100 TB posture: the exact tier is one hash groupBy; the near
+    * tier reuses the banded-candidate machinery (never all pairs);
+    * the report is a 1-row rollup. */
+  private val savingsQ = (s: SparkSession, dir: String) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("chars"))
+    val exactKeep = docs.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), max(col("chars")).as("chars"))
+    val cc = connectedComponentsStars(
+      jaccardPairs(s, dir, 0.7).select(col("ida"), col("idb")))
+    val nearKeep = exactKeep
+      .join(cc, exactKeep("doc_id") === cc("id"), "left")
+      .withColumn("grp", coalesce(col("label"), col("doc_id")))
+      .groupBy(col("grp"))
+      .agg(min(exactKeep("doc_id")).as("kid"), count(lit(1)).as("m"),
+        sum(col("chars")).as("grp_chars"), min(col("chars")).as("keep1"))
+    val keptNearChars = nearKeep
+      .join(docs.select(col("doc_id").as("kid"), col("chars").as("kc")),
+        "kid")
+      .agg(sum(col("kc")).as("near_chars"), count(lit(1)).as("n_near"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("chars")).as("total_chars"))
+    val exacts = exactKeep.agg(count(lit(1)).as("n_exact"),
+      sum(col("chars")).as("exact_chars"))
+    totals.crossJoin(broadcast(exacts)).crossJoin(broadcast(keptNearChars))
+      .withColumn("exact_savings_micro",
+        expr("(1000000 * (total_chars - exact_chars)) div total_chars"))
+      .withColumn("near_savings_micro",
+        expr("(1000000 * (total_chars - near_chars)) div total_chars"))
+      .select(col("n_docs"), col("total_chars"), col("n_exact"),
+        col("exact_chars"), col("n_near"), col("near_chars"),
+        col("exact_savings_micro"), col("near_savings_micro"))
+  }
+
+  private val savingsSql =
+    """WITH RECURSIVE
+      |d0 AS (SELECT doc_id, md5(text) AS h,
+      |         CAST(length(text) AS BIGINT) AS chars
+      |       FROM documents),
+      |ek AS (
+      |  SELECT h, MIN(doc_id) AS doc_id, MAX(chars) AS chars
+      |  FROM d0 GROUP BY 1),
+      |toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |       FROM toks),
+      |dd AS (SELECT DISTINCT doc_id, s FROM sh),
+      |nn AS (SELECT doc_id, count(*) AS n FROM dd GROUP BY 1),
+      |inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*) i
+      |          FROM dd a JOIN dd b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |prs AS (SELECT ida, idb
+      |        FROM inter JOIN nn na ON ida = na.doc_id
+      |                   JOIN nn nb ON idb = nb.doc_id
+      |        WHERE round(i*1.0/(na.n+nb.n-i), 6) >= 0.7),
+      |edges AS (SELECT ida AS a, idb AS b FROM prs
+      |          UNION SELECT idb, ida FROM prs),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e
+      |            ON r.peer = e.a),
+      |lab AS (SELECT id, least(id, MIN(peer)) AS label
+      |        FROM reach GROUP BY id),
+      |nk AS (
+      |  SELECT COALESCE(lab.label, ek.doc_id) AS grp,
+      |    MIN(ek.doc_id) AS kid
+      |  FROM ek LEFT JOIN lab ON ek.doc_id = lab.id
+      |  GROUP BY 1),
+      |nc AS (
+      |  SELECT COUNT(*) AS n_near,
+      |    CAST(SUM(d0.chars) AS BIGINT) AS near_chars
+      |  FROM nk JOIN d0 ON nk.kid = d0.doc_id),
+      |tot AS (SELECT COUNT(*) AS n_docs,
+      |          CAST(SUM(chars) AS BIGINT) AS total_chars FROM d0),
+      |ex AS (SELECT COUNT(*) AS n_exact,
+      |         CAST(SUM(chars) AS BIGINT) AS exact_chars FROM ek)
+      |SELECT tot.n_docs, tot.total_chars, ex.n_exact, ex.exact_chars,
+      |  nc.n_near, nc.near_chars,
+      |  (1000000 * (tot.total_chars - ex.exact_chars))
+      |    // tot.total_chars AS exact_savings_micro,
+      |  (1000000 * (tot.total_chars - nc.near_chars))
+      |    // tot.total_chars AS near_savings_micro
+      |FROM tot, ex, nc""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_dedup_savings" -> Q(savingsQ, Some(savingsSql),
+      "dedup ROI report: exact + near tiers, canonical survivors, byte savings"),
     "q_dedup_lsh_tuning" -> Q(lshTuneQ, Some(lshTuneSql),
       "LSH S-curve audit: recall/precision of three bandings vs exact jaccard truth"),
     "q_dedup_minhash_estimate" -> Q(mhEstimateQ, Some(mhEstimateSql),

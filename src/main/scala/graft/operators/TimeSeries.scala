@@ -1961,7 +1961,77 @@ object TimeSeries extends QueryModule {
       |  a4[1] AS total_sum
       |FROM lv4""".stripMargin
 
+  /** Ingestion-outage detection — the data-freshness audit an ops
+    * review runs on an event stream: per event type, inter-arrival
+    * gaps (seconds, event_id tiebreak), the exact med2 median gap,
+    * and every gap exceeding 6× the median (2·gap > 6·med2, the
+    * cross-multiplied integer compare) reported as an outage with
+    * its bounds and severity ratio. A healthy fixture reports few or
+    * none — the spec plants a gap and proves detection.
+    *
+    * 100 TB posture: one type-keyed sort window builds gaps; the
+    * median is the rank form on the same partition; outage rows are
+    * the filtered survivors. */
+  private val outageQ = (s: SparkSession, dir: String) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+    val wo = Window.partitionBy(col("event_type"))
+      .orderBy(col("sec"), col("event_id"))
+    val gaps = ev
+      .withColumn("prev", lag(col("sec"), 1).over(wo))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("prev").as("gap_start"),
+        col("sec").as("gap_end"), (col("sec") - col("prev")).as("gap"))
+    val wR = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap").asc, col("gap_start").asc, col("gap_end").asc)
+    val wS = Window.partitionBy(col("event_type"))
+    gaps
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(wS))
+      .withColumn("med2", sum(when(col("rn") === expr("(n + 1) div 2"),
+        col("gap")).otherwise(0L)).over(wS) +
+        sum(when(col("rn") === expr("(n + 2) div 2"), col("gap"))
+          .otherwise(0L)).over(wS))
+      .filter(col("gap") * 2L > col("med2") * 6L)
+      .withColumn("severity_x10",
+        expr("(10 * 2 * gap) div greatest(med2, 1)"))
+      .select(col("event_type"), col("gap_start"), col("gap_end"),
+        col("gap"), col("med2"), col("severity_x10"))
+  }
+
+  private val outageSql =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    lag(sec) OVER w AS gap_start, sec AS gap_end,
+      |    sec - lag(sec) OVER w AS gap
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY sec, event_id)),
+      |gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+      |rk AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY gap ASC, gap_start ASC, gap_end ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM gg),
+      |md AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN gap ELSE 0 END)
+      |      + SUM(CASE WHEN rn = (n + 2) // 2 THEN gap ELSE 0 END)
+      |      AS BIGINT) AS med2
+      |  FROM rk GROUP BY 1)
+      |SELECT rk.event_type, rk.gap_start, rk.gap_end, rk.gap, md.med2,
+      |  (10 * 2 * rk.gap) // greatest(md.med2, 1) AS severity_x10
+      |FROM rk JOIN md ON rk.event_type = md.event_type
+      |WHERE rk.gap * 2 > md.med2 * 6""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_outages" -> Q(outageQ, Some(outageSql),
+      "ingestion-outage audit: gaps > 6x the exact median inter-arrival"),
     "q_ts_haar" -> Q(haarQ, Some(haarSql),
       "Haar energy spectrum: 4-level integer wavelet on the 16-day tail"),
     "q_ts_stl" -> Q(stlQ, Some(stlSql),
