@@ -1179,7 +1179,207 @@ object Graph extends QueryModule {
       |FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src"""
       .stripMargin
 
+  /** Clustering coefficients — local (per nation: what share of my
+    * neighbor pairs trade with each other) and global transitivity
+    * (3·triangles / wedges), both exact rationals in micro. Reuses
+    * the triangle machinery: per-node triangle counts and degrees
+    * are the q_graph_triangles outputs; the coefficient arithmetic
+    * is |nodes|-domain. local_cc = 2·tri/(deg·(deg−1)), NULL below
+    * degree 2.
+    *
+    * 100 TB posture: identical to triangles — the corpus collapses
+    * to the edge list, wedges fan out degree-oriented. */
+  private val clusteringQ = (s: SparkSession, dir: String) => {
+    val und = undirectedEdges(s, dir).select(col("a"), col("b"))
+      .localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // sorted-edge triangle enumeration (a<b<c via two joins)
+    val tris = und.select(col("a").as("x"), col("b").as("y"))
+      .join(und.select(col("a").as("y"), col("b").as("z")), "y")
+      .join(und.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"))
+      .localCheckpoint()
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val base = deg.join(perNode, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("wedges", expr("(deg * (deg - 1)) div 2"))
+    val wAll = Window.partitionBy(lit(1))
+    base
+      .withColumn("tri_total",
+        (sum(col("n_tri")).over(wAll) / 3L).cast("long"))
+      .withColumn("wedges_total", sum(col("wedges")).over(wAll))
+      .withColumn("local_cc_micro", when(col("deg") >= 2L,
+        expr("(1000000 * 2 * n_tri) div (deg * (deg - 1))")))
+      .withColumn("transitivity_micro",
+        expr("(1000000 * 3 * tri_total) div wedges_total"))
+      .select(col("node"), col("deg"), col("n_tri"),
+        col("local_cc_micro"), col("transitivity_micro"))
+  }
+
+  private val clusteringSql =
+    s"""WITH $edgesSqlCte,
+       |e AS MATERIALIZED (SELECT a, b FROM und),
+       |deg AS MATERIALIZED (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1
+       |  JOIN e e2 ON e1.b = e2.a
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (
+       |  SELECT node, COUNT(*) AS n_tri FROM (
+       |    SELECT x AS node FROM tri
+       |    UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri) GROUP BY 1),
+       |base AS (
+       |  SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+       |    CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+       |    (CAST(deg.deg AS BIGINT) * (deg.deg - 1)) // 2 AS wedges
+       |  FROM deg LEFT JOIN pn ON deg.node = pn.node),
+       |tot AS (
+       |  SELECT CAST(SUM(n_tri) // 3 AS BIGINT) AS tri_total,
+       |    CAST(SUM(wedges) AS BIGINT) AS wedges_total
+       |  FROM base)
+       |SELECT node, deg, n_tri,
+       |  CASE WHEN deg >= 2 THEN
+       |    (1000000 * 2 * n_tri) // (deg * (deg - 1)) END
+       |    AS local_cc_micro,
+       |  (1000000 * 3 * tri_total) // wedges_total
+       |    AS transitivity_micro
+       |FROM base, tot""".stripMargin
+
+  /** Community conductance — how leaky is each community? For each
+    * community S of the THRESHOLDED-CC partition (the same labels
+    * q_graph_modularity scores — modularity says how good the
+    * partition is overall, conductance says WHICH community leaks):
+    * φ(S) = cut(S) / min(vol(S), vol(V∖S)) with weighted degrees
+    * over the FULL edge list, exact micro. Singleton/full guard:
+    * vol(V∖S) = 0 reports NULL.
+    *
+    * 100 TB posture: labels come from star-CC over the thresholded
+    * |nations|²-bounded edge list; cut and volume are one pass over
+    * the full edge list. */
+  private val conductanceQ = (s: SparkSession, dir: String) => {
+    val und = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey"))
+          .cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey"))
+          .cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val tot = und.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+    val kept = und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("ne") >= lit(2L) * col("tw"))
+      .select(col("a").as("ida"), col("b").as("idb"))
+    val cc = graft.operators.Dedup.connectedComponentsStars(kept)
+    val nodeLab = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("node"))
+      .join(cc, col("node") === cc("id"), "left")
+      .select(col("node"),
+        coalesce(col("label"), col("node")).as("lab"))
+      .localCheckpoint()
+    val sizes = nodeLab.groupBy(col("lab"))
+      .agg(count(lit(1)).as("comm_size"))
+    val wdeg = und.select(col("a").as("node"), col("w"))
+      .unionAll(und.select(col("b").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("wd"))
+    val vols = nodeLab.join(wdeg, "node")
+      .groupBy(col("lab")).agg(sum(col("wd")).as("vol"))
+    val la = nodeLab.select(col("node").as("a"), col("lab").as("la"))
+    val lb = nodeLab.select(col("node").as("b"), col("lab").as("lb"))
+    val crossing = und.join(la, "a").join(lb, "b")
+      .filter(col("la") =!= col("lb"))
+    val cut = crossing.select(col("la").as("lab"), col("w"))
+      .unionAll(crossing.select(col("lb").as("lab"), col("w")))
+      .groupBy(col("lab")).agg(sum(col("w")).as("cut"))
+    val wAll = Window.partitionBy(lit(1))
+    sizes.join(vols, Seq("lab"), "left")
+      .join(cut, Seq("lab"), "left")
+      .withColumn("vol", coalesce(col("vol"), lit(0L)))
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+      .withColumn("tvol", sum(col("vol")).over(wAll))
+      .withColumn("conductance_micro",
+        when(col("tvol") - col("vol") > 0L && col("vol") > 0L,
+          expr("(1000000 * cut) div least(vol, tvol - vol)")))
+      .select(col("lab").as("community"), col("comm_size"), col("vol"),
+        col("cut"), col("conductance_micro"))
+  }
+
+  private val conductanceSql =
+    """WITH RECURSIVE
+      |und AS MATERIALIZED (
+      |  SELECT CAST(least(c.c_nationkey, su.s_nationkey) AS BIGINT)
+      |      AS a,
+      |    CAST(greatest(c.c_nationkey, su.s_nationkey) AS BIGINT)
+      |      AS b,
+      |    COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  WHERE c.c_nationkey <> su.s_nationkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne
+      |        FROM und),
+      |kept AS (SELECT a, b FROM und, tot WHERE w * ne >= 2 * tw),
+      |edges AS (SELECT a, b FROM kept UNION SELECT b, a FROM kept),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e
+      |          ON r.peer = e.a),
+      |lb0 AS (SELECT id, least(id, MIN(peer)) AS label
+      |        FROM reach GROUP BY id),
+      |labels AS MATERIALIZED (
+      |  SELECT CAST(n.n_nationkey AS BIGINT) AS node,
+      |    COALESCE(lb0.label, CAST(n.n_nationkey AS BIGINT)) AS lab
+      |  FROM nation n LEFT JOIN lb0 ON n.n_nationkey = lb0.id),
+      |sizes AS (SELECT lab, COUNT(*) AS comm_size FROM labels
+      |          GROUP BY 1),
+      |wdeg AS (
+      |  SELECT node, CAST(SUM(w) AS BIGINT) AS wd FROM (
+      |    SELECT a AS node, w FROM und
+      |    UNION ALL SELECT b, w FROM und) GROUP BY 1),
+      |vols AS (
+      |  SELECT labels.lab, CAST(SUM(wdeg.wd) AS BIGINT) AS vol
+      |  FROM labels JOIN wdeg ON labels.node = wdeg.node GROUP BY 1),
+      |cr AS (
+      |  SELECT und.w, la.lab AS la, lb.lab AS lb
+      |  FROM und JOIN labels la ON und.a = la.node
+      |  JOIN labels lb ON und.b = lb.node
+      |  WHERE la.lab <> lb.lab),
+      |cut AS (
+      |  SELECT lab, CAST(SUM(w) AS BIGINT) AS cut FROM (
+      |    SELECT la AS lab, w FROM cr
+      |    UNION ALL SELECT lb, w FROM cr) GROUP BY 1),
+      |tv AS (SELECT CAST(SUM(vol) AS BIGINT) AS tvol FROM vols)
+      |SELECT sizes.lab AS community, sizes.comm_size,
+      |  COALESCE(vols.vol, 0) AS vol,
+      |  COALESCE(cut.cut, 0) AS cut,
+      |  CASE WHEN tv.tvol - COALESCE(vols.vol, 0) > 0
+      |      AND COALESCE(vols.vol, 0) > 0 THEN
+      |    (1000000 * COALESCE(cut.cut, 0))
+      |      // least(vols.vol, tv.tvol - vols.vol) END
+      |    AS conductance_micro
+      |FROM sizes
+      |LEFT JOIN vols ON sizes.lab = vols.lab
+      |LEFT JOIN cut ON sizes.lab = cut.lab
+      |CROSS JOIN tv""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_clustering_coef" -> Q(clusteringQ, Some(clusteringSql),
+      "local clustering coefficients + global transitivity, exact micro"),
+    "q_graph_conductance" -> Q(conductanceQ, Some(conductanceSql),
+      "conductance of the LPA communities: cut over min volume, exact micro"),
     "q_graph_reciprocity" -> Q(reciprocityQ, Some(reciprocitySql),
       "directed-edge reciprocity: one edge-domain self-join, exact micro ratio"),
     "q_graph_eccentricity" -> Q(eccQ, Some(eccSql),

@@ -1862,7 +1862,60 @@ object TextOps extends QueryModule {
       |  (1000000 * vocab) // tokens AS ttr_micro
       |FROM toks JOIN voc ON toks.j = voc.j""".stripMargin
 
+  /** Next-word suggestion index — the query-completion table a
+    * search box materializes: for every typed word, the top-3 most
+    * frequent NEXT words in the corpus (count-desc, word-asc
+    * tiebreak) with the candidate-set size. This is the bigram-LM
+    * argmax table (q_text_lm_generate walks it greedily) surfaced as
+    * a servable index rather than a decoder.
+    *
+    * 100 TB posture: one map-side bigram fan-out + (w1, w2)
+    * collapse; the rank runs on the collapsed bigram domain, never
+    * corpus rows — the §4.2(c) bounded-heap rewrite applies when
+    * the window becomes the bottleneck. */
+  private val autocompleteQ = (s: SparkSession, dir: String) => {
+    val bigrams = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val wp = Window.partitionBy(col("w1"))
+    val wr = Window.partitionBy(col("w1"))
+      .orderBy(col("cnt").desc, col("w2").asc)
+    bigrams
+      .withColumn("n_candidates", count(lit(1)).over(wp))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("w1"), col("rnk"), col("w2").as("suggestion"),
+        col("cnt"), col("n_candidates"))
+  }
+
+  private val autocompleteSql =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS tk FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(tk)),
+      |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+      |  FROM toks),
+      |c AS (
+      |  SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS cnt
+      |  FROM bg GROUP BY 1, 2),
+      |r AS (
+      |  SELECT w1, w2, cnt,
+      |    COUNT(*) OVER (PARTITION BY w1) AS n_candidates,
+      |    ROW_NUMBER() OVER (PARTITION BY w1
+      |      ORDER BY cnt DESC, w2 ASC) AS rnk
+      |  FROM c)
+      |SELECT w1, CAST(rnk AS INT) AS rnk, w2 AS suggestion, cnt,
+      |  n_candidates
+      |FROM r WHERE rnk <= 3""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_text_autocomplete" -> Q(autocompleteQ, Some(autocompleteSql),
+      "next-word suggestion index: top-3 bigram completions per word"),
     "q_text_heaps" -> Q(heapsQ, Some(heapsSql),
       "Heaps-law vocabulary growth at 8 corpus octiles via first-occurrence ranks"),
     "q_text_mojibake" -> Q(mojibakeQ, Some(mojibakeSql),
