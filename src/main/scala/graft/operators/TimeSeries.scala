@@ -2000,7 +2000,7 @@ object TimeSeries extends QueryModule {
         col("gap"), col("med2"), col("severity_x10"))
   }
 
-  private val outageSql =
+  private[graft] val outageSql =
     """WITH ev AS (
       |  SELECT event_type, event_id,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec

@@ -679,7 +679,79 @@ object StreamOps extends QueryModule {
       |FROM events e JOIN prof p ON e.user_id = p.user_id
       |WHERE e.event_id < 2000""".stripMargin
 
+  final case class OutageEv(event_type: String, event_id: Long,
+      sec: Long)
+  final case class OutageSt(lastSec: Long, lastId: Long)
+  final case class OutageGap(event_type: String, gap_start: Long,
+      gap_end: Long, gap: Long)
+
+  /** STREAMING twin of the ingestion-outage audit (q_ts_outages,
+    * same oracle): per event type, flatMapGroupsWithState carries the
+    * last-seen (sec, event_id) across micro-batches and emits every
+    * inter-arrival gap; the 6×-median alert cut joins a BATCH-trained
+    * med2 profile (the batch-profile → streaming-gate composition the
+    * curation pipeline uses — an online stream can't know its median,
+    * so the gate is trained offline and broadcast). State is two
+    * longs per event type. */
+  private val streamOutages = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val evs: Dataset[OutageEv] = eventsStream(s, dir)
+      .select(col("event_type"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+      .as[OutageEv]
+    val gaps = evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[OutageSt, OutageGap](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (t, rows, state: org.apache.spark.sql.streaming.GroupState[OutageSt]) =>
+          var last = if (state.exists)
+            Some((state.get.lastSec, state.get.lastId)) else None
+          val out = scala.collection.mutable.ArrayBuffer.empty[OutageGap]
+          rows.toSeq.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+            last.foreach { case (ps, _) =>
+              out += OutageGap(t, ps, e.sec, e.sec - ps)
+            }
+            last = Some((e.sec, e.event_id))
+          }
+          last.foreach { case (ls, li) => state.update(OutageSt(ls, li)) }
+          out.iterator
+      }
+    // batch-trained med2 per type (the offline profile the gate uses)
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("sec"), col("event_id"))
+    val bg = ev.withColumn("prev", lag(col("sec"), 1).over(wo))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("sec") - col("prev")).as("gap"),
+        col("prev").as("gs"), col("sec").as("ge"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("gap").asc, col("gs").asc, col("ge").asc)
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val med = bg
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(wS))
+      .groupBy(col("event_type"))
+      .agg((sum(when(col("rn") === expr("(n + 1) div 2"), col("gap"))
+          .otherwise(0L))
+        + sum(when(col("rn") === expr("(n + 2) div 2"), col("gap"))
+          .otherwise(0L))).as("med2"))
+    runToTable(s, gaps.toDF(), "append")
+      .join(broadcast(med), "event_type")
+      .filter(col("gap") * 2L > col("med2") * 6L)
+      .withColumn("severity_x10",
+        expr("(10 * 2 * gap) div greatest(med2, 1)"))
+      .select(col("event_type"), col("gap_start"), col("gap_end"),
+        col("gap"), col("med2"), col("severity_x10"))
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_stream_outages" -> Q(streamOutages,
+      Some(graft.operators.TimeSeries.outageSql),
+      "streaming outage alerts: 2-long state per type, batch-trained median gate"),
     "q_stream_ewma" -> Q(streamEwma,
       Some(graft.operators.TimeSeries.ewmaSql),
       "streaming 8-tap EWMA: 7-deep ring state, shares the batch oracle"),
