@@ -1564,7 +1564,82 @@ object Aggregates extends QueryModule {
       |    // (MAX(n) * CAST(SUM(x) AS BIGINT)) AS gini_bp
       |FROM rk GROUP BY 1""".stripMargin
 
+  /** Boxplot (five-number summary + Tukey fences) per event type —
+    * min / Q1 / median / Q3 / max on the exact cent value domain
+    * (percentile-disc rank form, no interpolation), IQR, the
+    * 1.5·IQR fences as exact HALF-CENTS (3·IQR/2 needs no division),
+    * and the outlier counts outside them. The summary every
+    * dashboard draws, with every number bit-stable.
+    *
+    * 100 TB posture: one (type, cent) collapse; the cumulative
+    * window runs over the distinct value domain; fences broadcast
+    * back onto the CELLS for outlier counting. */
+  private val boxplotQ = (s: SparkSession, dir: String) => {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
+    val summary = cum.groupBy(col("event_type").as("bt"), col("n"))
+      .agg(min(col("vc")).as("v_min"), max(col("vc")).as("v_max"),
+        min(when(expr("cum * 4 >= n"), col("vc"))).as("q1"),
+        min(when(expr("cum * 2 >= n"), col("vc"))).as("med"),
+        min(when(expr("cum * 4 >= 3 * n"), col("vc"))).as("q3"))
+      // fences in HALF-CENTS: lo2 = 2*q1 - 3*iqr, hi2 = 2*q3 + 3*iqr
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo2", lit(2L) * col("q1") - lit(3L) * col("iqr"))
+      .withColumn("hi2", lit(2L) * col("q3") + lit(3L) * col("iqr"))
+    cells.join(broadcast(summary), col("event_type") === col("bt"))
+      .groupBy(col("event_type"), col("n"), col("v_min"), col("q1"),
+        col("med"), col("q3"), col("v_max"), col("iqr"))
+      .agg(sum(when(expr("2 * vc < lo2"), col("cnt")).otherwise(0L))
+          .as("n_low_outliers"),
+        sum(when(expr("2 * vc > hi2"), col("cnt")).otherwise(0L))
+          .as("n_high_outliers"))
+  }
+
+  private val boxplotSql =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, vc, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM cells),
+      |sm AS (
+      |  SELECT event_type AS bt, n,
+      |    MIN(vc) AS v_min, MAX(vc) AS v_max,
+      |    MIN(CASE WHEN cum * 4 >= n THEN vc END) AS q1,
+      |    MIN(CASE WHEN cum * 2 >= n THEN vc END) AS med,
+      |    MIN(CASE WHEN cum * 4 >= 3 * n THEN vc END) AS q3
+      |  FROM cum GROUP BY 1, 2),
+      |f AS (
+      |  SELECT *, q3 - q1 AS iqr,
+      |    2 * q1 - 3 * (q3 - q1) AS lo2,
+      |    2 * q3 + 3 * (q3 - q1) AS hi2
+      |  FROM sm)
+      |SELECT c.event_type, f.n, f.v_min, f.q1, f.med, f.q3, f.v_max,
+      |  f.iqr,
+      |  CAST(SUM(CASE WHEN 2 * c.vc < f.lo2 THEN c.cnt ELSE 0 END)
+      |    AS BIGINT) AS n_low_outliers,
+      |  CAST(SUM(CASE WHEN 2 * c.vc > f.hi2 THEN c.cnt ELSE 0 END)
+      |    AS BIGINT) AS n_high_outliers
+      |FROM cells c JOIN f ON c.event_type = f.bt
+      |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_boxplot" -> Q(boxplotQ, Some(boxplotSql),
+      "boxplot five-number summary + Tukey fences in exact half-cents"),
     "q_agg_revenue_gini" -> Q(revenueGiniQ, Some(revenueGiniSql),
       "revenue-concentration Gini per segment: exact rank form, basis points"),
     "q_agg_trimmed_mean" -> Q(trimmedQ, Some(trimmedSql),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Evaluation & audit operators — the checks a training-data /
@@ -1412,7 +1412,99 @@ object Audit extends QueryModule {
       |  CAST(MAX(gap) AS BIGINT) AS max_gap_micro
       |FROM g""".stripMargin
 
+  /** Referential-integrity audit across the WHOLE schema — one row
+    * per declared foreign-key relationship (lineitem→orders,
+    * lineitem→part, lineitem→supplier, orders→customer,
+    * customer→nation, supplier→nation, nation→region): child rows,
+    * DISTINCT child keys, orphan keys (no parent), orphan rows, and
+    * the orphan-rate in micro. Each relationship is a
+    * distinct-collapse + left-anti probe against the parent key set —
+    * never a row-level join — so the audit costs one distinct per
+    * child table even at fact scale. The healthy fixture reports
+    * zeros; the point of the table is that a broken ingest CAN'T
+    * hide (the spec breaks one FK and watches exactly that row).
+    *
+    * 100 TB posture: per relationship, one child distinct collapse +
+    * a broadcast anti-join against the parent keys (dims broadcast;
+    * for a fact-fact FK the anti-join shuffles the collapsed KEY
+    * domain only). */
+  private val fkAuditQ = (s: SparkSession, dir: String) => {
+    def rel(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val keys = child.select(col(key).cast("long").as("k"))
+      val rows = keys.agg(count(lit(1)).as("n_child_rows"))
+      val dk = keys.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val orphans = dk.join(
+        parent.select(col(pkey).cast("long").as("k")), Seq("k"),
+        "left_anti")
+      val oagg = orphans.agg(
+        count(lit(1)).as("n_orphan_keys"),
+        coalesce(sum(col("cnt")), lit(0L)).as("n_orphan_rows"))
+      val dkc = dk.agg(count(lit(1)).as("n_child_keys"))
+      rows.crossJoin(dkc).crossJoin(oagg)
+        .select(lit(name).as("relationship"), col("n_child_rows"),
+          col("n_child_keys"), col("n_orphan_keys"),
+          col("n_orphan_rows"))
+        .withColumn("orphan_micro",
+          expr("(1000000 * n_orphan_rows) div n_child_rows"))
+    }
+    import graft.Tables._
+    rel("lineitem->orders", lineitem(s, dir), "l_orderkey",
+        orders(s, dir), "o_orderkey")
+      .unionByName(rel("lineitem->part", lineitem(s, dir), "l_partkey",
+        part(s, dir), "p_partkey"))
+      .unionByName(rel("lineitem->supplier", lineitem(s, dir),
+        "l_suppkey", supplier(s, dir), "s_suppkey"))
+      .unionByName(rel("orders->customer", orders(s, dir), "o_custkey",
+        customer(s, dir), "c_custkey"))
+      .unionByName(rel("customer->nation", customer(s, dir),
+        "c_nationkey", nation(s, dir), "n_nationkey"))
+      .unionByName(rel("supplier->nation", supplier(s, dir),
+        "s_nationkey", nation(s, dir), "n_nationkey"))
+      .unionByName(rel("nation->region", nation(s, dir), "n_regionkey",
+        region(s, dir), "r_regionkey"))
+  }
+
+  private val fkAuditSql = {
+    def rel(name: String, child: String, key: String,
+        parent: String, pkey: String): String =
+      s"""SELECT '$name' AS relationship,
+         |  (SELECT COUNT(*) FROM $child) AS n_child_rows,
+         |  (SELECT COUNT(DISTINCT $key) FROM $child) AS n_child_keys,
+         |  (SELECT COUNT(*) FROM
+         |     (SELECT $key FROM $child GROUP BY 1) c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+         |     WHERE p.$pkey = c.$key)) AS n_orphan_keys,
+         |  (SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) FROM
+         |     (SELECT $key, COUNT(*) AS cnt FROM $child GROUP BY 1) c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+         |     WHERE p.$pkey = c.$key)) AS n_orphan_rows,
+         |  (1000000 * (SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0)
+         |     FROM (SELECT $key, COUNT(*) AS cnt FROM $child
+         |           GROUP BY 1) c
+         |     WHERE NOT EXISTS (SELECT 1 FROM $parent p
+         |       WHERE p.$pkey = c.$key)))
+         |    // (SELECT COUNT(*) FROM $child) AS orphan_micro"""
+        .stripMargin
+    Seq(
+      rel("lineitem->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      rel("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      rel("lineitem->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      rel("orders->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      rel("customer->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      rel("supplier->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      rel("nation->region", "nation", "n_regionkey",
+        "region", "r_regionkey")).mkString("\nUNION ALL\n")
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_dq_fk_audit" -> Q(fkAuditQ, Some(fkAuditSql),
+      "referential-integrity audit: orphan keys/rows per FK, distinct-collapsed"),
     "q_eval_ece" -> Q(eceQ, Some(eceSql),
       "expected calibration error: bin-weighted mean |conf - acc| in micro"),
     "q_eval_pr_curve" -> Q(prCurveQ, Some(prCurveSql),
