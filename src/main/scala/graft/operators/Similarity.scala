@@ -2376,7 +2376,64 @@ object Similarity extends QueryModule {
       |  h.bin_id, h.bin_hamming, ov.overlap10
       |FROM f JOIN h ON f.rank = h.rank, ov""".stripMargin
 
+  /** Pairwise-cosine histogram — the hubness / representation-
+    * collapse audit: the distribution of ALL pairwise cosines (20
+    * bins over [−1, 1], 6-dp-rounded — the engine-stable rounding
+    * every cosine rank here uses) plus the exact-decimal mean. A
+    * healthy embedding space is centered near 0 with thin tails; a
+    * collapsed one piles mass near 1 — the single chart an
+    * embedding-model regression review reads first.
+    *
+    * 100 TB posture: the |V|² scoring is the documented
+    * fixture-scale verification form (the cosine-all-pairs scope
+    * note); at scale the same histogram is computed on a
+    * hash-deterministic pair SAMPLE — one map pass either way, the
+    * histogram is a 20-row rollup. */
+  private val cosHistQ = (s: SparkSession, dir: String) => {
+    val a = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ida") < col("idb"))
+      .select(cosRounded(col("ea"), col("eb")).as("c"))
+    pairs
+      .withColumn("bin", least(lit(19L),
+        floor((col("c") + 1.0d) * 10.0d).cast("long")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(18,6)")).as("csum"))
+      .select(col("bin"), col("n"),
+        (col("csum").cast("double") / col("n")).as("mean_cos"))
+  }
+
+  private def cosHistSql: String = {
+    val cosE =
+      """round(
+        |      list_sum(list_transform(range(1, len(a.embedding)+1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE)
+        |           * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |           i -> CAST(a.embedding[i] AS DOUBLE)
+        |              * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+        |           i -> CAST(b.embedding[i] AS DOUBLE)
+        |              * CAST(b.embedding[i] AS DOUBLE)))))
+        |      , 6)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT $cosE AS c
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+       |h AS (
+       |  SELECT least(19, CAST(floor((c + 1.0) * 10.0) AS BIGINT))
+       |      AS bin,
+       |    COUNT(*) AS n, SUM(CAST(c AS DECIMAL(18,6))) AS csum
+       |  FROM p GROUP BY 1)
+       |SELECT bin, n, CAST(csum AS DOUBLE) / n AS mean_cos
+       |FROM h""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_vec_cos_histogram" -> Q(cosHistQ, Some(cosHistSql),
+      "pairwise-cosine histogram: hubness/collapse audit, 20 bins, exact counts"),
     "q_vec_binary" -> Q(binaryQ, Some(binarySql),
       "1-bit binary quantization recall: packed sign words, popcount-xor hamming"),
     "q_vec_sq8" -> Q(sq8Q, Some(sq8Sql),

