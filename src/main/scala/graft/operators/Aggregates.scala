@@ -1637,7 +1637,71 @@ object Aggregates extends QueryModule {
       |FROM cells c JOIN f ON c.event_type = f.bt
       |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
 
+  /** Mix-shift (price/volume) decomposition — the BI kernel behind
+    * every "why did revenue move" review: between 1999 and 2000, per
+    * market segment, Δrevenue splits into the VOLUME effect
+    * ((n₁−n₀)·avg₀) and the RATE effect (n₁·(avg₁−avg₀)), all in
+    * exact cents with floor-div averages; the flooring residual
+    * Δ − volume − rate is REPORTED rather than hidden (it is < n₁+n₀
+    * cents by construction — the honest remainder of an integer
+    * decomposition).
+    *
+    * 100 TB posture: one conditional-aggregate pass on (segment);
+    * the decomposition runs on the |segments|-row table. */
+  private val mixShiftQ = (s: SparkSession, dir: String) => {
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .withColumn("yr", year(col("o_orderdate").cast("timestamp")))
+      .filter(col("yr").isin(1999, 2000))
+      .select(col("c_mktsegment"), col("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.groupBy(col("c_mktsegment"))
+      .agg(sum(when(col("yr") === 1999, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("yr") === 2000, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("yr") === 1999, col("cents")).otherwise(0L))
+          .as("rev0"),
+        sum(when(col("yr") === 2000, col("cents")).otherwise(0L))
+          .as("rev1"))
+      .filter(col("n0") > 0L && col("n1") > 0L)
+      .withColumn("avg0", expr("rev0 div n0"))
+      .withColumn("avg1", expr("rev1 div n1"))
+      .withColumn("delta", col("rev1") - col("rev0"))
+      .withColumn("volume_effect", (col("n1") - col("n0")) * col("avg0"))
+      .withColumn("rate_effect", col("n1") * (col("avg1") - col("avg0")))
+      .withColumn("floor_residual",
+        col("delta") - col("volume_effect") - col("rate_effect"))
+  }
+
+  private val mixShiftSql =
+    """WITH o AS (
+      |  SELECT c.c_mktsegment,
+      |    date_part('year', o.o_orderdate) AS yr,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE date_part('year', o.o_orderdate) IN (1999, 2000)),
+      |g AS (
+      |  SELECT c_mktsegment,
+      |    CAST(SUM(CASE WHEN yr = 1999 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n0,
+      |    CAST(SUM(CASE WHEN yr = 2000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(SUM(CASE WHEN yr = 1999 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS rev0,
+      |    CAST(SUM(CASE WHEN yr = 2000 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS rev1
+      |  FROM o GROUP BY 1)
+      |SELECT c_mktsegment, n0, n1, rev0, rev1,
+      |  rev0 // n0 AS avg0, rev1 // n1 AS avg1,
+      |  rev1 - rev0 AS delta,
+      |  (n1 - n0) * (rev0 // n0) AS volume_effect,
+      |  n1 * (rev1 // n1 - rev0 // n0) AS rate_effect,
+      |  (rev1 - rev0) - (n1 - n0) * (rev0 // n0)
+      |    - n1 * (rev1 // n1 - rev0 // n0) AS floor_residual
+      |FROM g WHERE n0 > 0 AND n1 > 0""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_mix_shift" -> Q(mixShiftQ, Some(mixShiftSql),
+      "price/volume mix-shift decomposition 1999->2000, exact cents + residual"),
     "q_agg_boxplot" -> Q(boxplotQ, Some(boxplotSql),
       "boxplot five-number summary + Tukey fences in exact half-cents"),
     "q_agg_revenue_gini" -> Q(revenueGiniQ, Some(revenueGiniSql),

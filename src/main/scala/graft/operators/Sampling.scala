@@ -713,7 +713,63 @@ object Sampling extends QueryModule {
       |  (1000 * weight) // wtot AS alloc_n
       |FROM w""".stripMargin
 
+  /** Importance weights for covariate shift — reweight every OTHER
+    * source so its length distribution matches the target source
+    * 'src0' (the domain-adaptation primitive: train on the big
+    * mixed corpus, evaluate as if drawn from the target): per
+    * 100-char length bin, w = (target share)/(source share), exact
+    * rational micro = (tgt_bin·src_tot·10⁶) div (tgt_tot·src_bin).
+    * Bins the TARGET never covers weight to exactly 0 (those source
+    * rows contribute nothing to the adapted distribution) — visible
+    * in the output rather than silently clipped; bins the source
+    * never covers have no rows to weight, the support gap a
+    * reweighting review reads off the tgt_cnt column.
+    *
+    * 100 TB posture: one (source, bin) partial-agg collapse; the
+    * target profile broadcasts back onto the bin table. */
+  private val importanceQ = (s: SparkSession, dir: String) => {
+    val binned = Tables.documents(s, dir)
+      .select(col("source"), expr("n_chars div 100").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val tgt = binned.filter(col("source") === "src0")
+      .select(col("bin"), col("cnt").as("tgt_cnt"))
+    val tgtTot = tgt.agg(sum(col("tgt_cnt")).as("tgt_tot"))
+    val srcTot = binned.filter(col("source") =!= "src0")
+      .groupBy(col("source")).agg(sum(col("cnt")).as("src_tot"))
+    binned.filter(col("source") =!= "src0")
+      .join(srcTot, "source")
+      .join(broadcast(tgt), Seq("bin"), "left")
+      .crossJoin(broadcast(tgtTot))
+      .withColumn("tgt_cnt", coalesce(col("tgt_cnt"), lit(0L)))
+      .withColumn("weight_micro",
+        expr("(tgt_cnt * src_tot * 1000000) div (tgt_tot * cnt)"))
+      .select(col("source"), col("bin"), col("cnt").as("src_cnt"),
+        col("tgt_cnt"), col("weight_micro"))
+  }
+
+  private val importanceSql =
+    """WITH b AS (
+      |  SELECT source, n_chars // 100 AS bin, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |tgt AS (SELECT bin, cnt AS tgt_cnt FROM b WHERE source = 'src0'),
+      |tt AS (SELECT CAST(SUM(tgt_cnt) AS BIGINT) AS tgt_tot FROM tgt),
+      |st AS (
+      |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS src_tot
+      |  FROM b WHERE source <> 'src0' GROUP BY 1)
+      |SELECT b.source, b.bin, b.cnt AS src_cnt,
+      |  COALESCE(tgt.tgt_cnt, 0) AS tgt_cnt,
+      |  (COALESCE(tgt.tgt_cnt, 0) * st.src_tot * 1000000)
+      |    // (tt.tgt_tot * b.cnt) AS weight_micro
+      |FROM b
+      |JOIN st ON b.source = st.source
+      |LEFT JOIN tgt ON b.bin = tgt.bin
+      |CROSS JOIN tt
+      |WHERE b.source <> 'src0'""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_sample_importance" -> Q(importanceQ, Some(importanceSql),
+      "covariate-shift importance weights per length bin, exact rational micro"),
     "q_sample_neyman" -> Q(neymanQ, Some(neymanSql),
       "Neyman label-budget allocation: N_h*sigma_h shares, integer isqrt variance"),
     "q_sample_time_split" -> Q(timeSplitQ, Some(timeSplitSql),
