@@ -1699,7 +1699,66 @@ object Aggregates extends QueryModule {
       |    - n1 * (rev1 // n1 - rev0 // n0) AS floor_residual
       |FROM g WHERE n0 > 0 AND n1 > 0""".stripMargin
 
+  /** Segment × brand affinity lift — the category-level
+    * market-basket signal (q_agg_copurchase works at item-pair
+    * grain): for every (market segment, part brand) cell,
+    * lift = P(cell)/(P(segment)·P(brand)) over lineitem purchases,
+    * exact rational micro = (n_cell·N·10⁶) div (n_seg·n_brand).
+    * Lift > 1 marks over-indexed categories — the merchandising
+    * readout. Zero cells are completed through the margin cross
+    * (the contingency discipline): an affinity VOID is a finding.
+    *
+    * 100 TB posture: one (segment, brand) partial-agg collapse +
+    * two margin collapses of the same scan shape; the cross and
+    * lift arithmetic run on the category domain. */
+  private val affinityQ = (s: SparkSession, dir: String) => {
+    val base = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("c_mktsegment"), col("p_brand"))
+    val cells = base.groupBy(col("c_mktsegment"), col("p_brand"))
+      .agg(count(lit(1)).as("n_cell"))
+    val segs = base.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_seg"))
+    val brands = base.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_brand"))
+    val tot = base.agg(count(lit(1)).as("n_tot"))
+    segs.crossJoin(broadcast(brands)).crossJoin(broadcast(tot))
+      .join(cells, Seq("c_mktsegment", "p_brand"), "left")
+      .withColumn("n_cell", coalesce(col("n_cell"), lit(0L)))
+      .withColumn("lift_micro",
+        expr("(n_cell * n_tot * 1000000) div (n_seg * n_brand)"))
+      .select(col("c_mktsegment"), col("p_brand"), col("n_cell"),
+        col("n_seg"), col("n_brand"), col("lift_micro"))
+  }
+
+  private val affinitySql =
+    """WITH base AS (
+      |  SELECT c.c_mktsegment, p.p_brand
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey),
+      |cells AS (
+      |  SELECT c_mktsegment, p_brand, COUNT(*) AS n_cell
+      |  FROM base GROUP BY 1, 2),
+      |segs AS (SELECT c_mktsegment, COUNT(*) AS n_seg
+      |         FROM base GROUP BY 1),
+      |brands AS (SELECT p_brand, COUNT(*) AS n_brand
+      |           FROM base GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_tot FROM base)
+      |SELECT s.c_mktsegment, b.p_brand,
+      |  COALESCE(cells.n_cell, 0) AS n_cell, s.n_seg, b.n_brand,
+      |  (COALESCE(cells.n_cell, 0) * tot.n_tot * 1000000)
+      |    // (s.n_seg * b.n_brand) AS lift_micro
+      |FROM segs s CROSS JOIN brands b CROSS JOIN tot
+      |LEFT JOIN cells ON cells.c_mktsegment = s.c_mktsegment
+      |  AND cells.p_brand = b.p_brand""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_affinity" -> Q(affinityQ, Some(affinitySql),
+      "segment x brand affinity lift with zero-cell completion, exact micro"),
     "q_agg_mix_shift" -> Q(mixShiftQ, Some(mixShiftSql),
       "price/volume mix-shift decomposition 1999->2000, exact cents + residual"),
     "q_agg_boxplot" -> Q(boxplotQ, Some(boxplotSql),

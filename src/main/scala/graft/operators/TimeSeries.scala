@@ -2113,7 +2113,69 @@ object TimeSeries extends QueryModule {
       |FROM rl WHERE rule_zone OR (side <> 0 AND run_len >= 6)"""
       .stripMargin
 
+  /** Fano factor (index of dispersion) of hourly EVENT COUNTS per
+    * type — the burstiness test for arrivals (the companion to
+    * q_text_burstiness, which disperses term counts): F = σ²/μ over
+    * the per-hour counts, exactly rational:
+    * F_micro = 10⁶·(n·Σc² − S²) div (n·S). F ≈ 1 is Poisson; F > 1
+    * is bursty traffic, F < 1 is throttled/paced — the one number
+    * that tells an ingest planner whether hourly provisioning can
+    * assume smooth arrivals. Hours with no events count as ZERO
+    * cells via the per-type hour-span completion (a dense grid from
+    * the type's own bounds — the gapfill discipline; skipping empty
+    * hours would bias F down exactly when it matters).
+    *
+    * 100 TB posture: (type, hour) collapse, per-type bounds, one
+    * |hours|-domain completion join, one moment rollup. */
+  private val fanoQ = (s: SparkSession, dir: String) => {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) div 3600").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = hourly.groupBy(col("event_type").as("bt"))
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val grid = bounds.select(col("bt"),
+      explode(expr("sequence(mn, mx)")).as("h"))
+    grid.join(hourly, col("bt") === col("event_type") &&
+        grid("h") === hourly("h"), "left")
+      .select(col("bt").as("etype"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .withColumn("fano_micro",
+        expr("(1000000 * (n_hours * ss - s * s)) div (n_hours * s)"))
+      .select(col("etype").as("event_type"), col("n_hours"),
+        col("s").as("n_events"), col("fano_micro"))
+  }
+
+  private val fanoSql =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT event_type AS bt, MIN(h) AS mn, MAX(h) AS mx
+      |  FROM hourly GROUP BY 1),
+      |grid AS (
+      |  SELECT bt, unnest(range(mn, mx + 1)) AS h FROM bounds),
+      |fill AS (
+      |  SELECT g.bt, COALESCE(hourly.c, 0) AS c
+      |  FROM grid g LEFT JOIN hourly
+      |    ON g.bt = hourly.event_type AND g.h = hourly.h),
+      |mo AS (
+      |  SELECT bt, COUNT(*) AS n_hours,
+      |    CAST(SUM(c) AS BIGINT) AS s,
+      |    CAST(SUM(c * c) AS BIGINT) AS ss
+      |  FROM fill GROUP BY 1)
+      |SELECT bt AS event_type, n_hours, s AS n_events,
+      |  (1000000 * (n_hours * ss - s * s)) // (n_hours * s)
+      |    AS fano_micro
+      |FROM mo""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_fano" -> Q(fanoQ, Some(fanoSql),
+      "Fano factor of hourly arrivals per type: exact rational, zero-hour completion"),
     "q_ts_control_chart" -> Q(controlChartQ, Some(controlChartSql),
       "Shewhart chart: 2-sigma zone rule + 6-run Western-Electric drift rule"),
     "q_ts_outages" -> Q(outageQ, Some(outageSql),
