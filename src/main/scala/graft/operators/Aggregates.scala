@@ -1756,7 +1756,55 @@ object Aggregates extends QueryModule {
       |LEFT JOIN cells ON cells.c_mktsegment = s.c_mktsegment
       |  AND cells.p_brand = b.p_brand""".stripMargin
 
+  /** New-vs-returning revenue split per year — the acquisition-vs-
+    * retention lens every revenue review opens with: an order is
+    * "new" revenue iff it lands in its customer's FIRST active year
+    * (first purchase ever, the cohort discipline), else "returning".
+    * Exact cents; shares in micro floor once.
+    *
+    * 100 TB posture: one customer-keyed collapse finds first years;
+    * the classification is a broadcast-back map pass; one (year)
+    * rollup. */
+  private val newReturningQ = (s: SparkSession, dir: String) => {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate").cast("timestamp")).cast("long").as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val firsts = o.groupBy(col("o_custkey").as("fc"))
+      .agg(min(col("yr")).as("first_yr"))
+    o.join(broadcast(firsts), col("o_custkey") === col("fc"))
+      .withColumn("is_new", (col("yr") === col("first_yr")).cast("long"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("is_new") * col("cents")).as("new_cents"),
+        sum((lit(1L) - col("is_new")) * col("cents"))
+          .as("returning_cents"))
+      .withColumn("new_share_micro",
+        expr("(1000000 * new_cents) div (new_cents + returning_cents)"))
+  }
+
+  private val newReturningSql =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    date_part('year', o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey AS fc, MIN(yr) AS first_yr
+      |      FROM o GROUP BY 1)
+      |SELECT yr, COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN yr = first_yr THEN cents ELSE 0 END)
+      |    AS BIGINT) AS new_cents,
+      |  CAST(SUM(CASE WHEN yr = first_yr THEN 0 ELSE cents END)
+      |    AS BIGINT) AS returning_cents,
+      |  (1000000 * CAST(SUM(CASE WHEN yr = first_yr THEN cents
+      |      ELSE 0 END) AS BIGINT))
+      |    // (CAST(SUM(cents) AS BIGINT)) AS new_share_micro
+      |FROM o JOIN f ON o.o_custkey = f.fc
+      |GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_new_returning" -> Q(newReturningQ, Some(newReturningSql),
+      "new-vs-returning revenue per year: first-active-year cohort split"),
     "q_agg_affinity" -> Q(affinityQ, Some(affinitySql),
       "segment x brand affinity lift with zero-cell completion, exact micro"),
     "q_agg_mix_shift" -> Q(mixShiftQ, Some(mixShiftSql),

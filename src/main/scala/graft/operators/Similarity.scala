@@ -2431,7 +2431,63 @@ object Similarity extends QueryModule {
        |FROM h""".stripMargin
   }
 
+  /** Intra-list diversity (ILD@10) — the rec-sys diversity metric
+    * that quantifies what q_sim_mmr optimizes: for the brute top-10
+    * of query vec 0, the mean pairwise dissimilarity (1 − cos) over
+    * the 45 result pairs, with the 6-dp-rounded cosine and a
+    * DECIMAL-exact mean so the number is bit-stable. Read next to
+    * relevance: high relevance + low ILD = the redundant result list
+    * MMR exists to fix.
+    *
+    * 100 TB posture: the top-10 comes from the standard brute/ANN
+    * recall stage; the pairwise pass is 45 rows. */
+  private val ildQ = (s: SparkSession, dir: String) => {
+    val e = Tables.embeddings(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val top = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"),
+        cosRounded(col("embedding"), col("qe")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(10)
+      .localCheckpoint()
+    val a = top.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = top.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    a.join(b, col("ida") < col("idb"))
+      .select((lit(1.0d) - cosRounded(col("ea"), col("eb"))).as("d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("d").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("ild"))
+  }
+
+  private def ildSql: String = {
+    def cosE(x: String, y: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, len($x)+1),
+         |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len($x)+1),
+         |           i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, len($y)+1),
+         |           i -> CAST($y[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))))
+         |      , 6)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+       |           WHERE vec_id = 0),
+       |top AS (
+       |  SELECT vec_id, embedding
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY ${cosE("embedding", "qe")} DESC, vec_id ASC
+       |  LIMIT 10),
+       |p AS (
+       |  SELECT 1.0 - ${cosE("a.embedding", "b.embedding")} AS d
+       |  FROM top a JOIN top b ON a.vec_id < b.vec_id)
+       |SELECT COUNT(*) AS n_pairs,
+       |  CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+       |    AS ild
+       |FROM p""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_sim_ild" -> Q(ildQ, Some(ildSql),
+      "intra-list diversity of the top-10: mean pairwise 1-cos, decimal-exact"),
     "q_vec_cos_histogram" -> Q(cosHistQ, Some(cosHistSql),
       "pairwise-cosine histogram: hubness/collapse audit, 20 bins, exact counts"),
     "q_vec_binary" -> Q(binaryQ, Some(binarySql),
