@@ -1802,7 +1802,67 @@ object Aggregates extends QueryModule {
       |FROM o JOIN f ON o.o_custkey = f.fc
       |GROUP BY 1""".stripMargin
 
+  /** ABC inventory classification — the completion of the Pareto cut
+    * (q_agg_pareto_cut extracts the A set; this classifies EVERY
+    * part): parts ranked by revenue (value-domain cumulative,
+    * partkey tiebreak), class A while cumulative share ≤ 80%, B to
+    * 95%, C after, reported as the 3-row class summary (counts,
+    * revenue, exact micro shares) a supply-chain review reads.
+    *
+    * 100 TB posture: fact → one row per part; the cumulative runs
+    * over the part domain (hash-bucketed at scale like the skyline);
+    * the summary is a 3-key rollup. */
+  private val abcQ = (s: SparkSession, dir: String) => {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("cents"))
+    val wv = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("cents")).as("tc"))
+    rev
+      .withColumn("cum", sum(col("cents")).over(wv))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(expr("cum * 100 <= 80 * tc"), lit("A"))
+          .when(expr("cum * 100 <= 95 * tc"), lit("B"))
+          .otherwise(lit("C")))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("revenue"),
+        max(col("tc")).as("tc"))
+      .withColumn("share_micro", expr("(1000000 * revenue) div tc"))
+      .select(col("cls"), col("n_parts"), col("revenue"),
+        col("share_micro"))
+  }
+
+  private val abcSql =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc FROM rev),
+      |cum AS (
+      |  SELECT cents,
+      |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum
+      |  FROM rev),
+      |cl AS (
+      |  SELECT cents,
+      |    CASE WHEN cum * 100 <= 80 * tc THEN 'A'
+      |         WHEN cum * 100 <= 95 * tc THEN 'B'
+      |         ELSE 'C' END AS cls, tc
+      |  FROM cum, tot)
+      |SELECT cls, COUNT(*) AS n_parts,
+      |  CAST(SUM(cents) AS BIGINT) AS revenue,
+      |  (1000000 * CAST(SUM(cents) AS BIGINT)) // MAX(tc)
+      |    AS share_micro
+      |FROM cl GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_agg_abc" -> Q(abcQ, Some(abcSql),
+      "ABC classification: A<=80%, B<=95% cumulative revenue, exact micro shares"),
     "q_agg_new_returning" -> Q(newReturningQ, Some(newReturningSql),
       "new-vs-returning revenue per year: first-active-year cohort split"),
     "q_agg_affinity" -> Q(affinityQ, Some(affinitySql),

@@ -2078,7 +2078,7 @@ object TimeSeries extends QueryModule {
         col("sd"), col("rule_zone"), col("rule_run"))
   }
 
-  private val controlChartSql =
+  private[graft] val controlChartSql =
     """WITH daily AS (
       |  SELECT event_type,
       |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,

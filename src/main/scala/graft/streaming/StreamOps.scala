@@ -748,7 +748,59 @@ object StreamOps extends QueryModule {
         col("gap"), col("med2"), col("severity_x10"))
   }
 
+  /** STREAMING twin of the Shewhart control chart
+    * (q_ts_control_chart, same oracle): the daily floor-mean chart
+    * is MAINTAINED as a complete-mode streaming aggregate ((type,
+    * day) sums + counts in the state store — the tumbling-window
+    * discipline), and the zone/runs rules evaluate on the
+    * materialized chart exactly as in batch. This is how a live SPC
+    * dashboard actually runs: the stream keeps the per-cell moments
+    * current; rule evaluation is a view over them. */
+  private val streamControlChart = (s: SparkSession, dir: String) => {
+    val agg = eventsStream(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sc"),
+        count(lit(1)).as("cc"))
+    val daily = runToTable(s, agg, "complete")
+      .withColumn("y", expr("sc div cc"))
+      .select(col("event_type"), col("day"), col("y"))
+    val lim = daily.groupBy(col("event_type").as("lt"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cl", expr("sy div n"))
+      .withColumn("sd", floor(sqrt(
+        expr("(n * syy - sy * sy) div (n * n)").cast("double")))
+        .cast("long"))
+      .select(col("lt"), col("cl"), col("sd"))
+    val charted = daily
+      .join(broadcast(lim), col("event_type") === col("lt"))
+      .withColumn("rule_zone",
+        abs(col("y") - col("cl")) > lit(2L) * col("sd"))
+      .withColumn("side", when(col("y") > col("cl"), 1L)
+        .when(col("y") < col("cl"), -1L).otherwise(0L))
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val runs = charted
+      .withColumn("rn", row_number().over(ow).cast("long"))
+      .withColumn("grp", col("rn") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("side"))
+          .orderBy(col("day"))).cast("long"))
+    val runLens = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("side"), col("grp"))
+    runs
+      .withColumn("run_len", count(lit(1)).over(runLens))
+      .withColumn("rule_run", col("side") =!= 0L && col("run_len") >= 6L)
+      .filter(col("rule_zone") || col("rule_run"))
+      .select(col("event_type"), col("day"), col("y"), col("cl"),
+        col("sd"), col("rule_zone"), col("rule_run"))
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_stream_control_chart" -> Q(streamControlChart,
+      Some(graft.operators.TimeSeries.controlChartSql),
+      "streaming SPC chart: complete-mode daily moments, batch-equal rules"),
     "q_stream_outages" -> Q(streamOutages,
       Some(graft.operators.TimeSeries.outageSql),
       "streaming outage alerts: 2-long state per type, batch-trained median gate"),
