@@ -2173,7 +2173,139 @@ object TimeSeries extends QueryModule {
       |    AS fano_micro
       |FROM mo""".stripMargin
 
+  /** Variance-ratio test (Lo–MacKinlay shape) — is the daily series
+    * a random walk? Per event type, VR(4) = Var(4-day diffs) /
+    * (4 · Var(1-day diffs)) on the COMMON window (rows where both
+    * diffs exist), so the two moment sets share one n and the n²
+    * factors CANCEL: VR_micro = (10⁶·D₄) div (4·D₁) with
+    * Dₖ = n·Σdₖ² − Sₖ² over daily MEANS (the changepoint magnitude
+    * discipline). VR ≈ 1 is a random walk; VR < 1 mean-reverts,
+    * VR > 1 trends — the regime label a forecasting pipeline
+    * branches on.
+    *
+    * Magnitude bound: 10⁶·D needs n·Σd² < 9·10¹²; daily-mean diffs
+    * ≤ 10⁵ cents hold that to ~10³ grid days — decimate the grid or
+    * drop to per-mille beyond.
+    *
+    * 100 TB posture: (type, day) collapse, two lags on one sort,
+    * one moment rollup. */
+  private val varianceRatioQ = (s: SparkSession, dir: String) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) div 86400").as("day"))
+      .agg(expr("sum(CAST(round(value * 100) AS LONG)) div count(1)")
+        .as("y"))
+    val ow = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val diffs = daily
+      .withColumn("d1", col("y") - lag(col("y"), 1).over(ow))
+      .withColumn("d4", col("y") - lag(col("y"), 4).over(ow))
+      .filter(col("d1").isNotNull && col("d4").isNotNull)
+    val m = diffs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("d1")).as("s1"),
+        sum(col("d1") * col("d1")).as("q1"),
+        sum(col("d4")).as("s4"),
+        sum(col("d4") * col("d4")).as("q4"))
+      .filter(col("n") >= 2L)
+    m.withColumn("dd1", expr("n * q1 - s1 * s1"))
+      .withColumn("dd4", expr("n * q4 - s4 * s4"))
+      .withColumn("vr_micro",
+        when(col("dd1") > 0L, expr("(1000000 * dd4) div (4 * dd1)")))
+      .select(col("event_type"), col("n"), col("dd1"), col("dd4"),
+        col("vr_micro"))
+  }
+
+  private val varianceRatioSql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT event_type,
+      |    y - lag(y, 1) OVER w AS d1,
+      |    y - lag(y, 4) OVER w AS d4
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(d1) AS BIGINT) AS s1,
+      |    CAST(SUM(d1 * d1) AS BIGINT) AS q1,
+      |    CAST(SUM(d4) AS BIGINT) AS s4,
+      |    CAST(SUM(d4 * d4) AS BIGINT) AS q4
+      |  FROM d WHERE d1 IS NOT NULL AND d4 IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT event_type, n,
+      |  n * q1 - s1 * s1 AS dd1,
+      |  n * q4 - s4 * s4 AS dd4,
+      |  CASE WHEN n * q1 - s1 * s1 > 0 THEN
+      |    (1000000 * (n * q4 - s4 * s4))
+      |      // (4 * (n * q1 - s1 * s1)) END AS vr_micro
+      |FROM m WHERE n >= 2""".stripMargin
+
+  /** Rolling 14-day correlation between the click and purchase daily
+    * series — does engagement still track conversion, day by day?
+    * (q_ts_xcorr gives the global lead-lag; this localizes the
+    * relationship in time.) Exact DECIMAL moments in each trailing
+    * window, r as ONE mirrored double expression; full windows only.
+    *
+    * 100 TB posture: two grid collapses joined on day (grid-domain),
+    * one sort window. */
+  private val rollingCorrQ = (s: SparkSession, dir: String) => {
+    def daily(t: String, n: String) = Tables.events(s, dir)
+      .filter(col("event_type") === t)
+      .groupBy(expr("CAST(ts AS LONG) div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as(n))
+    val j = daily("click", "x").join(daily("purchase", "y"), "day")
+    val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    def m(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(27,0)")).over(w)
+    j.withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", m(col("x"))).withColumn("sy", m(col("y")))
+      .withColumn("sxx", m(col("x") * col("x")))
+      .withColumn("syy", m(col("y") * col("y")))
+      .withColumn("sxy", m(col("x") * col("y")))
+      .filter(col("n") === 14L)
+      .select(col("day"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+             .cast("double")))).as("r_14d"))
+  }
+
+  private val rollingCorrSql =
+    """WITH cx AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |py AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |j AS (SELECT cx.day, x, y FROM cx JOIN py ON cx.day = py.day),
+      |r AS (
+      |  SELECT day,
+      |    COUNT(*) OVER w AS n,
+      |    SUM(CAST(x AS DECIMAL(27,0))) OVER w AS sx,
+      |    SUM(CAST(y AS DECIMAL(27,0))) OVER w AS sy,
+      |    SUM(CAST(x*x AS DECIMAL(27,0))) OVER w AS sxx,
+      |    SUM(CAST(y*y AS DECIMAL(27,0))) OVER w AS syy,
+      |    SUM(CAST(x*y AS DECIMAL(27,0))) OVER w AS sxy
+      |  FROM j
+      |  WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT day,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_14d
+      |FROM r WHERE n = 14""".stripMargin
+
   override val queries: Map[String, Q] = Map(
+    "q_ts_variance_ratio" -> Q(varianceRatioQ, Some(varianceRatioSql),
+      "Lo-MacKinlay variance ratio VR(4): random-walk regime test, exact rational"),
+    "q_ts_rolling_corr" -> Q(rollingCorrQ, Some(rollingCorrSql),
+      "rolling 14-day click-purchase correlation, decimal moments, mirrored double"),
     "q_ts_fano" -> Q(fanoQ, Some(fanoSql),
       "Fano factor of hourly arrivals per type: exact rational, zero-hour completion"),
     "q_ts_control_chart" -> Q(controlChartQ, Some(controlChartSql),
