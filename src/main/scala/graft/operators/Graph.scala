@@ -1375,7 +1375,72 @@ object Graph extends QueryModule {
       |LEFT JOIN cut ON sizes.lab = cut.lab
       |CROSS JOIN tv""".stripMargin
 
+  /** Katz centrality — the attenuated-path-count centrality that
+    * completes the family (degree → closeness → PageRank → HITS):
+    * katz(v) = Σ_k β^k · |paths of length k ending at v|, here β = ½
+    * over 4 bounded rounds in exact integer micro (each round is one
+    * neighbor-sum + a nonneg floor halving; x₀ = 10⁶). Unlike
+    * PageRank there is no out-degree normalization, so hubs
+    * accumulate raw reachability — the two rank differently on
+    * asymmetric graphs, which is the point of having both.
+    *
+    * 100 TB posture: the PageRank loop discipline verbatim — one
+    * edges⋈scores shuffle per round over the |nations|²-bounded
+    * edge list, `localCheckpoint` pinning plan depth. */
+  private val KatzRounds = 4
+  private val katzQ = (s: SparkSession, dir: String) => {
+    val und = undirectedEdges(s, dir).select(col("a"), col("b"))
+    val o = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val nodes = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("node"), col("n_name"))
+    var x = nodes.select(col("node"), lit(1000000L).as("x"))
+    var katz = nodes.select(col("node"), lit(0L).as("katz"))
+    for (_ <- 1 to KatzRounds) {
+      val nx = o.join(x, col("u") === col("node"))
+        .groupBy(col("v").as("node"))
+        .agg(expr("sum(x) div 2").as("x"))
+      x = nodes.select(col("node"))
+        .join(nx, Seq("node"), "left")
+        .select(col("node"), coalesce(col("x"), lit(0L)).as("x"))
+        .localCheckpoint()
+      katz = katz.join(x.withColumnRenamed("x", "xk"), "node")
+        .select(col("node"), (col("katz") + col("xk")).as("katz"))
+        .localCheckpoint()
+    }
+    nodes.join(katz, "node")
+      .select(col("n_name"), col("katz").as("katz_micro"))
+  }
+
+  private def katzSql: String = {
+    def round(k: Int): String =
+      s"""x$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    COALESCE((SELECT CAST(SUM(p.x) AS BIGINT) // 2
+         |      FROM o JOIN x${k - 1} p ON o.u = p.node
+         |      WHERE o.v = n.node), 0) AS x
+         |  FROM nodes n)""".stripMargin
+    s"""WITH $edgesSqlCte,
+       |o AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name
+       |          FROM nation),
+       |x0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes),
+       |${(1 to KatzRounds).map(round).mkString(",\n")}
+       |SELECT nodes.n_name,
+       |  x1.x + x2.x + x3.x + x4.x AS katz_micro
+       |FROM nodes
+       |JOIN x1 ON nodes.node = x1.node
+       |JOIN x2 ON nodes.node = x2.node
+       |JOIN x3 ON nodes.node = x3.node
+       |JOIN x4 ON nodes.node = x4.node""".stripMargin
+  }
+
   override val queries: Map[String, Q] = Map(
+    "q_graph_katz" -> Q(katzQ, Some(katzSql),
+      "Katz centrality: 4 attenuated path-count rounds, beta=1/2, exact micro"),
     "q_graph_clustering_coef" -> Q(clusteringQ, Some(clusteringSql),
       "local clustering coefficients + global transitivity, exact micro"),
     "q_graph_conductance" -> Q(conductanceQ, Some(conductanceSql),

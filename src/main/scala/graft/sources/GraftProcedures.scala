@@ -32,7 +32,8 @@ object GraftProcedures {
 
   private val names = Seq("create_branch", "merge_branch", "drop_branch",
     "list_branches", "vacuum_table", "table_version",
-    "compact_table", "scrub_table", "delete_mor", "update_mor")
+    "compact_table", "scrub_table", "delete_mor", "update_mor",
+    "table_health")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -125,6 +126,36 @@ object GraftProcedures {
             Array(f), Map(str(in, 2) -> parseLiteral(str(in, 3))))
           Array(row(rows,
             if (obj == null) null else UTF8String.fromString(obj)))
+        })
+      case "table_health" => proc("table_health",
+        Seq("table" -> StringType, "small_bytes" -> IntegerType),
+        StructType(Seq(StructField("n_objects", IntegerType),
+          StructField("n_rows", LongType),
+          StructField("total_bytes", LongType),
+          StructField("min_bytes", LongType),
+          StructField("avg_bytes", LongType),
+          StructField("max_bytes", LongType),
+          StructField("n_small", IntegerType),
+          StructField("small_share_micro", LongType),
+          StructField("n_with_dv", IntegerType))),
+        in => {
+          // the compaction-advisor readout: object-count/size shape,
+          // small-file share against the caller's threshold, and how
+          // many objects carry live deletion vectors (merge-on-read
+          // debt) — all from footers and file metadata, zero rows
+          // decoded
+          val d = dirOf(str(in, 0))
+          val thresh = in.getInt(1).toLong
+          val objs = GraftObjectTable.listObjects(d)
+          require(objs.nonEmpty, s"graft-objects: no objects under $d")
+          val sizes = objs.map(p => new java.io.File(p).length())
+          val rows = objs.map(p =>
+            ObjectFormat.readFooter(p).rowCount.toLong).sum
+          val small = sizes.count(_ < thresh)
+          val dv = objs.count(DeleteVectors.hasValid)
+          Array(row(objs.size, rows, sizes.sum, sizes.min,
+            sizes.sum / sizes.size, sizes.max, small,
+            1000000L * small / sizes.size, dv))
         })
       case "scrub_table" => proc("scrub_table",
         Seq("table" -> StringType),
