@@ -1762,17 +1762,18 @@ object Aggregates extends QueryModule {
     * (first purchase ever, the cohort discipline), else "returning".
     * Exact cents; shares in micro floor once.
     *
-    * 100 TB posture: one customer-keyed collapse finds first years;
-    * the classification is a broadcast-back map pass; one (year)
+    * 100 TB posture: first-year discovery is a window min over ONE
+    * customer-keyed shuffle — per-customer cardinality scales with SF,
+    * so it must never be broadcast (a broadcast-back of a per-customer
+    * aggregate is a driver OOM at 100× customers); then one (year)
     * rollup. */
   private val newReturningQ = (s: SparkSession, dir: String) => {
     val o = Tables.orders(s, dir)
       .select(col("o_custkey"),
         year(col("o_orderdate").cast("timestamp")).cast("long").as("yr"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val firsts = o.groupBy(col("o_custkey").as("fc"))
-      .agg(min(col("yr")).as("first_yr"))
-    o.join(broadcast(firsts), col("o_custkey") === col("fc"))
+    val wc = Window.partitionBy(col("o_custkey"))
+    o.withColumn("first_yr", min(col("yr")).over(wc))
       .withColumn("is_new", (col("yr") === col("first_yr")).cast("long"))
       .groupBy(col("yr"))
       .agg(count(lit(1)).as("n_orders"),

@@ -204,7 +204,7 @@ object Audit extends QueryModule {
           .stripMargin,
         "total")
     val refCheck = o
-      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"))),
+      .join(Tables.customer(s, dir).select(col("c_custkey")),
         o("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .crossJoin(broadcast(o.agg(count(lit(1)).as("total"))))

@@ -39,7 +39,43 @@ object Graph extends QueryModule {
 
   private val PrIters = 5
 
+  // -----------------------------------------------------------------
+  // Driver-local iteration on the DOMAIN-bounded graph (round-6 floor
+  // shave). The corpus-scale work — three equi-joins + the groupBy
+  // that collapses the fact table — stays fully distributed; the
+  // aggregated edge list is then ≤ |nations|² = 625 rows, a DOMAIN
+  // bound (not an SF bound: at 100 TB the collapse still lands on
+  // ≤625 rows), so the R-round iteration runs driver-local in plain
+  // Scala instead of paying R × J scheduler job floors per query
+  // (measured 85%+ of the iterative family's wall time at fixture
+  // scale). Sanctioned like the CC 1-row fingerprint collect: the
+  // collected set is bounded by the nation domain, never by data
+  // volume. All arithmetic below is the SAME integer-exact recurrence
+  // the oracles run — Long floor-division on provably non-negative
+  // operands, so Spark div / DuckDB // / Scala / agree bit-for-bit.
+  // -----------------------------------------------------------------
+
+  /** Collected undirected weighted edge list (a < b, w = pair count). */
+  private def collectUnd(s: SparkSession, dir: String): Array[(Long, Long, Long)] =
+    undirectedEdges(s, dir)
+      .select(col("a").cast("long"), col("b").cast("long"),
+        col("w").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  /** Collected nation nodes (key, name), the 25-row domain. */
+  private def collectNodes(s: SparkSession, dir: String): Array[(Long, String)] =
+    Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+  private def df(s: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
   private val pagerankQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // distributed corpus collapse (directed: customer → supplier)
     val edges = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir),
         col("l_orderkey") === col("o_orderkey"))
@@ -47,36 +83,33 @@ object Graph extends QueryModule {
         col("o_custkey") === col("c_custkey"))
       .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"),
-        col("s_nationkey").as("dst"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val ew = edges.join(outW, "src").localCheckpoint()
-    val nodes = Tables.nation(s, dir)
-      .select(col("n_nationkey").as("node"), col("n_name"))
-    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
-    for (it <- 1 to PrIters) {
-      val contrib = ew
-        .join(ranks, col("src") === col("node"))
-        .select(col("dst"),
-          expr("(17 * r * w) div (20 * wout)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
-      ranks = nodes.select(col("node"))
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(150000L) + coalesce(col("cin"), lit(0L))).as("r"))
-      // Eager per-round checkpoint: measured FASTER than letting all
-      // rounds compile into one deep plan (25-row materialization is
-      // ~free; Catalyst re-optimizing a 5×-nested join tree is not —
-      // 1.09 s vs 1.33 s at sf0.1), and it pins lineage for
-      // long-horizon runs.
-      ranks = ranks.localCheckpoint()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = collectNodes(s, dir)
+    // local exact-integer rank loop — identical recurrence to the
+    // oracle's unrolled CTEs: r' = 150000 + Σ (17·r·w) div (20·wout)
+    val wout = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    var ranks: Map[Long, Long] = nodes.map(_._1 -> 1000000L).toMap
+    for (_ <- 1 to PrIters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (src, dst, w) =>
+        contrib(dst) += (17L * ranks(src) * w) / (20L * wout(src))
+      }
+      ranks = nodes.map { case (k, _) => k -> (150000L + contrib(k)) }.toMap
     }
-    val w = Window.orderBy(col("rank_q").desc, col("n_name").asc)
-    ranks.join(nodes, "node")
-      .select(col("n_name"), col("r").as("rank_q"),
-        round(col("r") / 1e6, 6).as("rank"))
-      .withColumn("rnk", row_number().over(w))
+    val ordered = nodes.map { case (k, name) => (name, ranks(k)) }
+      .sortBy { case (name, r) => (-r, name) }
+    val rows = ordered.zipWithIndex.map { case ((name, r), i) =>
+      Row(name, r, java.math.BigDecimal.valueOf(r / 1e6)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), i + 1)
+    }
+    df(s, StructType(Seq(
+      StructField("n_name", StringType), StructField("rank_q", LongType),
+      StructField("rank", DoubleType), StructField("rnk", IntegerType))),
+      rows.toSeq)
   }
 
   private def pagerankSql: String = {
@@ -129,41 +162,46 @@ object Graph extends QueryModule {
     * self-joins) — orientation changes the JOIN SHAPE, never the count,
     * so the two agree exactly. */
   private val trianglesQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // distributed corpus collapse to the distinct undirected edge set;
+    // the degree-ordered orientation + wedge closure then runs on the
+    // ≤625-row domain graph driver-locally (Σ out-deg² on 25 nodes)
     val und = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .filter(col("c_nationkey") =!= col("s_nationkey"))
-      .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
-        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .select(least(col("c_nationkey"), col("s_nationkey"))
+          .cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey"))
+          .cast("long").as("b"))
       .distinct()
-    val deg = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (und.map(_._1) ++ und.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     // orientation key: degree-major, id-minor (total order; ids < 1e6)
-    val key = deg.select(col("node"),
-      (col("deg") * 1000000L + col("node")).as("k"))
-    val oriented = und
-      .join(key.select(col("node").as("a"), col("k").as("ka")), "a")
-      .join(key.select(col("node").as("b"), col("k").as("kb")), "b")
-      .select(when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
-        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
-        greatest(col("ka"), col("kb")).as("kv"))
-      .localCheckpoint() // reused three times below
-    val wedges = oriented.select(col("u"), col("v").as("x"), col("kv").as("kx"))
-      .join(oriented.select(col("u"), col("v").as("y"), col("kv").as("ky")), "u")
-      .filter(col("kx") < col("ky"))
-    val tris = wedges.join(
-      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-    val perNode = tris
-      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-    Tables.nation(s, dir)
-      .select(col("n_nationkey").as("node"), col("n_name"))
-      .join(perNode, Seq("node"), "left")
-      .join(deg, Seq("node"), "left")
-      .select(col("n_name"), coalesce(col("deg"), lit(0L)).as("n_deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+    def key(n: Long) = deg(n) * 1000000L + n
+    val adj = und.map { case (a, b) =>
+      if (key(a) < key(b)) (a, b) else (b, a)
+    }.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    adj.foreach { case (u, outs) =>
+      val sorted = outs.toSeq.sortBy(key)
+      for (i <- sorted.indices; j <- (i + 1) until sorted.size) {
+        val (x, y) = (sorted(i), sorted(j))
+        if (adj.get(x).exists(_.contains(y))) {
+          triCount(u) += 1; triCount(x) += 1; triCount(y) += 1
+        }
+      }
+    }
+    val rows = collectNodes(s, dir).map { case (k, name) =>
+      Row(name, deg.getOrElse(k, 0L), triCount(k))
+    }
+    df(s, StructType(Seq(
+      StructField("n_name", StringType), StructField("n_deg", LongType),
+      StructField("n_tri", LongType))), rows.toSeq)
   }
 
   // und/deg/tri are AS MATERIALIZED: each is referenced 2–3 times, and
@@ -363,25 +401,29 @@ object Graph extends QueryModule {
   private val BfRounds = 6
 
   private val bellmanQ = (s: SparkSession, dir: String) => {
-    val und = undirectedEdges(s, dir)
-    val bi = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .select(col("src"), col("dst"), expr("1000000 div w").as("ecost"))
-      .localCheckpoint()
-    val nodes = Tables.nation(s, dir)
-      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
-    var best = nodes.select(col("node")).filter(col("node") === 0L)
-      .select(col("node"), lit(0L).as("cost"))
-    for (_ <- 1 to BfRounds) {
-      val relax = best.join(bi, best("node") === bi("src"))
-        .select(col("dst").cast("long").as("node"),
-          (col("cost") + col("ecost")).as("cost"))
-      best = best.unionAll(relax)
-        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // distributed edge collapse; 6 relaxation rounds on the ≤625-row
+    // domain graph run driver-locally (identical integer recurrence)
+    val und = collectUnd(s, dir)
+    val bi = und.flatMap { case (a, b, w) =>
+      val c = 1000000L / w
+      Seq((a, b, c), (b, a, c))
     }
-    nodes.join(best, Seq("node"), "left")
-      .select(col("n_name"), col("node"), col("cost").as("min_cost"))
+    var best: Map[Long, Long] = Map(0L -> 0L)
+    for (_ <- 1 to BfRounds) {
+      val relax = bi.flatMap { case (srcN, dstN, ecost) =>
+        best.get(srcN).map(c => dstN -> (c + ecost))
+      }
+      best = (best.toSeq ++ relax).groupBy(_._1)
+        .map { case (k, cs) => k -> cs.map(_._2).min }
+    }
+    val rows = collectNodes(s, dir).map { case (k, name) =>
+      Row(name, k, best.get(k).map(Long.box).orNull)
+    }
+    df(s, StructType(Seq(
+      StructField("n_name", StringType), StructField("node", LongType),
+      StructField("min_cost", LongType, nullable = true))), rows.toSeq)
   }
 
   private def bellmanSql: String = {
@@ -519,41 +561,31 @@ object Graph extends QueryModule {
     * the node, `localCheckpoint` per round. Integer weight sums, so
     * the argmax and its tie-break can never diverge across engines. */
   private val lpaQ = (s: SparkSession, dir: String) => {
-    val und = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-      .filter(col("c_nationkey") =!= col("s_nationkey"))
-      .groupBy(least(col("c_nationkey"), col("s_nationkey"))
-          .cast("long").as("a"),
-        greatest(col("c_nationkey"), col("s_nationkey"))
-          .cast("long").as("b"))
-      .agg(count(lit(1)).as("w"))
-    val sym = und.select(col("a").as("u"), col("b").as("v"), col("w"))
-      .unionByName(und.select(col("b").as("u"), col("a").as("v"), col("w")))
-      .localCheckpoint()
-    val nodes = Tables.nation(s, dir)
-      .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
-    var labels = nodes.select(col("node"), col("node").as("lab"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // distributed edge collapse; 3 synchronous LPA rounds on the
+    // ≤625-row domain graph run driver-locally — same weighted argmax
+    // with the same (mass desc, label asc) tiebreak
+    val und = collectUnd(s, dir)
+    val sym = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val nodes = collectNodes(s, dir)
+    var labels: Map[Long, Long] = nodes.map(n => n._1 -> n._1).toMap
     for (_ <- 1 to LpaRounds) {
-      val mass = sym
-        .join(labels.select(col("node").as("v2"), col("lab")),
-          col("v") === col("v2"))
-        .groupBy(col("u"), col("lab")).agg(sum(col("w")).as("mass"))
-      val wArg = Window.partitionBy(col("u"))
-        .orderBy(col("mass").desc, col("lab").asc)
-      val adopted = mass.withColumn("rn", row_number().over(wArg))
-        .filter(col("rn") === 1)
-        .select(col("u").as("node"), col("lab"))
-      labels = labels.select(col("node").as("n0"), col("lab").as("own"))
-        .join(adopted, col("n0") === col("node"), "left")
-        .select(col("n0").as("node"),
-          coalesce(col("lab"), col("own")).as("lab"))
-        .localCheckpoint()
+      val adopted = sym.groupBy(_._1).map { case (u, es) =>
+        val mass = es.groupBy(e => labels(e._2))
+          .map { case (l, xs) => l -> xs.map(_._3).sum }
+        u -> mass.toSeq.minBy { case (l, m) => (-m, l) }._1
+      }
+      labels = labels.map { case (n, own) => n -> adopted.getOrElse(n, own) }
     }
-    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("comm_size"))
-    nodes.join(labels, "node").join(sizes, "lab")
-      .select(col("n_name"), col("lab").as("community"), col("comm_size"))
+    val sizes = labels.values.groupBy(identity)
+      .map { case (l, v) => l -> v.size.toLong }
+    val rows = nodes.map { case (k, name) =>
+      Row(name, labels(k), sizes(labels(k)))
+    }
+    df(s, StructType(Seq(
+      StructField("n_name", StringType), StructField("community", LongType),
+      StructField("comm_size", LongType))), rows.toSeq)
   }
 
   private def lpaSql: String = {
@@ -764,6 +796,11 @@ object Graph extends QueryModule {
     * max edge weight < 3·10⁸ at |V| = 25; renormalization keeps every
     * score ≤ 10⁶ between steps. */
   private val hitsQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // distributed edge collapse; 3 HITS half-step pairs on the
+    // ≤625-row domain graph run driver-locally — identical integer
+    // normalization (1e6·s) div max per half-step
     val edges = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
@@ -772,32 +809,28 @@ object Graph extends QueryModule {
       .groupBy(col("c_nationkey").cast("long").as("src"),
         col("s_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint()
-    val nodes = Tables.nation(s, dir)
-      .select(col("n_nationkey").cast("long").as("node"))
-    var hub = nodes.withColumn("h", lit(1000000L)).localCheckpoint()
-    var auth = nodes.withColumn("a", lit(1000000L)).localCheckpoint()
-    for (_ <- 1 to 3) {
-      val aRaw = edges.join(hub, edges("src") === hub("node"))
-        .groupBy(col("dst").as("n2")).agg(sum(col("h") * col("w")).as("s"))
-      val aFull = nodes.join(aRaw, nodes("node") === col("n2"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
-      val aMax = aFull.agg(max(col("s")).as("mx"))
-      auth = aFull.crossJoin(broadcast(aMax))
-        .select(col("node"), expr("(1000000 * s) div mx").as("a"))
-        .localCheckpoint()
-      val hRaw = edges.join(auth, edges("dst") === auth("node"))
-        .groupBy(col("src").as("n2")).agg(sum(col("a") * col("w")).as("s"))
-      val hFull = nodes.join(hRaw, nodes("node") === col("n2"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
-      val hMax = hFull.agg(max(col("s")).as("mx"))
-      hub = hFull.crossJoin(broadcast(hMax))
-        .select(col("node"), expr("(1000000 * s) div mx").as("h"))
-        .localCheckpoint()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodeKeys = collectNodes(s, dir).map(_._1).sorted
+    var hub: Map[Long, Long] = nodeKeys.map(_ -> 1000000L).toMap
+    var auth: Map[Long, Long] = nodeKeys.map(_ -> 1000000L).toMap
+    def halfStep(scores: Map[Long, Long],
+        keyOf: ((Long, Long, Long)) => Long,
+        otherOf: ((Long, Long, Long)) => Long): Map[Long, Long] = {
+      val raw = edges.groupBy(keyOf).map { case (k, es) =>
+        k -> es.map(e => scores(otherOf(e)) * e._3).sum
+      }
+      val full = nodeKeys.map(k => k -> raw.getOrElse(k, 0L)).toMap
+      val mx = full.values.max
+      full.map { case (k, v) => k -> (1000000L * v) / mx }
     }
-    hub.join(auth, "node")
-      .select(col("node").as("nation"), col("h").as("hub_micro"),
-        col("a").as("auth_micro"))
+    for (_ <- 1 to 3) {
+      auth = halfStep(hub, _._2, _._1) // authority ← hubs over in-edges
+      hub = halfStep(auth, _._1, _._2) // hub ← authorities over out-edges
+    }
+    val rows = nodeKeys.map(k => Row(k, hub(k), auth(k)))
+    df(s, StructType(Seq(
+      StructField("nation", LongType), StructField("hub_micro", LongType),
+      StructField("auth_micro", LongType))), rows.toSeq)
   }
 
   private val hitsSql = {
@@ -1049,23 +1082,34 @@ object Graph extends QueryModule {
   /** All-pairs hop distances (≤ 6) by layered all-sources BFS —
     * shared by closeness and eccentricity. */
   private def allPairsDist(s: SparkSession, dir: String): DataFrame = {
-    val und = undirectedEdges(s, dir).select(col("a"), col("b"))
-    val o = und.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
-    var dist = o.select(col("u").as("src"), col("v").as("dst"),
-      lit(1).as("d"))
-    for (k <- 2 to 6) {
-      val frontier = dist.filter(col("d") === (k - 1))
-        .select(col("src"), col("dst").as("mid"))
-      val ext = frontier
-        .join(o.select(col("u").as("mid"), col("v").as("nd")), "mid")
-        .select(col("src"), col("nd").as("dst"), lit(k).as("d"))
-      dist = dist.unionByName(ext)
-        .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
-        .localCheckpoint()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // distributed edge collapse; the ≤6-hop all-pairs BFS then runs
+    // driver-locally on the ≤625-row domain graph (25² state) — the
+    // round-6 floor shave; the result comes back as a DataFrame so
+    // closeness/eccentricity aggregate exactly as before
+    val und = collectUnd(s, dir)
+    val adj = und.flatMap { case (a, b, _) => Seq((a, b), (b, a)) }
+      .groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).distinct.toSeq }
+    val rows = Seq.newBuilder[Row]
+    adj.keys.toSeq.sorted.foreach { srcN =>
+      val dist = scala.collection.mutable.Map(srcN -> 0)
+      var frontier = Seq(srcN)
+      for (k <- 1 to 6) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Seq.empty[Long]))
+          .distinct.filterNot(u => dist.contains(u))
+        frontier.foreach(dist(_) = k)
+      }
+      dist.toSeq.filter(_._1 != srcN).sortBy(_._1).foreach { case (dstN, d) =>
+        rows += Row(srcN.toInt, dstN.toInt, d)
+      }
     }
-    dist.filter(col("src") =!= col("dst"))
+    // nation keys are int32 in the fixture — the pre-shave plan's
+    // src/dst inherited that type, and the oracle compares schemas
+    df(s, StructType(Seq(
+      StructField("src", IntegerType), StructField("dst", IntegerType),
+      StructField("d", IntegerType))), rows.result())
   }
 
   private val closenessQ = (s: SparkSession, dir: String) => {

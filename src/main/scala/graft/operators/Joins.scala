@@ -39,7 +39,7 @@ object Joins extends QueryModule {
     val l = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(Ora.dsum(revenue).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -69,8 +69,8 @@ object Joins extends QueryModule {
     val l = Tables.lineitem(s, dir)
     val su = Tables.supplier(s, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+      .join(su, l("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") &&
         c("c_nationkey") === su("s_nationkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

@@ -539,9 +539,15 @@ object Sampling extends QueryModule {
         conv(substring(md5(concat(lit("smote-v1:"),
           col("vec_id").cast("string"))), 1, 6), 16, 10)
           .cast("long") % 1000000L)
-      .withColumn("synth", expr(
+      .withColumn("synth_arr", expr(
         "zip_with(vm, nvm, (x, y) -> x + (alpha_micro * (y - x)" +
           " + 10000000000000) div 1000000 - 10000000)"))
+      // Canonical scalar rendering: the correctness driver's hasher
+      // cannot sort top-level array columns, so the vector ships as a
+      // comma-joined string (identical digits both engines — the
+      // interpolation is integer-exact, so no float formatting risk).
+      .withColumn("synth", expr(
+        "array_join(transform(synth_arr, x -> cast(x as string)), ',')"))
       .select(col("label"), col("vec_id"), col("nid").as("nn_id"),
         col("d2").as("nn_dist2"), col("alpha_micro"), col("synth"))
   }
@@ -569,11 +575,11 @@ object Sampling extends QueryModule {
       |  CAST(concat('0x', substr(md5('smote-v1:' ||
       |    CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000
       |    AS alpha_micro,
-      |  list_transform(range(1, len(vm) + 1),
-      |    i -> vm[i] + (CAST(concat('0x', substr(md5('smote-v1:' ||
+      |  array_to_string(list_transform(range(1, len(vm) + 1),
+      |    i -> CAST(vm[i] + (CAST(concat('0x', substr(md5('smote-v1:' ||
       |      CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000
       |      * (nvm[i] - vm[i]) + 10000000000000) // 1000000
-      |      - 10000000) AS synth
+      |      - 10000000 AS VARCHAR)), ',') AS synth
       |FROM nn WHERE rnk = 1""".stripMargin
 
   /** Temporal train/test split — the anti-leakage split for anything

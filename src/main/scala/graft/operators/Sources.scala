@@ -28,6 +28,12 @@ import org.apache.spark.sql.types._
   * row_number IS a global sort — acceptable for ingest-time id-stamping
   * (one-off), never for query-time; queries should key on natural keys.
   */
+/** Last q_src_mv_rewrite run's optimized-plan leaf table names — the
+  * RuntimeBloom.lastPlan pattern: the query computes eagerly inside
+  * its scoped registration window, so the spec reads the substitution
+  * evidence here instead of re-planning outside the window. */
+object MvRewriteRun { @volatile var lastLeaves: Seq[String] = Nil }
+
 object Sources extends QueryModule {
 
   private def tmpDir(dir: String, tag: String): String =
@@ -1290,7 +1296,13 @@ object Sources extends QueryModule {
     * companion spec asserts the plan reads the MV table and NOT the
     * base. Freshness contract: the MV is (re)built here, in the same
     * operation that registers it. */
-  private val mvRewrite = (s: SparkSession, dir: String) => {
+  /** Builds the base + rollup tables, registers the MV, and installs
+    * the rule — the MV-maintenance window opener. Callers MUST pair it
+    * with `MvRewrite.unregisterMv(baseName)` + a conf restore (the
+    * runtimeBloomQ scoped-conf discipline): a registration left behind
+    * would let a later aggregate silently read the rollup after the
+    * base has changed. Returns the base table's DSv2 name. */
+  private[graft] def registerDocsMv(s: SparkSession, dir: String): String = {
     val root = graftCatalogRoot(s)
     val basePath = s"$root/main/docs_mvrw_base"
     val mvPath = s"$root/main/docs_mvrw"
@@ -1324,14 +1336,45 @@ object Sources extends QueryModule {
           "first_doc" -> ("min", "doc_id"),
           "last_doc" -> ("max", "doc_id"))))
     graft.plans.MvRewrite.register(s)
-    s.conf.set(graft.plans.MvRewrite.ConfKey, "true")
-    s.read.format("graft-objects")
-      .option("agg.pushdown", "false").load(basePath)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
+    baseName
+  }
+
+  private val mvRewrite = (s: SparkSession, dir: String) => {
+    val root = graftCatalogRoot(s)
+    val basePath = s"$root/main/docs_mvrw_base"
+    // Scoped registration + conf (the runtimeBloomQ discipline): the
+    // query computes EAGERLY inside the maintenance window, records
+    // its optimized-plan leaves for the spec, then restores the conf
+    // and unregisters — no later aggregate over the base table can
+    // silently read the rollup once this operation's window closed.
+    val confKey = graft.plans.MvRewrite.ConfKey
+    val saved = scala.util.Try(s.conf.get(confKey)).toOption
+    val baseName = registerDocsMv(s, dir)
+    s.conf.set(confKey, "true")
+    try {
+      val df = s.read.format("graft-objects")
+        .option("agg.pushdown", "false").load(basePath)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+      val rows = df.collect()
+      MvRewriteRun.lastLeaves =
+        df.queryExecution.optimizedPlan.collectLeaves().collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            r.table.name()
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.relation.table.name()
+        }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally {
+      saved match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+      graft.plans.MvRewrite.unregisterMv(baseName)
+    }
   }
 
   private val mvRewriteSql =
@@ -1409,9 +1452,39 @@ object Sources extends QueryModule {
       |    AS sum_total
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Merge-on-read UPDATE with a COMPUTED assignment — `SET x = f(x)`
+    * over the pre-image (the incremental-pipeline form): double every
+    * low-value order's total (×2 is an exact IEEE scaling, so both
+    * engines agree bit-for-bit) WITHOUT rewriting any data object.
+    * UpdateMoRExprSpec additionally proves the objects' bytes are
+    * untouched and snapshots stay exact. */
+  private val updateMoRExprQ = (s: SparkSession, dir: String) => {
+    val out = tmpDir(dir, "updmorx") + "/orders"
+    Tables.orders(s, dir)
+      .repartition(4)
+      .write.format("graft-objects").mode("overwrite").save(out)
+    graft.sources.ObjectStoreMaintenance.updateMoRExpr(s, out,
+      Array(org.apache.spark.sql.sources.LessThanOrEqual(
+        "o_totalprice", 100000.0)),
+      Map("o_totalprice" -> "o_totalprice * 2"))
+    s.read.format("graft-objects").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"))
+  }
+
+  private val updateMoRExprSql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN o_totalprice <= 100000
+      |       THEN o_totalprice * 2 ELSE o_totalprice END
+      |       AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY 1""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_src_update_mor" -> Q(updateMoRQ, Some(updateMoRSql),
       "merge-on-read UPDATE: DV-delete + one appended object with the assignment applied"),
+    "q_src_update_mor_expr" -> Q(updateMoRExprQ, Some(updateMoRExprSql),
+      "merge-on-read UPDATE with a computed SET x = f(x) over pre-images, objects untouched"),
     "q_src_delete_mor" -> Q(deleteMoRQ, Some(deleteMoRSql),
       "merge-on-read DELETE: deletion-vector sidecars, data objects untouched"),
     "q_src_partitioned_write" -> Q(partitionedWrite,

@@ -61,7 +61,7 @@ object TpchMore extends QueryModule {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
         col("c_acctbal"))
@@ -114,7 +114,7 @@ object TpchMore extends QueryModule {
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
-      .join(broadcast(Tables.part(s, dir)),
+      .join(Tables.part(s, dir),
         col("l_partkey") === col("p_partkey"))
       .agg(round(
         lit(100.0) * sum(when(col("p_type") === "PROMO", revenue)
@@ -185,7 +185,7 @@ object TpchMore extends QueryModule {
         col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(r1), "s_rk")
@@ -233,11 +233,11 @@ object TpchMore extends QueryModule {
         col("cn_rk") === col("r_regionkey"))
       .select(col("c_custkey"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")),
+      .join(Tables.part(s, dir).filter(col("p_type") === "ECONOMY"),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custEur), col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(custEur, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(round(
         sum(when(col("supp_nation") === "NATION_3", revenue)
@@ -325,7 +325,7 @@ object TpchMore extends QueryModule {
   private val q17 = (s: SparkSession, dir: String) => {
     val w = Window.partitionBy(col("l_partkey"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#1")),
+      .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#1"),
         col("l_partkey") === col("p_partkey"))
       .withColumn("avg_qty", avg(col("l_quantity")).over(w))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
@@ -376,7 +376,7 @@ object TpchMore extends QueryModule {
         col("p_size").between(szLo, szHi) &&
         col("l_quantity").between(qLo, qHi)
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)),
+      .join(Tables.part(s, dir),
         col("l_partkey") === col("p_partkey"))
       .filter(band("Brand#1", 1, 10, 1, 20) ||
         band("Brand#2", 11, 20, 10, 30) ||
@@ -418,7 +418,7 @@ object TpchMore extends QueryModule {
         col("l_suppkey") =!= col("s2"), "left_semi")
       .join(l3, col("l_orderkey") === col("k3") &&
         col("l_suppkey") =!= col("s3"), "left_anti")
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
@@ -512,8 +512,8 @@ object TpchMore extends QueryModule {
     val p = Tables.part(s, dir)
       .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
     val w = Window.partitionBy(col("l_partkey"))
-    cost.join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    cost.join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .withColumn("min_cost", min(col("cost_dec")).over(w))
       .filter(col("cost_dec") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -554,9 +554,9 @@ object TpchMore extends QueryModule {
     val p = Tables.part(s, dir).filter(col("p_name").like("red%"))
       .select(col("p_partkey"))
     Tables.lineitem(s, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)),
         col("s_nationkey") === col("n_nationkey"))
@@ -589,7 +589,7 @@ object TpchMore extends QueryModule {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val v = Tables.lineitem(s, dir)
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"),
         "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(Ora.money(col("l_extendedprice")) *
@@ -628,8 +628,8 @@ object TpchMore extends QueryModule {
         col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
     Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"),
         "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -657,7 +657,7 @@ object TpchMore extends QueryModule {
     val pair = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+      .join(redParts, col("l_partkey") === col("p_partkey"),
         "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("supp_qty"))
@@ -670,7 +670,7 @@ object TpchMore extends QueryModule {
       .join(broadcast(Tables.nation(s, dir)
         .filter(col("n_name") === "NATION_3")),
         col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(bigSupp), col("s_suppkey") === col("l_suppkey"),
+      .join(bigSupp, col("s_suppkey") === col("l_suppkey"),
         "left_semi")
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
   }

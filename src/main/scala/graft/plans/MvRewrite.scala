@@ -51,6 +51,13 @@ object MvRewrite extends Rule[LogicalPlan] {
   def registerMv(baseTableName: String, d: MvDef): Unit =
     registry.put(baseTableName, d)
 
+  /** Scoped-registration discipline (the runtimeBloomQ conf pattern):
+    * registrants unregister when their maintenance window ends, so a
+    * later aggregate over the base table can never silently read a
+    * rollup that stopped being maintained. */
+  def unregisterMv(baseTableName: String): Unit =
+    registry.remove(baseTableName): Unit
+
   /** Idempotent runtime registration (the TopKPerGroup discipline). */
   def register(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))

@@ -476,19 +476,19 @@ object GraftVersions {
           Files.copy(src, dst)
         }
         // merge-on-read: a live object's valid deletion vector must
-        // travel with the staged link — the staged name differs, so
-        // re-stage the DV under it (hard link keeps the byte-length
-        // fingerprint valid). Without this, a DV'd post-state reads
-        // its deleted rows back and the feed diff collapses to empty.
-        if (DeleteVectors.read(src.toString).isDefined) {
-          val dvSrc = DeleteVectors.dvFile(src.toString).toPath
-          val dvDir = new File(d, "_dv"); dvDir.mkdirs()
-          val dvDst = new File(dvDir,
-            dst.getFileName.toString + ".dv").toPath
-          try Files.createLink(dvDst, dvSrc)
-          catch { case _: UnsupportedOperationException =>
-            Files.copy(dvSrc, dvDst)
-          }
+        // travel with the staged object — the staged name differs, so
+        // the DV is REWRITTEN against the staged file's own
+        // (length, mtime) fingerprint rather than linked: on a
+        // filesystem where the object staging above fell back to
+        // Files.copy, the copy's fresh mtime would invalidate a
+        // linked DV and the post-state would read its deleted rows
+        // back, collapsing the feed diff to empty. Without any DV the
+        // same collapse happens; DVs are tiny, so rewriting is cheap.
+        DeleteVectors.read(src.toString).foreach { bs =>
+          val ords = Array.newBuilder[Int]
+          var i = bs.nextSetBit(0)
+          while (i >= 0) { ords += i; i = bs.nextSetBit(i + 1) }
+          DeleteVectors.write(dst.toString, ords.result())
         }
       }
       d

@@ -1,0 +1,168 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream, File, FileOutputStream}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.LessThanOrEqual
+
+import graft.sources.{GraftObjectTable, ObjectFormat, ObjectStoreMaintenance}
+
+/** Codec v5: column-major object bodies + the vectorized read path.
+  * Row-major stays writable (`bodyLayout=row`) and v≤4 objects still
+  * read; the full operator sweep runs through the columnar route
+  * because columnar is now the write default. */
+class ColumnarCodecSpec extends SparkSpec {
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"graft-col-$tag").toString + "/t"
+
+  private def sample = spark.range(0, 1000).selectExpr(
+    "id",
+    "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 3 END AS v",
+    "CAST(id AS INT) AS i",
+    "CAST(id AS DOUBLE) / 7 AS d",
+    "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('s', id % 13) END AS s",
+    "id % 2 = 0 AS b",
+    "array(id, id + 1) AS arr")
+
+  test("columnar and row-major bodies round-trip identically") {
+    val cd = fresh("rt-col"); val rd = fresh("rt-row")
+    sample.repartition(4).write.format("graft-objects")
+      .mode("overwrite").save(cd)
+    sample.repartition(4).write.format("graft-objects")
+      .option("bodyLayout", "row").mode("overwrite").save(rd)
+    // footers agree on the layout flag
+    assert(GraftObjectTable.listObjects(cd)
+      .forall(ObjectFormat.readFooter(_).columnar))
+    assert(GraftObjectTable.listObjects(rd)
+      .forall(!ObjectFormat.readFooter(_).columnar))
+    val a = spark.read.format("graft-objects").load(cd)
+    val b = spark.read.format("graft-objects").load(rd)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(a.count() == 1000)
+  }
+
+  test("vectorized route fires on primitive projections, declines on nested") {
+    val dir = fresh("vec")
+    sample.repartition(2).write.format("graft-objects")
+      .mode("overwrite").save(dir)
+    val prim = spark.read.format("graft-objects").load(dir)
+      .select(col("id"), col("v"), col("s"))
+      .filter(col("id") > 500L)
+    val plan = prim.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"primitive scan must take the vectorized route:\n${plan.take(800)}")
+    assert(prim.count() == 499)
+    // nested output falls back to the row route — same results
+    val nested = spark.read.format("graft-objects").load(dir)
+      .select(col("id"), col("arr"))
+    assert(!nested.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    assert(nested.count() == 1000)
+    assert(nested.selectExpr("sum(arr[1])").collect().head.getLong(0) ==
+      (0L until 1000L).map(_ + 1).sum)
+  }
+
+  test("columnar route: pushed filters, nulls, and 3VL stay exact") {
+    val dir = fresh("filter")
+    sample.repartition(3).write.format("graft-objects")
+      .mode("overwrite").save(dir)
+    val got = spark.read.format("graft-objects").load(dir)
+      .filter(col("v") > 1500L) // v is null every 7th row → 3VL drops
+      .select(col("id"), col("v"))
+    assert(got.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val expect = (0L until 1000L)
+      .filter(id => id % 7 != 0 && id * 3 > 1500)
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // IS NULL arrives through the same pushdown
+    val nulls = spark.read.format("graft-objects").load(dir)
+      .filter(col("s").isNull)
+    assert(nulls.count() == 200)
+  }
+
+  test("columnar route merges deletion vectors") {
+    val dir = fresh("dv")
+    sample.drop("arr").repartition(2).write.format("graft-objects")
+      .mode("overwrite").save(dir)
+    ObjectStoreMaintenance.deleteMoR(dir, Array(LessThanOrEqual("id", 99L)))
+    val got = spark.read.format("graft-objects").load(dir)
+      .select(col("id"))
+    assert(got.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(got.count() == 900)
+    assert(got.agg(min(col("id"))).collect().head.getLong(0) == 100L)
+  }
+
+  test("_object metadata column rides the vectorized route") {
+    val dir = fresh("meta")
+    sample.drop("arr").repartition(2).write.format("graft-objects")
+      .mode("overwrite").save(dir)
+    val got = spark.read.format("graft-objects").load(dir)
+      .select(col("id"), col("_object"))
+    val objs = got.select(col("_object")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(objs == GraftObjectTable.listObjects(dir)
+      .map(new File(_).getName).toSet)
+  }
+
+  test("a v4 row-major object (no layout byte) still reads") {
+    val dir = fresh("v4")
+    sample.drop("arr").coalesce(1).write.format("graft-objects")
+      .option("bodyLayout", "row").mode("overwrite").save(dir)
+    val obj = GraftObjectTable.listObjects(dir).head
+    // rewrite the file as codec v4: version=4, body without the
+    // leading layout byte (exactly the pre-v5 on-disk shape)
+    val bytes = Files.readAllBytes(Paths.get(obj))
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    require(in.readInt() == ObjectFormat.Magic)
+    require(in.readInt() == ObjectFormat.Version)
+    val ddl = in.readUTF()
+    val bodyLen = in.readInt()
+    val body = new Array[Byte](bodyLen)
+    in.readFully(body)
+    require(body(0).toInt == ObjectFormat.LayoutRow)
+    val rest = new Array[Byte](in.available())
+    in.readFully(rest)
+    val outF = new DataOutputStream(new FileOutputStream(obj))
+    outF.writeInt(ObjectFormat.Magic); outF.writeInt(4)
+    outF.writeUTF(ddl)
+    outF.writeInt(bodyLen - 1)
+    outF.write(body, 1, bodyLen - 1)
+    outF.write(rest)
+    outF.close()
+    val got = spark.read.format("graft-objects").load(dir)
+    assert(got.count() == 1000)
+    assert(got.filter(col("id") === 37L).select(col("s"))
+      .collect().head.getString(0) == "s11")
+  }
+
+  test("column pruning decodes only projected segments (columnar seek)") {
+    val dir = fresh("prune")
+    sample.repartition(2).write.format("graft-objects")
+      .mode("overwrite").save(dir)
+    // a projection of one column must not touch the others: prove it
+    // semantically by corrupting a NON-projected column's segment
+    // bytes in place and reading the projected one unharmed. (In the
+    // row-major layout every row decode walks all fields, so this
+    // corruption would explode.)
+    val obj = GraftObjectTable.listObjects(dir).head
+    val bytes = Files.readAllBytes(Paths.get(obj))
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    in.readInt(); in.readInt(); in.readUTF()
+    val headerLen = bytes.length - in.available()
+    in.readInt() // bodyLen
+    require(in.readByte().toInt == ObjectFormat.LayoutColumnar)
+    val rowCount = in.readInt()
+    val nCols = in.readInt()
+    val lens = Array.fill(nCols)(in.readInt())
+    // corrupt the middle of the 's' column's VALUES region
+    val sIdx = 4 // id, v, i, d, s, b, arr
+    val segOff = headerLen + 4 + 1 + 4 + 4 + 4 * nCols +
+      lens.take(sIdx).sum
+    bytes(segOff + rowCount + lens(sIdx) / 2) = 0x7f.toByte
+    Files.write(Paths.get(obj), bytes)
+    val ids = spark.read.format("graft-objects").load(dir)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(ids.length == 1000 && ids.head == 0L && ids.last == 999L)
+  }
+}

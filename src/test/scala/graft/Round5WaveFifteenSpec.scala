@@ -15,46 +15,75 @@ class Round5WaveFifteenSpec extends SparkSpec {
     }
 
   test("mv rewrite: plan reads the MV table, result equals the base agg") {
-    val df = run("q_src_mv_rewrite")
-    val leaves = leafNames(df)
-    assert(leaves.nonEmpty && leaves.forall(n =>
-      n.contains("docs_mvrw") && !n.contains("docs_mvrw_base")),
-      s"optimized plan must scan the MV, not the base (got $leaves)")
+    val df = run("q_src_mv_rewrite") // eager: computes inside its window
     val rewritten = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
-    // ground truth with the rule disabled
-    spark.conf.set(graft.plans.MvRewrite.ConfKey, "false")
-    try {
-      val direct = Tables.documents(spark, sf)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4))).toSet
-      assert(rewritten == direct, "substituted result equals the scan result")
-    } finally spark.conf.set(graft.plans.MvRewrite.ConfKey, "true")
+    // the query records its own optimized-plan leaves (it computes
+    // eagerly inside the scoped registration window, then unregisters)
+    val leaves = operators.MvRewriteRun.lastLeaves
+    assert(leaves.nonEmpty && leaves.forall(n =>
+      n.contains("docs_mvrw") && !n.contains("docs_mvrw_base")),
+      s"optimized plan must scan the MV, not the base (got $leaves)")
+    // ground truth from a plain scan — the window is closed, so no
+    // conf fiddling is needed: the rule cannot fire here
+    val direct = Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(rewritten == direct, "substituted result equals the scan result")
   }
 
-  test("mv rewrite: declines on a shape mismatch") {
-    run("q_src_mv_rewrite").collect() // registers MV + enables the rule
+  test("mv rewrite: window closes — a later base aggregate is NOT rewritten") {
+    run("q_src_mv_rewrite").collect()
+    // after the query returns, the registration window is closed: the
+    // exact same aggregate shape must scan the base again
     val base = spark.read.format("graft-objects")
       .option("agg.pushdown", "false")
       .load(spark.conf.get("spark.sql.catalog.graft.root") +
         "/main/docs_mvrw_base")
-    // same alias, different function input => signature mismatch
-    val wrong = base.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_chars"),
-        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-    assert(leafNames(wrong).forall(_.contains("docs_mvrw_base")),
-      "mismatched aggregate must keep scanning the base")
-    // a filter between agg and scan also declines
-    val filtered = base.filter(col("n_chars") > 100).groupBy(col("lang"))
+    val same = base.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-    assert(leafNames(filtered).forall(_.contains("docs_mvrw_base")),
-      "filtered aggregate must keep scanning the base")
+    assert(leafNames(same).forall(_.contains("docs_mvrw_base")),
+      "a post-window aggregate must scan the base, not the stale MV")
+  }
+
+  test("mv rewrite: declines on a shape mismatch") {
+    // open a registration window explicitly (the scoped discipline)
+    val baseName = operators.Sources.registerDocsMv(spark, sf)
+    spark.conf.set(graft.plans.MvRewrite.ConfKey, "true")
+    try {
+      val base = spark.read.format("graft-objects")
+        .option("agg.pushdown", "false")
+        .load(spark.conf.get("spark.sql.catalog.graft.root") +
+          "/main/docs_mvrw_base")
+      // control: the exact shape IS rewritten inside the window
+      val exact = base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      assert(leafNames(exact).forall(n =>
+        n.contains("docs_mvrw") && !n.contains("docs_mvrw_base")),
+        "in-window exact shape must be substituted")
+      // same alias, different function input => signature mismatch
+      val wrong = base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      assert(leafNames(wrong).forall(_.contains("docs_mvrw_base")),
+        "mismatched aggregate must keep scanning the base")
+      // a filter between agg and scan also declines
+      val filtered = base.filter(col("n_chars") > 100).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      assert(leafNames(filtered).forall(_.contains("docs_mvrw_base")),
+        "filtered aggregate must keep scanning the base")
+    } finally {
+      spark.conf.set(graft.plans.MvRewrite.ConfKey, "false")
+      graft.plans.MvRewrite.unregisterMv(baseName)
+    }
   }
 
   test("labelprop: matches an independent 3-round synchronous reference") {

@@ -86,8 +86,11 @@ class Round5WaveFortySixSpec extends SparkSpec {
       }.toSeq.sortBy { case (id, dd) => (dd, id) }.head
       assert(nid == best._1 && r.getLong(r.fieldIndex("nn_dist2")) == best._2)
       // synth recomputes exactly, and lies between v and nn per dim
+      // (shipped as a canonical comma-joined string — the correctness
+      // driver's hasher cannot sort top-level array columns)
       val v = vecs(vid)._1; val n = vecs(nid)._1
-      val synth = r.getSeq[Long](r.fieldIndex("synth"))
+      val synth = r.getString(r.fieldIndex("synth"))
+        .split(",").map(_.toLong).toSeq
       v.indices.foreach { i =>
         val exp = v(i) +
           (alpha * (n(i) - v(i)) + 10000000000000L) / 1000000L - 10000000L

@@ -45,7 +45,30 @@ def approx_eq(a, b):
         return abs(fa - fb) <= 1e-6 * max(1.0, abs(fa), abs(fb))
     return a == b
 
+def selftest():
+    """Prove the nested-type guard fires: a deliberately array-valued
+    probe output must FAIL (the r5 q_sample_smote class)."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        con = duckdb.connect()
+        os.makedirs(os.path.join(d, "probe_array"))
+        con.execute(
+            "COPY (SELECT 1 AS id, [1,2,3] AS synth) TO "
+            f"'{d}/probe_array/part-0.parquet' (FORMAT PARQUET)")
+        sdesc = con.execute(
+            f"DESCRIBE (SELECT * FROM "
+            f"read_parquet('{d}/probe_array/*.parquet'))").fetchall()
+        nested = [(c[0], c[1]) for c in sdesc
+                  if c[1].endswith("[]") or c[1].startswith("MAP(")
+                  or c[1].startswith("STRUCT(")]
+        assert nested and nested[0][0] == "synth" \
+            and nested[0][1].endswith("[]"), nested
+        print("selftest OK: nested-type guard fires on array output")
+    sys.exit(0)
+
 def main():
+    if sys.argv[1:2] == ["--selftest"]:
+        selftest()
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
@@ -76,6 +99,24 @@ def main():
             continue
         scols = [d[0] for d in sres.description]
         srows = sres.fetchall()
+        # Driver-hasher output-schema contract (the r5 q_sample_smote
+        # lesson): the driver's pandas hasher cannot sort top-level
+        # ArrayType/MapType/StructType columns (unhashable numpy
+        # arrays / dicts), so any nested top-level output column must
+        # fail HERE, not in CORRECTNESS_r{N}. Render vectors as
+        # canonical strings (array_join) or explode to (pos, value).
+        sdesc = con.execute(
+            f"DESCRIBE (SELECT * FROM "
+            f"read_parquet('{spark_dir}/*.parquet'))").fetchall()
+        nested = [(c[0], c[1]) for c in sdesc
+                  if c[1].endswith("[]") or c[1].startswith("MAP(")
+                  or c[1].startswith("STRUCT(")]
+        if nested:
+            print(f"[FAIL] {name}: spark output has driver-unhashable "
+                  f"nested column types {nested} — render as a "
+                  f"canonical string or explode to (pos, value)")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(srows)} rows "
                   f"{'OK' if len(srows) > 0 else 'EMPTY!'}")
@@ -89,7 +130,9 @@ def main():
             desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
             exotic = [(c[0], c[1]) for c in desc
                       if c[1] in ("HUGEINT", "UHUGEINT", "UBIGINT")
-                      or c[1].startswith("DECIMAL")]
+                      or c[1].startswith("DECIMAL")
+                      or c[1].endswith("[]") or c[1].startswith("MAP(")
+                      or c[1].startswith("STRUCT(")]
             if exotic:
                 print(f"[FAIL] {name}: oracle output has driver-unsafe "
                       f"column types {exotic} — add CAST(... AS "
