@@ -87,6 +87,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.rhpBucketDescriptor)
     ext.injectFunction(GraftFunctions.zorderDescriptor)
+    ext.injectFunction(GraftFunctions.zorderPrefixDescriptor)
+    ext.injectFunction(GraftFunctions.zorderNormDescriptor)
     ext.injectFunction(GraftFunctions.freqItemsDescriptor)
     // SURVEY §4.2(b): conf-gated ANN top-k rewrite (see AnnTopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
@@ -129,6 +131,32 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ZOrderLong].getName, "zorder_long"),
     (args: Seq[Expression]) => ZOrderLong(args))
 
+  /** zorder_norm(v, umin, shift) — per-dimension curve normalization
+    * (graft.functions.ZNormLong); umin/shift must be literals. */
+  val zorderNormDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_norm"),
+    new ExpressionInfo(classOf[ZNormLong].getName, "zorder_norm"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "zorder_norm(v, umin, shift) takes exactly 3 arguments")
+      require(args(1).foldable && args(2).foldable,
+        "zorder_norm: umin and shift must be literals")
+      ZNormLong(args.head,
+        args(1).eval().asInstanceOf[Number].longValue(),
+        args(2).eval().asInstanceOf[Number].intValue())
+    })
+
+  /** zorder_prefix(s) — order-preserving 8-byte string prefix code
+    * (graft.functions.StringPrefixLong): lets string dimensions
+    * participate in zorder_long's interleave. */
+  val zorderPrefixDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_prefix"),
+    new ExpressionInfo(classOf[StringPrefixLong].getName, "zorder_prefix"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "zorder_prefix(s) takes exactly 1 argument")
+      StringPrefixLong(args.head)
+    })
+
   /** freq_items_sketch(item, cap) — native mergeable Space-Saving
     * heavy-hitters aggregate (graft.functions.FreqItemsSketch); cap
     * must be a literal. */
@@ -146,6 +174,7 @@ object GraftFunctions {
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, rhpBucketDescriptor, zorderDescriptor,
+      zorderPrefixDescriptor, zorderNormDescriptor,
       freqItemsDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)

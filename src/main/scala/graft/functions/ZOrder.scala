@@ -89,6 +89,150 @@ case class ZOrderLong(children: Seq[Expression]) extends Expression {
     copy(children = newChildren)
 }
 
+/** Order-preserving 8-byte prefix code of a string — the bridge that
+  * lets STRING dimensions participate in the Z-curve (round-6 verdict
+  * item: the reference's text-index domain clusters on string keys):
+  * the first 8 UTF-8 bytes pack big-endian into an unsigned 64-bit
+  * value (zero-padded — a prefix sorts before every extension, which
+  * zero-padding preserves because 0x00 is the smallest byte), then
+  * XOR Long.MinValue so the SIGNED long order equals the string's
+  * binary order — exactly the unsigned→signed mapping [[ZOrderLong]]
+  * undoes before interleaving. Strings sharing an 8-byte prefix
+  * collapse to one curve cell (they stay adjacent; footer string
+  * min/max — which the object format already truncates with the same
+  * prefix discipline — still prunes on the full value). */
+case class StringPrefixLong(child: Expression)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "zorder_prefix"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.catalogString)
+
+  override def foldable: Boolean = child.foldable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else Long.box(StringPrefixLong.code(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val e = child.genCode(ctx)
+    val code =
+      code"""
+        |${e.code}
+        |boolean ${ev.isNull} = ${e.isNull};
+        |long ${ev.value} = 0L;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.functions.StringPrefixLong.code(${e.value});
+        |}
+       """.stripMargin
+    ev.copy(code = code,
+      isNull = if (nullable) ev.isNull else FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): StringPrefixLong =
+    copy(child = newChildren.head)
+}
+
+object StringPrefixLong {
+  /** Big-endian pack of the first 8 UTF-8 bytes (zero-padded), XOR
+    * Long.MinValue: signed order == binary string order. Shared by
+    * eval, codegen, and the spec's reference model. */
+  def code(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = s.getBytes
+    var v = 0L
+    var i = 0
+    val n = math.min(8, b.length)
+    while (i < n) { v |= (b(i) & 0xffL) << (56 - 8 * i); i += 1 }
+    v ^ Long.MinValue
+  }
+}
+
+/** Per-dimension Z-curve normalization — maps a key into its
+  * dimension's observed [min, max] range rescaled to ≤16 bits:
+  * `((v ^ MIN_VALUE) - uMin) >>> shift` in PLAIN Java arithmetic
+  * (wrapping subtraction of unsigned bit patterns — deliberately
+  * outside ANSI overflow semantics, the quantities are bit patterns,
+  * not SQL numbers). Without this, dimensions whose values vary at
+  * different bit positions (a 3-char string prefix code varies in
+  * bits 8–23; a 0–99 integer in bits 57–63) interleave uselessly —
+  * the curve degenerates to a lexicographic sort on whichever
+  * dimension owns the higher bits. Rescaled, every dimension varies
+  * in the same low 16 bits and the curve forms real hyper-rectangles.
+  * (The same reason lakehouse OPTIMIZE…ZORDER implementations rank
+  * or range-bucket each column first.) uMin/shift are write-time
+  * constants from one stats pass over the input — the runstats
+  * discipline applied to layout. */
+case class ZNormLong(child: Expression, uMin: Long, shift: Int)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "zorder_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint argument, got " +
+        child.dataType.catalogString)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else Long.box(ZNormLong.norm(v.asInstanceOf[Long], uMin, shift))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val e = child.genCode(ctx)
+    val code =
+      code"""
+        |${e.code}
+        |boolean ${ev.isNull} = ${e.isNull};
+        |long ${ev.value} = 0L;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.functions.ZNormLong.norm(
+        |    ${e.value}, ${uMin}L, $shift);
+        |}
+       """.stripMargin
+    ev.copy(code = code,
+      isNull = if (nullable) ev.isNull else FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZNormLong =
+    copy(child = newChildren.head)
+}
+
+object ZNormLong {
+  /** shift ≥ 0 compresses a wide range down to 16 bits; shift < 0
+    * EXPANDS a narrow range up (left shift — order-preserving), so
+    * every dimension occupies the SAME 16-bit window and no
+    * dimension's varying bits dominate another's in the interleave. */
+  def norm(v: Long, uMin: Long, shift: Int): Long = {
+    val d = (v ^ Long.MinValue) - uMin
+    if (shift >= 0) d >>> shift else d << -shift
+  }
+
+  /** (uMin, shift) for a dimension with signed [min, max]: the range
+    * lands exactly in [0, 2^16). */
+  def params(min: Long, max: Long): (Long, Int) = {
+    val uMin = min ^ Long.MinValue
+    val range = (max ^ Long.MinValue) - uMin // unsigned-diff bit pattern
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(range)
+    (uMin, bits - 16)
+  }
+}
+
 object ZOrderLong {
   /** Round-robin MSB interleave of all 64 bits of each (already
     * unsigned-mapped) key into an N·8-byte array. Shared by eval, the
@@ -132,14 +276,37 @@ object GraftLayout {
   import org.apache.spark.sql.functions.{coalesce, col, lit}
 
   /** Write `df` as `nObjects` Z-ordered graft objects clustered on
-    * `cols` (integral/date/timestamp). Nulls sort to the curve origin.
-    * One range-exchange + in-partition sort — the same cost as the
-    * single-key clustered ingest. */
+    * `cols` (integral/date/timestamp — and STRING, which rides the
+    * curve through its order-preserving 8-byte prefix code). Every
+    * dimension is first NORMALIZED to ≤16 bits against its observed
+    * [min, max] (one stats pass at layout time — see [[ZNormLong]]:
+    * un-normalized, dimensions of different magnitudes interleave
+    * uselessly). Nulls sort to the curve origin. One stats pass + one
+    * range-exchange + in-partition sort. */
   def zorderWrite(df: DataFrame, tgt: String, cols: Seq[String],
       nObjects: Int): Unit = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     GraftFunctions.register(df.sparkSession)
-    val z = ZOrderLong.zorder(cols.map(c =>
-      coalesce(col(c).cast("long"), lit(Long.MinValue))): _*)
+    val codes = cols.map { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          call_function("zorder_prefix", col(c))
+        case _ => col(c).cast("long")
+      }
+    }
+    // write-time stats pass: per-dimension signed [min, max] over
+    // non-null codes (nulls join the curve at the origin below)
+    val statRow = df.select(codes.zipWithIndex.flatMap { case (e, i) =>
+      Seq(fmin(e).as(s"mn$i"), fmax(e).as(s"mx$i")) }: _*).collect()(0)
+    val z = ZOrderLong.zorder(codes.zipWithIndex.map { case (e, i) =>
+      if (statRow.isNullAt(2 * i)) lit(0L) // all-null dimension
+      else {
+        val (uMin, shift) = ZNormLong.params(
+          statRow.getLong(2 * i), statRow.getLong(2 * i + 1))
+        coalesce(call_function("zorder_norm", e, lit(uMin), lit(shift)),
+          lit(0L))
+      }
+    }: _*)
     df.withColumn("_graft_z", z)
       .repartitionByRange(nObjects, col("_graft_z"))
       .sortWithinPartitions("_graft_z")

@@ -2048,7 +2048,14 @@ object Similarity extends QueryModule {
   private val knnGraphQ = (s: SparkSession, dir: String) => {
     graft.plans.TopKPerGroup.register(s)
     graft.functions.GraftFunctions.register(s)
+    // The probe side MUST be spread across the machine before the
+    // broadcast-scored cross product: the embeddings fixture is one
+    // small parquet file = one input split, so without this the |V|²
+    // scoring volume lands on a single task (caught by the round-6 sf1
+    // scale tier: 72.8× wall at 10× data; repartitioned it rides all
+    // cores and the quadratic volume is at least machine-wide).
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nb").asc)

@@ -986,6 +986,35 @@ object Sources extends QueryModule {
       |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
       |FROM lineitem WHERE l_suppkey <= 3 GROUP BY l_suppkey""".stripMargin
 
+  /** Z-order with a STRING dimension (round-6): orders clustered on
+    * the interleaved (o_orderkey, o_orderpriority) curve via the
+    * order-preserving 8-byte prefix code, then queried on the STRING
+    * dimension — the footer's truncated string min/max bounds are
+    * tight per curve cell, so the equality scan prunes objects a
+    * key-sorted layout could not (ZOrderSpec proves the per-dimension
+    * pruning; the result is oracle-checked against the raw table). */
+  private val zorderStringScan = (s: SparkSession, dir: String) => {
+    val tgt = tmpDir(dir, "zorderstr") + "/orders"
+    graft.functions.GraftLayout.zorderWrite(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+      tgt, Seq("o_orderkey", "o_orderpriority"), 8)
+    s.read.format("graft-objects").load(tgt)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .agg(count(lit(1)).as("n_rows"),
+        Ora.dsum(Ora.money(col("o_totalprice"))).as("sum_total"),
+        min(col("o_orderkey")).as("min_okey"),
+        max(col("o_orderkey")).as("max_okey"))
+  }
+
+  private val zorderStringScanSql =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_total,
+      |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   /** Bench split forms: setup = the one-off layout write (load-time,
     * untimed — amortized exactly like Bench.objectify's ingest), read =
     * the query itself. The correctness-gate queries above still bundle
@@ -1502,6 +1531,8 @@ object Sources extends QueryModule {
       "incremental index maintenance: delta-only tokenize + MERGE == rebuild"),
     "q_src_constraint_gate" -> Q(constraintGate, Some(constraintGateSql),
       "CHECK-constraint write gate: violating INSERT refused atomically"),
+    "q_src_zorder_string" -> Q(zorderStringScan, Some(zorderStringScanSql),
+      "z-order with a string dimension: 8-byte prefix code interleaved, string-filter pruning"),
     "q_src_zorder" -> Q(zorderScan, Some(zorderScanSql),
       "Z-ordered multi-dimension object layout: second-key filter prunes"),
     "q_src_objstore_agg" -> Q(objstoreAgg, Some(objstoreAggSql),

@@ -87,4 +87,38 @@ class ZOrderSpec extends SparkSpec {
     assert(back.count() == 100)
     assert(back.filter(col("x").isNull).count() == 10)
   }
+
+  test("string dimension: prefix code preserves order, both dims prune") {
+    GraftFunctions.register(spark)
+    // prefix code is order-preserving on the string's binary order
+    val coded = spark.range(0, 200)
+      .select(concat(lit("k"), lpad(col("id") % 100, 2, "0")).as("s"))
+      .distinct()
+      .select(col("s"), call_function("zorder_prefix", col("s")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    coded.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a < b, "prefix code must be strictly " +
+        "increasing over distinct short strings")
+      case _ =>
+    }
+    // (long, string) z-layout: filters on the STRING dimension prune
+    val dir = tmp("graft-zorderstr"); val zTgt = s"$dir/z"
+    val g = spark.range(0, 10000).select(
+      (col("id") % 100).as("x"),
+      concat(lit("k"), lpad(expr("id DIV 100"), 2, "0")).as("s"),
+      col("id").as("v"))
+    GraftLayout.zorderWrite(g, zTgt, Seq("x", "s"), 16)
+    def survivors(colName: String, f: org.apache.spark.sql.sources.Filter): Int =
+      GraftObjectTable.listObjects(zTgt).map(ObjectFormat.readFooter)
+        .count(ObjectFormat.mightMatch(f, _))
+    assert(survivors("x", EqualTo("x", 5L)) <= 8,
+      "x=5 should prune most z-ordered objects")
+    assert(survivors("s", EqualTo("s", "k05")) <= 8,
+      "s='k05' should prune most z-ordered objects (string footer bounds)")
+    // correctness through the pruned scan
+    val back = spark.read.format("graft-objects").load(zTgt)
+    assert(back.filter(col("s") === "k07").count() == 100)
+    assert(back.filter(col("x") === 5L && col("s") === "k05")
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(505L))
+  }
 }
