@@ -90,6 +90,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.zorderPrefixDescriptor)
     ext.injectFunction(GraftFunctions.zorderNormDescriptor)
     ext.injectFunction(GraftFunctions.freqItemsDescriptor)
+    ext.injectFunction(GraftFunctions.quantileSketchDescriptor)
     // SURVEY §4.2(b): conf-gated ANN top-k rewrite (see AnnTopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
     // SURVEY §4.2(c): conf-gated bounded-heap top-k-per-group operator
@@ -171,11 +172,27 @@ object GraftFunctions {
         args(1).eval().asInstanceOf[Number].intValue())
     })
 
+  /** quantile_sketch(v, cap, 'p1,p2,…') — native mergeable KLL-style
+    * quantile aggregate (graft.functions.QuantileSketch); cap and the
+    * micro-probability list must be literals. */
+  val quantileSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantile_sketch"),
+    new ExpressionInfo(classOf[QuantileSketch].getName, "quantile_sketch"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "quantile_sketch(v, cap, 'p1,p2,…') takes exactly 3 arguments")
+      require(args(1).foldable && args(2).foldable,
+        "quantile_sketch: cap and probabilities must be literals")
+      val ps = args(2).eval().toString.split(",").map(_.trim.toLong)
+      QuantileSketch(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(), ps)
+    })
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, rhpBucketDescriptor, zorderDescriptor,
       zorderPrefixDescriptor, zorderNormDescriptor,
-      freqItemsDescriptor).foreach {
+      freqItemsDescriptor, quantileSketchDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

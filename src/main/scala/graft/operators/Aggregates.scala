@@ -638,6 +638,43 @@ object Aggregates extends QueryModule {
       |FROM events WHERE event_type IS NOT NULL
       |GROUP BY event_type""".stripMargin
 
+  /** Native mergeable quantile sketch (§4.2 family beside Space-Saving
+    * and KMV): per-event-type P25/P50/P75/P90 of floor(value) through
+    * `quantile_sketch` — a KLL-style compactor stack whose cap-bounded
+    * partials cross the exchange instead of rows. Probabilities ride
+    * as MICRO integers so the rank ceil is integer-exact in both
+    * engines; at fixture scale the cap exceeds every group (the
+    * exact-below-cap regime the oracle checks — QuantileSketchSpec
+    * separately proves the bounded-error collapse regime and merge-
+    * order invariance). Output explodes to (event_type, pos, q) so
+    * the driver hashes scalars, never arrays. */
+  private val quantileSketchQ = (s: SparkSession, dir: String) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value) AS BIGINT)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(expr(
+        "quantile_sketch(v, 100000, '250000,500000,750000,900000')")
+        .as("qs"))
+      .select(col("event_type"), posexplode(col("qs")))
+      .select(col("event_type"), col("pos"), col("col").as("q"))
+  }
+
+  private val quantileSketchSql =
+    """WITH g AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |a AS (SELECT event_type, list_sort(list(v)) AS sv,
+      |        COUNT(*) AS n
+      |      FROM g GROUP BY 1),
+      |p AS (SELECT * FROM (VALUES (0, 250000), (1, 500000),
+      |        (2, 750000), (3, 900000)) t(pos, pm))
+      |SELECT a.event_type, p.pos,
+      |  sv[CAST(GREATEST(1, (p.pm * n + 999999) // 1000000)
+      |     AS BIGINT)] AS q
+      |FROM a CROSS JOIN p""".stripMargin
+
   // ---- per-group OLS fit (integer moments, like the corr matrix) --
   //
   // slope/intercept of extendedprice-cents vs quantity per returnflag:
@@ -1908,6 +1945,8 @@ object Aggregates extends QueryModule {
       "per-group OLS slope/intercept from integer moments, one pass"),
     "q_ts_autocorr" -> Q(autocorrQ, Some(autocorrSql),
       "lag-1 autocorrelation per series: window pairs + exact pair moments"),
+    "q_agg_quantile_sketch" -> Q(quantileSketchQ, Some(quantileSketchSql),
+      "native mergeable KLL-style quantile sketch, exact below cap, micro-int ranks"),
     "q_agg_freq_items" -> Q(freqItemsQ, Some(freqItemsSql),
       "native Space-Saving heavy-hitters aggregate, exact-regime oracle"),
     "q_agg_gini" -> Q(giniQ, Some(giniSql),

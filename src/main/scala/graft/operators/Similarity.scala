@@ -2255,6 +2255,123 @@ object Similarity extends QueryModule {
     sel.select(col("sel_round"), col("cid").as("vec_id"), col("sel_dist2"))
   }
 
+  /** Bounded-round Lloyd k-means over the integer-micro embeddings —
+    * the clustering pass a curation pipeline runs before per-cluster
+    * sampling/dedup: k = 4 seeds are the 4 smallest vec_ids (cluster
+    * index = seed rank, fully deterministic), 3 synchronous update
+    * rounds, then a final assignment under the settled centroids.
+    * All distances are EXACT integer d² (the smote/k-center
+    * discipline); centroid components are TRUNCATING-division means
+    * (Scala `/` and DuckDB integer `//` both truncate toward zero —
+    * unlike the flooring `div`, and centroid sums DO go negative, so
+    * this pairing is load-bearing); assignment
+    * ties break to the smallest cluster index via a (d2, cl) struct
+    * min. An emptied cluster keeps its previous centroid (mirrored
+    * COALESCE in the oracle).
+    *
+    * 100 TB posture: per round, one broadcast of k·dim centroid longs
+    * + one map-side d² pass + one (cluster, dim)-keyed partial-agg
+    * shuffle of k·dim rows; the k×64 centroid collect is k-bounded
+    * (the graph-tier domain-bound discipline), never data-bounded.
+    * "3 rounds" is the documented contract — a fixpoint would be
+    * data-dependent. */
+  private val KmK = 4
+  private val KmRounds = 3
+
+  private val kmeansQ = (s: SparkSession, dir: String) => {
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("vm"))
+      .localCheckpoint()
+    var cents: Array[(Int, Seq[Long])] = pts.orderBy(col("vec_id").asc)
+      .limit(KmK).collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](1) }
+    def assigned = {
+      import s.implicits._
+      val centDf = cents.toSeq.toDF("cl", "cv")
+      pts.crossJoin(broadcast(centDf))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(vm, cv, (x, y) -> (x - y) * (x - y))," +
+            " 0L, (acc, v) -> acc + v)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cl"))).as("m"))
+        .select(col("vec_id"), col("m.cl").as("cl"), col("m.d2").as("d2"))
+    }
+    for (_ <- 1 to KmRounds) {
+      val upd = assigned.join(pts, "vec_id")
+        .select(col("cl"), posexplode(col("vm")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
+        .collect() // k·dim rows — k-bounded, like the graph collects
+      val byCl = upd.groupBy(_.getInt(0))
+      cents = cents.map { case (cl, old) =>
+        byCl.get(cl) match {
+          case Some(rows) =>
+            // TRUNCATING division (Scala /): DuckDB's integer `//`
+            // truncates toward zero (-7//2 = -3), NOT floor — the
+            // one place this codebase meets a negative numerator
+            cl -> rows.sortBy(_.getInt(1))
+              .map(r => r.getLong(2) / r.getLong(3)).toSeq
+          case None => cl -> old // emptied cluster keeps its centroid
+        }
+      }
+    }
+    assigned.groupBy(col("cl").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2")).as("inertia"),
+        min(col("vec_id")).as("min_member"))
+  }
+
+  private def kmeansSql: String = {
+    def mic(e: String) =
+      s"CAST(floor(CAST($e AS DOUBLE) * 1000000) AS BIGINT)"
+    def round(r: Int): String =
+      s"""s$r AS (
+         |  SELECT e.vec_id, c.cl,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (${mic("e.embedding[i]")} - c.cv[i])
+         |         * (${mic("e.embedding[i]")} - c.cv[i]))) AS BIGINT) AS d2
+         |  FROM embeddings e, c${r - 1} c),
+         |a$r AS (
+         |  SELECT vec_id, cl, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2 ASC, cl ASC) AS rn FROM s$r)
+         |  WHERE rn = 1),
+         |u$r AS (
+         |  SELECT a.cl, t.i AS pos,
+         |    CAST(SUM(${mic("e.embedding[t.i]")}) AS BIGINT) AS sx,
+         |    COUNT(*) AS n
+         |  FROM a$r a JOIN embeddings e USING (vec_id), range(1, 65) t(i)
+         |  GROUP BY 1, 2),
+         |c$r AS MATERIALIZED (
+         |  SELECT c.cl, COALESCE(n.cv, c.cv) AS cv
+         |  FROM c${r - 1} c LEFT JOIN (
+         |    SELECT cl, list(sx // n ORDER BY pos) AS cv
+         |    FROM u$r GROUP BY cl) n ON c.cl = n.cl)""".stripMargin
+    s"""WITH c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS cv
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $KmK)),
+       |${(1 to KmRounds).map(round).mkString(",\n")},
+       |sf AS (
+       |  SELECT e.vec_id, c.cl,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (${mic("e.embedding[i]")} - c.cv[i])
+       |         * (${mic("e.embedding[i]")} - c.cv[i]))) AS BIGINT) AS d2
+       |  FROM embeddings e, c$KmRounds c),
+       |af AS (
+       |  SELECT vec_id, cl, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2 ASC, cl ASC) AS rn FROM sf)
+       |  WHERE rn = 1)
+       |SELECT cl AS cluster, COUNT(*) AS n_members,
+       |  CAST(SUM(d2) AS BIGINT) AS inertia,
+       |  MIN(vec_id) AS min_member
+       |FROM af GROUP BY 1""".stripMargin
+  }
+
   private def kcenterSql: String = {
     def mic(e: String) =
       s"CAST(floor(CAST($e AS DOUBLE) * 1000000) AS BIGINT)"
@@ -2501,6 +2618,8 @@ object Similarity extends QueryModule {
       "1-bit binary quantization recall: packed sign words, popcount-xor hamming"),
     "q_vec_sq8" -> Q(sq8Q, Some(sq8Sql),
       "SQ8 int8 quantization recall eval: exact integer ADC dots, overlap@10"),
+    "q_sim_kmeans" -> Q(kmeansQ, Some(kmeansSql),
+      "bounded-round Lloyd k-means, exact integer d2, floor-div centroids, deterministic seeds"),
     "q_sim_kcenter" -> Q(kcenterQ, Some(kcenterSql),
       "greedy k-center (farthest-first) coreset selection, exact micro distances"),
     "q_sim_knn_graph" -> Q(knnGraphQ, Some(knnGraphSql),

@@ -1015,6 +1015,74 @@ object Sources extends QueryModule {
       |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  /** RLE-run layout advisor (the table_health family): for candidate
+    * sort orders, how compressible would each column be? Runs count
+    * under the CANONICAL order (l_orderkey, l_linenumber — the
+    * deterministic total order, so the answer is a property of the
+    * DATA, not of an engine's partitioning), and the advisor reads
+    * runs/rows in micro: a column at ~10⁶ never benefits from RLE; a
+    * column near 0 is begging to lead the sort key. The storage
+    * engine's columnar bodies (codec v5) are where the advice lands.
+    *
+    * 100 TB posture: at scale the same audit runs per object over the
+    * already-sorted layout (runs are footer-computable at write); the
+    * global form here is one window pass over the imposed order. */
+  private val rleAdviceQ = (s: SparkSession, dir: String) => {
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("date").as("ship_day"),
+        col("l_suppkey"))
+    def newRun(c: String) =
+      when(col(c) === lag(col(c), 1).over(w), 0L).otherwise(1L)
+        .as(s"nr_$c")
+    li.select(newRun("l_returnflag"), newRun("l_linestatus"),
+        newRun("ship_day"), newRun("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("nr_l_returnflag")).as("runs_l_returnflag"),
+        sum(col("nr_l_linestatus")).as("runs_l_linestatus"),
+        sum(col("nr_ship_day")).as("runs_ship_day"),
+        sum(col("nr_l_suppkey")).as("runs_l_suppkey"))
+      .selectExpr(
+        """stack(4,
+          |  'l_returnflag', runs_l_returnflag,
+          |  'l_linestatus', runs_l_linestatus,
+          |  'ship_day', runs_ship_day,
+          |  'l_suppkey', runs_l_suppkey) AS (col_name, n_runs)"""
+          .stripMargin,
+        "n")
+      .withColumn("rle_ratio_micro", expr("(1000000 * n_runs) div n"))
+  }
+
+  private val rleAdviceSql =
+    """WITH o AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_shipdate AS DATE) AS ship_day, l_suppkey,
+      |    lag(l_returnflag) OVER w AS p1,
+      |    lag(l_linestatus) OVER w AS p2,
+      |    lag(CAST(l_shipdate AS DATE)) OVER w AS p3,
+      |    lag(l_suppkey) OVER w AS p4
+      |  FROM lineitem
+      |  WINDOW w AS (ORDER BY l_orderkey, l_linenumber)),
+      |r AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag IS NOT DISTINCT FROM p1
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS r1,
+      |    CAST(SUM(CASE WHEN l_linestatus IS NOT DISTINCT FROM p2
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS r2,
+      |    CAST(SUM(CASE WHEN ship_day IS NOT DISTINCT FROM p3
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS r3,
+      |    CAST(SUM(CASE WHEN l_suppkey IS NOT DISTINCT FROM p4
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS r4
+      |  FROM o)
+      |SELECT t.col_name, t.n_runs, r.n,
+      |  (1000000 * t.n_runs) // r.n AS rle_ratio_micro
+      |FROM r, (SELECT 'l_returnflag' AS col_name, r1 AS n_runs FROM r
+      |  UNION ALL SELECT 'l_linestatus', r2 FROM r
+      |  UNION ALL SELECT 'ship_day', r3 FROM r
+      |  UNION ALL SELECT 'l_suppkey', r4 FROM r) t""".stripMargin
+
   /** Bench split forms: setup = the one-off layout write (load-time,
     * untimed — amortized exactly like Bench.objectify's ingest), read =
     * the query itself. The correctness-gate queries above still bundle
@@ -1531,6 +1599,8 @@ object Sources extends QueryModule {
       "incremental index maintenance: delta-only tokenize + MERGE == rebuild"),
     "q_src_constraint_gate" -> Q(constraintGate, Some(constraintGateSql),
       "CHECK-constraint write gate: violating INSERT refused atomically"),
+    "q_src_rle_advice" -> Q(rleAdviceQ, Some(rleAdviceSql),
+      "RLE-run layout advisor: per-column runs under the canonical order, ratio in micro"),
     "q_src_zorder_string" -> Q(zorderStringScan, Some(zorderStringScanSql),
       "z-order with a string dimension: 8-byte prefix code interleaved, string-filter pruning"),
     "q_src_zorder" -> Q(zorderScan, Some(zorderScanSql),

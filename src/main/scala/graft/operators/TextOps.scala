@@ -1808,6 +1808,52 @@ object TextOps extends QueryModule {
     * 100 TB posture: one explode→(term) collapse (the inverted-index
     * shuffle) + one doc-domain rollup; the ×8 fan-outs run on the
     * collapsed term/doc domains. */
+  /** Zipf rank-frequency profile, octave-bucketed — the power-law
+    * diagnostic every corpus report opens with, WITHOUT floating
+    * logarithms (log/ln differ across engines — the cooccur lesson):
+    * words rank by (freq DESC, word ASC); ranks bucket into octaves
+    * [2^k, 2^{k+1}); each octave reports word count, total frequency
+    * mass, and its top word. A Zipfian corpus shows ~flat per-octave
+    * mass (each octave doubles the words and halves the frequency);
+    * a TRUNCATED or templated corpus shows mass collapsing — the
+    * shape is the diagnostic, no slope float needed.
+    *
+    * 100 TB posture: one token groupBy (partial-agg), a |vocab|-row
+    * rank window, then a ≤64-octave rollup. */
+  private val zipfQ = (s: SparkSession, dir: String) => {
+    val freq = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("rnk",
+      row_number().over(Window.orderBy(col("f").desc, col("w").asc)))
+    ranked
+      // octave = bit length − 1: integer-exact floor(log2(rank)) —
+      // float log2 is NOT exact at power-of-two boundaries in every
+      // engine (Math.log(x)/Math.log(2) ≠ C log2), so no float logs
+      .withColumn("octave",
+        (length(bin(col("rnk"))) - 1).cast("long"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("f")).as("mass"),
+        min(struct(col("rnk"), col("w"))).as("tw"))
+      .select(col("octave"), col("n_words"), col("mass"),
+        col("tw.w").as("top_word"))
+  }
+
+  private val zipfSql =
+    """WITH freq AS (
+      |  SELECT w, COUNT(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY 1),
+      |ranked AS (
+      |  SELECT w, f, row_number() OVER (ORDER BY f DESC, w ASC) AS rnk
+      |  FROM freq)
+      |SELECT CAST(len(bin(rnk)) - 1 AS BIGINT) AS octave,
+      |  COUNT(*) AS n_words, CAST(SUM(f) AS BIGINT) AS mass,
+      |  arg_min(w, rnk) AS top_word
+      |FROM ranked GROUP BY 1""".stripMargin
+
   private val heapsQ = (s: SparkSession, dir: String) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
@@ -1916,6 +1962,8 @@ object TextOps extends QueryModule {
   override val queries: Map[String, Q] = Map(
     "q_text_autocomplete" -> Q(autocompleteQ, Some(autocompleteSql),
       "next-word suggestion index: top-3 bigram completions per word"),
+    "q_text_zipf" -> Q(zipfQ, Some(zipfSql),
+      "Zipf rank-frequency profile, octave-bucketed via integer bit length (no float logs)"),
     "q_text_heaps" -> Q(heapsQ, Some(heapsSql),
       "Heaps-law vocabulary growth at 8 corpus octiles via first-occurrence ranks"),
     "q_text_mojibake" -> Q(mojibakeQ, Some(mojibakeSql),

@@ -35,6 +35,59 @@ object TimeSeries extends QueryModule {
   // latest earlier event. The "last observation in each hour" is the
   // row_number()=1 row by (ts, event_id) DESC — event_id breaks exact
   // timestamp ties deterministically.
+  /** Ingest-order audit — the watermark-sizing evidence a streaming
+    * deployment reads before picking `withWatermark`: events arrive in
+    * `event_id` order (the append sequence); an event is LATE when its
+    * event time trails the running event-time max of everything that
+    * arrived before it. Reports per type: late count, late share in
+    * micro, and the max lateness in seconds (= the smallest watermark
+    * that would have admitted every event).
+    *
+    * 100 TB posture: one type-keyed shuffle, one ordered window pass —
+    * the same shape as every sessionize/EWMA query here; at stream
+    * time the same quantity falls out of the watermark metrics. */
+  private val outOfOrderQ = (s: SparkSession, dir: String) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+      .withColumn("prev_max", max(col("sec")).over(w))
+      .withColumn("late_by",
+        when(col("prev_max") > col("sec"), col("prev_max") - col("sec"))
+          .otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_by") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_by")).as("max_late_sec"))
+      .withColumn("late_share_micro",
+        expr("(1000000 * n_late) div n_events"))
+  }
+
+  private val outOfOrderSql =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(epoch(ts) AS BIGINT) AS sec
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, sec,
+      |    MAX(sec) OVER (PARTITION BY event_type ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_max
+      |  FROM e),
+      |l AS (
+      |  SELECT event_type,
+      |    CASE WHEN prev_max > sec THEN prev_max - sec ELSE 0 END
+      |      AS late_by
+      |  FROM r)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  CAST(MAX(late_by) AS BIGINT) AS max_late_sec,
+      |  (1000000 * CAST(SUM(CASE WHEN late_by > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT)) // COUNT(*) AS late_share_micro
+      |FROM l GROUP BY 1""".stripMargin
+
   private val gapfillQ = (s: SparkSession, dir: String) => {
     val ev = Tables.events(s, dir)
       .filter(col("user_id") < 8)
@@ -2371,6 +2424,8 @@ object TimeSeries extends QueryModule {
       "rolling z-score outliers: integer-exact (n·x−s1)² > 4(n·s2−s1²) trailing test"),
     "q_ts_moving_1h" -> Q(movingQ, Some(movingSql),
       "trailing 1-hour RANGE-frame count/sum per series (time-defined peers)"),
+    "q_ts_out_of_order" -> Q(outOfOrderQ, Some(outOfOrderSql),
+      "ingest-order audit: late events vs the running event-time max, watermark sizing evidence"),
     "q_ts_gapfill" -> Q(gapfillQ, Some(gapfillSql),
       "hourly gap-fill per series: dense grid + LOCF interpolation"),
     "q_ts_resample_ohlc" -> Q(ohlcQ, Some(ohlcSql),
