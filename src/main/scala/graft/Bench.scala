@@ -125,7 +125,13 @@ object Bench {
     // checkpoint fan-out), harmonic closeness (iterative all-sources
     // BFS), SQ8 quantization eval, STL-lite decomposition
     "q_dedup_lsh_tuning", "q_join_editdist", "q_text_heaps",
-    "q_graph_closeness", "q_vec_sq8", "q_ts_stl")
+    "q_graph_closeness", "q_vec_sq8", "q_ts_stl",
+    // round-6 additions: native mergeable quantile sketch (cap-bounded
+    // partials vs DuckDB's full sort), bounded-round Lloyd k-means
+    // (unrolled-CTE oracle), octave Zipf profile, weighted adjacency
+    // cosine, ingest-order watermark audit, RLE layout advisor
+    "q_agg_quantile_sketch", "q_sim_kmeans", "q_text_zipf",
+    "q_graph_node_sim", "q_ts_out_of_order", "q_src_rle_advice")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

@@ -661,7 +661,8 @@ object Aggregates extends QueryModule {
       .select(col("event_type"), col("pos"), col("col").as("q"))
   }
 
-  private val quantileSketchSql =
+  /** Shared with the streaming twin (StreamOps.q_stream_quantile). */
+  private[graft] val quantileSketchSql =
     """WITH g AS (
       |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v
       |  FROM events WHERE value IS NOT NULL),
@@ -674,6 +675,60 @@ object Aggregates extends QueryModule {
       |  sv[CAST(GREATEST(1, (p.pm * n + 999999) // 1000000)
       |     AS BIGINT)] AS q
       |FROM a CROSS JOIN p""".stripMargin
+
+  /** Quantile-band outlier gate — the sketch composed INTO an
+    * operator: per event type the [P05, P95] band comes from
+    * `quantile_sketch` (exact below cap, so the gate is exact at
+    * fixture scale and honestly approximate at 100 TB, where the band
+    * is the point), then one broadcast-band map pass classifies every
+    * event. The band side is |types|-bounded — a legitimate
+    * broadcast, unlike the SF-scaling ones round 6 removed.
+    *
+    * 100 TB posture: sketch partials cross the exchange (cap-bounded),
+    * the gate is map-only against the broadcast band. */
+  private val quantileGateQ = (s: SparkSession, dir: String) => {
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value) AS BIGINT)").as("v"))
+    val band = ev.groupBy(col("event_type"))
+      .agg(expr("quantile_sketch(v, 100000, '50000,950000')").as("qs"))
+      .select(col("event_type").as("bt"),
+        col("qs").getItem(0).as("lo"), col("qs").getItem(1).as("hi"))
+    ev.join(broadcast(band), col("event_type") === col("bt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        max(col("lo")).as("p05"), max(col("hi")).as("p95"))
+      .withColumn("inlier_micro",
+        expr("(1000000 * (n_events - n_below - n_above)) div n_events"))
+  }
+
+  private val quantileGateSql =
+    """WITH g AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+      |  FROM events),
+      |band AS (
+      |  SELECT event_type,
+      |    sv[CAST(GREATEST(1, (50000 * n + 999999) // 1000000)
+      |       AS BIGINT)] AS lo,
+      |    sv[CAST(GREATEST(1, (950000 * n + 999999) // 1000000)
+      |       AS BIGINT)] AS hi
+      |  FROM (SELECT event_type, list_sort(list(v)) AS sv, COUNT(*) AS n
+      |        FROM g GROUP BY 1))
+      |SELECT g.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN g.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_below,
+      |  CAST(SUM(CASE WHEN g.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above,
+      |  MAX(b.lo) AS p05, MAX(b.hi) AS p95,
+      |  (1000000 * (COUNT(*)
+      |    - CAST(SUM(CASE WHEN g.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    - CAST(SUM(CASE WHEN g.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)))
+      |    // COUNT(*) AS inlier_micro
+      |FROM g JOIN band b ON g.event_type = b.event_type
+      |GROUP BY 1""".stripMargin
 
   // ---- per-group OLS fit (integer moments, like the corr matrix) --
   //
@@ -1945,6 +2000,8 @@ object Aggregates extends QueryModule {
       "per-group OLS slope/intercept from integer moments, one pass"),
     "q_ts_autocorr" -> Q(autocorrQ, Some(autocorrSql),
       "lag-1 autocorrelation per series: window pairs + exact pair moments"),
+    "q_agg_quantile_gate" -> Q(quantileGateQ, Some(quantileGateSql),
+      "sketch-band outlier gate: [P05,P95] from quantile_sketch, map-only classification"),
     "q_agg_quantile_sketch" -> Q(quantileSketchQ, Some(quantileSketchSql),
       "native mergeable KLL-style quantile sketch, exact below cap, micro-int ranks"),
     "q_agg_freq_items" -> Q(freqItemsQ, Some(freqItemsSql),

@@ -1808,6 +1808,68 @@ object TextOps extends QueryModule {
     * 100 TB posture: one explode→(term) collapse (the inverted-index
     * shuffle) + one doc-domain rollup; the ×8 fan-outs run on the
     * collapsed term/doc domains. */
+  /** Pairwise source divergence — "did this source drift from that
+    * one?" in the distribution sense a mixing schedule cares about:
+    * TOTAL-VARIATION distance between per-source unigram
+    * distributions, computed entirely in integer micro (KL needs
+    * logarithms — the cross-engine float hazard this codebase bans;
+    * TV is the log-free f-divergence and bounds KL via Pinsker).
+    * Identity used: Σ_w |p−q| = Σp + Σq − 2·Σ_w min(p,q), so the
+    * only per-word work is an INNER join on shared words (absent
+    * words contribute through the Σp/Σq constants) — no outer-join
+    * fan-out. Reported as tv2_micro = 2·TV·10⁶ (integer exact).
+    *
+    * 100 TB posture: one (source, word) partial-agg collapse, one
+    * |vocab|-bounded inner self-join keyed on the word, a |sources|²
+    * rollup. */
+  private val sourceDivQ = (s: SparkSession, dir: String) => {
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val p = counts.join(totals, "source")
+      .select(col("source"), col("w"),
+        expr("(1000000 * c) div n").as("p"))
+    val sums = p.groupBy(col("source")).agg(sum(col("p")).as("sp"))
+    val minSum = p.select(col("source").as("sa"), col("w"), col("p").as("pa"))
+      .join(p.select(col("source").as("sb"), col("w"), col("p").as("pb")),
+        Seq("w"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(least(col("pa"), col("pb"))).as("smin"),
+        count(lit(1)).as("n_shared_words"))
+    minSum
+      .join(sums.select(col("source").as("sa"), col("sp").as("spa")), Seq("sa"))
+      .join(sums.select(col("source").as("sb"), col("sp").as("spb")), Seq("sb"))
+      .select(col("sa"), col("sb"), col("n_shared_words"),
+        (col("spa") + col("spb") - lit(2L) * col("smin")).as("tv2_micro"))
+  }
+
+  private val sourceDivSql =
+    """WITH counts AS (
+      |  SELECT source, w, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) > 0 GROUP BY 1, 2),
+      |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |           FROM counts GROUP BY 1),
+      |p AS (
+      |  SELECT c.source, c.w, (1000000 * c.c) // t.n AS p
+      |  FROM counts c JOIN totals t ON c.source = t.source),
+      |sums AS (SELECT source, CAST(SUM(p) AS BIGINT) AS sp
+      |         FROM p GROUP BY 1),
+      |ms AS (
+      |  SELECT a.source AS sa, b.source AS sb,
+      |    CAST(SUM(least(a.p, b.p)) AS BIGINT) AS smin,
+      |    COUNT(*) AS n_shared_words
+      |  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT ms.sa, ms.sb, ms.n_shared_words,
+      |  xa.sp + xb.sp - 2 * ms.smin AS tv2_micro
+      |FROM ms JOIN sums xa ON ms.sa = xa.source
+      |JOIN sums xb ON ms.sb = xb.source""".stripMargin
+
   /** Zipf rank-frequency profile, octave-bucketed — the power-law
     * diagnostic every corpus report opens with, WITHOUT floating
     * logarithms (log/ln differ across engines — the cooccur lesson):
@@ -1962,6 +2024,8 @@ object TextOps extends QueryModule {
   override val queries: Map[String, Q] = Map(
     "q_text_autocomplete" -> Q(autocompleteQ, Some(autocompleteSql),
       "next-word suggestion index: top-3 bigram completions per word"),
+    "q_text_source_divergence" -> Q(sourceDivQ, Some(sourceDivSql),
+      "pairwise source drift: total-variation distance of unigram distributions, integer micro"),
     "q_text_zipf" -> Q(zipfQ, Some(zipfSql),
       "Zipf rank-frequency profile, octave-bucketed via integer bit length (no float logs)"),
     "q_text_heaps" -> Q(heapsQ, Some(heapsSql),

@@ -413,6 +413,28 @@ object StreamOps extends QueryModule {
         col("e.err").as("err"))
   }
 
+  /** STREAMING twin of the batch quantile sketch
+    * (Aggregates.q_agg_quantile_sketch, same oracle): the native
+    * TypedImperativeAggregate runs unmodified as a stateful streaming
+    * aggregate — complete mode keeps one cap-bounded compactor stack
+    * per type in the state store, each micro-batch merges partials
+    * into it, and below cap the result is the exact multiset quantile
+    * regardless of batch boundaries (the merge-order-invariance the
+    * spec proves is exactly what makes the sketch stream-safe). */
+  private val streamQuantile = (s: SparkSession, dir: String) => {
+    graft.functions.GraftFunctions.register(s)
+    val agg = eventsStream(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value) AS BIGINT)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(expr(
+        "quantile_sketch(v, 100000, '250000,500000,750000,900000')")
+        .as("qs"))
+    runToTable(s, agg, "complete")
+      .select(col("event_type"), posexplode(col("qs")))
+      .select(col("event_type"), col("pos"), col("col").as("q"))
+  }
+
   final case class EwmaEv(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, c: Long)
   final case class EwmaRing(cents: Seq[Long])
@@ -810,6 +832,9 @@ object StreamOps extends QueryModule {
     "q_stream_freq_items" -> Q(streamFreqItems,
       Some(graft.operators.Aggregates.freqItemsSql),
       "native Space-Saving sketch as a stateful streaming aggregate, batch-equal"),
+    "q_stream_quantile" -> Q(streamQuantile,
+      Some(graft.operators.Aggregates.quantileSketchSql),
+      "native quantile sketch as a stateful streaming aggregate, batch-equal below cap"),
     "q_stream_anomaly" -> Q(streamAnomaly,
       Some(graft.operators.TimeSeries.anomalySql),
       "streaming rolling z-score detector: 10-deep ring-buffer state, batch-equal"),

@@ -55,6 +55,9 @@ HEADLINE = [
     # round-5 waves 43-53 (mirror graft.Bench.headline)
     "q_dedup_lsh_tuning", "q_join_editdist", "q_text_heaps",
     "q_graph_closeness", "q_vec_sq8", "q_ts_stl",
+    # round-6 additions (mirror graft.Bench.headline)
+    "q_agg_quantile_sketch", "q_sim_kmeans", "q_text_zipf",
+    "q_graph_node_sim", "q_ts_out_of_order", "q_src_rle_advice",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
