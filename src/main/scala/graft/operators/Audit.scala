@@ -184,6 +184,55 @@ object Audit extends QueryModule {
     * AGGREGATES IN ONE SCAN (stack()ed into rows after — never one
     * pass per check); the referential check is a broadcast anti-join
     * against the dim key set. */
+  /** Functional-dependency audit — "does A determine B?" for candidate
+    * FDs a schema review proposes: per candidate, the number of
+    * determinant keys, how many keys VIOLATE (carry >1 distinct
+    * dependent), the worst key's distinct count, and whether the FD
+    * holds. One true FD (orderkey → custkey, a real key constraint)
+    * rides along as the control. Exactly the dependency-discovery
+    * primitive profilers (and normalization reviews) run first.
+    *
+    * 100 TB posture: each candidate is ONE determinant-keyed
+    * partial-agg (count distinct per key collapses map-side), then a
+    * 1-row rollup; candidates evaluate independently and union. */
+  private val fdAuditQ = (s: SparkSession, dir: String) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    def audit(name: String, df: DataFrame, a: String, b: String) =
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("nd")).as("max_distinct"))
+        .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+          col("max_distinct"),
+          (col("n_violating") === 0L).as("holds"))
+    audit("o_orderkey->o_custkey", o, "o_orderkey", "o_custkey")
+      .unionByName(audit("o_custkey->o_orderpriority", o,
+        "o_custkey", "o_orderpriority"))
+      .unionByName(audit("l_orderkey->l_suppkey", li,
+        "l_orderkey", "l_suppkey"))
+      .unionByName(audit("l_partkey->l_returnflag", li,
+        "l_partkey", "l_returnflag"))
+  }
+
+  private val fdAuditSql = {
+    def one(name: String, t: String, a: String, b: String) =
+      s"""SELECT '$name' AS fd, COUNT(*) AS n_keys,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(MAX(nd) AS BIGINT) AS max_distinct,
+         |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT $a, COUNT(DISTINCT $b) AS nd FROM $t GROUP BY 1)"""
+        .stripMargin
+    Seq(
+      one("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+      one("o_custkey->o_orderpriority", "orders",
+        "o_custkey", "o_orderpriority"),
+      one("l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+      one("l_partkey->l_returnflag", "lineitem",
+        "l_partkey", "l_returnflag")).mkString("\nUNION ALL\n")
+  }
+
   private val dqQ = (s: SparkSession, dir: String) => {
     val o = Tables.orders(s, dir)
     val colChecks = o.agg(
@@ -1551,6 +1600,8 @@ object Audit extends QueryModule {
       "k-anonymity class sizes + l-diversity per quasi-identifier class"),
     "q_agg_contingency" -> Q(contingencyQ, Some(contingencySql),
       "chi-square + Cramer's V for segment x nation, integer micro, zero cells included"),
+    "q_dq_fd_audit" -> Q(fdAuditQ, Some(fdAuditSql),
+      "functional-dependency audit: violating keys and worst fan-out per candidate FD"),
     "q_dq_expectations" -> Q(dqQ, Some(dqSql),
       "declarative DQ expectations report: 5 checks, one scan + one broadcast anti-join"))
 }

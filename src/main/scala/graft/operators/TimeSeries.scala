@@ -35,6 +35,60 @@ object TimeSeries extends QueryModule {
   // latest earlier event. The "last observation in each hour" is the
   // row_number()=1 row by (ts, event_id) DESC — event_id breaks exact
   // timestamp ties deterministically.
+  /** Peak concurrency by sweep-line — "how many one-hour activity
+    * intervals overlap at the worst moment?": every event opens an
+    * interval [sec, sec+3600); the sweep emits +1 at each start and
+    * −1 at each end, a running sum ordered by (time, delta ASC — ends
+    * close before starts open at the same instant, the half-open
+    * convention) is the live concurrency, and the peak plus its
+    * FIRST attainment time is the capacity-planning answer.
+    * Complements interval_merge (union length) with the max-overlap
+    * question merging cannot answer.
+    *
+    * 100 TB posture: one type-keyed shuffle carrying 2 deltas per
+    * event, one ordered window pass per type — the sessionize shape. */
+  private val concurrencyQ = (s: SparkSession, dir: String) => {
+    val deltas = Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("long").as("sec"))
+      .select(col("event_type"), explode(array(
+        struct(col("sec").as("t"), lit(1L).as("d")),
+        struct((col("sec") + 3600L).as("t"), lit(-1L).as("d"))))
+        .as("e"))
+      .select(col("event_type"), col("e.t").as("t"), col("e.d").as("d"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val live = deltas.withColumn("live", sum(col("d")).over(w))
+    val peak = live.groupBy(col("event_type").as("pt"))
+      .agg(max(col("live")).as("peak"))
+    live.join(peak, col("event_type") === col("pt"))
+      .groupBy(col("event_type"))
+      .agg(max(col("peak")).as("peak"),
+        min(when(col("live") === col("peak"), col("t")))
+          .as("peak_at_sec"))
+  }
+
+  private val concurrencySql =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, 1 AS d
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 3600, -1
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, t,
+      |    CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS live
+      |  FROM d),
+      |p AS (SELECT event_type, MAX(live) AS peak FROM r GROUP BY 1)
+      |SELECT r.event_type, p.peak,
+      |  MIN(CASE WHEN r.live = p.peak THEN r.t END) AS peak_at_sec
+      |FROM r JOIN p ON r.event_type = p.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   /** Ingest-order audit — the watermark-sizing evidence a streaming
     * deployment reads before picking `withWatermark`: events arrive in
     * `event_id` order (the append sequence); an event is LATE when its
@@ -67,7 +121,7 @@ object TimeSeries extends QueryModule {
   private val outOfOrderSql =
     """WITH e AS (
       |  SELECT event_type, event_id,
-      |    CAST(epoch(ts) AS BIGINT) AS sec
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
       |  FROM events),
       |r AS (
       |  SELECT event_type, sec,
@@ -2424,6 +2478,8 @@ object TimeSeries extends QueryModule {
       "rolling z-score outliers: integer-exact (n·x−s1)² > 4(n·s2−s1²) trailing test"),
     "q_ts_moving_1h" -> Q(movingQ, Some(movingSql),
       "trailing 1-hour RANGE-frame count/sum per series (time-defined peers)"),
+    "q_ts_concurrency" -> Q(concurrencyQ, Some(concurrencySql),
+      "sweep-line peak concurrency of one-hour activity intervals + first attainment time"),
     "q_ts_out_of_order" -> Q(outOfOrderQ, Some(outOfOrderSql),
       "ingest-order audit: late events vs the running event-time max, watermark sizing evidence"),
     "q_ts_gapfill" -> Q(gapfillQ, Some(gapfillSql),
