@@ -669,6 +669,87 @@ object Graph extends QueryModule {
         coalesce(col("is_edge"), lit(false)).as("is_edge"))
   }
 
+  /** Personalized PageRank from nation 0 — "who is close to THIS
+    * node?" (the recommendation/expansion primitive global PageRank
+    * can't answer): same exact-integer damped recurrence as
+    * [[pagerankQ]] but the teleport mass returns to the SOURCE:
+    * r' = (source ? 150000·|V| : 0) + Σ (17·r·w) div (20·wout).
+    * Same two-phase posture: distributed corpus collapse, driver-
+    * local 5-round loop on the ≤|nations|² edge list; same BIGINT
+    * magnitude bound as PageRank (total mass conserved at |V|·10⁶). */
+  private val pprQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = collectNodes(s, dir)
+    val wout = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val teleport = 150000L * nodes.length
+    var ranks: Map[Long, Long] =
+      nodes.map(n => n._1 -> (if (n._1 == 0L) 1000000L * nodes.length else 0L)).toMap
+    for (_ <- 1 to PrIters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (src, dst, w) =>
+        contrib(dst) += (17L * ranks(src) * w) / (20L * wout(src))
+      }
+      ranks = nodes.map { case (k, _) =>
+        k -> ((if (k == 0L) teleport else 0L) + contrib(k))
+      }.toMap
+    }
+    val ordered = nodes.map { case (k, name) => (name, k, ranks(k)) }
+      .sortBy { case (name, _, r) => (-r, name) }
+    val rows = ordered.zipWithIndex.map { case ((name, k, r), i) =>
+      Row(name, k, r, i + 1)
+    }
+    df(s, StructType(Seq(
+      StructField("n_name", StringType), StructField("node", LongType),
+      StructField("ppr_q", LongType), StructField("rnk", IntegerType))),
+      rows.toSeq)
+  }
+
+  private def pprSql: String = {
+    def iterCte(n: Int): String =
+      s"""r${n + 1} AS (
+         |  SELECT nd.node,
+         |    CASE WHEN nd.node = 0 THEN 150000 * (SELECT COUNT(*)
+         |      FROM nation) ELSE 0 END
+         |    + COALESCE(CAST(SUM(
+         |        (17 * r.r * e.w) // (20 * e.wout)) AS BIGINT), 0) AS r
+         |  FROM (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation) nd
+         |  LEFT JOIN ew e ON e.dst = nd.node
+         |  LEFT JOIN r$n r ON r.node = e.src
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |    CAST(s.s_nationkey AS BIGINT) AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |ew AS (
+       |  SELECT e.src, e.dst, e.w, o.wout
+       |  FROM edges e
+       |  JOIN (SELECT src, SUM(w) AS wout FROM edges GROUP BY 1) o
+       |    ON e.src = o.src),
+       |r0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |  CASE WHEN n_nationkey = 0 THEN CAST(1000000 AS BIGINT)
+       |    * (SELECT COUNT(*) FROM nation) ELSE 0 END AS r
+       |  FROM nation),
+       |${(0 until PrIters).map(iterCte).mkString(",\n")}
+       |SELECT n.n_name, rf.node, CAST(rf.r AS BIGINT) AS ppr_q,
+       |  row_number() OVER (ORDER BY rf.r DESC, n.n_name ASC) AS rnk
+       |FROM r$PrIters rf JOIN nation n ON rf.node = n.n_nationkey"""
+      .stripMargin
+  }
+
   /** Weighted adjacency-cosine node similarity — "which nations trade
     * with the same partners, in the same proportions?" (the
     * role-equivalence lens common-neighbor counting can't see: two
@@ -1559,6 +1640,8 @@ object Graph extends QueryModule {
       "HITS hubs/authorities: 3 integer iterations, L-infinity renormalization"),
     "q_graph_scc" -> Q(sccQ, Some(sccSql),
       "strongly connected components: exact closure by five squarings, mutual-reach labels"),
+    "q_graph_ppr" -> Q(pprQ, Some(pprSql),
+      "personalized PageRank from nation 0: teleport mass returns to the source, integer-exact"),
     "q_graph_node_sim" -> Q(nodeSimQ, Some(nodeSimSql),
       "weighted adjacency-cosine node similarity: exact integer moments, one final double"),
     "q_graph_common_neighbors" -> Q(commonNeighborsQ, Some(commonNeighborsSql),

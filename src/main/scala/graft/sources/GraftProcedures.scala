@@ -33,7 +33,7 @@ object GraftProcedures {
   private val names = Seq("create_branch", "merge_branch", "drop_branch",
     "list_branches", "vacuum_table", "table_version",
     "compact_table", "scrub_table", "delete_mor", "update_mor",
-    "table_health")
+    "table_health", "zorder_table")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(SystemNs))
@@ -92,6 +92,29 @@ object GraftProcedures {
         StructType(Seq(StructField("version", IntegerType))),
         in => Array(row(
           GraftVersions.currentVersion(dirOf(str(in, 0))))))
+      case "zorder_table" => proc("zorder_table",
+        Seq("table" -> StringType, "cols" -> StringType,
+          "objects" -> IntegerType),
+        StructType(Seq(StructField("objects_before", IntegerType),
+          StructField("objects_after", IntegerType),
+          StructField("zorder_cols", StringType))),
+        in => {
+          // OPTIMIZE…ZORDER as a CALL: rewrite the table range-sharded
+          // on the normalized Z-curve (string dims ride the prefix
+          // code) — one stats pass + one range exchange, a truncate
+          // commit like compact_table, so the old layout stays
+          // time-travelable
+          val d = dirOf(str(in, 0))
+          val cols = str(in, 1).split(",").map(_.trim).filter(_.nonEmpty)
+          require(cols.nonEmpty, "zorder_table: no columns given")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val before = GraftObjectTable.listObjects(d).size
+          graft.functions.GraftLayout.zorderWrite(
+            spark.read.format("graft-objects").load(d), d,
+            cols.toSeq, in.getInt(2))
+          Array(row(before, GraftObjectTable.listObjects(d).size,
+            UTF8String.fromString(cols.mkString(","))))
+        })
       case "compact_table" => proc("compact_table",
         Seq("table" -> StringType, "target" -> IntegerType),
         StructType(Seq(StructField("objects_before", IntegerType),

@@ -86,6 +86,34 @@ class GraftProceduresSpec extends SparkSpec {
     assert(s1.getInt(2) == 1, "tampered body must fail the CRC scrub")
   }
 
+  test("CALL zorder_table relays out the curve; both dimensions prune") {
+    val path = s"$root/zo/t"
+    spark.range(0, 10000).selectExpr(
+      "id % 100 AS x",
+      "concat('k', lpad(CAST(id DIV 100 AS STRING), 2, '0')) AS s",
+      "id AS v")
+      .repartition(4)
+      .write.format("graft-objects").mode("overwrite").save(path)
+    val r = spark.sql(
+      "CALL gproc.system.zorder_table('zo.t', 'x, s', 16)").collect().head
+    assert(r.getInt(0) == 4 && r.getInt(1) == 16)
+    assert(r.getString(2) == "x,s")
+    // rows preserved, both dimensions now prune via footers
+    assert(spark.sql("SELECT COUNT(*) FROM gproc.zo.t")
+      .collect().head.getLong(0) == 10000)
+    import org.apache.spark.sql.sources.EqualTo
+    def survivors(f: org.apache.spark.sql.sources.Filter): Int =
+      graft.sources.GraftObjectTable.listObjects(path)
+        .map(graft.sources.ObjectFormat.readFooter)
+        .count(graft.sources.ObjectFormat.mightMatch(f, _))
+    assert(survivors(EqualTo("x", 5L)) <= 8, "long dim prunes")
+    assert(survivors(EqualTo("s", "k05")) <= 8, "string dim prunes")
+    // the pre-zorder generation stays time-travelable
+    val hist = spark.sql("CALL gproc.system.table_version('zo.t')")
+      .collect().head.getInt(0)
+    assert(hist >= 2)
+  }
+
   test("procedures are namespaced and discoverable; unknown names refuse") {
     mkTable("ns", "t")
     val e = intercept[Exception] {
