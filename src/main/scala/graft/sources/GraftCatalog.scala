@@ -339,6 +339,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .foreach(ObjectFormat.renameHeaderColumn(_, from, to))
         schema = StructType(schema.map(f =>
           if (f.name == from) f.copy(name = to) else f))
+      case upd: TableChange.UpdateColumnType =>
+        // type-WIDENING evolution (int→bigint, float→double): the
+        // sidecar speaks the wide type from here on; existing objects
+        // keep their narrow physical encoding and readers upcast at
+        // decode by name (the added-column null discipline applied to
+        // widths). Narrowing or cross-kind changes are refused — they
+        // would need a rewrite, which is a relayout job, not an ALTER.
+        require(upd.fieldNames().length == 1,
+          "graft catalog: nested ALTER COLUMN TYPE is not supported")
+        val cname = upd.fieldNames()(0)
+        val idx = schema.fieldNames.indexOf(cname)
+        require(idx >= 0, s"ALTER: no such column $cname")
+        val from = schema(idx).dataType
+        require(ObjectFormat.widenable(from, upd.newDataType()),
+          s"ALTER: cannot change $cname from ${from.catalogString} to " +
+            s"${upd.newDataType().catalogString} — only lossless " +
+            "widenings (int->bigint, float->double) are supported")
+        schema = StructType(schema.map(f =>
+          if (f.name == cname) f.copy(dataType = upd.newDataType()) else f))
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other")

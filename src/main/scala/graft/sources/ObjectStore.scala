@@ -294,6 +294,31 @@ object ObjectFormat {
     }
   }
 
+  /** Type-widening schema evolution (§1.1 ALTER COLUMN TYPE): the
+    * sanctioned lossless widenings. Older objects keep their narrow
+    * physical encoding (bodies are immutable); readers upcast at
+    * decode by name-matching, exactly like evolution-added columns
+    * read as null. */
+  def widenable(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Value converter for a widened column (null = identity — the
+    * common case pays nothing). */
+  def widenConverter(from: DataType, to: DataType): Any => Any =
+    (from, to) match {
+      case (f, t) if f == t => null
+      case (IntegerType, LongType) =>
+        v => if (v == null) null else Long.box(v.asInstanceOf[Int].toLong)
+      case (FloatType, DoubleType) =>
+        v => if (v == null) null
+        else Double.box(v.asInstanceOf[Float].toDouble)
+      case (f, t) => throw new IllegalStateException(
+        s"graft-objects: object column type $f cannot serve table type $t")
+    }
+
   /** Types the vectorized columnar reader can fill straight into an
     * OnHeapColumnVector; nested types fall back to the row route. */
   def vectorizable(dt: DataType): Boolean = dt match {
@@ -3672,6 +3697,14 @@ class GraftObjectReader(path: String, fullSchema: StructType,
   }
   private val objName =
     UTF8String.fromString(new File(path).getName)
+  /** Type-widening upcast per output column (null = identity): an
+    * object written before ALTER COLUMN TYPE carries the narrow
+    * encoding; the emitted row must speak the table's wide type. */
+  private val widen: Array[Any => Any] =
+    readSchema.fields.zip(outIdx).map { case (f, i) =>
+      if (i < 0) null
+      else ObjectFormat.widenConverter(objSchema(i).dataType, f.dataType)
+    }
   /** Merge-on-read: the valid deletion vector for this object, if any.
     * Archive copies never carry one (DVs live only under the table
     * root's `_dv/`), so snapshot reads of pre-delete state stay full. */
@@ -3827,7 +3860,9 @@ class GraftObjectReader(path: String, fullSchema: StructType,
           out(k) = outIdx(k) match {
             case -1 => objName // _object metadata column
             case -2 => null    // column newer than this object
-            case i => valueAt(i)
+            case i =>
+              val c = widen(k)
+              if (c == null) valueAt(i) else c(valueAt(i))
           }
           k += 1
         }
@@ -3958,7 +3993,8 @@ class GraftColumnarReader(paths: Seq[String], fullSchema: StructType,
         val v = new OnHeapColumnVector(kept, f.dataType)
         fieldIdx.get(f.name) match {
           case Some(i) =>
-            fillVector(v, segs(i), 0, rowCount, keep, kept, f.dataType)
+            fillVector(v, segs(i), 0, rowCount, keep, kept,
+              objSchema(i).dataType, f.dataType)
           case None if f.name == "_object" =>
             var r = 0
             while (r < kept) { v.putByteArray(r, objName.getBytes); r += 1 }
@@ -4013,15 +4049,47 @@ class GraftColumnarReader(paths: Seq[String], fullSchema: StructType,
 
   /** Tight typed fill: walk the presence bytes once, copying kept
     * present values into the vector and nulling kept absent ones;
-    * skipped rows only advance the value cursor. */
+    * skipped rows only advance the value cursor. `segDt` is the
+    * object's PHYSICAL type; `vecDt` the table's — they differ only
+    * for type-widened columns (int→bigint, float→double), which get
+    * their own upcast arms. */
   private def fillVector(v: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector,
       bb: java.nio.ByteBuffer, seg: Int, rowCount: Int,
-      keep: Array[Boolean], kept: Int, dt: DataType): Unit = {
+      keep: Array[Boolean], kept: Int, segDt: DataType,
+      vecDt: DataType): Unit = {
     var p = seg + rowCount
     var r = 0
     var o = 0
     @inline def presentAt(row: Int): Boolean = bb.get(seg + row) != 0
-    dt match {
+    if (segDt != vecDt) {
+      (segDt, vecDt) match {
+        case (IntegerType, LongType) =>
+          while (r < rowCount) {
+            val pres = presentAt(r)
+            if (keep(r)) {
+              if (pres) v.putLong(o, bb.getInt(p).toLong) else v.putNull(o)
+              o += 1
+            }
+            if (pres) p += 4
+            r += 1
+          }
+        case (FloatType, DoubleType) =>
+          while (r < rowCount) {
+            val pres = presentAt(r)
+            if (keep(r)) {
+              if (pres) v.putDouble(o, bb.getFloat(p).toDouble)
+              else v.putNull(o)
+              o += 1
+            }
+            if (pres) p += 4
+            r += 1
+          }
+        case other => throw new IllegalStateException(
+          s"columnar fill: unsupported widening $other")
+      }
+      return
+    }
+    segDt match {
       case LongType | TimestampType | TimestampNTZType =>
         while (r < rowCount) {
           val pres = presentAt(r)
