@@ -1028,7 +1028,13 @@ object Sources extends QueryModule {
     * already-sorted layout (runs are footer-computable at write); the
     * global form here is one window pass over the imposed order. */
   private val rleAdviceQ = (s: SparkSession, dir: String) => {
-    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    // the fixture's (orderkey, linenumber) is NOT unique — the
+    // canonical order appends the audited columns themselves, so rows
+    // tying on the full key are interchangeable w.r.t. every audited
+    // run count (route-independence: ObjectStoreSpec's DSv2 sweep)
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"), col("l_linestatus"), col("ship_day"),
+      col("l_suppkey"))
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_returnflag"), col("l_linestatus"),
@@ -1064,7 +1070,9 @@ object Sources extends QueryModule {
       |    lag(CAST(l_shipdate AS DATE)) OVER w AS p3,
       |    lag(l_suppkey) OVER w AS p4
       |  FROM lineitem
-      |  WINDOW w AS (ORDER BY l_orderkey, l_linenumber)),
+      |  WINDOW w AS (ORDER BY l_orderkey, l_linenumber,
+      |    l_returnflag, l_linestatus, CAST(l_shipdate AS DATE),
+      |    l_suppkey)),
       |r AS (
       |  SELECT COUNT(*) AS n,
       |    CAST(SUM(CASE WHEN l_returnflag IS NOT DISTINCT FROM p1
