@@ -399,15 +399,53 @@ object Dedup extends QueryModule {
         coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
+    // Size-adaptive tail (round 6): the convergence fingerprint
+    // already counts the edge list each round — once it is at or
+    // below the cutoff, FINISH the fixpoint driver-locally with
+    // union-find instead of paying more star rounds' scheduler
+    // floors. The collect is bounded by the CONSTANT cutoff, never by
+    // data (at 100 TB the loop stays distributed until the edge list
+    // has collapsed below it — exactly the regime where per-round job
+    // floors dominate the remaining work). Labels are identical: min
+    // node id per component over nodes incident to ≥1 edge.
+    val LocalCutoff = 100000L
+    def localFinish(e: DataFrame): DataFrame = {
+      val s = e.sparkSession
+      val es = e.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.map(n => n -> find(n)).toSeq.sorted
+      import org.apache.spark.sql.types._
+      s.createDataFrame(
+        java.util.Arrays.asList(labels.map { case (n, l) =>
+          org.apache.spark.sql.Row(n, l) }: _*),
+        StructType(Seq(StructField("id", LongType),
+          StructField("label", LongType))))
+    }
     var fp = fingerprint(edges)
-    var stable = false
-    while (!stable) {
+    var stable = fp._1 == 0L
+    while (!stable && fp._1 > LocalCutoff) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nfp = fingerprint(next)
       stable = nfp == fp
       fp = nfp
       edges = next
     }
+    if (fp._1 <= LocalCutoff && fp._1 > 0L) return localFinish(edges)
     // converged: stars — every edge links a node to its component min.
     // Labels: min over incident edges (center labels itself).
     bidir(edges)
