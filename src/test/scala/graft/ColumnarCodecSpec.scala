@@ -136,6 +136,45 @@ class ColumnarCodecSpec extends SparkSpec {
       .collect().head.getString(0) == "s11")
   }
 
+  test("mixed-layout table: scan falls back to the row route, stays exact") {
+    val dir = fresh("mixed")
+    sample.drop("arr").repartition(2).write.format("graft-objects")
+      .mode("overwrite").save(dir)
+    sample.drop("arr").selectExpr("id + 1000 AS id", "v", "i", "d", "s", "b")
+      .repartition(1).write.format("graft-objects")
+      .option("bodyLayout", "row").mode("append").save(dir)
+    val footers = GraftObjectTable.listObjects(dir)
+      .map(ObjectFormat.readFooter)
+    assert(footers.exists(_.columnar) && footers.exists(!_.columnar),
+      "fixture must genuinely mix layouts")
+    val got = spark.read.format("graft-objects").load(dir)
+      .select(col("id"), col("v"))
+    // one row-major object ⇒ the whole scan declines columnar (Spark
+    // forbids mixing batch and row partitions in one scan)
+    assert(!got.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(got.count() == 2000)
+    assert(got.filter(col("id") >= 1000L).count() == 1000)
+  }
+
+  test("evolution-added column reads as nulls through the columnar route") {
+    val dir = fresh("evo")
+    sample.drop("arr").repartition(2).write.format("graft-objects")
+      .mode("overwrite").save(dir)
+    // simulate the post-ALTER generation: a wider sidecar schema
+    val wide = spark.read.format("graft-objects").load(dir).schema
+      .add(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_schema.ddl"),
+      wide.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val got = spark.read.format("graft-objects").load(dir)
+      .select(col("id"), col("extra"))
+    assert(got.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "added-column reads stay vectorized")
+    assert(got.count() == 1000)
+    assert(got.filter(col("extra").isNull).count() == 1000)
+  }
+
   test("column pruning decodes only projected segments (columnar seek)") {
     val dir = fresh("prune")
     sample.repartition(2).write.format("graft-objects")
