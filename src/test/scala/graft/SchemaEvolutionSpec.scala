@@ -105,11 +105,22 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(hit.length === 1 && hit(0).getAs[String]("n_name") === "NATION_Y")
   }
 
-  test("type changes are refused") {
+  test("non-widening type changes are refused; widening now lands") {
     build("ev_refuse")
+    // round 6: int->bigint is a SUPPORTED lossless widening
+    // (TypeWideningSpec owns the full contract); anything else —
+    // narrowing, cross-kind — still refuses
+    spark.sql(
+      "ALTER TABLE gevo.main.ev_refuse ALTER COLUMN n_nationkey TYPE BIGINT")
+    assert(spark.table("gevo.main.ev_refuse").schema("n_nationkey")
+      .dataType == org.apache.spark.sql.types.LongType)
     intercept[Exception] {
       spark.sql(
-        "ALTER TABLE gevo.main.ev_refuse ALTER COLUMN n_nationkey TYPE BIGINT")
+        "ALTER TABLE gevo.main.ev_refuse ALTER COLUMN n_nationkey TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gevo.main.ev_refuse ALTER COLUMN n_name TYPE BIGINT")
     }
   }
 }
