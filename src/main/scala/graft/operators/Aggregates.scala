@@ -676,6 +676,59 @@ object Aggregates extends QueryModule {
       |     AS BIGINT)] AS q
       |FROM a CROSS JOIN p""".stripMargin
 
+  /** Equi-depth feature bucketization — the sketch composed into the
+    * ML-pipeline's binning pass: per event type, quartile boundaries
+    * come from `quantile_sketch` (exact below cap), broadcast as the
+    * |types|-bounded side, and every event maps to its bin with a
+    * map-side comparison chain (v ≤ q1 → 0, ≤ q2 → 1, ≤ q3 → 2,
+    * else 3). Equi-DEPTH (not equi-width): each bin carries ~25% of
+    * the mass regardless of the value distribution — what a feature
+    * discretizer actually wants. Reported per (type, bin): count and
+    * the bin's observed [min, max].
+    *
+    * 100 TB posture: sketch partials + one broadcast + one map-side
+    * classification + one (type, bin) partial-agg. */
+  private val quantileBinsQ = (s: SparkSession, dir: String) => {
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value) AS BIGINT)").as("v"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("quantile_sketch(v, 100000, '250000,500000,750000')")
+        .as("qs"))
+      .select(col("event_type").as("bt"), col("qs").getItem(0).as("q1"),
+        col("qs").getItem(1).as("q2"), col("qs").getItem(2).as("q3"))
+    ev.join(broadcast(bounds), col("event_type") === col("bt"))
+      .withColumn("bin",
+        when(col("v") <= col("q1"), 0L)
+          .when(col("v") <= col("q2"), 1L)
+          .when(col("v") <= col("q3"), 2L).otherwise(3L))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("bin_min"), max(col("v")).as("bin_max"))
+  }
+
+  private val quantileBinsSql =
+    """WITH g AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    sv[CAST(GREATEST(1, (250000 * n + 999999) // 1000000)
+      |       AS BIGINT)] AS q1,
+      |    sv[CAST(GREATEST(1, (500000 * n + 999999) // 1000000)
+      |       AS BIGINT)] AS q2,
+      |    sv[CAST(GREATEST(1, (750000 * n + 999999) // 1000000)
+      |       AS BIGINT)] AS q3
+      |  FROM (SELECT event_type, list_sort(list(v)) AS sv, COUNT(*) AS n
+      |        FROM g GROUP BY 1))
+      |SELECT g.event_type,
+      |  CAST(CASE WHEN g.v <= b.q1 THEN 0 WHEN g.v <= b.q2 THEN 1
+      |       WHEN g.v <= b.q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+      |  COUNT(*) AS n, MIN(g.v) AS bin_min, MAX(g.v) AS bin_max
+      |FROM g JOIN b ON g.event_type = b.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   /** Quantile-band outlier gate — the sketch composed INTO an
     * operator: per event type the [P05, P95] band comes from
     * `quantile_sketch` (exact below cap, so the gate is exact at
@@ -2000,6 +2053,8 @@ object Aggregates extends QueryModule {
       "per-group OLS slope/intercept from integer moments, one pass"),
     "q_ts_autocorr" -> Q(autocorrQ, Some(autocorrSql),
       "lag-1 autocorrelation per series: window pairs + exact pair moments"),
+    "q_agg_quantile_bins" -> Q(quantileBinsQ, Some(quantileBinsSql),
+      "equi-depth feature bucketization: sketch quartile boundaries, map-side binning"),
     "q_agg_quantile_gate" -> Q(quantileGateQ, Some(quantileGateSql),
       "sketch-band outlier gate: [P05,P95] from quantile_sketch, map-only classification"),
     "q_agg_quantile_sketch" -> Q(quantileSketchQ, Some(quantileSketchSql),

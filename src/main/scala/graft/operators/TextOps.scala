@@ -1808,6 +1808,70 @@ object TextOps extends QueryModule {
     * 100 TB posture: one explode→(term) collapse (the inverted-index
     * shuffle) + one doc-domain rollup; the ×8 fan-outs run on the
     * collapsed term/doc domains. */
+  /** Eval-set n-gram coverage — the inverse of decontamination: how
+    * much of a HELD-OUT slice's 3-gram surface does the train slice
+    * support? Low coverage means the eval probes genuinely novel
+    * text; near-1.0 coverage warns the eval is paraphrase-close to
+    * train even when no document-level contamination fires. The
+    * holdout is deterministic (doc_id % 19 = 0 — a pure data
+    * function, so both engines slice identically). Per language:
+    * eval docs, distinct eval shingles, how many appear anywhere in
+    * train, coverage in micro.
+    *
+    * 100 TB posture: distinct-shingle collapse on both slices, one
+    * LEFT SEMI equi-join keyed on the shingle (bloom-prefilterable —
+    * the decontam discipline), a |langs| rollup. */
+  private val ngramCoverageQ = (s: SparkSession, dir: String) => {
+    val docs = Tables.documents(s, dir)
+    def grams(df: DataFrame) = df
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .select(col("lang"), explode(col("sh")).as("s"))
+      .distinct()
+    val evalG = grams(docs.filter(col("doc_id") % 19L === 0L))
+    val trainG = grams(docs.filter(col("doc_id") % 19L =!= 0L))
+      .select(col("s")).distinct()
+    val covered = evalG.join(trainG, Seq("s"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_covered"))
+    val evalDocs = docs.filter(col("doc_id") % 19L === 0L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_eval_docs"))
+    evalG.groupBy(col("lang")).agg(count(lit(1)).as("n_eval_shingles"))
+      .join(covered, Seq("lang"), "left")
+      .join(evalDocs, Seq("lang"))
+      .select(col("lang"), col("n_eval_docs"), col("n_eval_shingles"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage_micro",
+        expr("(1000000 * n_covered) div n_eval_shingles"))
+  }
+
+  private val ngramCoverageSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM toks),
+      |ev AS (SELECT DISTINCT lang, s FROM sh WHERE doc_id % 19 = 0),
+      |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 <> 0),
+      |cov AS (
+      |  SELECT lang, COUNT(*) AS n_covered
+      |  FROM ev WHERE EXISTS (SELECT 1 FROM tr WHERE tr.s = ev.s)
+      |  GROUP BY 1),
+      |ed AS (SELECT lang, COUNT(*) AS n_eval_docs
+      |       FROM documents WHERE doc_id % 19 = 0 GROUP BY 1),
+      |es AS (SELECT lang, COUNT(*) AS n_eval_shingles
+      |       FROM ev GROUP BY 1)
+      |SELECT es.lang, ed.n_eval_docs, es.n_eval_shingles,
+      |  COALESCE(cov.n_covered, 0) AS n_covered,
+      |  (1000000 * COALESCE(cov.n_covered, 0)) // es.n_eval_shingles
+      |    AS coverage_micro
+      |FROM es JOIN ed ON es.lang = ed.lang
+      |LEFT JOIN cov ON es.lang = cov.lang""".stripMargin
+
   /** Pairwise source divergence — "did this source drift from that
     * one?" in the distribution sense a mixing schedule cares about:
     * TOTAL-VARIATION distance between per-source unigram
@@ -2024,6 +2088,8 @@ object TextOps extends QueryModule {
   override val queries: Map[String, Q] = Map(
     "q_text_autocomplete" -> Q(autocompleteQ, Some(autocompleteSql),
       "next-word suggestion index: top-3 bigram completions per word"),
+    "q_text_ngram_coverage" -> Q(ngramCoverageQ, Some(ngramCoverageSql),
+      "holdout n-gram coverage: eval shingle support in train, semi-join keyed on the shingle"),
     "q_text_source_divergence" -> Q(sourceDivQ, Some(sourceDivSql),
       "pairwise source drift: total-variation distance of unigram distributions, integer micro"),
     "q_text_zipf" -> Q(zipfQ, Some(zipfSql),

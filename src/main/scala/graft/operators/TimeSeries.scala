@@ -35,6 +35,80 @@ object TimeSeries extends QueryModule {
   // latest earlier event. The "last observation in each hour" is the
   // row_number()=1 row by (ts, event_id) DESC — event_id breaks exact
   // timestamp ties deterministically.
+  /** Mann–Kendall trend test — the non-parametric "is this series
+    * trending?" companion to Theil–Sen's "how steeply?": over the
+    * same hourly grid, S = Σ_{i<j} sign(y_j − y_i) (exact integer,
+    * pairs bounded by the TIME-domain grid², the theilsen contract),
+    * the tie-corrected variance ×18 stays integer
+    * (n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)), and the normal
+    * approximation z = (S ∓ 1)/√(var18/18) is ONE final double
+    * expression from exact integer inputs (the corr-matrix
+    * discipline). |z| > 1.96 is the 5% trend flag.
+    *
+    * 100 TB posture: corpus → hourly grid in one partial agg; the
+    * pair join never sees raw events. */
+  private val mannKendallQ = (s: SparkSession, dir: String) => {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value")).cast("long")).as("hs"),
+        count(lit(1)).as("hc"))
+      .withColumn("y", expr("hs div hc"))
+      .withColumn("hi",
+        (unix_timestamp(col("hour")) / 3600L).cast("long"))
+      .select(col("event_type"), col("hi"), col("y"))
+      .localCheckpoint()
+    val sStat = grid.as("a")
+      .join(grid.as("b"), col("a.event_type") === col("b.event_type")
+        && col("b.hi") > col("a.hi"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s_stat"),
+        (count(lit(1)) * 2).as("n_pairs2"))
+    val ties = grid.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_corr"))
+    sStat.join(ties, "event_type")
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+          - col("tie_corr"))
+      .select(col("event_type"), col("n"), col("s_stat"), col("var18"),
+        round(
+          (col("s_stat") - signum(col("s_stat")).cast("long"))
+            .cast("double") / sqrt(col("var18").cast("double") / 18.0d),
+          6).as("z"))
+  }
+
+  private val mannKendallSql =
+    """WITH grid AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hi,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN b.y > a.y THEN 1
+      |         WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM grid a JOIN grid b
+      |    ON a.event_type = b.event_type AND b.hi > a.hi
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+      |  FROM (SELECT event_type, y, COUNT(*) AS t
+      |        FROM grid GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT s.event_type, t.n, s.s_stat,
+      |  t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_corr AS var18,
+      |  round(CAST(s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+      |      WHEN s.s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE)
+      |    / sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_corr
+      |        AS DOUBLE) / 18.0), 6) AS z
+      |FROM s JOIN t ON s.event_type = t.event_type""".stripMargin
+
   /** Peak concurrency by sweep-line — "how many one-hour activity
     * intervals overlap at the worst moment?": every event opens an
     * interval [sec, sec+3600); the sweep emits +1 at each start and
@@ -2478,6 +2552,8 @@ object TimeSeries extends QueryModule {
       "rolling z-score outliers: integer-exact (n·x−s1)² > 4(n·s2−s1²) trailing test"),
     "q_ts_moving_1h" -> Q(movingQ, Some(movingSql),
       "trailing 1-hour RANGE-frame count/sum per series (time-defined peers)"),
+    "q_ts_mann_kendall" -> Q(mannKendallQ, Some(mannKendallSql),
+      "Mann-Kendall trend test on the hourly grid: integer S + tie-corrected var18, one final z"),
     "q_ts_concurrency" -> Q(concurrencyQ, Some(concurrencySql),
       "sweep-line peak concurrency of one-hour activity intervals + first attainment time"),
     "q_ts_out_of_order" -> Q(outOfOrderQ, Some(outOfOrderSql),
