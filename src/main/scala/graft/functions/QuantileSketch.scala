@@ -28,20 +28,28 @@ final class QuantileBuf(val cap: Int) extends Serializable {
 
   def insert(v: Long): Unit = { levels(0) += v; compactFrom(0) }
 
+  // Scans EVERY level from `start` (not stopping at the first
+  // within-cap one): after merge() any level can be over cap, not
+  // just a prefix — stopping early would let a high level carry
+  // ~(#merges)·cap entries across the exchange, violating the
+  // cap-bounded-partials contract. Promotions land in l+1, which the
+  // advancing scan re-checks next iteration, so cascades terminate.
   private def compactFrom(start: Int): Unit = {
     var l = start
-    while (l < levels.length && levels(l).length > cap) {
-      val sorted = levels(l).sorted
-      if (l + 1 >= levels.length)
-        levels += scala.collection.mutable.ArrayBuffer.empty[Long]
-      // deterministic: promote the even-RANKED half (indices 1,3,5…
-      // keep the odd — either is valid; picking rank index 1 mod 2
-      // keeps medians stable on duplicated values)
-      var i = 1
-      while (i < sorted.length) { levels(l + 1) += sorted(i); i += 2 }
-      levels(l) = if (sorted.length % 2 == 1)
-        scala.collection.mutable.ArrayBuffer(sorted(sorted.length - 1))
-      else scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (l < levels.length) {
+      if (levels(l).length > cap) {
+        val sorted = levels(l).sorted
+        if (l + 1 >= levels.length)
+          levels += scala.collection.mutable.ArrayBuffer.empty[Long]
+        // deterministic: promote the even-RANKED half (indices 1,3,5…
+        // keep the odd — either is valid; picking rank index 1 mod 2
+        // keeps medians stable on duplicated values)
+        var i = 1
+        while (i < sorted.length) { levels(l + 1) += sorted(i); i += 2 }
+        levels(l) = if (sorted.length % 2 == 1)
+          scala.collection.mutable.ArrayBuffer(sorted(sorted.length - 1))
+        else scala.collection.mutable.ArrayBuffer.empty[Long]
+      }
       l += 1
     }
   }

@@ -651,6 +651,10 @@ object Aggregates extends QueryModule {
   private val quantileSketchQ = (s: SparkSession, dir: String) => {
     graft.functions.GraftFunctions.register(s)
     Tables.events(s, dir)
+      // mirrors the oracle's WHERE value IS NOT NULL: an all-NULL
+      // group must emit NO row, not a q=0 row (update() skipping
+      // nulls alone would keep the group)
+      .filter(col("value").isNotNull)
       .select(col("event_type"),
         expr("CAST(floor(value) AS BIGINT)").as("v"))
       .groupBy(col("event_type"))

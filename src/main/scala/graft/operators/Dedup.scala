@@ -39,7 +39,9 @@ object Dedup extends QueryModule {
   private def shingled(df: DataFrame): DataFrame =
     df.withColumn("tk", split(col("text"), " "))
       .withColumn("sh", expr(
-        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+          "ELSE array_repeat('', 0) END"))
 
   /** (doc_id, shingle) distinct pairs — the inverted-index edge list. */
   private def shingleEdges(df: DataFrame): DataFrame =

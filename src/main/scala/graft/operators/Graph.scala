@@ -957,7 +957,9 @@ object Graph extends QueryModule {
         k -> es.map(e => scores(otherOf(e)) * e._3).sum
       }
       val full = nodeKeys.map(k => k -> raw.getOrElse(k, 0L)).toMap
-      val mx = full.values.max
+      // max(1, ·): an empty/all-zero contribution round renormalizes
+      // to all-zero scores instead of dividing by zero
+      val mx = math.max(1L, if (full.isEmpty) 0L else full.values.max)
       full.map { case (k, v) => k -> (1000000L * v) / mx }
     }
     for (_ <- 1 to 3) {

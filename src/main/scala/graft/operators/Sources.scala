@@ -1327,7 +1327,9 @@ object Sources extends QueryModule {
     def grams(d: DataFrame): DataFrame = d
       .withColumn("tk", split(col("text"), " "))
       .withColumn("sh", expr(
-        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+          "ELSE array_repeat('', 0) END"))
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .distinct()
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))

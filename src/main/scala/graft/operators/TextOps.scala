@@ -515,7 +515,9 @@ object TextOps extends QueryModule {
     Tables.documents(s, dir)
       .withColumn("tk", split(col("text"), " "))
       .withColumn("sh", expr(
-        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+          "ELSE array_repeat('', 0) END"))
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
       .groupBy(col("doc_id"))
@@ -1391,7 +1393,9 @@ object TextOps extends QueryModule {
     val grams = Tables.documents(s, dir)
       .withColumn("tk", split(col("text"), " "))
       .withColumn("sh", expr(
-        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+          "ELSE array_repeat('', 0) END"))
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .distinct()
     val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
@@ -1571,7 +1575,9 @@ object TextOps extends QueryModule {
     val grams = Tables.documents(s, dir)
       .withColumn("tk", split(col("text"), " "))
       .withColumn("sh", expr(
-        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+          "ELSE array_repeat('', 0) END"))
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .distinct()
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
@@ -1826,8 +1832,9 @@ object TextOps extends QueryModule {
     def grams(df: DataFrame) = df
       .withColumn("tk", split(col("text"), " "))
       .withColumn("sh", expr(
-        "transform(sequence(0, size(tk) - 3), " +
-          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        "CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+          "ELSE array_repeat('', 0) END"))
       .select(col("lang"), explode(col("sh")).as("s"))
       .distinct()
     val evalG = grams(docs.filter(col("doc_id") % 19L === 0L))

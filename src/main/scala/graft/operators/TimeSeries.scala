@@ -53,7 +53,11 @@ object TimeSeries extends QueryModule {
         date_trunc("hour", col("ts")).as("hour"))
       .agg(sum(floor(col("value")).cast("long")).as("hs"),
         count(lit(1)).as("hc"))
-      .withColumn("y", expr("hs div hc"))
+      // TRUNCATING division toward zero to pair with DuckDB's `//`
+      // (Spark's `div` FLOORS, so a negative hourly sum would
+      // diverge — the kmeans discipline; hc = COUNT(*) > 0 always)
+      .withColumn("y", expr(
+        "CASE WHEN hs >= 0 THEN hs div hc ELSE -((-hs) div hc) END"))
       .withColumn("hi",
         (unix_timestamp(col("hour")) / 3600L).cast("long"))
       .select(col("event_type"), col("hi"), col("y"))

@@ -424,6 +424,9 @@ object StreamOps extends QueryModule {
   private val streamQuantile = (s: SparkSession, dir: String) => {
     graft.functions.GraftFunctions.register(s)
     val agg = eventsStream(s, dir)
+      // same null gate as the batch twin: an all-NULL group must
+      // emit no row (mirrors the oracle's WHERE value IS NOT NULL)
+      .filter(col("value").isNotNull)
       .select(col("event_type"),
         expr("CAST(floor(value) AS BIGINT)").as("v"))
       .groupBy(col("event_type"))
