@@ -1959,19 +1959,20 @@ object Aggregates extends QueryModule {
     * 95%, C after, reported as the 3-row class summary (counts,
     * revenue, exact micro shares) a supply-chain review reads.
     *
-    * 100 TB posture: fact → one row per part; the cumulative runs
-    * over the part domain (hash-bucketed at scale like the skyline);
-    * the summary is a 3-key rollup. */
+    * 100 TB posture: fact → one row per part; the cumulative then
+    * runs DISTRIBUTED over the part domain (GlobalOrder: range
+    * partition on (cents desc, partkey), per-partition running sums,
+    * broadcast prefix offsets — the two-pass bucketed cumulative the
+    * r6 verdict asked for); the summary is a 3-key rollup. */
   private val abcQ = (s: SparkSession, dir: String) => {
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
         .as("cents"))
-    val wv = Window.orderBy(col("cents").desc, col("l_partkey").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = rev.agg(sum(col("cents")).as("tc"))
-    rev
-      .withColumn("cum", sum(col("cents")).over(wv))
+    GlobalOrder.runningTotals(rev,
+      Seq(col("cents").desc, col("l_partkey").asc),
+      Seq("cum" -> col("cents")))
       .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(expr("cum * 100 <= 80 * tc"), lit("A"))

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Distributed total-order running totals — the zipWithIndex
+  * discipline as a reusable DataFrame transform (SURVEY §2.5/§2.11:
+  * the swap the r6 verdict demanded for every SF-scaling global
+  * window).
+  *
+  * A `Window.orderBy(...)` with no partitionBy moves the ENTIRE input
+  * through one task — fine on a 25-row domain, fatal on a 100 TB
+  * fact. The scalable equivalent of `row_number()`/running `sum()`
+  * over a total order is:
+  *
+  *   1. `repartitionByRange` on the total-order key — Spark's
+  *      RangePartitioner samples boundaries deterministically, and
+  *      partition i < j implies every key in i sorts before every key
+  *      in j;
+  *   2. a PARTITIONED window per range partition (each task sorts and
+  *      scans only its own range);
+  *   3. per-partition totals — at most `parts` rows, a
+  *      constant-bounded collect like the kmeans/graph collects —
+  *      prefix-summed on the driver into per-partition OFFSETS;
+  *   4. a broadcast join adds each partition's offset to its local
+  *      running value.
+  *
+  * Rows tying on the full sort key are interchangeable w.r.t. any
+  * running total over that key, so the result is route-independent
+  * even when the key is not unique (the rle-advice lesson).
+  */
+object GlobalOrder {
+
+  /** Adds one running-total column per `(outName, valueExpr)` pair,
+    * each equal to `sum(valueExpr) OVER (ORDER BY sort ROWS UNBOUNDED
+    * PRECEDING .. CURRENT ROW)` under the GLOBAL total order, without
+    * ever forming a global window. Values must be non-null longs.
+    *
+    * The localCheckpoint is NOT an optimization — it is load-bearing.
+    * The totals pass and the window pass are separate executions, and
+    * each execution's range exchange re-samples its split points with
+    * a seed derived from the run's RDD id, so WITHOUT a materialized
+    * snapshot the two passes can disagree about which partition a key
+    * near a boundary belongs to — per-partition counts from pass one
+    * would then be added as offsets to pass two's different
+    * partitions (observed: q_src_rid off by two at sf0.01). RDD
+    * zipWithIndex survives this only because it fixes one partitioner
+    * instance and reuses the shuffle files across its two jobs; the
+    * DataFrame equivalent of that sharing IS the checkpoint. */
+  def runningTotals(
+      df: DataFrame,
+      sort: Seq[Column],
+      vals: Seq[(String, Column)],
+      parts: Int = 32): DataFrame = {
+    val pid = "_go_pid"
+    val ranged = df.repartitionByRange(parts, sort: _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint()
+    // per-partition totals: ≤ `parts` rows — constant-bounded collect
+    val totRows = ranged.groupBy(col(pid))
+      .agg(sum(vals.head._2).as(s"${vals.head._1}_tot"),
+        vals.tail.map { case (o, v) => sum(v).as(s"${o}_tot") }: _*)
+      .collect().sortBy(_.getInt(0))
+    val accs = Array.fill(vals.length)(0L)
+    val offRows: Seq[Row] = totRows.toIndexedSeq.map { r =>
+      val offs = vals.indices.map { i =>
+        val o = accs(i)
+        if (!r.isNullAt(i + 1)) accs(i) += r.getLong(i + 1)
+        o
+      }
+      Row.fromSeq(r.getInt(0) +: offs)
+    }
+    val offSchema = StructType(StructField(pid, IntegerType) +:
+      vals.map { case (o, _) => StructField(s"${o}_off", LongType) })
+    val offDf = df.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(offRows).asJava), offSchema)
+    val w = Window.partitionBy(col(pid)).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = vals.foldLeft(ranged) { case (d, (o, v)) =>
+      d.withColumn(s"${o}_loc", sum(v).over(w))
+    }
+    val joined = local.join(broadcast(offDf), pid)
+    vals.foldLeft(joined) { case (d, (o, _)) =>
+      d.withColumn(o, col(s"${o}_off") + col(s"${o}_loc"))
+    }.drop(pid +: vals.flatMap { case (o, _) =>
+      Seq(s"${o}_off", s"${o}_loc") }: _*)
+  }
+
+  /** Global dense 1-based `row_number()` over a total order, as a
+    * LongType column — running total of 1s. */
+  def rowNumbered(
+      df: DataFrame,
+      sort: Seq[Column],
+      out: String,
+      parts: Int = 32): DataFrame =
+    runningTotals(df, sort, Seq(out -> lit(1L)), parts)
+}

@@ -160,10 +160,15 @@ object Sources extends QueryModule {
       |FROM events""".stripMargin
 
   // RID surfacing: deterministic dense record ids over the table key.
+  // Distributed (the r6 verdict's swap): range-partition on the key +
+  // per-partition row numbers + broadcast prefix offsets
+  // (GlobalOrder.rowNumbered) — corpus-sized input never crosses one
+  // task; the helper's snapshot holds only the 2-column projection.
   private val rid = (s: SparkSession, dir: String) =>
-    Tables.lineitem(s, dir)
-      .withColumn("_rid", row_number().over(
-        Window.orderBy(col("l_orderkey").asc, col("l_linenumber").asc)))
+    GlobalOrder.rowNumbered(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber")),
+      Seq(col("l_orderkey").asc, col("l_linenumber").asc), "_rid")
       .filter(col("_rid") % 1000 === 1)
       .select(col("_rid"), col("l_orderkey"), col("l_linenumber"))
 
@@ -1031,25 +1036,64 @@ object Sources extends QueryModule {
     // the fixture's (orderkey, linenumber) is NOT unique — the
     // canonical order appends the audited columns themselves, so rows
     // tying on the full key are interchangeable w.r.t. every audited
-    // run count (route-independence: ObjectStoreSpec's DSv2 sweep)
-    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"),
+    // run count (route-independence: ObjectStoreSpec's DSv2 sweep).
+    //
+    // Distributed (the r6 verdict's swap — this was the repo's single
+    // worst scale plan): range-partition on the canonical order, count
+    // run STARTS per partition with a PARTITIONED lag window (each
+    // partition head counts as a start), then subtract one per column
+    // wherever a partition's first value equals the previous
+    // partition's last value — the boundary correction. First/last
+    // rows per partition are min/max of the full-key struct
+    // (lexicographic struct order IS the canonical order): ≤ 2·parts
+    // rows, a constant-bounded driver collect.
+    val sortCols = Seq(col("l_orderkey"), col("l_linenumber"),
       col("l_returnflag"), col("l_linestatus"), col("ship_day"),
       col("l_suppkey"))
+    val audited = Seq("l_returnflag", "l_linestatus", "ship_day",
+      "l_suppkey")
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_returnflag"), col("l_linestatus"),
         col("l_shipdate").cast("date").as("ship_day"),
         col("l_suppkey"))
+      .repartitionByRange(32, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
     def newRun(c: String) =
-      when(col(c) === lag(col(c), 1).over(w), 0L).otherwise(1L)
-        .as(s"nr_$c")
-    li.select(newRun("l_returnflag"), newRun("l_linestatus"),
-        newRun("ship_day"), newRun("l_suppkey"))
+      when(row_number().over(w) === 1, 1L) // partition head = run start
+        .otherwise(when(col(c) <=> lag(col(c), 1).over(w), 0L)
+          .otherwise(1L)).as(s"nr_$c")
+    // boundary rows: the canonical-order first/last tuple per partition
+    val keyStruct = struct(sortCols: _*)
+    val bounds = li.groupBy(col("_pid"))
+      .agg(min(keyStruct).as("lo"), max(keyStruct).as("hi"))
+      .collect().sortBy(_.getInt(0))
+    // per audited column: #adjacent partition pairs whose boundary
+    // values match (that head row is NOT a true run start)
+    val fieldIdx = Map("l_returnflag" -> 2, "l_linestatus" -> 3,
+      "ship_day" -> 4, "l_suppkey" -> 5)
+    val corrections: Map[String, Long] = audited.map { c =>
+      val i = fieldIdx(c)
+      c -> bounds.sliding(2).count {
+        case Array(a, b) =>
+          a.getStruct(2).get(i) == b.getStruct(1).get(i)
+        case _ => false
+      }.toLong
+    }.toMap
+    li.select(col("_pid") +: sortCols :+ newRun("l_returnflag") :+
+        newRun("l_linestatus") :+ newRun("ship_day") :+
+        newRun("l_suppkey"): _*)
       .agg(count(lit(1)).as("n"),
-        sum(col("nr_l_returnflag")).as("runs_l_returnflag"),
-        sum(col("nr_l_linestatus")).as("runs_l_linestatus"),
-        sum(col("nr_ship_day")).as("runs_ship_day"),
-        sum(col("nr_l_suppkey")).as("runs_l_suppkey"))
+        (sum(col("nr_l_returnflag")) - corrections("l_returnflag"))
+          .as("runs_l_returnflag"),
+        (sum(col("nr_l_linestatus")) - corrections("l_linestatus"))
+          .as("runs_l_linestatus"),
+        (sum(col("nr_ship_day")) - corrections("ship_day"))
+          .as("runs_ship_day"),
+        (sum(col("nr_l_suppkey")) - corrections("l_suppkey"))
+          .as("runs_l_suppkey"))
       .selectExpr(
         """stack(4,
           |  'l_returnflag', runs_l_returnflag,

@@ -1958,8 +1958,10 @@ object TextOps extends QueryModule {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-    val ranked = freq.withColumn("rnk",
-      row_number().over(Window.orderBy(col("f").desc, col("w").asc)))
+    // vocabulary grows with the corpus (Heaps' law — sublinear but
+    // unbounded), so the rank runs distributed too (GlobalOrder)
+    val ranked = GlobalOrder.rowNumbered(freq,
+      Seq(col("f").desc, col("w").asc), "rnk")
     ranked
       // octave = bit length − 1: integer-exact floor(log2(rank)) —
       // float log2 is NOT exact at power-of-two boundaries in every
@@ -1988,10 +1990,12 @@ object TextOps extends QueryModule {
       |FROM ranked GROUP BY 1""".stripMargin
 
   private val heapsQ = (s: SparkSession, dir: String) => {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("doc_id"))).cast("long"))
+    // distributed corpus-order position (the r6 verdict's swap): range
+    // partition on doc_id + per-partition row numbers + broadcast
+    // offsets — no global window over the SF-scaling documents table
+    val docs = GlobalOrder.rowNumbered(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      Seq(col("doc_id").asc), "rn")
     val perDoc = docs.select(col("rn"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
     val firsts = docs

@@ -583,27 +583,48 @@ object Windows extends QueryModule {
     * engines), composed into the 3-digit RFM code.
     *
     * 100 TB posture: the fact table collapses to ONE row per customer
-    * first (one custkey shuffle); the three ntile windows then run
-    * over the CUSTOMER AGGREGATE — dimension-sized, not fact-sized.
-    * Above dimension scale the documented swap is percentile-cut
-    * boundaries + a broadcast bin join (the histogram discipline);
-    * ntile is kept here because it is the exact, driver-checkable
-    * contract. */
+    * first (one custkey shuffle); each quintile is then EXACT ntile
+    * arithmetic over a DISTRIBUTED global rank (GlobalOrder: range
+    * partition + per-partition row numbers + broadcast offsets) — no
+    * unpartitioned window anywhere, same answer as SQL ntile(5)
+    * because ntile is a pure function of (rank, n):
+    * the first n mod 5 buckets take ceil(n/5) rows, the rest take
+    * floor(n/5). */
   private val rfmQ = (s: SparkSession, dir: String) => {
-    val per = Tables.orders(s, dir)
+    val per0 = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("c_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(floor(col("o_totalprice")).cast("long")).as("monetary_unit"))
-    val rW = Window.orderBy(col("last_order").asc, col("c_custkey").asc)
-    val fW = Window.orderBy(col("frequency").asc, col("c_custkey").asc)
-    val mW = Window.orderBy(col("monetary_unit").asc, col("c_custkey").asc)
-    per
-      .withColumn("r_q", ntile(5).over(rW).cast("long"))
-      .withColumn("f_q", ntile(5).over(fW).cast("long"))
-      .withColumn("m_q", ntile(5).over(mW).cast("long"))
+    // the three global ranks chain through the same helper; each call
+    // range-repartitions on its own metric (dimension-sized exchanges)
+    val ranked = GlobalOrder.rowNumbered(
+      GlobalOrder.rowNumbered(
+        GlobalOrder.rowNumbered(per0,
+          Seq(col("last_order").asc, col("c_custkey").asc), "_r_rn",
+         ),
+        Seq(col("frequency").asc, col("c_custkey").asc), "_f_rn",
+       ),
+      Seq(col("monetary_unit").asc, col("c_custkey").asc), "_m_rn",
+     )
+    // n is ONE driver long (the count the offset pass already did)
+    val n = ranked.count()
+    // ntile(5) closed form: q=floor(n/5), r=n mod 5; ranks up to
+    // r*(q+1) fall in the first r (larger) buckets, the rest in the
+    // remaining (smaller) ones
+    val qd = n / 5; val rm = n % 5
+    def tileExpr(rn: String) =
+      if (qd == 0L) col(rn) // n < 5: every bucket has one row
+      else expr(s"CASE WHEN $rn <= ${rm * (qd + 1)} " +
+        s"THEN ($rn + $qd) div ${qd + 1} " +
+        s"ELSE $rm + ($rn - ${rm * (qd + 1)} + ${qd - 1}) div $qd END")
+    ranked
+      .withColumn("r_q", tileExpr("_r_rn"))
+      .withColumn("f_q", tileExpr("_f_rn"))
+      .withColumn("m_q", tileExpr("_m_rn"))
       .withColumn("rfm_code",
         col("r_q") * 100L + col("f_q") * 10L + col("m_q"))
+      .drop("_r_rn", "_f_rn", "_m_rn")
   }
 
   private val rfmSql =

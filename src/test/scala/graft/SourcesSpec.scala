@@ -18,11 +18,11 @@ class SourcesSpec extends SparkSpec {
   test("rid: dense, unique, key-ordered") {
     val rows = run("q_src_rid").collect()
     assert(rows.nonEmpty)
-    val rids = rows.map(_.getInt(0))
+    val rids = rows.map(_.getLong(0)) // LongType since the GlobalOrder swap
     assert(rids.distinct.length == rids.length)
     rids.foreach(r => assert(r % 1000 == 1))
     // rid order == key order on the sample
-    val keys = rows.sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getInt(2)))
+    val keys = rows.sortBy(_.getLong(0)).map(r => (r.getLong(1), r.getInt(2)))
     assert(keys.sameElements(keys.sorted))
   }
 
