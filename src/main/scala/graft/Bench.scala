@@ -131,7 +131,12 @@ object Bench {
     // (unrolled-CTE oracle), octave Zipf profile, weighted adjacency
     // cosine, ingest-order watermark audit, RLE layout advisor
     "q_agg_quantile_sketch", "q_sim_kmeans", "q_text_zipf",
-    "q_graph_node_sim", "q_ts_out_of_order", "q_src_rle_advice")
+    "q_graph_node_sim", "q_ts_out_of_order", "q_src_rle_advice",
+    // round-7 additions: the SF-SCALING graph family — distributed
+    // bounded-round iteration above the edge cutoff (the nation-graph
+    // queries never touch a distributed round; these always do at
+    // bench SFs)
+    "q_graph_pagerank_scaled", "q_graph_labelprop_scaled")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

