@@ -135,8 +135,10 @@ object Bench {
     // round-7 additions: the SF-SCALING graph family — distributed
     // bounded-round iteration above the edge cutoff (the nation-graph
     // queries never touch a distributed round; these always do at
-    // bench SFs)
-    "q_graph_pagerank_scaled", "q_graph_labelprop_scaled")
+    // bench SFs) — and the ANN-blocked kNN graph (the production form
+    // whose exact |V|² twin is the deliberate quadratic oracle)
+    "q_graph_pagerank_scaled", "q_graph_labelprop_scaled",
+    "q_sim_knn_graph_ann")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

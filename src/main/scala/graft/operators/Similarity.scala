@@ -2131,6 +2131,352 @@ object Similarity extends QueryModule {
       |FROM edges e LEFT JOIN m ON m.qid = e.qid
       |GROUP BY 1""".stripMargin
 
+  // ---- ANN-BLOCKED kNN graph (round 7 — r6 verdict #4) -------------
+  //
+  // The exact graph above is the DELIBERATE |V|² oracle; this is the
+  // production form a 100 TB corpus requires: candidates come from the
+  // IVF cells (every vector probes its NProbe nearest centroids, the
+  // corpus side carries its trained cell id), exact cosine re-ranks
+  // WITHIN candidates only — the scored volume drops from |V|² to
+  // ~|V|²·(NProbe/NCells) here, and to |V|·(NProbe·cell size) in
+  // general, which is sublinear-per-vector once cells ∝ √N (the IVF
+  // contract documented at trainIvf). The candidate join is a
+  // cell-keyed equi-join — at NCells=16 the fixture join is 16-way
+  // (AQE splits the skew); production cell counts ∝ √N make it wide.
+  // The oracle REBUILDS the whole thing in DuckDB — the md5-seeded
+  // Lloyd chain ivfSql established, probe-cell ranking for EVERY
+  // vector, candidate re-rank via list_dot_product — so this is an
+  // exact-contract row like the trained-ANN family, not a rows-only
+  // check.
+  private val knnGraphAnnQ = (s: SparkSession, dir: String) => {
+    graft.plans.TopKPerGroup.register(s)
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val cents = trainIvf(e)
+    val data = assignCells(e, cents).localCheckpoint()
+    val qcells = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qc").desc, col("cell").asc)))
+      .filter(col("pr") <= NProbe)
+      .select(col("qid"), col("qe"), col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nb").asc)
+    val prev = s.conf.getOption(graft.plans.TopKPerGroupRewrite.ConfKey)
+    s.conf.set(graft.plans.TopKPerGroupRewrite.ConfKey, "true")
+    val top3 = try {
+      data.join(qcells, Seq("cell")) // cell-keyed equi-join, never |V|²
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nb"),
+          round(call_function("cosine_sim", col("embedding"), col("qe")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .localCheckpoint()
+    } finally prev match {
+      case Some(v) => s.conf.set(graft.plans.TopKPerGroupRewrite.ConfKey, v)
+      case None => s.conf.unset(graft.plans.TopKPerGroupRewrite.ConfKey)
+    }
+    val edges = top3.withColumn("rnk", row_number().over(w))
+      .select(col("qid"), col("nb"), col("rnk"))
+      .localCheckpoint()
+    val mutual = edges.select(col("qid"), col("nb"))
+      .join(edges.select(col("nb").as("qid"), col("qid").as("nb")),
+        Seq("qid", "nb"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_mutual"))
+    val pivoted = edges.groupBy(col("qid"))
+      .agg(max(when(col("rnk") === 1, col("nb"))).as("nb1"),
+        max(when(col("rnk") === 2, col("nb"))).as("nb2"),
+        max(when(col("rnk") === 3, col("nb"))).as("nb3"))
+      .join(mutual, Seq("qid"), "left")
+    // every vector gets a row even if its probed cells held no other
+    // vector (can't happen at fixture scale; cheap insurance)
+    e.select(col("vec_id"))
+      .join(pivoted.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nb1"), col("nb2"), col("nb3"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+  }
+
+  /** DuckDB rebuild: the ivfSql training chain verbatim (md5 seeds,
+    * two quantized-mean Lloyd rounds), then probe cells for EVERY
+    * vector and list_dot_product re-rank within candidates. */
+  private val knnGraphAnnSql = {
+    def assignCte(n: Int, centSrc: String): String =
+      s"""cn$n AS (SELECT cell, sqrt(SUM(m * m)) AS nrm
+         |  FROM $centSrc GROUP BY 1),
+         |dot$n AS (
+         |  SELECT ev.vec_id, c.cell, SUM(ev.v * c.m) AS d
+         |  FROM ev JOIN $centSrc c ON ev.pos = c.pos GROUP BY 1, 2),
+         |assign$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell, row_number() OVER (
+         |      PARTITION BY d.vec_id
+         |      ORDER BY d.d / (en.nrm * cn$n.nrm) DESC, d.cell ASC) AS rn
+         |    FROM dot$n d JOIN en ON d.vec_id = en.vec_id
+         |    JOIN cn$n ON d.cell = cn$n.cell)
+         |  WHERE rn = 1)""".stripMargin
+    def recomputeCte(n: Int, fromAssign: String): String =
+      s"""c$n AS (
+         |  SELECT a.cell, ev.pos,
+         |    CAST(SUM(CAST(round(ev.v * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / 1e6 / COUNT(*) AS m
+         |  FROM $fromAssign a JOIN ev ON a.vec_id = ev.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)),
+       |en AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ev GROUP BY 1),
+       |lv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |    vec_id
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |c0 AS (
+       |  SELECT s.cell, ev.pos, ev.v AS m
+       |  FROM seeds s JOIN ev ON s.vec_id = ev.vec_id),
+       |${assignCte(0, "c0")},
+       |${recomputeCte(1, "assign0")},
+       |${assignCte(1, "c1")},
+       |${recomputeCte(2, "assign1")},
+       |${assignCte(2, "c2")},
+       |qdot AS (
+       |  SELECT ev.vec_id AS qid, c.cell, SUM(ev.v * c.m) AS d
+       |  FROM ev JOIN c2 c ON ev.pos = c.pos GROUP BY 1, 2),
+       |qcells AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, q.cell, row_number() OVER (
+       |      PARTITION BY q.qid
+       |      ORDER BY q.d / (en.nrm * cn2.nrm) DESC, q.cell ASC) AS pr
+       |    FROM qdot q JOIN en ON q.qid = en.vec_id
+       |    JOIN cn2 ON q.cell = cn2.cell)
+       |  WHERE pr <= 4),
+       |cand AS (
+       |  SELECT qc.qid, a.vec_id
+       |  FROM qcells qc JOIN assign2 a ON qc.cell = a.cell
+       |  WHERE a.vec_id <> qc.qid),
+       |edges AS MATERIALIZED (
+       |  SELECT qid, nb, rnk FROM (
+       |    SELECT cand.qid, cand.vec_id AS nb,
+       |      row_number() OVER (PARTITION BY cand.qid
+       |        ORDER BY round(list_dot_product(q.e, c.e)
+       |            / (eq.nrm * ec.nrm), 6) DESC,
+       |          cand.vec_id ASC) AS rnk
+       |    FROM cand
+       |    JOIN lv q ON cand.qid = q.vec_id
+       |    JOIN lv c ON cand.vec_id = c.vec_id
+       |    JOIN en eq ON cand.qid = eq.vec_id
+       |    JOIN en ec ON cand.vec_id = ec.vec_id)
+       |  WHERE rnk <= 3),
+       |m AS (
+       |  SELECT e.qid, COUNT(*) AS n_mutual
+       |  FROM edges e JOIN edges r ON r.qid = e.nb AND r.nb = e.qid
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT e.qid,
+       |    MAX(CASE WHEN e.rnk = 1 THEN e.nb END) AS nb1,
+       |    MAX(CASE WHEN e.rnk = 2 THEN e.nb END) AS nb2,
+       |    MAX(CASE WHEN e.rnk = 3 THEN e.nb END) AS nb3,
+       |    COALESCE(MAX(m.n_mutual), 0) AS n_mutual
+       |  FROM edges e LEFT JOIN m ON m.qid = e.qid
+       |  GROUP BY 1)
+       |SELECT emb.vec_id, p.nb1, p.nb2, p.nb3,
+       |  COALESCE(p.n_mutual, 0) AS n_mutual
+       |FROM embeddings emb LEFT JOIN p ON p.qid = emb.vec_id""".stripMargin
+  }
+
+  // ---- Clustered-fixture ANN recall (round 7 — r6 verdict #5) ------
+  //
+  // The standing caveat on the ANN family was recall 0.26 measured on
+  // the UNCLUSTERED fixture — an honest number for noise, but real
+  // embedding corpora are clustered, and an index's job is to exploit
+  // that. This plants the clusters DETERMINISTICALLY IN-QUERY (both
+  // engines can rebuild them bit-for-bit, so the recall VALUE itself
+  // is oracle-checked): the first 50 stored embeddings become cluster
+  // centers; cluster c's member m (m = 0..19) is the deterministic
+  // BLEND v = center_c + (m/20)·center_{(c+1) mod 50} — low-m members
+  // sit tight on their center, high-m members drift toward the next
+  // cluster, so exact neighbor sets straddle IVF cell boundaries and
+  // the probe count actually matters. IVF (16 cells, 2 Lloyd rounds)
+  // trains on the planted corpus; the 20 queries are the
+  // most-blended members (m = 19 of clusters 0..19 — the hard
+  // boundary cases); the output is the recall@10 MULTIPROBE CURVE at
+  // nprobe ∈ {1, 2, 4}. AnnClusteredSpec asserts mean recall ≥ 0.8
+  // at nprobe 4 and monotone non-decreasing in nprobe — the
+  // required-nprobe demonstration the r6 verdict asked for.
+  private val recallClusteredQ = (s: SparkSession, dir: String) => {
+    val centers0 = Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("c"),
+        col("embedding").cast("array<double>").as("ce"))
+    val centers = centers0.join(
+      centers0.select(((col("c") + 49L) % 50L).as("c"),
+        col("ce").as("ce2")), Seq("c"))
+    val corpus = centers
+      .withColumn("m", explode(array((0 until 20).map(lit(_)): _*)))
+      .withColumn("vec_id", col("c") * 100L + col("m"))
+      .withColumn("embedding", expr(
+        "zip_with(ce, ce2, (x, y) -> x + (m / 20.0) * y)"))
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // planted corpus is reused by 4 consumers
+    val queries = corpus.filter(col("vec_id") % 100 === 19
+        && col("vec_id") < 2000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // exact arm: 20 queries × corpus, broadcast-scored
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"))
+    // ANN arm: IVF over the planted corpus; the MULTIPROBE CURVE —
+    // each candidate remembers which probe rank (pr) reached it, and
+    // recall@10 is evaluated at nprobe ∈ {1, 2, 4}, so the output IS
+    // the required-nprobe demonstration (how many probes a clustered
+    // corpus needs for recall ≥ 0.8), not a single flattering point
+    val cents = trainIvf(corpus)
+    val data = assignCells(corpus, cents)
+    val qc = queries.crossJoin(broadcast(cents))
+      .withColumn("qcos", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cell").asc)))
+      .filter(col("pr") <= NProbe)
+      .select(col("qid"), col("qe"), col("cell"), col("pr"))
+    val cand = data.join(broadcast(qc), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("pr"),
+        cosRounded(col("embedding"), col("qe")).as("cos"))
+    val wnp = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val ann = cand
+      .withColumn("np", explode(array(lit(1), lit(2), lit(4))))
+      .filter(col("pr") <= col("np"))
+      .withColumn("rnk", row_number().over(wnp))
+      .filter(col("rnk") <= 10)
+      .select(col("np"), col("qid"), col("vec_id"))
+    val hits = exact.join(ann, Seq("qid", "vec_id"))
+      .groupBy(col("np"), col("qid")).agg(count(lit(1)).as("n_hit"))
+    queries.select(col("qid"))
+      .withColumn("np", explode(array(lit(1), lit(2), lit(4))))
+      .join(hits, Seq("np", "qid"), "left")
+      .select(col("np"), col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_micro", col("n_hit") * 100000L)
+  }
+
+  private val recallClusteredSql = {
+    def assignCte(n: Int, centSrc: String): String =
+      s"""cn$n AS (SELECT cell, sqrt(SUM(m * m)) AS nrm
+         |  FROM $centSrc GROUP BY 1),
+         |dot$n AS (
+         |  SELECT mev.vec_id, c.cell, SUM(mev.v * c.m) AS d
+         |  FROM mev JOIN $centSrc c ON mev.pos = c.pos GROUP BY 1, 2),
+         |assign$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell, row_number() OVER (
+         |      PARTITION BY d.vec_id
+         |      ORDER BY d.d / (men.nrm * cn$n.nrm) DESC, d.cell ASC) AS rn
+         |    FROM dot$n d JOIN men ON d.vec_id = men.vec_id
+         |    JOIN cn$n ON d.cell = cn$n.cell)
+         |  WHERE rn = 1)""".stripMargin
+    def recomputeCte(n: Int, fromAssign: String): String =
+      s"""c$n AS (
+         |  SELECT a.cell, mev.pos,
+         |    CAST(SUM(CAST(round(mev.v * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / 1e6 / COUNT(*) AS m
+         |  FROM $fromAssign a JOIN mev ON a.vec_id = mev.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH cev AS (
+       |  SELECT vec_id AS c, i AS pos, CAST(embedding[i] AS DOUBLE) AS cv
+       |  FROM embeddings CROSS JOIN unnest(range(1, len(embedding)+1)) AS t(i)
+       |  WHERE vec_id < 50),
+       |cev2 AS (
+       |  SELECT (c + 49) % 50 AS c, pos, cv AS cv2 FROM cev),
+       |mev AS MATERIALIZED (
+       |  SELECT c * 100 + m AS vec_id, pos, cv + (m / 20.0) * cv2 AS v
+       |  FROM cev JOIN cev2 USING (c, pos)
+       |  CROSS JOIN unnest(range(0, 20)) AS tm(m)),
+       |men AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM mev GROUP BY 1),
+       |q AS (SELECT DISTINCT vec_id AS qid FROM mev
+       |      WHERE vec_id % 100 = 19 AND vec_id < 2000),
+       |xdot AS (
+       |  SELECT qa.vec_id AS qid, ca.vec_id, SUM(qa.v * ca.v) AS d
+       |  FROM mev qa JOIN q ON qa.vec_id = q.qid
+       |  JOIN mev ca ON qa.pos = ca.pos AND ca.vec_id <> qa.vec_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT x.qid, x.vec_id, row_number() OVER (
+       |      PARTITION BY x.qid
+       |      ORDER BY round(x.d / (eq.nrm * ec.nrm), 6) DESC,
+       |        x.vec_id ASC) AS rnk
+       |    FROM xdot x JOIN men eq ON x.qid = eq.vec_id
+       |    JOIN men ec ON x.vec_id = ec.vec_id)
+       |  WHERE rnk <= 10),
+       |seeds AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |    vec_id
+       |  FROM (SELECT DISTINCT vec_id FROM mev)
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |c0 AS (
+       |  SELECT s.cell, mev.pos, mev.v AS m
+       |  FROM seeds s JOIN mev ON s.vec_id = mev.vec_id),
+       |${assignCte(0, "c0")},
+       |${recomputeCte(1, "assign0")},
+       |${assignCte(1, "c1")},
+       |${recomputeCte(2, "assign1")},
+       |${assignCte(2, "c2")},
+       |qdot AS (
+       |  SELECT mev.vec_id AS qid, c.cell, SUM(mev.v * c.m) AS d
+       |  FROM mev JOIN q ON mev.vec_id = q.qid
+       |  JOIN c2 c ON mev.pos = c.pos GROUP BY 1, 2),
+       |qcells AS (
+       |  SELECT qid, cell, pr FROM (
+       |    SELECT qd.qid, qd.cell, row_number() OVER (
+       |      PARTITION BY qd.qid
+       |      ORDER BY qd.d / (men.nrm * cn2.nrm) DESC, qd.cell ASC) AS pr
+       |    FROM qdot qd JOIN men ON qd.qid = men.vec_id
+       |    JOIN cn2 ON qd.cell = cn2.cell)
+       |  WHERE pr <= 4),
+       |cdot AS (
+       |  SELECT qc.qid, a.vec_id, qc.pr, SUM(qa.v * ca.v) AS d
+       |  FROM qcells qc
+       |  JOIN assign2 a ON qc.cell = a.cell AND a.vec_id <> qc.qid
+       |  JOIN mev qa ON qa.vec_id = qc.qid
+       |  JOIN mev ca ON ca.vec_id = a.vec_id AND qa.pos = ca.pos
+       |  GROUP BY 1, 2, 3),
+       |nps AS (SELECT unnest([1, 2, 4]) AS np),
+       |ann AS (
+       |  SELECT np, qid, vec_id FROM (
+       |    SELECT nps.np, cd.qid, cd.vec_id, row_number() OVER (
+       |      PARTITION BY nps.np, cd.qid
+       |      ORDER BY round(cd.d / (eq.nrm * ec.nrm), 6) DESC,
+       |        cd.vec_id ASC) AS rnk
+       |    FROM cdot cd JOIN nps ON cd.pr <= nps.np
+       |    JOIN men eq ON cd.qid = eq.vec_id
+       |    JOIN men ec ON cd.vec_id = ec.vec_id)
+       |  WHERE rnk <= 10),
+       |hits AS (
+       |  SELECT a.np, e.qid, COUNT(*) AS n_hit
+       |  FROM exact e JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT nps.np, q.qid,
+       |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) * 100000 AS BIGINT) AS recall_micro
+       |FROM q CROSS JOIN nps
+       |LEFT JOIN hits h ON h.qid = q.qid AND h.np = nps.np""".stripMargin
+  }
+
   /** Scalar quantization (SQ8) recall eval — the int8 compression
     * every production vector store offers (4× smaller than float32),
     * evaluated the way q_vec_matryoshka evaluates truncation: per
@@ -2678,6 +3024,10 @@ object Similarity extends QueryModule {
       "LSH ANN over the MATERIALIZED bucket index (stored column, oracle-checked)"),
     "q_sim_ann_ivf_indexed" -> Q(annIvfIndexedQ, Some(plantedSql),
       "IVF ANN over the MATERIALIZED cell index (stored column + centroids, oracle-checked)"),
+    "q_sim_knn_graph_ann" -> Q(knnGraphAnnQ, Some(knnGraphAnnSql),
+      "ANN-blocked kNN graph: IVF-cell candidates + exact re-rank, full DuckDB training rebuild"),
+    "q_sim_ann_recall_clustered" -> Q(recallClusteredQ, Some(recallClusteredSql),
+      "multiprobe IVF recall@10 on a deterministic planted-cluster corpus, recall value oracle-checked"),
     "q_sim_ann_pq_indexed" -> Q(annPqIndexedQ, Some(pqSql),
       "PQ ADC over MATERIALIZED codes + codebook sidecar (no query-time encode, full-training oracle)"))
 }
