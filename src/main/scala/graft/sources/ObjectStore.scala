@@ -1316,6 +1316,76 @@ object ObjectStoreIngest {
   * reference runs the same op storage-side to merge small ingest
   * objects. */
 object ObjectStoreMaintenance {
+
+  // ---- MoR crash-safety journal (round 7 — r6 verdict #6) ----------
+  //
+  // The MoR ops mutate MULTIPLE files before their single commit line
+  // (per object: archive pre-image, DV sidecar; then for updates one
+  // replacement object; then `record`). Live reads are directory-
+  // listed, not log-gated, so a crash mid-op leaves torn state the
+  // comments used to merely argue about — worst case updateMoR's
+  // window between a DV write and the replacement-object write, where
+  // matched rows are hidden with their updates not yet on disk.
+  //
+  // The journal makes every window recoverable with pieces the ops
+  // already produce: a `_txn_v<v>` intent marker (the version + the
+  // planned replacement-object names) written BEFORE the first
+  // mutation, deleted AFTER `record`. `record` is the commit point:
+  //   marker present ∧ log has v      → crashed after commit: roll
+  //     FORWARD (delete the marker; all artifacts are legitimate);
+  //   marker present ∧ log lacks v    → crashed mid-op: roll BACK —
+  //     every archive pre-image `X@v<v>` moves back over its live
+  //     name (covering both the copy and the full-delete move), its
+  //     DV drops, planned-but-uncommitted replacement objects delete.
+  // Every MoR op runs recovery on entry (under the same table lock),
+  // so the torn window lasts at most until the next maintenance
+  // touch; CrashInjectionSpec drives every boundary via FaultPoints.
+
+  private def txnFile(dir: String, v: Int) = new File(dir, s"_txn_v$v")
+
+  private def beginTxn(dir: String, v: Int, adds: Seq[String]): Unit =
+    Files.write(txnFile(dir, v).toPath,
+      (v.toString +: adds).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def endTxn(dir: String, v: Int): Unit =
+    Files.deleteIfExists(txnFile(dir, v).toPath)
+
+  /** Recover a crashed MoR op, if any; returns a description of what
+    * was done. Called under the table lock by every MoR entry point;
+    * also reachable directly (tests, explicit repair). */
+  def recoverTxn(dir: String): Option[String] = {
+    val markers = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("_txn_v\\d+"))
+    if (markers.isEmpty) return None
+    val out = markers.sortBy(_.getName).map { m =>
+      val lines = new String(Files.readAllBytes(m.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+      val v = lines.head.trim.toInt
+      val adds = lines.tail.filter(_.nonEmpty)
+      if (GraftVersions.currentVersion(dir) >= v) {
+        Files.deleteIfExists(m.toPath)
+        s"v$v: committed, rolled forward"
+      } else {
+        val arch = new File(dir, "_archive")
+        val pre = Option(arch.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(s"@v$v"))
+        pre.foreach { a =>
+          val liveName = a.getName.stripSuffix(s"@v$v")
+          val live = new File(dir, liveName)
+          Files.move(a.toPath, live.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          DeleteVectors.drop(live.getPath)
+        }
+        adds.foreach(n => Files.deleteIfExists(new File(dir, n).toPath))
+        Files.deleteIfExists(m.toPath)
+        s"v$v: rolled back (${pre.length} restored, " +
+          s"${adds.size} uncommitted adds removed)"
+      }
+    }
+    Some(out.mkString("; "))
+  }
+
   def compact(spark: SparkSession, dir: String, target: Int): Unit =
     spark.read.format("graft-objects").load(dir)
       .repartition(target)
@@ -1380,6 +1450,7 @@ object ObjectStoreMaintenance {
     * Returns (#objects fully removed, #objects DV'd, #rows deleted). */
   def deleteMoR(dir: String, filters: Array[Filter]): (Int, Int, Long) =
     GraftVersions.withTableLock(dir) {
+      recoverTxn(dir)
       val schema0 = {
         val sidecar = new File(dir, "_schema.ddl")
         if (sidecar.isFile)
@@ -1393,6 +1464,7 @@ object ObjectStoreMaintenance {
         "deleteMoR: every predicate must be storage-evaluable " +
           "(same contract as canDeleteWhere)")
       val v = GraftVersions.nextVersion(dir)
+      beginTxn(dir, v, Nil)
       val removed = Seq.newBuilder[String]
       val dvd = Seq.newBuilder[String]
       var deletedRows = 0L
@@ -1415,10 +1487,13 @@ object ObjectStoreMaintenance {
             val physical = ObjectFormat.readFooter(obj).rowCount
             if (hit.length == physical) {
               GraftVersions.archiveMove(dir, objFile, v)
+              FaultPoints.hit("mor.delete.moved")
               removed += objFile.getName
             } else {
               GraftVersions.archiveCopy(dir, objFile, v)
+              FaultPoints.hit("mor.delete.archived")
               DeleteVectors.write(obj, hit)
+              FaultPoints.hit("mor.delete.dv")
               dvd += objFile.getName
             }
           }
@@ -1427,6 +1502,8 @@ object ObjectStoreMaintenance {
       val (del, dv) = (removed.result(), dvd.result())
       if (del.nonEmpty || dv.nonEmpty)
         GraftVersions.record(dir, v, Nil, del, dv)
+      FaultPoints.hit("mor.delete.recorded")
+      endTxn(dir, v)
       (del.size, dv.size, deletedRows)
     }
 
@@ -1443,6 +1520,7 @@ object ObjectStoreMaintenance {
   def updateMoR(dir: String, filters: Array[Filter],
       set: Map[String, Any]): (Long, String) =
     GraftVersions.withTableLock(dir) {
+      recoverTxn(dir)
       val schema = {
         val sidecar = new File(dir, "_schema.ddl")
         if (sidecar.isFile)
@@ -1462,6 +1540,8 @@ object ObjectStoreMaintenance {
       val table = new File(dir).getName
       val nextSeq = live.map(p =>
         new File(p).getName.substring(table.length + 1).toInt).max + 1
+      val newName = s"$table.$nextSeq"
+      beginTxn(dir, v, Seq(newName))
       val enc = new ObjectFormat.ObjectEncoder(schema)
       val dvd = Seq.newBuilder[String]
       var updated = 0L
@@ -1492,16 +1572,20 @@ object ObjectStoreMaintenance {
           if (hit.nonEmpty) {
             val objFile = new File(obj)
             GraftVersions.archiveCopy(dir, objFile, v)
+            FaultPoints.hit("mor.update.archived")
             DeleteVectors.write(obj, hit)
+            FaultPoints.hit("mor.update.dv")
             dvd += objFile.getName
           }
         }
       }
-      if (updated == 0) (0L, null)
+      if (updated == 0) { endTxn(dir, v); (0L, null) }
       else {
-        val newName = s"$table.$nextSeq"
         enc.finish(new File(dir, newName).getPath)
+        FaultPoints.hit("mor.update.objwritten")
         GraftVersions.record(dir, v, Seq(newName), Nil, dvd.result())
+        FaultPoints.hit("mor.update.recorded")
+        endTxn(dir, v)
         (updated, newName)
       }
     }
@@ -1521,6 +1605,7 @@ object ObjectStoreMaintenance {
   def updateMoRExpr(spark: SparkSession, dir: String,
       filters: Array[Filter], set: Map[String, String]): (Long, String) =
     GraftVersions.withTableLock(dir) {
+      recoverTxn(dir)
       import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Cast, Expression}
       import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
       val schema = {
@@ -1554,6 +1639,8 @@ object ObjectStoreMaintenance {
       val table = new File(dir).getName
       val nextSeq = live.map(p =>
         new File(p).getName.substring(table.length + 1).toInt).max + 1
+      val newName = s"$table.$nextSeq"
+      beginTxn(dir, v, Seq(newName))
       val enc = new ObjectFormat.ObjectEncoder(schema)
       val dvd = Seq.newBuilder[String]
       var updated = 0L
@@ -1586,16 +1673,20 @@ object ObjectStoreMaintenance {
           if (hit.nonEmpty) {
             val objFile = new File(obj)
             GraftVersions.archiveCopy(dir, objFile, v)
+            FaultPoints.hit("mor.update.archived")
             DeleteVectors.write(obj, hit)
+            FaultPoints.hit("mor.update.dv")
             dvd += objFile.getName
           }
         }
       }
-      if (updated == 0) (0L, null)
+      if (updated == 0) { endTxn(dir, v); (0L, null) }
       else {
-        val newName = s"$table.$nextSeq"
         enc.finish(new File(dir, newName).getPath)
+        FaultPoints.hit("mor.update.objwritten")
         GraftVersions.record(dir, v, Seq(newName), Nil, dvd.result())
+        FaultPoints.hit("mor.update.recorded")
+        endTxn(dir, v)
         (updated, newName)
       }
     }
@@ -1615,6 +1706,7 @@ object ObjectStoreMaintenance {
     val staged = new File(objFile.getParentFile,
       s"_staged_dvfold_${objFile.getName}")
     enc.finish(staged.getPath)
+    FaultPoints.hit("dvfold.staged")
     // Swap FIRST, then drop: after the atomic move the old DV is
     // already stale by (length, mtime) fingerprint and reads as
     // absent, so a crash (or concurrent lock-free reader) between the
@@ -1625,6 +1717,7 @@ object ObjectStoreMaintenance {
     Files.move(staged.toPath, objFile.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    FaultPoints.hit("dvfold.moved")
     DeleteVectors.drop(obj)
   }
 
