@@ -1930,7 +1930,11 @@ object Aggregates extends QueryModule {
         sum((lit(1L) - col("is_new")) * col("cents"))
           .as("returning_cents"))
       .withColumn("new_share_micro",
-        expr("(1000000 * new_cents) div (new_cents + returning_cents)"))
+        // DECIMAL-widened numerator: a year's cents sum x 10^6 leaves
+        // BIGINT beyond ~sf1 (the sf1 oracle sweep's catch); DECIMAL
+        // div pairs exactly with the oracle's HUGEINT //
+        expr("(CAST(new_cents AS DECIMAL(38,0)) * 1000000)" +
+          " div (new_cents + returning_cents)"))
   }
 
   private val newReturningSql =
@@ -1946,9 +1950,9 @@ object Aggregates extends QueryModule {
       |    AS BIGINT) AS new_cents,
       |  CAST(SUM(CASE WHEN yr = first_yr THEN 0 ELSE cents END)
       |    AS BIGINT) AS returning_cents,
-      |  (1000000 * CAST(SUM(CASE WHEN yr = first_yr THEN cents
-      |      ELSE 0 END) AS BIGINT))
-      |    // (CAST(SUM(cents) AS BIGINT)) AS new_share_micro
+      |  CAST((CAST(SUM(CASE WHEN yr = first_yr THEN cents
+      |      ELSE 0 END) AS HUGEINT) * 1000000)
+      |    // (CAST(SUM(cents) AS BIGINT)) AS BIGINT) AS new_share_micro
       |FROM o JOIN f ON o.o_custkey = f.fc
       |GROUP BY 1""".stripMargin
 
@@ -1981,7 +1985,10 @@ object Aggregates extends QueryModule {
       .groupBy(col("cls"))
       .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("revenue"),
         max(col("tc")).as("tc"))
-      .withColumn("share_micro", expr("(1000000 * revenue) div tc"))
+      // DECIMAL-widened: total-revenue cents x 10^6 overflows BIGINT
+      // at sf1 (caught by the sf1 oracle sweep, both engines threw)
+      .withColumn("share_micro",
+        expr("(CAST(revenue AS DECIMAL(38,0)) * 1000000) div tc"))
       .select(col("cls"), col("n_parts"), col("revenue"),
         col("share_micro"))
   }
@@ -2007,8 +2014,8 @@ object Aggregates extends QueryModule {
       |  FROM cum, tot)
       |SELECT cls, COUNT(*) AS n_parts,
       |  CAST(SUM(cents) AS BIGINT) AS revenue,
-      |  (1000000 * CAST(SUM(cents) AS BIGINT)) // MAX(tc)
-      |    AS share_micro
+      |  CAST((CAST(SUM(cents) AS HUGEINT) * 1000000) // MAX(tc)
+      |    AS BIGINT) AS share_micro
       |FROM cl GROUP BY 1""".stripMargin
 
   override val queries: Map[String, Q] = Map(

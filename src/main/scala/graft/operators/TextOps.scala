@@ -141,8 +141,10 @@ object TextOps extends QueryModule {
     tfs.join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(scal))
       .withColumn("q", expr(
-        """(22 * d_tot * tf * (2 * n_docs - 2 * df + 1)) * 1000000 div
-          |((10 * d_tot * tf + 3 * d_tot + 9 * dl * n_docs) * (2 * df + 1))"""
+        """(CAST(22 AS DECIMAL(38,0)) * d_tot * tf
+          |   * (2 * n_docs - 2 * df + 1)) * 1000000 div
+          |((CAST(10 AS DECIMAL(38,0)) * d_tot * tf
+          |   + 3 * d_tot + 9 * dl * n_docs) * (2 * df + 1))"""
           .stripMargin))
       .groupBy(col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("n_terms"), sum(col("q")).as("score_q"))
@@ -168,9 +170,11 @@ object TextOps extends QueryModule {
        |        FROM hits GROUP BY 1),
        |q AS (
        |  SELECT tfs.doc_id, tfs.dl,
-       |    (22 * d_tot * tf * (2 * n_docs - 2 * df + 1)) * 1000000 //
-       |    ((10 * d_tot * tf + 3 * d_tot + 9 * dl * n_docs) * (2 * df + 1))
-       |      AS q
+       |    CAST((CAST(22 AS HUGEINT) * d_tot * tf
+       |      * (2 * n_docs - 2 * df + 1)) * 1000000 //
+       |    ((CAST(10 AS HUGEINT) * d_tot * tf
+       |      + 3 * d_tot + 9 * dl * n_docs) * (2 * df + 1))
+       |      AS BIGINT) AS q
        |  FROM tfs JOIN dfs ON tfs.term = dfs.term, scal)
        |SELECT doc_id, dl, COUNT(*) AS n_terms,
        |  CAST(SUM(q) AS BIGINT) AS score_q,
@@ -235,8 +239,10 @@ object TextOps extends QueryModule {
     post.join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(scal))
       .withColumn("q", expr(
-        """(22 * d_tot * tf * (2 * n_docs - 2 * df + 1)) * 1000000 div
-          |((10 * d_tot * tf + 3 * d_tot + 9 * dl * n_docs) * (2 * df + 1))"""
+        """(CAST(22 AS DECIMAL(38,0)) * d_tot * tf
+          |   * (2 * n_docs - 2 * df + 1)) * 1000000 div
+          |((CAST(10 AS DECIMAL(38,0)) * d_tot * tf
+          |   + 3 * d_tot + 9 * dl * n_docs) * (2 * df + 1))"""
           .stripMargin))
       .groupBy(col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("n_terms"), sum(col("q")).as("score_q"))

@@ -76,7 +76,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # ScaleGen fixtures are Spark-written DIRECTORIES of parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     names = sorted(set(list(oracles.keys()) +
                        [os.path.basename(d) for d in glob.glob(out_dir + "/*")
