@@ -138,7 +138,8 @@ object Bench {
     // bench SFs) — and the ANN-blocked kNN graph (the production form
     // whose exact |V|² twin is the deliberate quadratic oracle)
     "q_graph_pagerank_scaled", "q_graph_labelprop_scaled",
-    "q_sim_knn_graph_ann")
+    "q_graph_kcore_scaled", "q_sim_knn_graph_ann",
+    "q_join_spatial_grid_scaled", "q_sim_ann_recall_clustered")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

@@ -1815,6 +1815,67 @@ object Graph extends QueryModule {
     }
   }
 
+  /** k-core peel on the SF-scaling graph (k=3, `ScaledIters` rounds):
+    * each round keeps nodes with ≥k neighbors among survivors —
+    * the bounded-round prefix of the k-core fixpoint, deterministic.
+    * Distributed rounds = two alive-semijoins + one src-keyed count
+    * per round; same adaptive driver-local finish under the cutoff.
+    * Output: survivors after the final round with their final-round
+    * degree. */
+  private val kcoreScaledQ = (s: SparkSession, dir: String) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val K = 3
+    val (ed, nodes, m) = scaledDirected(s, dir)
+    if (m <= scaledCutoff) {
+      val es = ed.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      var alive = nodes.collect().map(_.getLong(0)).toSet
+      var deg = Map.empty[Long, Long]
+      for (_ <- 1 to ScaledIters) {
+        val d = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (a, b) =>
+          if (alive(a) && alive(b)) d(a) += 1L
+        }
+        deg = d.toMap.filter(_._2 >= K)
+        alive = deg.keySet
+      }
+      df(s, StructType(Seq(StructField("node", LongType),
+        StructField("deg", LongType))),
+        deg.toSeq.sortBy(_._1).map { case (n, d) => Row(n, d) })
+    } else {
+      var alive = nodes
+      var survivors: DataFrame = null
+      for (_ <- 1 to ScaledIters) {
+        survivors = ed
+          .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= K)
+          .localCheckpoint()
+        alive = survivors.select(col("src").as("node"))
+      }
+      survivors.select(col("src").as("node"), col("deg"))
+    }
+  }
+
+  private val kcoreScaledSql = {
+    def round(i: Int): String =
+      s"""d${i + 1} AS (
+         |  SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM ed e
+         |  JOIN a$i x ON e.src = x.node
+         |  JOIN a$i y ON e.dst = y.node
+         |  GROUP BY 1),
+         |a${i + 1} AS (SELECT node FROM d${i + 1} WHERE deg >= 3)"""
+        .stripMargin
+    s"""WITH $scaledEdgesSqlCte,
+       |a0 AS (SELECT node FROM nodes),
+       |${(0 until ScaledIters).map(round).mkString(",\n")}
+       |SELECT node, deg FROM d$ScaledIters WHERE deg >= 3""".stripMargin
+  }
+
   private val labelpropScaledSql = {
     def round(i: Int): String =
       s"""l${i + 1} AS (
@@ -1875,5 +1936,7 @@ object Graph extends QueryModule {
     "q_graph_pagerank_scaled" -> Q(pagerankScaledQ, Some(pagerankScaledSql),
       "PageRank on the SF-SCALING co-purchase chain graph: distributed rounds above the edge cutoff, driver-local finish below, bit-equal"),
     "q_graph_labelprop_scaled" -> Q(labelpropScaledQ, Some(labelpropScaledSql),
-      "min-label propagation on the SF-SCALING co-purchase graph, bounded rounds, same adaptive routing"))
+      "min-label propagation on the SF-SCALING co-purchase graph, bounded rounds, same adaptive routing"),
+    "q_graph_kcore_scaled" -> Q(kcoreScaledQ, Some(kcoreScaledSql),
+      "bounded-round k-core peel (k=3) on the SF-SCALING co-purchase graph, adaptive routing"))
 }

@@ -38,6 +38,14 @@ class GraphScaledSpec extends SparkSpec {
     assert(local.forall { case (node, l) => l <= node })
   }
 
+  test("kcore_scaled: distributed rounds == driver-local finish; peel is monotone") {
+    val (local, dist) = bothRoutes("q_graph_kcore_scaled")
+    assert(local.nonEmpty)
+    assert(local == dist)
+    // every survivor kept >= k neighbors in the final round
+    assert(local.forall(_._2 >= 3L))
+  }
+
   test("ranks conserve the teleport floor and react to edges") {
     val (local, _) = bothRoutes("q_graph_pagerank_scaled")
     assert(local.forall(_._2 >= 150000L)) // teleport term is the floor
