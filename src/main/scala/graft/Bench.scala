@@ -272,7 +272,13 @@ object Bench {
 
     def timed(name: String): Double = {
       val t = System.nanoTime()
-      try force(name) catch { case _: Throwable => }
+      // a failed pass must be VISIBLE: a swallowed throw reads as an
+      // impossibly fast row (the r7 obj-route lesson) — still never
+      // aborts the sweep
+      try force(name) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name pass FAILED: " +
+          s"${Option(e.getMessage).getOrElse(e.toString).take(120)}")
+      }
       (System.nanoTime() - t) / 1e9
     }
 
