@@ -528,16 +528,18 @@ object Similarity extends QueryModule {
   /** Deterministic IVF training: seeded sample → `LloydIters` k-means
     * rounds; returns the (cell, centroid) table. Exchanges carry only
     * cells×dim partials — the corpus is never shuffled. */
-  private def trainIvf(e: DataFrame): DataFrame = {
-    // deterministic seed sample → cells 0..NCells-1 (row_number runs on
-    // NCells rows post-limit, not the corpus). Seed key is md5 of the
+  private def trainIvf(e: DataFrame, nCells: Int = NCells): DataFrame = {
+    // deterministic seed sample → cells 0..nCells-1 (row_number runs on
+    // nCells rows post-limit, not the corpus). Seed key is md5 of the
     // id string — a seeded pseudo-random order BOTH engines can
     // compute, which is what lets ivfSql rebuild the whole training
     // run (r4: xxhash64 has no DuckDB counterpart and kept this query
-    // rows-only)
+    // rows-only). nCells defaults to the fixture constant; the
+    // ANN-blocked graph passes ceil(√N) — the IVF contract that keeps
+    // candidate volume ~N^1.5 instead of N².
     val wSeed = Window.orderBy(col("hk"), col("vec_id"))
     var cents = e.withColumn("hk", md5(col("vec_id").cast("string")))
-      .orderBy(col("hk"), col("vec_id")).limit(NCells)
+      .orderBy(col("hk"), col("vec_id")).limit(nCells)
       .withColumn("cell", row_number().over(wSeed) - 1)
       .select(col("cell"), col("embedding").cast("array<double>").as("centroid"))
     for (_ <- 0 until LloydIters) {
@@ -2153,7 +2155,11 @@ object Similarity extends QueryModule {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .repartition(s.sparkContext.defaultParallelism)
-    val cents = trainIvf(e)
+    // cells ∝ √N (one driver count — the IVF sizing every production
+    // index uses): candidate volume per query ≈ NProbe·√N, total
+    // ≈ NProbe·N^1.5 — sub-quadratic where the exact graph is |V|²
+    val nCells = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val cents = trainIvf(e, nCells)
     val data = assignCells(e, cents).localCheckpoint()
     val qcells = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(cents))
@@ -2237,7 +2243,9 @@ object Similarity extends QueryModule {
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
        |    vec_id
        |  FROM embeddings
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT)
+       |         FROM embeddings)),
        |c0 AS (
        |  SELECT s.cell, ev.pos, ev.v AS m
        |  FROM seeds s JOIN ev ON s.vec_id = ev.vec_id),
