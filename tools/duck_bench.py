@@ -58,6 +58,13 @@ HEADLINE = [
     # round-6 additions (mirror graft.Bench.headline)
     "q_agg_quantile_sketch", "q_sim_kmeans", "q_text_zipf",
     "q_graph_node_sim", "q_ts_out_of_order", "q_src_rle_advice",
+    # round-7 additions (mirror graft.Bench.headline). NOTE: the
+    # scaled-graph / ANN-graph oracles are full unrolled-CTE rebuilds
+    # (DuckDB re-derives the edge list / re-trains the IVF each run),
+    # so these pairs are rebuild-vs-query like the stored-index twins.
+    "q_graph_pagerank_scaled", "q_graph_labelprop_scaled",
+    "q_graph_kcore_scaled", "q_sim_knn_graph_ann",
+    "q_join_spatial_grid_scaled", "q_sim_ann_recall_clustered",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
