@@ -53,11 +53,36 @@ object GlobalOrder {
       df: DataFrame,
       sort: Seq[Column],
       vals: Seq[(String, Column)],
-      parts: Int = 32): DataFrame = {
+      parts: Int = 0): DataFrame =
+    runningTotalsWithSums(df, sort, vals, parts)._1
+
+  /** Like `runningTotals`, but also returns each value's GRAND total
+    * (the driver-side fold the offset pass computes anyway) — callers
+    * that would otherwise `count()` the result (ntile arithmetic needs
+    * n) get it for free instead of paying one more job (r7 verdict #5:
+    * the GlobalOrder swaps' constant). */
+  def runningTotalsWithSums(
+      df: DataFrame,
+      sort: Seq[Column],
+      vals: Seq[(String, Column)],
+      parts: Int = 0): (DataFrame, Array[Long]) = {
+    // width: explicit arg > session conf (r7 verdict #8: deployment-
+    // sizable) > 32. At 100 TB this is "number of range buckets the
+    // total order is split into" — size it like shuffle width.
+    val nParts =
+      if (parts > 0) parts
+      else df.sparkSession.conf.getOption("spark.graft.globalOrderParts")
+        .map(_.toInt).getOrElse(32)
     val pid = "_go_pid"
-    val ranged = df.repartitionByRange(parts, sort: _*)
+    // LAZY checkpoint (r7 verdict #5): eager would run a dedicated
+    // materialization job; lazy materializes as a side effect of the
+    // totals collect below — one fewer pass over the data per call,
+    // with the SAME load-bearing guarantee (the window pass still
+    // reads the materialized blocks, never re-runs the range
+    // exchange's boundary sampling).
+    val ranged = df.repartitionByRange(nParts, sort: _*)
       .withColumn(pid, spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // per-partition totals: ≤ `parts` rows — constant-bounded collect
     val totRows = ranged.groupBy(col(pid))
       .agg(sum(vals.head._2).as(s"${vals.head._1}_tot"),
@@ -83,10 +108,11 @@ object GlobalOrder {
       d.withColumn(s"${o}_loc", sum(v).over(w))
     }
     val joined = local.join(broadcast(offDf), pid)
-    vals.foldLeft(joined) { case (d, (o, _)) =>
+    val out = vals.foldLeft(joined) { case (d, (o, _)) =>
       d.withColumn(o, col(s"${o}_off") + col(s"${o}_loc"))
     }.drop(pid +: vals.flatMap { case (o, _) =>
       Seq(s"${o}_off", s"${o}_loc") }: _*)
+    (out, accs)
   }
 
   /** Global dense 1-based `row_number()` over a total order, as a
@@ -95,6 +121,17 @@ object GlobalOrder {
       df: DataFrame,
       sort: Seq[Column],
       out: String,
-      parts: Int = 32): DataFrame =
+      parts: Int = 0): DataFrame =
     runningTotals(df, sort, Seq(out -> lit(1L)), parts)
+
+  /** `rowNumbered` that also returns the global row count (the last
+    * offset fold already knows it). */
+  def rowNumberedWithCount(
+      df: DataFrame,
+      sort: Seq[Column],
+      out: String,
+      parts: Int = 0): (DataFrame, Long) = {
+    val (d, sums) = runningTotalsWithSums(df, sort, Seq(out -> lit(1L)), parts)
+    (d, sums(0))
+  }
 }

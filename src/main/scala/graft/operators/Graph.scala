@@ -60,18 +60,24 @@ object Graph extends QueryModule {
     * exists so a future SF-scaling caller fails LOUDLY here instead
     * of silently inheriting an unbounded collect (the r6 verdict's
     * watch item). SF-scaling graphs go through the distributed
-    * `*_scaled` path below. */
+    * `*_scaled` path below. Conf-overridable (r7 verdict #8: a 100 TB
+    * deployment sizes its driver heap, not this source file) — the
+    * loud-failure guard is unchanged, only the ceiling moves. */
   private val DriverEdgeCutoff = 100000
+  private def driverEdgeCutoff(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.driverEdgeCutoff")
+      .map(_.toInt).getOrElse(DriverEdgeCutoff)
 
   /** Collected undirected weighted edge list (a < b, w = pair count). */
   private def collectUnd(s: SparkSession, dir: String): Array[(Long, Long, Long)] = {
+    val cutoff = driverEdgeCutoff(s)
     val arr = undirectedEdges(s, dir)
       .select(col("a").cast("long"), col("b").cast("long"),
         col("w").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    require(arr.length <= DriverEdgeCutoff,
+    require(arr.length <= cutoff,
       s"collectUnd: ${arr.length} edges exceed the driver-local cutoff " +
-        s"($DriverEdgeCutoff) — this helper is for the DOMAIN-bounded " +
+        s"($cutoff) — this helper is for the DOMAIN-bounded " +
         "nation graph; SF-scaling graphs must use the distributed " +
         "scaled path")
     arr
@@ -1665,10 +1671,18 @@ object Graph extends QueryModule {
     * (forcing the distributed rounds) and to Long.MaxValue (forcing
     * the driver-local finish) on the same fixture and asserts the two
     * results are bit-equal — the property the adaptive routing relies
-    * on. Production reads the constant above. */
-  private[graft] var scaledCutoffOverride: Option[Long] = None
-  private def scaledCutoff: Long =
-    scaledCutoffOverride.getOrElse(ScaledEdgeCutoff)
+    * on. A DynamicVariable (r7 advice): the route decision happens on
+    * the calling thread at query-construction time, so withValue scopes
+    * the override to that thread — a concurrent suite's scaled-graph
+    * query can no longer be rerouted mid-run by another suite's pin.
+    * Production reads the session conf, falling back to the constant
+    * (r7 verdict #8: deployment-sizable with the same adaptive guard). */
+  private[graft] val scaledCutoffOverride =
+    new scala.util.DynamicVariable[Option[Long]](None)
+  private def scaledCutoff(s: SparkSession): Long =
+    scaledCutoffOverride.value.getOrElse(
+      s.conf.getOption("spark.graft.scaledEdgeCutoff")
+        .map(_.toLong).getOrElse(ScaledEdgeCutoff))
 
   /** SF-scaling undirected weighted edges: co-purchase chains.
     * (a < b by construction: lead() over ascending custkey.) */
@@ -1726,7 +1740,7 @@ object Graph extends QueryModule {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val (ed, nodes, m) = scaledDirected(s, dir)
-    if (m <= scaledCutoff) {
+    if (m <= scaledCutoff(s)) {
       val es = ed.select(col("src"), col("dst"), col("w"), col("wout"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3)))
@@ -1784,7 +1798,7 @@ object Graph extends QueryModule {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val (ed, nodes, m) = scaledDirected(s, dir)
-    if (m <= scaledCutoff) {
+    if (m <= scaledCutoff(s)) {
       val es = ed.select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       val ns = nodes.collect().map(_.getLong(0))
@@ -1827,7 +1841,7 @@ object Graph extends QueryModule {
     import org.apache.spark.sql.types._
     val K = 3
     val (ed, nodes, m) = scaledDirected(s, dir)
-    if (m <= scaledCutoff) {
+    if (m <= scaledCutoff(s)) {
       val es = ed.select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       var alive = nodes.collect().map(_.getLong(0)).toSet

@@ -2264,7 +2264,7 @@ object Similarity extends QueryModule {
        |      ORDER BY q.d / (en.nrm * cn2.nrm) DESC, q.cell ASC) AS pr
        |    FROM qdot q JOIN en ON q.qid = en.vec_id
        |    JOIN cn2 ON q.cell = cn2.cell)
-       |  WHERE pr <= 4),
+       |  WHERE pr <= $NProbe),
        |cand AS (
        |  SELECT qc.qid, a.vec_id
        |  FROM qcells qc JOIN assign2 a ON qc.cell = a.cell
@@ -2435,7 +2435,7 @@ object Similarity extends QueryModule {
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
        |    vec_id
        |  FROM (SELECT DISTINCT vec_id FROM mev)
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCells),
        |c0 AS (
        |  SELECT s.cell, mev.pos, mev.v AS m
        |  FROM seeds s JOIN mev ON s.vec_id = mev.vec_id),
@@ -2455,7 +2455,7 @@ object Similarity extends QueryModule {
        |      ORDER BY qd.d / (men.nrm * cn2.nrm) DESC, qd.cell ASC) AS pr
        |    FROM qdot qd JOIN men ON qd.qid = men.vec_id
        |    JOIN cn2 ON qd.cell = cn2.cell)
-       |  WHERE pr <= 4),
+       |  WHERE pr <= $NProbe),
        |cdot AS (
        |  SELECT qc.qid, a.vec_id, qc.pr, SUM(qa.v * ca.v) AS d
        |  FROM qcells qc

@@ -1999,7 +1999,7 @@ object TextOps extends QueryModule {
     // distributed corpus-order position (the r6 verdict's swap): range
     // partition on doc_id + per-partition row numbers + broadcast
     // offsets — no global window over the SF-scaling documents table
-    val docs = GlobalOrder.rowNumbered(
+    val (docs, nd) = GlobalOrder.rowNumberedWithCount(
       Tables.documents(s, dir).select(col("doc_id"), col("text")),
       Seq(col("doc_id").asc), "rn")
     val perDoc = docs.select(col("rn"),
@@ -2007,10 +2007,15 @@ object TextOps extends QueryModule {
     val firsts = docs
       .select(col("rn"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(min(col("rn")).as("first_rn"))
-    val nDocs = perDoc.agg(count(lit(1)).as("nd"))
-    val cuts = nDocs.withColumn("j",
-        explode(array((1 to 8).map(lit(_)): _*)))
-      .select(col("j"), expr("(nd * j) div 8").as("cut"))
+    // nd is free from the offset pass (r7 verdict #5) — the 8-row cut
+    // table is pure driver arithmetic, no corpus agg + explode plan
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, IntegerType, StructField, StructType}
+    val cuts = s.createDataFrame(
+      java.util.Arrays.asList((1 to 8).map(j =>
+        Row(j, nd * j / 8)): _*),
+      StructType(Seq(StructField("j", IntegerType),
+        StructField("cut", LongType))))
     val toks = perDoc.crossJoin(broadcast(cuts))
       .filter(col("rn") <= col("cut"))
       .groupBy(col("j"), col("cut"))

@@ -598,7 +598,7 @@ object Windows extends QueryModule {
         sum(floor(col("o_totalprice")).cast("long")).as("monetary_unit"))
     // the three global ranks chain through the same helper; each call
     // range-repartitions on its own metric (dimension-sized exchanges)
-    val ranked = GlobalOrder.rowNumbered(
+    val (ranked, n) = GlobalOrder.rowNumberedWithCount(
       GlobalOrder.rowNumbered(
         GlobalOrder.rowNumbered(per0,
           Seq(col("last_order").asc, col("c_custkey").asc), "_r_rn",
@@ -607,8 +607,8 @@ object Windows extends QueryModule {
        ),
       Seq(col("monetary_unit").asc, col("c_custkey").asc), "_m_rn",
      )
-    // n is ONE driver long (the count the offset pass already did)
-    val n = ranked.count()
+    // n comes from the last offset pass's own driver fold — no extra
+    // count() job (r7 verdict #5)
     // ntile(5) closed form: q=floor(n/5), r=n mod 5; ranks up to
     // r*(q+1) fall in the first r (larger) buckets, the rest in the
     // remaining (smaller) ones

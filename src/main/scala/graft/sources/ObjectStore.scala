@@ -1343,10 +1343,22 @@ object ObjectStoreMaintenance {
 
   private def txnFile(dir: String, v: Int) = new File(dir, s"_txn_v$v")
 
-  private def beginTxn(dir: String, v: Int, adds: Seq[String]): Unit =
-    Files.write(txnFile(dir, v).toPath,
-      (v.toString +: adds).mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def beginTxn(dir: String, v: Int, adds: Seq[String]): Unit = {
+    // Atomic publish (r7 advice): the marker guards against crashes,
+    // so its OWN write must not be tearable — a direct Files.write
+    // interrupted mid-write leaves a truncated marker that recovery
+    // would then choke on forever. Stage to a temp name and move it
+    // into place (same-directory rename — atomic on POSIX).
+    val tgt = txnFile(dir, v).toPath
+    val tmp = new File(dir, s"._txn_v$v.tmp").toPath
+    Files.write(tmp, (v.toString +: adds).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try Files.move(tmp, tgt, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, tgt, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   private def endTxn(dir: String, v: Int): Unit =
     Files.deleteIfExists(txnFile(dir, v).toPath)
@@ -1358,11 +1370,22 @@ object ObjectStoreMaintenance {
     val markers = Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.matches("_txn_v\\d+"))
     if (markers.isEmpty) return None
-    val out = markers.sortBy(_.getName).map { m =>
-      val lines = new String(Files.readAllBytes(m.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
-      val v = lines.head.trim.toInt
-      val adds = lines.tail.filter(_.nonEmpty)
+    // numeric version order (r7 advice): lexicographic sorts _txn_v10
+    // before _txn_v9; if markers ever coexist, recovery must apply in
+    // version order
+    val out = markers.sortBy(_.getName.stripPrefix("_txn_v").toInt).map { m =>
+      // tolerate a torn body (pre-atomic-publish markers, or a partial
+      // write the rename fix can't retroactively undo): the version is
+      // authoritative from the FILENAME, and a missing/garbled adds
+      // list degrades to "no planned adds" — roll-back then restores
+      // pre-images (named by `@v<v>` on disk, not by the marker body)
+      // and simply has no uncommitted adds to remove
+      val v = m.getName.stripPrefix("_txn_v").toInt
+      val adds =
+        try new String(Files.readAllBytes(m.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+          .drop(1).filter(_.nonEmpty)
+        catch { case _: Throwable => Seq.empty[String] }
       if (GraftVersions.currentVersion(dir) >= v) {
         Files.deleteIfExists(m.toPath)
         s"v$v: committed, rolled forward"

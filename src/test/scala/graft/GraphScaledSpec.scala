@@ -15,14 +15,17 @@ class GraphScaledSpec extends SparkSpec {
   private def rows(df: DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  private def bothRoutes(name: String): (Set[(Long, Long)], Set[(Long, Long)]) =
-    try {
-      graft.operators.Graph.scaledCutoffOverride = Some(Long.MaxValue)
-      val local = rows(run(name))
-      graft.operators.Graph.scaledCutoffOverride = Some(0L)
-      val dist = rows(run(name))
-      (local, dist)
-    } finally graft.operators.Graph.scaledCutoffOverride = None
+  // DynamicVariable.withValue scopes the pin to THIS thread (the route
+  // decision runs on the calling thread at query-construction time),
+  // so a concurrently executing suite's scaled-graph query keeps the
+  // production cutoff.
+  private def bothRoutes(name: String): (Set[(Long, Long)], Set[(Long, Long)]) = {
+    val local = graft.operators.Graph.scaledCutoffOverride
+      .withValue(Some(Long.MaxValue)) { rows(run(name)) }
+    val dist = graft.operators.Graph.scaledCutoffOverride
+      .withValue(Some(0L)) { rows(run(name)) }
+    (local, dist)
+  }
 
   test("pagerank_scaled: distributed rounds == driver-local finish") {
     val (local, dist) = bothRoutes("q_graph_pagerank_scaled")
