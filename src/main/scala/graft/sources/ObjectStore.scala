@@ -1343,7 +1343,7 @@ object ObjectStoreMaintenance {
 
   private def txnFile(dir: String, v: Int) = new File(dir, s"_txn_v$v")
 
-  private def beginTxn(dir: String, v: Int, adds: Seq[String]): Unit = {
+  private[sources] def beginTxn(dir: String, v: Int, adds: Seq[String]): Unit = {
     // Atomic publish (r7 advice): the marker guards against crashes,
     // so its OWN write must not be tearable — a direct Files.write
     // interrupted mid-write leaves a truncated marker that recovery
@@ -1360,7 +1360,7 @@ object ObjectStoreMaintenance {
     }
   }
 
-  private def endTxn(dir: String, v: Int): Unit =
+  private[sources] def endTxn(dir: String, v: Int): Unit =
     Files.deleteIfExists(txnFile(dir, v).toPath)
 
   /** Recover a crashed MoR op, if any; returns a description of what
@@ -1390,6 +1390,12 @@ object ObjectStoreMaintenance {
         Files.deleteIfExists(m.toPath)
         s"v$v: committed, rolled forward"
       } else {
+        // Order matters: delete the uncommitted adds BEFORE restoring
+        // pre-images. A truncate commit's planned names restart at
+        // seq 0 — the SAME names as the generation it archived — so
+        // restore-then-delete would delete the restored pre-images
+        // (caught by WriteCrashSpec's truncate window).
+        adds.foreach(n => Files.deleteIfExists(new File(dir, n).toPath))
         val arch = new File(dir, "_archive")
         val pre = Option(arch.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(s"@v$v"))
@@ -1400,7 +1406,6 @@ object ObjectStoreMaintenance {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           DeleteVectors.drop(live.getPath)
         }
-        adds.foreach(n => Files.deleteIfExists(new File(dir, n).toPath))
         Files.deleteIfExists(m.toPath)
         s"v$v: rolled back (${pre.length} restored, " +
           s"${adds.size} uncommitted adds removed)"
@@ -2444,40 +2449,71 @@ class GraftBatchWrite(writeSchema: StructType, path: String, truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (optimistic) commitAppendOptimistic(messages)
     else GraftVersions.withTableLock(path) {
+      // Write-path crash safety (r7 verdict #4): this critical section
+      // mutates multiple files before its single `record` commit line
+      // (truncate: N archive moves + a sidecar refresh; both modes: N
+      // staged→live renames), and live reads are directory-listed — a
+      // writer dying mid-section used to leave renamed-but-unrecorded
+      // objects VISIBLE. The MoR journal covers this path now: recover
+      // any predecessor's torn commit on entry (same lock), journal an
+      // intent marker with the planned live names before the first
+      // mutation, delete it after `record`. Crash below the marker →
+      // next writer rolls back (restores `@v` pre-images incl. the
+      // schema sidecar, deletes unrecorded adds); crash after `record`
+      // → rolls forward. Orphaned `_staged_*` task files are NOT
+      // touched by recovery — a concurrent write's executors stage
+      // outside this lock, so they're vacuum's job, and listing
+      // already hides them from readers.
+      ObjectStoreMaintenance.recoverTxn(path)
       val dir = new File(path)
       val table = dir.getName
       val v = GraftVersions.nextVersion(path)
       val existing = GraftObjectTable.listObjects(path)
+      val staged = messages.flatMap {
+        case GraftStagedObject(s, _) => Seq(s)
+        case GraftStagedObjects(ss, _) => ss // clustered write: many per task
+      }
+      // max(live)+1, NOT existing.size: a size base would collide with
+      // (and silently replace) a surviving name once DELETE has left
+      // gaps in the sequence
+      val base = if (truncate) 0 else GraftVersions.nextSeq(path)
+      val planned = staged.indices.map(i => s"$table.${base + i}")
+      ObjectStoreMaintenance.beginTxn(path, v, planned)
+      FaultPoints.hit("write.commit.begun")
       if (truncate) {
+        val sidecar = new File(dir, "_schema.ddl")
+        val hadSidecar = sidecar.isFile
+        if (hadSidecar) {
+          // snapshot the sidecar as an @v pre-image first: rollback
+          // then restores the OLD schema alongside the OLD objects
+          // (log-driven snapshot reads never reference it — only
+          // recovery resolves `_archive/*@v$v` by suffix)
+          GraftVersions.archiveMove(path, sidecar, v)
+        }
         // the old generation stays materializable: archive, not delete
         // (folding first so a DV'd object archives its logical state)
         existing.foreach { p =>
           ObjectStoreMaintenance.foldBeforeArchive(p)
           GraftVersions.archiveMove(path, new File(p), v)
         }
+        FaultPoints.hit("write.commit.archived")
         // an overwrite defines the schema anew; refresh any sidecar so
         // sidecar-first resolution can't serve a stale generation
-        val sidecar = new File(dir, "_schema.ddl")
-        if (sidecar.isFile)
+        if (hadSidecar)
           Files.write(sidecar.toPath, writeSchema.toDDL.getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
       }
-      // max(live)+1, NOT existing.size: a size base would collide with
-      // (and silently replace) a surviving name once DELETE has left
-      // gaps in the sequence
-      val base = if (truncate) 0 else GraftVersions.nextSeq(path)
-      val staged = messages.flatMap {
-        case GraftStagedObject(s, _) => Seq(s)
-        case GraftStagedObjects(ss, _) => ss // clustered write: many per task
-      }
       val added = staged.zipWithIndex.map { case (s, i) =>
-        val dst = new File(dir, s"$table.${base + i}")
+        val dst = new File(dir, planned(i))
         if (!new File(s).renameTo(dst))
           throw new java.io.IOException(s"rename $s -> $dst failed")
+        if (i == 0) FaultPoints.hit("write.commit.renamed")
         dst.getName
       }
       GraftVersions.record(path, v, added.toSeq,
         if (truncate) existing.map(p => new File(p).getName) else Nil)
+      FaultPoints.hit("write.commit.recorded")
+      ObjectStoreMaintenance.endTxn(path, v)
     }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
