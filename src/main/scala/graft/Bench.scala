@@ -139,7 +139,12 @@ object Bench {
     // whose exact |V|² twin is the deliberate quadratic oracle)
     "q_graph_pagerank_scaled", "q_graph_labelprop_scaled",
     "q_graph_kcore_scaled", "q_sim_knn_graph_ann",
-    "q_join_spatial_grid_scaled", "q_sim_ann_recall_clustered")
+    "q_join_spatial_grid_scaled", "q_sim_ann_recall_clustered",
+    // round-8 additions: the seeded-strip spatial row (the sf1-
+    // feasible quadratic oracle) and the zipf(2) salted join (its AQE
+    // twin is benched head-to-head in the sf1 skew tier, not here —
+    // same oracle SQL, so a second headline row would double-count)
+    "q_join_spatial_grid_strip", "q_skew_zipf_salted_join")
 
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates

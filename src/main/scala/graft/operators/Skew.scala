@@ -81,9 +81,72 @@ object Skew extends QueryModule {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  // 3. ZIPFIAN-key scaled pair (round 8 — r7 verdict #7): the single
+  // hot key above demonstrates the mechanism at fixture scale; real
+  // 100 TB key distributions are power laws. zkey = D div (u+1) over
+  // uniform u = event_id mod D is an exact integral zipf(2): key 1
+  // carries 50% of all rows, key k carries ~D/(k(k+1)), ~2√D distinct
+  // keys — deterministic and SQL-identical in both engines (ScaleGen's
+  // +k·10⁷ id shifts are ≡0 mod D, so every scale tier sees the SAME
+  // distribution, only more rows of it). Two result-identical routes:
+  //   * _salted: manual salt-explode (ZipfSalts reducers per key) —
+  //     the static defense;
+  //   * _aqe: the plain join, leaving skew to AQE's runtime
+  //     skew-join splitting — the default defense.
+  // The sf1 bench runs the pair head-to-head and the plan audit
+  // checks neither route leaves a single-task straggler stage.
+  // D = 1000 so the uniform u covers [0, D) even on the 1k-row spec
+  // fixture (event_id % D must wrap fully for key 1 to exist)
+  private val ZipfSalts = 32
+  private val ZipfD = 1000L
+
+  private def zipfFact(s: SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .withColumn("zkey",
+        expr(s"$ZipfD div ((event_id % $ZipfD) + 1)"))
+
+  private def zipfDim(s: SparkSession, dir: String) =
+    zipfFact(s, dir)
+      .groupBy(col("zkey"))
+      .agg(count(lit(1)).as("key_total"))
+
+  private def zipfResult(joined: org.apache.spark.sql.DataFrame) =
+    joined.groupBy(col("zkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("sum_value"),
+        max(col("key_total")).as("key_total"))
+
+  private val zipfSaltedJoin = (s: SparkSession, dir: String) => {
+    val fact = zipfFact(s, dir)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(ZipfSalts)))
+    val dim = zipfDim(s, dir)
+      .withColumn("salt", explode(array((0 until ZipfSalts).map(lit(_)): _*)))
+      .withColumn("salt", col("salt").cast("long"))
+    zipfResult(fact.join(dim, Seq("zkey", "salt")))
+  }
+
+  private val zipfAqeJoin = (s: SparkSession, dir: String) =>
+    zipfResult(zipfFact(s, dir).join(zipfDim(s, dir), Seq("zkey")))
+
+  private val zipfJoinSql =
+    s"""WITH fact AS (
+      |  SELECT $ZipfD // ((event_id % $ZipfD) + 1) AS zkey, value
+      |  FROM events),
+      |dim AS (SELECT zkey, COUNT(*) AS key_total FROM fact GROUP BY 1)
+      |SELECT fact.zkey, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  max(key_total) AS key_total
+      |FROM fact JOIN dim ON fact.zkey = dim.zkey
+      |GROUP BY fact.zkey""".stripMargin
+
   override val queries: Map[String, Q] = Map(
     "q_skew_salted_join" -> Q(saltedJoin, Some(saltedJoinSql),
       "salted equi-join over a hot key; oracle runs the plain join"),
     "q_skew_salted_agg" -> Q(saltedAgg, Some(saltedAggSql),
-      "two-phase salted aggregation; oracle runs the plain groupBy"))
+      "two-phase salted aggregation; oracle runs the plain groupBy"),
+    "q_skew_zipf_salted_join" -> Q(zipfSaltedJoin, Some(zipfJoinSql),
+      "zipf(2)-key join, manual salt route; oracle runs the plain join"),
+    "q_skew_zipf_aqe_join" -> Q(zipfAqeJoin, Some(zipfJoinSql),
+      "zipf(2)-key join, plain plan relying on AQE skew splitting"))
 }

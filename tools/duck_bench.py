@@ -65,6 +65,8 @@ HEADLINE = [
     "q_graph_pagerank_scaled", "q_graph_labelprop_scaled",
     "q_graph_kcore_scaled", "q_sim_knn_graph_ann",
     "q_join_spatial_grid_scaled", "q_sim_ann_recall_clustered",
+    # round-8 additions (mirror graft.Bench.headline)
+    "q_join_spatial_grid_strip", "q_skew_zipf_salted_join",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
