@@ -300,10 +300,15 @@ object Bench {
     def best3(name: String): Double =
       Seq(timed(name), timed(name), timed(name)).min
 
-    // Optional args = subset of headline to run (local diagnosis only;
-    // the driver invokes with no args and gets the full set).
-    val names0 = if (args.nonEmpty) headline.filter(args.contains)
-                 else headline
+    // Optional args = subset to run (local diagnosis / tier sweeps
+    // only; the driver invokes with no args and gets the full
+    // headline). Explicitly named non-headline queries run too — the
+    // sf1 skew tier benches result-identical route pairs whose second
+    // member is deliberately NOT a headline row.
+    val names0 = if (args.nonEmpty)
+      headline.filter(args.contains) ++
+        args.filterNot(headline.contains)
+    else headline
     val names = names0.filter(SparkEntry.queries.contains)
     names.foreach { n => // one-off layout writes (load-time, untimed)
       graft.operators.Sources.benchSetups.get(n).foreach { setup =>

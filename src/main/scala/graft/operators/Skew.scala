@@ -129,6 +129,49 @@ object Skew extends QueryModule {
   private val zipfAqeJoin = (s: SparkSession, dir: String) =>
     zipfResult(zipfFact(s, dir).join(zipfDim(s, dir), Seq("zkey")))
 
+  // The plain route above never exposes the skew at bench scale:
+  // Catalyst broadcasts the ~2√D-row dim, so no exchange ever hashes
+  // on zkey (the audit confirms BroadcastHashJoin). This third route
+  // FORCES the shuffled plan a 100 TB dim would produce (MERGE hints
+  // — AQE respects them, no conf flip needed) and scales AQE's
+  // skew-split thresholds to fixture bytes (production defaults are
+  // 256 MB/64 MB — the hot key at sf1 is ~4 MB of shuffle, exactly
+  // the same 5×-median shape two decades smaller). Two non-obvious
+  // ingredients, both found by reading the EXECUTED plan (the r8
+  // audit; a pre-execution plan prints isFinalPlan=false and no skew
+  // markers):
+  //   * the dim must MATERIALIZE before the join (localCheckpoint):
+  //     with the usual partial/final agg, the final HashAggregate
+  //     sits between the join's Sort and the shuffle stage, and
+  //     OptimizeSkewedJoin's Sort(ShuffleStage) pattern never
+  //     matches — the skew handler silently no-ops for the
+  //     agg-built-dim shape however skewed the fact is;
+  //   * forceOptimizeSkewedJoin, because the downstream same-key agg
+  //     reuses the join's partitioning and AQE otherwise vetoes the
+  //     split rather than re-shuffle the (tiny) agg input.
+  // The conf window must span EXECUTION, not just planning — AQE
+  // reads these at runtime — so the result materializes via
+  // localCheckpoint inside the window (the TopKPerGroup idiom).
+  // Measured at sf1: split fires (SortMergeJoin(skew=true), 17 tasks,
+  // max shuffle read 3.97→1.17 MB, warm join stage 585→237 ms).
+  private val zipfShuffleJoin = (s: SparkSession, dir: String) => {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try zipfResult(
+        zipfFact(s, dir).hint("merge")
+          .join(zipfDim(s, dir).localCheckpoint().hint("merge"),
+            Seq("zkey")))
+      .localCheckpoint()
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   private val zipfJoinSql =
     s"""WITH fact AS (
       |  SELECT $ZipfD // ((event_id % $ZipfD) + 1) AS zkey, value
@@ -148,5 +191,7 @@ object Skew extends QueryModule {
     "q_skew_zipf_salted_join" -> Q(zipfSaltedJoin, Some(zipfJoinSql),
       "zipf(2)-key join, manual salt route; oracle runs the plain join"),
     "q_skew_zipf_aqe_join" -> Q(zipfAqeJoin, Some(zipfJoinSql),
-      "zipf(2)-key join, plain plan relying on AQE skew splitting"))
+      "zipf(2)-key join, plain plan (Catalyst broadcasts the dim away)"),
+    "q_skew_zipf_shuffle_join" -> Q(zipfShuffleJoin, Some(zipfJoinSql),
+      "zipf(2)-key join forced shuffled (merge hints); AQE skew split at fixture-scaled thresholds"))
 }

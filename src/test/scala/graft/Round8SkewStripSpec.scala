@@ -32,7 +32,11 @@ class Round8SkewStripSpec extends SparkSpec {
     val aqe = run("q_skew_zipf_aqe_join").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
       .toMap
+    val shuffled = run("q_skew_zipf_shuffle_join").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
     assert(salted == aqe, "salting must be result-transparent")
+    assert(salted == shuffled, "forced-shuffle route must be result-transparent")
     val total = salted.values.map(_._1).sum
     val hot = salted(1L)._1
     // zkey = D div (u+1): key 1 covers u+1 in (D/2, D] — half the rows
