@@ -76,8 +76,13 @@ object ScaleGen {
       shift(k, "vec_id")(
         if (k == 0) d
         else d.withColumn("embedding", expr(
-          s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-            s"slice(embedding, 1, $k))")))))
+          // rotation is k MOD dim: factors above the embedding
+          // dimension (the sf10 tier's factor 100 vs dim 64) must
+          // wrap, not ask slice() for a negative length
+          s"""concat(
+             |  slice(embedding, ($k % size(embedding)) + 1,
+             |        size(embedding) - ($k % size(embedding))),
+             |  slice(embedding, 1, $k % size(embedding)))""".stripMargin)))))
     spark.stop()
   }
 }
