@@ -248,8 +248,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
+    // SPARK_GRAFT_SKIP_LAYOUT=1 queries the raw fixture directly. Scale-
+    // tier sweeps set it: none of the tier rows depend on the range-
+    // partitioned layout (their predicates aren't on the ranged
+    // columns), the ScaleGen fixtures are already multi-file (32-part
+    // Spark writes, splittable), and on a futex-degraded host the
+    // re-layout costs minutes of untimed-but-real wall per fresh JVM.
+    // The driver's per-round invocation never sets it.
     val dataDir =
-      try objectify(spark, sfDir)
+      if (sys.env.contains("SPARK_GRAFT_SKIP_LAYOUT")) sfDir
+      else try objectify(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] objectify failed (${e.getMessage}); using raw fixtures")
         sfDir
@@ -275,8 +283,30 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     }
 
-    def timed(name: String): Double = {
+    /** This JVM's cumulative (utime, stime) seconds from /proc. A
+      * healthy run is utime-dominated; a futex-storm run burns
+      * multiples of utime in KERNEL time (measured 12:1 in r3). */
+    def cpuTimes(): (Double, Double) =
+      try {
+        val stat = new String(Files.readAllBytes(
+          Paths.get("/proc/self/stat"))).split("\\) ").last.split(" ")
+        val hz = 100.0 // Linux USER_HZ
+        (stat(11).toDouble / hz, stat(12).toDouble / hz) // fields 14/15
+      } catch { case _: Throwable => (0.0, 0.0) }
+
+    // Per-query USER-CPU seconds, min across timed parquet-route
+    // passes (r8: the host's futex path degraded ~10× one boot —
+    // 34 µs/wakeup vs the usual 2-5 — inflating wall clocks via the
+    // per-task scheduling constant while leaving the query's own
+    // computation untouched; utime is the storm-immune scaling
+    // signal the tier ratios can rest on). Only the parquet route
+    // feeds it: the object route and the pushdown pair run the same
+    // plans and would silently mix in their own constants.
+    val cpuMin = scala.collection.mutable.Map.empty[String, Double]
+
+    def timed(name: String, trackCpu: Boolean = false): Double = {
       val t = System.nanoTime()
+      val u0 = cpuTimes()._1
       // a failed pass must be EXCLUDABLE downstream, not just visible
       // on stderr (r7 advice): return the elapsed time NEGATED as a
       // sentinel, so the JSON row for a failed query is negative and
@@ -289,6 +319,10 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t) / 1e9
+      if (ok && trackCpu) {
+        val du = cpuTimes()._1 - u0
+        cpuMin.updateWith(name)(m => Some(math.min(m.getOrElse(du), du)))
+      }
       if (ok) dt else -dt
     }
 
@@ -297,8 +331,9 @@ object Bench {
     // broadcast-site caches — cools between visits). Any failed pass
     // (negative sentinel) dominates the min, so a query that threw in
     // ANY of its three passes reports negative and is excluded.
-    def best3(name: String): Double =
-      Seq(timed(name), timed(name), timed(name)).min
+    def best3(name: String, trackCpu: Boolean = false): Double =
+      Seq(timed(name, trackCpu), timed(name, trackCpu),
+        timed(name, trackCpu)).min
 
     // Optional args = subset to run (local diagnosis / tier sweeps
     // only; the driver invokes with no args and gets the full
@@ -364,17 +399,6 @@ object Bench {
       } finally Tables.objectStoreRoot = None
     }
 
-    /** This JVM's cumulative (utime, stime) seconds from /proc. A
-      * healthy run is utime-dominated; a futex-storm run burns
-      * multiples of utime in KERNEL time (measured 12:1 in r3). */
-    def cpuTimes(): (Double, Double) =
-      try {
-        val stat = new String(Files.readAllBytes(
-          Paths.get("/proc/self/stat"))).split("\\) ").last.split(" ")
-        val hz = 100.0 // Linux USER_HZ
-        (stat(11).toDouble / hz, stat(12).toDouble / hz) // fields 14/15
-      } catch { case _: Throwable => (0.0, 0.0) }
-
     /** One complete timed sweep: parquet route, per-job floor, the
       * pushdown on/off pair, and the object-store route. `ratio` is
       * the stime/utime DELTA over exactly this attempt's window. */
@@ -384,7 +408,7 @@ object Bench {
     def sweep(): Attempt = {
       System.gc() // drain prior-attempt/warmup garbage outside the window
       val (ut0, st0) = cpuTimes()
-      val results = names.map(n => n -> best3(n))
+      val results = names.map(n => n -> best3(n, trackCpu = true))
 
       // Per-job floor: the cost of scheduling + running the SMALLEST
       // possible query (5-row region scan through the noop sink). Every
@@ -434,8 +458,16 @@ object Bench {
     // become the round's acceptance artifact when the engine itself is
     // healthy. Bounded so a genuinely sick host still emits SOMETHING —
     // with every attempt's ratio on record.
-    val STORM_RATIO = 0.3
-    val MAX_ATTEMPTS = 3
+    // Both env-overridable for tier sweeps on a KNOWN-degraded host
+    // (r8: a boot whose futex path is ~10× slow storms every attempt;
+    // retrying three identical sweeps there just triples the cost of
+    // learning the same number — the tier records CPU seconds instead
+    // and runs with MAX_ATTEMPTS=1). The driver's per-round invocation
+    // sets neither, so round artifacts keep the strict gate.
+    val STORM_RATIO =
+      sys.env.getOrElse("SPARK_GRAFT_STORM_RATIO", "0.3").toDouble
+    val MAX_ATTEMPTS =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_ATTEMPTS", "3").toInt
     val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
     var attempt = sweep()
     attempts += attempt
@@ -484,8 +516,10 @@ object Bench {
     // ratios, the failed list, and the SLOWEST per-query rows (the
     // ones a grader compares) at 3-decimal precision, with the
     // remainder's sum in queries_rest_sec.
+    val qsCpu = results.collect { case (k, v) if v >= 0 && cpuMin.contains(k) =>
+      f""""$k":${cpuMin(k)}%.3f""" }.mkString("{", ",", "}")
     val detail =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_obj":$qsObj,"obj_total_sec":$totalObj%.3f,"ingest_obj_sec":$ingestObjSec,"sf":"$sfDir","ingest_sec":$ingestSec,"floor_sec":$floor%.4f,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$pushdown$cpuSplit}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu_sec":$qsCpu,"queries_obj":$qsObj,"obj_total_sec":$totalObj%.3f,"ingest_obj_sec":$ingestObjSec,"sf":"$sfDir","ingest_sec":$ingestSec,"floor_sec":$floor%.4f,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$pushdown$cpuSplit}"""
     try Files.write(Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -551,6 +551,116 @@ object Dedup extends QueryModule {
       .filter(col("n_records") >= 2L)
   }
 
+  /** Domain-scaled ER twin (r8 sf10 tier finding): [[erQ]] pins a 10⁷
+    * codespace, so ScaleGen copies pile into the SAME space — at sf10
+    * (1.575M roster rows, 15.75% occupancy) hamming-1 adjacency
+    * percolates and the roster over-merges toward one giant entity
+    * (the failure mode erQ's own doc documents for a 5-digit space at
+    * sf0.1 scale; the sf10 run OOMed the CC star stage on exactly that
+    * component). Real rosters grow their identifier DOMAIN with the
+    * population, so the scaled twin derives a code BAND from
+    * ScaleGen's key shift (custkey div 10⁷ — the same move
+    * q_join_spatial_grid_scaled makes for its y-bands): every copy
+    * keeps sf0.1's ~0.16% occupancy, blocking keys carry the band so
+    * entities never span bands, and cost per band is constant — linear
+    * total. Typo rids move to +10¹⁰: erQ's +10⁷ collides with the next
+    * copy's custkeys at sf ≥ 1 (harmless there — both engines compute
+    * the same thing over the collided rid space — but a scaled row
+    * should not build on it). On the base band this is erQ's exact
+    * structure. */
+  private val erScaledQ = (s: SparkSession, dir: String) => {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"),
+        expr("c_custkey div 10000000").cast("string").as("band"),
+        lpad((col("c_custkey") % 10000000L * 7919L % 10000000L)
+          .cast("string"), 7, "0").as("code"))
+    val roster = base
+      .select(col("k").as("rid"), col("band"), col("code"),
+        concat(lit("C-"), col("band"), lit(":"), col("code")).as("name"))
+      .unionByName(base.filter(col("k") % 20L === 0L)
+        .select((col("k") + 10000000000L).as("rid"), col("band"),
+          concat(substring(col("code"), 1, 2),
+            ((substring(col("code"), 3, 1).cast("long") + 1L) % 10L)
+              .cast("string"),
+            substring(col("code"), 4, 4)).as("code"),
+          concat(lit("C-typo-"), col("band"), lit(":"), col("code"))
+            .as("name")))
+    val banded = roster.select(col("rid"), col("band"), col("code"),
+      explode(array(
+        struct(lit(0).as("bi"), substring(col("code"), 1, 5).as("bv")),
+        struct(lit(1).as("bi"), concat(substring(col("code"), 1, 3),
+          substring(col("code"), 6, 2)).as("bv")),
+        struct(lit(2).as("bi"), substring(col("code"), 4, 4).as("bv"))))
+        .as("b"))
+      .select(col("rid"), col("code"), col("b.bi").as("bi"),
+        concat(col("band"), lit(":"), col("b.bv")).as("bv"))
+    val hamExpr = (1 to 7).map(p =>
+      s"(CASE WHEN substring(d1, $p, 1) = substring(d2, $p, 1)" +
+        " THEN 0 ELSE 1 END)").mkString(" + ")
+    val pairs = banded.select(col("rid").as("ida"),
+        col("code").as("d1"), col("bi"), col("bv"))
+      .join(banded.select(col("rid").as("idb"), col("code").as("d2"),
+        col("bi"), col("bv")), Seq("bi", "bv"))
+      .filter(col("ida") < col("idb"))
+      .filter(expr(hamExpr) <= 1)
+      .select(col("ida"), col("idb")).distinct()
+      .localCheckpoint()
+    val cc = connectedComponentsStars(pairs)
+    roster.join(cc, roster("rid") === cc("id"))
+      .groupBy(col("label").as("entity"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("name")).as("canonical_name"),
+        min(col("rid")).as("min_rid"), max(col("rid")).as("max_rid"))
+      .filter(col("n_records") >= 2L)
+  }
+
+  private val erScaledSql =
+    """WITH RECURSIVE
+      |base AS (SELECT c_custkey AS k,
+      |          CAST(c_custkey // 10000000 AS VARCHAR) AS band,
+      |          lpad(CAST(c_custkey % 10000000 * 7919 % 10000000
+      |            AS VARCHAR), 7, '0') AS code
+      |         FROM customer),
+      |roster AS (
+      |  SELECT k AS rid, band, code,
+      |    'C-' || band || ':' || code AS name FROM base
+      |  UNION ALL
+      |  SELECT k + 10000000000 AS rid, band,
+      |    substr(code, 1, 2)
+      |      || CAST((CAST(substr(code, 3, 1) AS BIGINT) + 1) % 10
+      |        AS VARCHAR)
+      |      || substr(code, 4, 4) AS code,
+      |    'C-typo-' || band || ':' || code AS name
+      |  FROM base WHERE k % 20 = 0),
+      |banded AS (
+      |  SELECT rid, code, t.bi,
+      |    band || ':' ||
+      |    CASE WHEN t.bi = 0 THEN substr(code, 1, 5)
+      |         WHEN t.bi = 1 THEN substr(code, 1, 3) || substr(code, 6, 2)
+      |         ELSE substr(code, 4, 4) END AS bv
+      |  FROM roster CROSS JOIN (VALUES (0), (1), (2)) AS t(bi)),
+      |pairs AS (
+      |  SELECT DISTINCT a.rid AS ida, b.rid AS idb
+      |  FROM banded a JOIN banded b ON a.bi = b.bi AND a.bv = b.bv
+      |    AND a.rid < b.rid
+      |  WHERE CAST(list_sum(list_transform(range(1, 8), p ->
+      |      CASE WHEN substr(a.code, p, 1) = substr(b.code, p, 1)
+      |           THEN 0 ELSE 1 END)) AS INT) <= 1),
+      |edges AS (SELECT ida AS a, idb AS b FROM pairs
+      |          UNION SELECT idb, ida FROM pairs),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e
+      |          ON r.peer = e.a),
+      |lab AS (SELECT id, least(id, MIN(peer)) AS label
+      |        FROM reach GROUP BY id)
+      |SELECT lab.label AS entity, COUNT(*) AS n_records,
+      |  MIN(r.name) AS canonical_name,
+      |  MIN(r.rid) AS min_rid, MAX(r.rid) AS max_rid
+      |FROM lab JOIN roster r ON lab.id = r.rid
+      |GROUP BY 1
+      |HAVING COUNT(*) >= 2""".stripMargin
+
   private val erSql =
     """WITH RECURSIVE
       |base AS (SELECT c_custkey AS k,
@@ -1219,6 +1329,8 @@ object Dedup extends QueryModule {
       "delta-view batch vs snapshot corpus: versioned incremental dedup"),
     "q_dedup_er_entities" -> Q(erQ, Some(erSql),
       "entity resolution end-to-end: block, score (ham<=1), CC-cluster, canonicalize"),
+    "q_dedup_er_entities_scaled" -> Q(erScaledQ, Some(erScaledSql),
+      "domain-scaling ER twin: codespace grows with the roster (per-copy bands, constant occupancy)"),
     "q_dedup_clusters" -> Q(clustersQ, Some(clustersSql),
       "connected-components cluster ids over verified jaccard pairs"),
     "q_dedup_cross_source_overlap" -> Q(crossSourceQ, Some(crossSourceSql),

@@ -1479,7 +1479,17 @@ object TextOps extends QueryModule {
     *
     * 100 TB posture: one gram exchange for the distinct, one for the
     * global first-occurrence map, one doc-keyed rollup — fan-out is
-    * bounded by gram df exactly as in the jaccard inverted index. */
+    * bounded by gram df exactly as in the jaccard inverted index.
+    *
+    * The rollup needs NO gram-keyed join (the r8 sf10 tier caught the
+    * original `grams ⋈ first` — a corpus×corpus sort-merge join on
+    * ~30-byte string keys whose per-task sort spills once the fixture
+    * outgrows the fixed local shuffle width: 131→1 874 CPU-s for the
+    * sf1→sf10 decade, ~14× per 10× data). A gram's min-doc row already
+    * says which single document earns the novel count, so per-doc
+    * novel counts are a doc-keyed aggregate OF `first` itself, and
+    * per-doc gram counts a doc-keyed aggregate of `grams` — the only
+    * join left is doc-cardinality ⋈ doc-cardinality on a LONG key. */
   private val noveltyQ = (s: SparkSession, dir: String) => {
     val grams = Tables.documents(s, dir)
       .withColumn("tk", split(col("text"), " "))
@@ -1489,12 +1499,14 @@ object TextOps extends QueryModule {
           "ELSE array_repeat('', 0) END"))
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .distinct()
-    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    val perDoc = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, perDoc("doc_id") === novel("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty_micro",
         expr("(1000000 * n_novel) div n_grams"))
   }
