@@ -230,14 +230,23 @@ object Bench {
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.sql.streaming.minBatchesToRetain", "1")
       // KB-scale exchanges: compression+java-serialization overhead
-      // outweighs the bytes saved (production keeps both on)
+      // outweighs the bytes saved (production keeps both on).
+      // SPARK_GRAFT_COMPRESS=1 restores the production posture — for
+      // scale-tier rows whose exchanges carry GBs, uncompressed shuffle
+      // times min-of-3 passes can fill the scratch disk (the r8 48 GB
+      // sweep died of exactly that, not of memory).
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      .config("spark.shuffle.compress", "false")
-      .config("spark.broadcast.compress", "false")
+      .config("spark.shuffle.compress",
+        sys.env.contains("SPARK_GRAFT_COMPRESS").toString)
+      .config("spark.broadcast.compress",
+        sys.env.contains("SPARK_GRAFT_COMPRESS").toString)
       .config("spark.locality.wait", "0")
       // a bench JVM lives ~2 min: skip async broadcast/shuffle GC
-      // (ContextCleaner RPCs otherwise land inside timed windows)
-      .config("spark.cleaner.referenceTracking", "false")
+      // (ContextCleaner RPCs otherwise land inside timed windows).
+      // Compressed (= long/large) runs keep the cleaner so shuffle
+      // files from completed passes are actually deleted mid-run.
+      .config("spark.cleaner.referenceTracking",
+        sys.env.contains("SPARK_GRAFT_COMPRESS").toString)
       // the parquet+object double sweep re-plans ~34 distinct queries
       // x multiple codegen stages each pass; the default 100-entry
       // generated-code cache would evict and recompile (single-threaded
