@@ -1001,13 +1001,21 @@ object Dedup extends QueryModule {
   // ---- MinHash Jaccard ESTIMATOR vs ground truth ------------------
   //
   // The measurement query for the sketch the LSH pipeline rides on:
-  // 16 md5-seeded minhash components per SOURCE (md5, not xxhash64,
-  // so the oracle rebuilds the identical signatures — the simhash
-  // discipline), estimated Jaccard = matching-component fraction as
-  // the exact rational `matches · 62500` micro-units, compared
-  // against the true shingle-set Jaccard for every source pair.
-  // err_micro is the estimator's absolute error — the number a
-  // curator reads before trusting LSH thresholds at a new corpus.
+  // 16 minhash components per SOURCE from ONE md5 per shingle (r8):
+  // the 60-bit md5 prefix h is permuted by k universal hashes
+  // m_k = (A_k·h + B_k) mod (2^61−1) — the classic one-base-hash
+  // construction production dedup uses, because the old spelling paid
+  // k md5s per (doc, shingle) edge and md5 was ~1/3 of the S-curve
+  // audit's CPU at the sf10 tier. md5 stays the base (not xxhash64)
+  // so DuckDB rebuilds identical values; the Mersenne-61 modular
+  // product is split (h = h1·2^30 + h0, A < 2^31, 2^61 ≡ 1 mod p) so
+  // every intermediate fits a signed 64-bit in BOTH engines — no
+  // wrap-around semantics, no HUGEINT, ANSI-safe. Estimated Jaccard =
+  // matching-component fraction as the exact rational
+  // `matches · 62500` micro-units, compared against the true
+  // shingle-set Jaccard for every source pair. err_micro is the
+  // estimator's absolute error — the number a curator reads before
+  // trusting LSH thresholds at a new corpus.
   //
   // 100 TB posture: signatures ARE the scale story — the corpus
   // collapses to one 16-long profile row per entity in the same
@@ -1018,6 +1026,59 @@ object Dedup extends QueryModule {
   // what ships.
   private val MheK = 16
 
+  // Universal-hash permutation family over Z_p, p = 2^61 − 1 (Mersenne,
+  // so 2^61 ≡ 1 mod p makes the split product cheap). Constants are
+  // deterministic md5-derived seeds — no RNG, both engines interpolate
+  // the same literals.
+  private val MhP = (1L << 61) - 1
+  private def mhSeed(tag: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8"))
+    // 60-bit value from the first 15 hex chars — the column-side idiom
+    java.lang.Long.parseLong(
+      d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+  private val MhA: IndexedSeq[Long] = // 31-bit multipliers, nonzero
+    (0 until MheK).map(k => mhSeed(s"graft-mh-a:$k") % ((1L << 31) - 1) + 1)
+  private val MhB: IndexedSeq[Long] = // 60-bit offsets (< p)
+    (0 until MheK).map(k => mhSeed(s"graft-mh-b:$k"))
+  /** 60-bit md5 prefix of the shingle — the ONE digest per edge. */
+  private def mhBase(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  /** m_k = (A_k·h + B_k) mod p with h = h1·2^30 + h0 pre-split:
+    * u = A·h1 mod p; u·2^30 ≡ (u div 2^31) + (u mod 2^31)·2^30 (mod p);
+    * every term < 2^62, every sum < 2^63 — ANSI-safe long arithmetic. */
+  private def mhPerm(h1: Column, h0: Column, k: Int): Column = {
+    val a = lit(MhA(k))
+    val u = pmod(a * h1, lit(MhP))
+    val v = pmod(shiftright(u, 31) +
+      shiftleft(u.bitwiseAND(lit((1L << 31) - 1)), 30), lit(MhP))
+    pmod(v + a * h0 + lit(MhB(k)), lit(MhP))
+  }
+  private val mhKsValues: String =
+    (0 until MheK).map(k => s"(${k}, ${MhA(k)}, ${MhB(k)})").mkString(", ")
+  /** The same family as DuckDB CTEs (div/mod spellings mirror the
+    * shifts — identical values on nonnegative operands). Expects a
+    * CTE `sh($idCol, s)` in scope; defines `mh($idCol, k, m)`. */
+  private def mhCteSql(idCol: String): String =
+    s"""ks(k, a, b) AS (VALUES $mhKsValues),
+       |bs AS (
+       |  SELECT $idCol,
+       |    hh // 1073741824 AS h1, hh % 1073741824 AS h0
+       |  FROM (SELECT $idCol,
+       |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hh
+       |    FROM sh)),
+       |mh AS (
+       |  SELECT $idCol, k, MIN((v + a * h0 + b) % $MhP) AS m
+       |  FROM (
+       |    SELECT $idCol, k, a, b, h0,
+       |      ((u // 2147483648) + (u % 2147483648) * 1073741824)
+       |        % $MhP AS v
+       |    FROM (
+       |      SELECT $idCol, k, a, b, h0, (a * h1) % $MhP AS u
+       |      FROM bs CROSS JOIN ks))
+       |  GROUP BY 1, 2)""".stripMargin
+
   private val mhEstimateQ = (s: SparkSession, dir: String) => {
     val sh = Tables.documents(s, dir)
       .select(col("source"), split(col("text"), " ").as("tk"))
@@ -1026,11 +1087,13 @@ object Dedup extends QueryModule {
         "transform(sequence(0, size(tk)-3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
         .as("s"))
       .distinct()
-    val mins = (0 until MheK).map { k =>
-      min(conv(substring(md5(concat_ws("|", lit(k.toString), col("s"))),
-        1, 15), 16, 10).cast("long")).as(s"m$k")
-    }
-    val prof = sh.groupBy(col("source"))
+    val shh = sh
+      .withColumn("hh", mhBase(col("s")))
+      .withColumn("h1", shiftright(col("hh"), 30))
+      .withColumn("h0", col("hh").bitwiseAND(lit((1L << 30) - 1)))
+    val mins = (0 until MheK).map(k =>
+      min(mhPerm(col("h1"), col("h0"), k)).as(s"m$k"))
+    val prof = shh.groupBy(col("source"))
       .agg(count(lit(1)).as("n"), mins: _*)
       .select(col("source"), col("n"),
         array((0 until MheK).map(k => col(s"m$k")): _*).as("ml"))
@@ -1058,17 +1121,12 @@ object Dedup extends QueryModule {
   }
 
   private val mhEstimateSql =
-    """WITH toks AS MATERIALIZED (
+    s"""WITH toks AS MATERIALIZED (
       |  SELECT source, string_split(text,' ') AS tk FROM documents),
       |sh0 AS (SELECT source, unnest(list_transform(range(1, len(tk)-1),
       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM toks),
       |sh AS MATERIALIZED (SELECT DISTINCT source, s FROM sh0),
-      |mh AS (
-      |  SELECT source, t.k,
-      |    MIN(CAST(concat('0x', substr(md5(CAST(t.k AS VARCHAR) || '|' || s),
-      |      1, 15)) AS BIGINT)) AS m
-      |  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(k)
-      |  GROUP BY 1, 2),
+      |${mhCteSql("source")},
       |prof AS MATERIALIZED (
       |  SELECT mh.source, sz.n, list(mh.m ORDER BY mh.k) AS ml
       |  FROM mh JOIN (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1) sz
@@ -1096,7 +1154,8 @@ object Dedup extends QueryModule {
 
   /** LSH band-tuning audit — the S-curve, measured on the data
     * instead of trusted from the formula: for three bandings of the
-    * same 16-component md5-seeded minhash signature — (4 bands × 4
+    * same 16-component minhash signature (one md5 base per shingle +
+    * 16 Mersenne-61 affine permutations, see mhPerm) — (4 bands × 4
     * rows), (8 × 2), (2 × 8) — report candidate-pair count, true
     * positives, recall and precision against the EXACT shingle-
     * Jaccard ≥ 0.7 ground truth (integer rational 17·i ≥ 7·(na+nb) —
@@ -1111,12 +1170,15 @@ object Dedup extends QueryModule {
     * q_dedup_minhash_estimate. */
   private val lshTuneQ = (s: SparkSession, dir: String) => {
     val edges = shared(s, s"edges|$dir")(shingleEdges(Tables.documents(s, dir)))
-    // 16-component signature per doc (the mhEstimate construction)
-    val mins = (0 until MheK).map { k =>
-      min(conv(substring(md5(concat_ws("|", lit(k.toString), col("s"))),
-        1, 15), 16, 10).cast("long")).as(s"m$k")
-    }
-    val prof = edges.groupBy(col("doc_id"))
+    // 16-component signature per doc (the mhEstimate construction:
+    // one md5 base + k Mersenne-61 affine permutations)
+    val eh = edges
+      .withColumn("hh", mhBase(col("s")))
+      .withColumn("h1", shiftright(col("hh"), 30))
+      .withColumn("h0", col("hh").bitwiseAND(lit((1L << 30) - 1)))
+    val mins = (0 until MheK).map(k =>
+      min(mhPerm(col("h1"), col("h0"), k)).as(s"m$k"))
+    val prof = eh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), mins: _*)
       .select(col("doc_id"), col("n"),
         array((0 until MheK).map(k => col(s"m$k")): _*).as("ml"))
@@ -1141,8 +1203,11 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("cfg.b").as("b"), col("cfg.r").as("r"),
         col("ml"))
       .withColumn("j", explode(expr("sequence(0, b - 1)")))
+      // the band key is the raw long-array slice: same equality
+      // semantics as the oracle's injective string rendering, ~8r
+      // bytes instead of ~20r through the candidate shuffle
       .select(col("doc_id"), col("b"), col("r"), col("j"),
-        expr("CAST(slice(ml, j * r + 1, r) AS STRING)").as("sig"))
+        expr("slice(ml, j * r + 1, r)").as("sig"))
     val cand = bands.select(col("b"), col("r"), col("j"), col("sig"),
         col("doc_id").as("ida"))
       .join(bands.select(col("b"), col("r"), col("j"), col("sig"),
@@ -1164,19 +1229,14 @@ object Dedup extends QueryModule {
   }
 
   private val lshTuneSql =
-    """WITH toks AS MATERIALIZED (
+    s"""WITH toks AS MATERIALIZED (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh0 AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
       |  FROM toks),
       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh0),
-      |mh AS (
-      |  SELECT doc_id, t.k,
-      |    MIN(CAST(concat('0x', substr(md5(CAST(t.k AS VARCHAR)
-      |      || '|' || s), 1, 15)) AS BIGINT)) AS m
-      |  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(k)
-      |  GROUP BY 1, 2),
+      |${mhCteSql("doc_id")},
       |prof AS MATERIALIZED (
       |  SELECT doc_id, list(m ORDER BY k) AS ml FROM mh GROUP BY 1),
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
