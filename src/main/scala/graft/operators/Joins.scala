@@ -714,24 +714,42 @@ object Joins extends QueryModule {
     * back to the customer roster at Levenshtein ≤ 1. Probes are every
     * 50th customer's name with ONE digit deterministically corrupted
     * (position 10 + key mod 8, digit+1 mod 10 — always a real edit).
-    * Blocking is the PIGEONHOLE 2-of-3 segment scheme: split each
-    * name into three 6-char segments — one substitution leaves AT
-    * LEAST TWO segments intact, so candidates come from three
-    * equi-joins on segment PAIRS (the simhash band discipline —
-    * never all pairs). The pair keys matter: a naive half split puts
-    * the constant "Customer#" prefix alone in one key and the block
-    * DEGENERATES to the cross product (measured 3.4 s at sf0.1);
-    * every 2-of-3 pair key here contains digit positions, so each
-    * block is selective. `levenshtein` verifies candidates exactly.
-    * Scope note: indel edits across different lengths need the
-    * length±1 gram blocks — the fixture roster is fixed-length so
-    * the segment split is provably complete here (the spec
-    * re-verifies against the quadratic scan). The oracle IS the
-    * honest quadratic (the spatial-grid discipline).
+    * Blocking is the PIGEONHOLE 2-of-3 segment scheme: any single
+    * substitution damages exactly one segment, so candidates come
+    * from three equi-joins on segment PAIRS (the simhash band
+    * discipline — never all pairs). The pair keys must carry the
+    * HIGH-ENTROPY region: a naive half split puts the constant
+    * "Customer#" prefix alone in one key and the block DEGENERATES
+    * to the cross product (measured 3.4 s at sf0.1), and the r8
+    * decade tier caught two subtler forms in sequence. (1) A 6/6/6
+    * whole-name split pairs chars 1-6 ("Custom") with 7-12 ("er#" +
+    * the THREE HIGH-ORDER digits, all zero below 1M customers): that
+    * block key was constant and the plan went quadratic exactly at
+    * scale (858 CPU-s at sf1, 48× per decade). (2) Digit-only
+    * segments fix sf1 but still degenerate on a roster whose growth
+    * lives OUTSIDE the digits (ScaleGen multiplies the base roster
+    * under a copy suffix, so digit entropy is capped at the base).
+    * The blocking therefore pigeonholes FOUR regions — the three
+    * 3-digit slices s1 s2 s3 of the digit tail (positions 10-18;
+    * both sides always carry exactly 9 digits there) plus the
+    * remainder suffix: a single edit damages exactly one region, so
+    * candidates come from four equi-joins — (s2,s3,suffix),
+    * (s1,s3,suffix), (s1,s2,suffix) for a digit edit (suffix
+    * intact), and (s1,s2,s3) for a suffix edit (digits intact).
+    * Every key now carries whichever region the roster's entropy
+    * actually grows in. `levenshtein` verifies candidates exactly.
+    * Scope note: indel edits INSIDE the fixed-length digit region
+    * would misalign the split and need length±1 gram blocks — roster
+    * names always carry exactly 9 digits, so only the variable-
+    * length suffix sees indels, and the (s1,s2,s3) block covers
+    * those completely (the spec re-verifies against the quadratic
+    * scan). The oracle IS the honest quadratic (the spatial-grid
+    * discipline).
     *
-    * 100 TB posture: three hash equi-joins on composite segment
-    * keys; candidate count ∝ block collisions, and the verify
-    * touches candidates only. */
+    * 100 TB posture: four hash equi-joins on composite region keys;
+    * candidate count ∝ block collisions, bounded because each key
+    * includes the growing-entropy region; the verify touches
+    * candidates only. */
   private val editJoinQ = (s: SparkSession, dir: String) => {
     val cust = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"))
@@ -742,20 +760,24 @@ object Joins extends QueryModule {
           " CAST((CAST(substr(c_name, ppos, 1) AS INT) + 1) % 10" +
           " AS STRING), substr(c_name, ppos + 1))").as("probe_name"))
     val pb = probes
-      .withColumn("h1", expr("substr(probe_name, 1, 6)"))
-      .withColumn("h2", expr("substr(probe_name, 7, 6)"))
-      .withColumn("h3", expr("substr(probe_name, 13, 6)"))
+      .withColumn("h1", expr("substr(probe_name, 10, 3)"))
+      .withColumn("h2", expr("substr(probe_name, 13, 3)"))
+      .withColumn("h3", expr("substr(probe_name, 16, 3)"))
+      .withColumn("hs", expr("substr(probe_name, 19)"))
     val cb = cust
-      .withColumn("g1", expr("substr(c_name, 1, 6)"))
-      .withColumn("g2", expr("substr(c_name, 7, 6)"))
-      .withColumn("g3", expr("substr(c_name, 13, 6)"))
-    def block(pa: String, pc: String, qa: String, qc: String) =
-      pb.join(cb, col(pa) === col(qa) && col(pc) === col(qc))
+      .withColumn("g1", expr("substr(c_name, 10, 3)"))
+      .withColumn("g2", expr("substr(c_name, 13, 3)"))
+      .withColumn("g3", expr("substr(c_name, 16, 3)"))
+      .withColumn("gs", expr("substr(c_name, 19)"))
+    def block(ps: Seq[String], qs: Seq[String]) =
+      pb.join(cb, ps.zip(qs).map { case (p, q) => col(p) === col(q) }
+          .reduce(_ && _))
         .select(col("probe_id"), col("probe_name"),
           col("c_custkey"), col("c_name"))
-    val cand = block("h1", "h2", "g1", "g2")
-      .unionByName(block("h1", "h3", "g1", "g3"))
-      .unionByName(block("h2", "h3", "g2", "g3"))
+    val cand = block(Seq("h2", "h3", "hs"), Seq("g2", "g3", "gs"))
+      .unionByName(block(Seq("h1", "h3", "hs"), Seq("g1", "g3", "gs")))
+      .unionByName(block(Seq("h1", "h2", "hs"), Seq("g1", "g2", "gs")))
+      .unionByName(block(Seq("h1", "h2", "h3"), Seq("g1", "g2", "g3")))
       .distinct()
     cand.withColumn("dist",
         levenshtein(col("probe_name"), col("c_name")).cast("long"))
