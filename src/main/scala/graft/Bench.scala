@@ -149,15 +149,22 @@ object Bench {
   /** Object layout per table: (#objects, optional range-partition
     * column). Facts are ranged on the column their headline predicates
     * hit; dimension tables stay single-object. At 100 TB the same map
-    * is "objects of ~128 MB, ranged on ingest sort key". */
+    * is "objects of ~128 MB, ranged on ingest sort key" — i.e. object
+    * COUNT scales with data. SPARK_GRAFT_OBJ_FACTOR multiplies the
+    * multi-object counts for scale-tier runs (the sf10 fixture at
+    * factor 1 pins lineitem to 16 objects = 16 scan tasks on a 32-way
+    * machine, understating the route exactly where production would
+    * have thousands of objects). */
+  private val objFactor =
+    sys.env.getOrElse("SPARK_GRAFT_OBJ_FACTOR", "1").toInt
   private val layout: Seq[(String, Int, Option[String])] = Seq(
-    ("lineitem", 16, Some("l_shipdate")),
-    ("orders", 8, Some("o_orderdate")),
-    ("events", 8, None),
-    ("documents", 8, None),
-    ("embeddings", 8, None),
-    ("customer", 4, None),
-    ("part", 4, None),
+    ("lineitem", 16 * objFactor, Some("l_shipdate")),
+    ("orders", 8 * objFactor, Some("o_orderdate")),
+    ("events", 8 * objFactor, None),
+    ("documents", 8 * objFactor, None),
+    ("embeddings", 8 * objFactor, None),
+    ("customer", 4 * objFactor, None),
+    ("part", 4 * objFactor, None),
     ("supplier", 1, None),
     ("nation", 1, None),
     ("region", 1, None))
