@@ -1669,9 +1669,11 @@ object Aggregates extends QueryModule {
     * event Gini. Exact rank form: with per-customer revenues x₍ᵢ₎
     * sorted ascending (custkey tiebreak — deterministic under ties,
     * documented), G = Σ(2i−n−1)x₍ᵢ₎ / (n·Σx). Reported in BASIS
-    * POINTS: 10⁴·num stays inside BIGINT to n·Σx < 9·10¹⁴ (about
-    * 10⁶ customers × 10⁹ cents each per segment — the HHI magnitude
-    * discipline; switch to per-mille beyond).
+    * POINTS via exact DECIMAL(38)/HUGEINT integral division (the r8
+    * sf1 screen caught the plain-BIGINT 10⁴·num overflowing); the
+    * per-term and summed num magnitudes stay in BIGINT through sf10
+    * (documented boundary: a 3·10⁵-customer segment of 10⁹-cent
+    * whales needs the sum itself in decimal too).
     *
     * 100 TB posture: fact collapses to one row per customer first;
     * the rank window and rollup run on the customer domain. */
@@ -1689,7 +1691,15 @@ object Aggregates extends QueryModule {
       .groupBy(col("c_mktsegment"))
       .agg(max(col("n")).as("n"), sum(col("x")).as("sx"),
         sum((lit(2L) * col("rn") - col("n") - 1L) * col("x")).as("num"))
-      .withColumn("gini_bp", expr("(10000 * num) div (n * sx)"))
+      // 10⁴·num in DECIMAL(38): the r8 sf1 screen caught the plain
+      // BIGINT product overflowing (num ≈ 1.8·10¹⁷ per segment at
+      // 30k customers — ×10⁴ is past 2⁶³; the doc's magnitude bound
+      // assumed 10⁶ customers × 10⁹ cents CORPUS-wide, not the sf1
+      // per-segment reality). div on decimals is exact integral
+      // division in both engines; num ≥ 0 so floor = truncate.
+      .withColumn("gini_bp", expr(
+        "CAST((10000 * CAST(num AS DECIMAL(38,0)))" +
+          " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"))
   }
 
   private val revenueGiniSql =
@@ -1709,8 +1719,9 @@ object Aggregates extends QueryModule {
       |SELECT c_mktsegment, MAX(n) AS n,
       |  CAST(SUM(x) AS BIGINT) AS sx,
       |  CAST(SUM((2 * rn - n - 1) * x) AS BIGINT) AS num,
-      |  (10000 * CAST(SUM((2 * rn - n - 1) * x) AS BIGINT))
-      |    // (MAX(n) * CAST(SUM(x) AS BIGINT)) AS gini_bp
+      |  CAST((10000 * CAST(SUM((2 * rn - n - 1) * x) AS HUGEINT))
+      |    // (CAST(MAX(n) AS HUGEINT) * CAST(SUM(x) AS HUGEINT))
+      |    AS BIGINT) AS gini_bp
       |FROM rk GROUP BY 1""".stripMargin
 
   /** Boxplot (five-number summary + Tukey fences) per event type —

@@ -113,11 +113,13 @@ object Audit extends QueryModule {
     * mirror). Zero cells contribute — the observed-category cross is
     * completed before scoring. V² = χ²/(n·min(R−1,C−1)).
     *
-    * Magnitude bound (documented per the BM25 advice item): the cell
-    * numerator 10⁶·(n·obs − rc)² needs |n·obs| < 3·10⁶ to stay inside
-    * BIGINT — profile on a sample or switch the scale factor to centi
-    * above ~10³ rows per cell × 10³ cells. Fixture n ≤ 1.5·10⁴ at
-    * sf0.1: safe by 10⁴×.
+    * Magnitude: the cell numerator 10⁶·(n·obs − rc)² is computed in
+    * DECIMAL(38) (Spark) / HUGEINT (DuckDB) with exact integral
+    * division — the r8 sf1 screen caught the original plain-BIGINT
+    * spelling overflowing exactly at its own documented bound
+    * (|n·obs| ≈ 1.8·10⁸ at 150k customers; the square is 3·10²²).
+    * Both engines spell the identical arithmetic, so the contract
+    * stays hash-exact; numerator ≥ 0 so floor = truncate.
     *
     * 100 TB posture: three partial aggs over the same scan (cells, row
     * totals, column totals — all collapse to the category domain) and
@@ -135,7 +137,9 @@ object Audit extends QueryModule {
       .na.fill(0L, Seq("obs"))
       .crossJoin(broadcast(n))
       .withColumn("cell_micro", expr(
-        "(1000000 * (n * obs - r * c) * (n * obs - r * c)) div (n * r * c)"))
+        "CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * obs - CAST(r AS DECIMAL(38,0)) * c)" +
+          " * (CAST(n AS DECIMAL(38,0)) * obs - CAST(r AS DECIMAL(38,0)) * c))" +
+          " div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"))
       .agg(max(col("n")).as("n"),
         countDistinct(col("c_mktsegment")).as("r_cats"),
         countDistinct(col("c_nationkey")).as("c_cats"),
@@ -160,8 +164,10 @@ object Audit extends QueryModule {
       |    AND o.c_nationkey = ct.c_nationkey),
       |scored AS (
       |  SELECT n, c_mktsegment, c_nationkey,
-      |    (1000000 * (n * obs - r * c) * (n * obs - r * c))
-      |      // (n * r * c) AS cell_micro
+      |    CAST((1000000
+      |        * (CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * c)
+      |        * (CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * c))
+      |      // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS cell_micro
       |  FROM cells)
       |SELECT MAX(n) AS n,
       |  COUNT(DISTINCT c_mktsegment) AS r_cats,

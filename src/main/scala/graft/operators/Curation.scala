@@ -334,6 +334,12 @@ object Curation extends QueryModule {
   }
 
   private[graft] def semanticEdges(s: SparkSession, dir: String): DataFrame = {
+    // codegen cosine_sim for the candidate verify (bit-identical to
+    // the HOF fold by the CosineSimilarity contract): the banded
+    // candidate set is ~4·(N/16)²/2 pairs, and the interpreted
+    // zip_with/aggregate lambda at ~80 µs/pair made the verify the
+    // whole query at sf1 (272 s → seconds; r8 full-registry screen)
+    graft.functions.GraftFunctions.register(s)
     val withB = semanticCorpus(s, dir)
       .withColumn("bucket", graft.functions.VectorOps
         .rhpBucket(col("embedding"), SemDim, SemBits))
@@ -348,7 +354,7 @@ object Curation extends QueryModule {
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"),
-        round(graft.functions.VectorOps.cosine(
+        round(call_function("cosine_sim",
           col("x.embedding"), col("y.embedding")), 6).as("cos"))
       .filter(col("cos") >= SemTau) // verify BEFORE distinct: exchanges carry matches only
       .select(col("ida"), col("idb"))

@@ -274,7 +274,12 @@ object Dedup extends QueryModule {
     // the CosineSimilarity contract + row-equal spec.
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
+    // widen the streamed side: the small embeddings file plans as one
+    // scan partition, so the broadcast nested-loop theta join would
+    // otherwise score all |V|²/2 pairs in a single task (the r8
+    // full-registry sf1 screen measured 256 s on one core)
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .repartition(s.sparkContext.defaultParallelism)
     val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
     a.join(b, col("ida") < col("idb"))
       .withColumn("cos",

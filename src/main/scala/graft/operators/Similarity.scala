@@ -2868,12 +2868,23 @@ object Similarity extends QueryModule {
     * hash-deterministic pair SAMPLE — one map pass either way, the
     * histogram is a 20-row rollup. */
   private val cosHistQ = (s: SparkSession, dir: String) => {
+    // Two r8 full-registry-screen fixes, semantics untouched: the
+    // streamed side is explicitly widened (the small embeddings file
+    // otherwise plans as ONE scan partition, and the broadcast
+    // nested-loop theta join then scores all |V|²/2 pairs in a single
+    // task), and the pair cosine is the codegen cosine_sim expression
+    // (bit-identical to the HOF fold by the CosineSimilarity contract;
+    // the interpreted zip_with/aggregate lambda is the documented 40×
+    // penalty — at sf1 the old shape ran 25+ min on one core).
+    graft.functions.GraftFunctions.register(s)
     val a = Tables.embeddings(s, dir)
       .select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .repartition(s.sparkContext.defaultParallelism)
     val b = Tables.embeddings(s, dir)
       .select(col("vec_id").as("idb"), col("embedding").as("eb"))
     val pairs = a.join(b, col("ida") < col("idb"))
-      .select(cosRounded(col("ea"), col("eb")).as("c"))
+      .select(round(call_function("cosine_sim", col("ea"), col("eb")), 6)
+        .as("c"))
     pairs
       .withColumn("bin", least(lit(19L),
         floor((col("c") + 1.0d) * 10.0d).cast("long")))
