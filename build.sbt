@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r8 verdict #1: the driver parses the bench JSON line out of `sbt
+// "runMain graft.Bench"` stdout. With fork=true sbt's default
+// LoggedOutput prefixes every forked-process line with "[info] ", so
+// the line never parsed ("parsed": null two rounds running).
+// StdoutOutput inherits the forked process's stdout/stderr into sbt's
+// own streams unprefixed — the JSON line reaches the driver raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -360,7 +360,24 @@ object Bench {
       headline.filter(args.contains) ++
         args.filterNot(headline.contains)
     else headline
-    val names = names0.filter(SparkEntry.queries.contains)
+    val namesKnown = names0.filter(SparkEntry.queries.contains)
+    // Tier sweeps (explicit-args mode) refuse FixtureDiagnostic rows
+    // unless forced (r8 verdict #2): the quadratic recall baselines
+    // are kept registered for fixture-scale audits, but running one at
+    // a decade tier by accident burns hours measuring a documented
+    // anti-plan. The driver's no-args headline is unaffected (the
+    // diagnostics are cheap at sf0.1 and their rows are part of the
+    // round artifact's continuity).
+    val names =
+      if (args.isEmpty || sys.env.contains("SPARK_GRAFT_ALLOW_DIAG"))
+        namesKnown
+      else namesKnown.filter { n =>
+        val cls = SparkEntry.scaleClass.getOrElse(n, "safe")
+        val ok = !cls.startsWith("fixture_diagnostic")
+        if (!ok) System.err.println(s"[bench] REFUSED $n ($cls) — " +
+          "run its safe twin, or force with SPARK_GRAFT_ALLOW_DIAG=1")
+        ok
+      }
     names.foreach { n => // one-off layout writes (load-time, untimed)
       graft.operators.Sources.benchSetups.get(n).foreach { setup =>
         try setup(spark, dataDir) catch { case e: Throwable =>
@@ -420,9 +437,15 @@ object Bench {
       * the stime/utime DELTA over exactly this attempt's window. */
     case class Attempt(results: Seq[(String, Double)], floor: Double,
                        pushdown: String, resultsObj: Seq[(String, Double)],
-                       ratio: Double)
+                       ratio: Double, cpu: Map[String, Double])
     def sweep(): Attempt = {
       System.gc() // drain prior-attempt/warmup garbage outside the window
+      // r8 advice: reset per-sweep so the emitted CPU map is measured
+      // over exactly the KEPT attempt's passes — previously mins
+      // accumulated across storm-discarded attempts while the wall map
+      // came only from the kept one, so the two per-query maps in
+      // BENCH_DETAIL.json were not over the same passes.
+      cpuMin.clear()
       val (ut0, st0) = cpuTimes()
       val results = names.map(n => n -> best3(n, trackCpu = true))
 
@@ -467,7 +490,7 @@ object Bench {
 
       val (ut1, st1) = cpuTimes()
       Attempt(results, floor, pushdown, resultsObj,
-        (st1 - st0) / math.max(ut1 - ut0, 0.1))
+        (st1 - st0) / math.max(ut1 - ut0, 0.1), cpuMin.toMap)
     }
 
     // Retry-until-clean (r4 verdict #1): a single storm capture must not
@@ -494,7 +517,8 @@ object Bench {
       attempts += attempt
     }
     val best = attempts.minBy(a => (a.ratio, a.results.map(_._2).sum))
-    val Attempt(results, floor, pushdown, resultsObj, sweepRatio) = best
+    val Attempt(results, floor, pushdown, resultsObj, sweepRatio, cpuBest) =
+      best
 
     val qsObj = resultsObj.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -532,8 +556,8 @@ object Bench {
     // ratios, the failed list, and the SLOWEST per-query rows (the
     // ones a grader compares) at 3-decimal precision, with the
     // remainder's sum in queries_rest_sec.
-    val qsCpu = results.collect { case (k, v) if v >= 0 && cpuMin.contains(k) =>
-      f""""$k":${cpuMin(k)}%.3f""" }.mkString("{", ",", "}")
+    val qsCpu = results.collect { case (k, v) if v >= 0 && cpuBest.contains(k) =>
+      f""""$k":${cpuBest(k)}%.3f""" }.mkString("{", ",", "}")
     val detail =
       f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu_sec":$qsCpu,"queries_obj":$qsObj,"obj_total_sec":$totalObj%.3f,"ingest_obj_sec":$ingestObjSec,"sf":"$sfDir","ingest_sec":$ingestSec,"floor_sec":$floor%.4f,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$pushdown$cpuSplit}"""
     try Files.write(Paths.get("BENCH_DETAIL.json"),
@@ -552,7 +576,14 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${okRows.size},"n_failed":${failed.size},"queries":$qsTop,"queries_rest_sec":$restSec%.3f,"obj_total_sec":$totalObj%.3f,"ingest_obj_sec":$ingestObjSec%.3f,"sf":"$sfDir","ingest_sec":$ingestSec%.3f,"floor_sec":$floor%.4f$pushdown,"jvm_stime_ratio":$sweepRatio%.2f,"attempt_stime_ratios":$ratios,"detail":"BENCH_DETAIL.json"}"""
     if (compact.length > 1800) // keep the tail-window guarantee honest
       System.err.println(s"[bench] WARNING compact line ${compact.length} chars > 1800 — trim topN")
+    // Silence everything after the JSON line: the driver reads the last
+    // ~2000 chars of the capture, so a chatty shutdown (executor/block-
+    // manager WARNs) could push the line out of the window. With
+    // build.sbt's run/outputStrategy=StdoutOutput the line below reaches
+    // the driver raw (no "[info] " prefix — r8 verdict #1).
+    spark.sparkContext.setLogLevel("ERROR")
     println(compact)
+    System.out.flush()
     spark.stop()
   }
 }

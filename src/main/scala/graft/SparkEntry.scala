@@ -50,5 +50,21 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    all.collect { case (k, Q(_, Some(sql), _)) => k -> sql }
+    all.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
+
+  /** Per-query scale classification (r8 verdict #2): "safe" = the plan
+    * shape survives the decade tiers; "fixture_diagnostic:<twin>" = a
+    * deliberately fixture-bound (typically quadratic) recall/exactness
+    * baseline — call <twin> at scale instead. Tier sweeps refuse
+    * diagnostics unless SPARK_GRAFT_ALLOW_DIAG=1. */
+  def scaleClass: Map[String, String] =
+    all.map {
+      case (k, q) => k -> (q.scale match {
+        case ScaleClass.Safe => "safe"
+        case ScaleClass.FixtureDiagnostic(t) => s"fixture_diagnostic:$t"
+      })
+    }
+
+  /** Registered Q rows (tests + tooling; fn/oracle/doc/scale). */
+  private[graft] def registry: Map[String, Q] = all
 }

@@ -1670,10 +1670,14 @@ object Aggregates extends QueryModule {
     * sorted ascending (custkey tiebreak — deterministic under ties,
     * documented), G = Σ(2i−n−1)x₍ᵢ₎ / (n·Σx). Reported in BASIS
     * POINTS via exact DECIMAL(38)/HUGEINT integral division (the r8
-    * sf1 screen caught the plain-BIGINT 10⁴·num overflowing); the
-    * per-term and summed num magnitudes stay in BIGINT through sf10
-    * (documented boundary: a 3·10⁵-customer segment of 10⁹-cent
-    * whales needs the sum itself in decimal too).
+    * sf1 screen caught the plain-BIGINT 10⁴·num overflowing). The
+    * SUMMED numerator is DECIMAL(38,0)/HUGEINT too (r8 advice: num ∝
+    * n·Σx ∝ n² crosses 2⁶³ near sf5's ~10⁵-customer segments — Spark
+    * sum(long) would wrap silently while DuckDB widens to HUGEINT, so
+    * the engines would diverge exactly at the tier this query
+    * targets); only the per-term product (≤ ~10¹⁵ at sf10) stays in
+    * BIGINT. num is internal-only — every OUTPUT column is
+    * BIGINT-representable at every tier.
     *
     * 100 TB posture: fact collapses to one row per customer first;
     * the rank window and rollup run on the customer domain. */
@@ -1690,16 +1694,18 @@ object Aggregates extends QueryModule {
         Window.partitionBy(col("c_mktsegment"))))
       .groupBy(col("c_mktsegment"))
       .agg(max(col("n")).as("n"), sum(col("x")).as("sx"),
-        sum((lit(2L) * col("rn") - col("n") - 1L) * col("x")).as("num"))
-      // 10⁴·num in DECIMAL(38): the r8 sf1 screen caught the plain
-      // BIGINT product overflowing (num ≈ 1.8·10¹⁷ per segment at
-      // 30k customers — ×10⁴ is past 2⁶³; the doc's magnitude bound
-      // assumed 10⁶ customers × 10⁹ cents CORPUS-wide, not the sf1
-      // per-segment reality). div on decimals is exact integral
-      // division in both engines; num ≥ 0 so floor = truncate.
+        // sum in DECIMAL(38,0): per-term (2i−n−1)x fits BIGINT
+        // (≤ ~10¹⁵ at sf10) but the segment SUM ∝ n² wraps past 2⁶³
+        // near sf5 (r8 advice) — and sum(long) wraps SILENTLY.
+        sum(((lit(2L) * col("rn") - col("n") - 1L) * col("x"))
+          .cast("decimal(38,0)")).as("num"))
+      // div on decimals is exact integral division in both engines;
+      // num ≥ 0 so floor = truncate. num itself is dropped from the
+      // output: it is not BIGINT-representable at sf10.
       .withColumn("gini_bp", expr(
-        "CAST((10000 * CAST(num AS DECIMAL(38,0)))" +
+        "CAST((10000 * num)" +
           " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"))
+      .drop("num")
   }
 
   private val revenueGiniSql =
@@ -1718,8 +1724,7 @@ object Aggregates extends QueryModule {
       |  FROM rev)
       |SELECT c_mktsegment, MAX(n) AS n,
       |  CAST(SUM(x) AS BIGINT) AS sx,
-      |  CAST(SUM((2 * rn - n - 1) * x) AS BIGINT) AS num,
-      |  CAST((10000 * CAST(SUM((2 * rn - n - 1) * x) AS HUGEINT))
+      |  CAST((10000 * SUM(CAST((2 * rn - n - 1) * x AS HUGEINT)))
       |    // (CAST(MAX(n) AS HUGEINT) * CAST(SUM(x) AS HUGEINT))
       |    AS BIGINT) AS gini_bp
       |FROM rk GROUP BY 1""".stripMargin

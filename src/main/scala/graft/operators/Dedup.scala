@@ -161,8 +161,10 @@ object Dedup extends QueryModule {
   // dedups, so no distinct pre-pass and no second aggregation are
   // needed. Total: 1 shuffle to profile, then bucket/verify joins whose
   // volume is candidates, not corpus.
-  private val minhashQ = (s: SparkSession, dir: String) => {
-    val profile = shared(s, s"minhash-profile|$dir") {
+  /** Shared by minhashQ and BlockingAudit (one derivation, no drift). */
+  private[operators] def minhashProfileForAudit(
+      s: SparkSession, dir: String): DataFrame =
+    shared(s, s"minhash-profile|$dir") {
       shingled(Tables.documents(s, dir))
         .select(col("doc_id"), explode(col("sh")).as("s"))
         .groupBy(col("doc_id"))
@@ -172,13 +174,23 @@ object Dedup extends QueryModule {
             min(xxhash64(lit(h), col("s"))).as(s"m$h")): _*)
         .withColumn("n", size(col("shset")))
     }
+
+  /** Band-bucket assignment over a minhash profile — shared by
+    * minhashQ and BlockingAudit. */
+  private[operators] def minhashBucketsForAudit(
+      profile: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val buckets = profile
+    profile
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  private val minhashQ = (s: SparkSession, dir: String) => {
+    val profile = minhashProfileForAudit(s, dir)
+    val buckets = minhashBucketsForAudit(profile)
     val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
@@ -204,6 +216,9 @@ object Dedup extends QueryModule {
     * (k+1)-way bit-band by pigeonhole); at fixture scale the verified
     * pair set is computed directly on the (small) per-doc hash table.
     */
+  private[operators] def simhashesForAudit(
+      s: SparkSession, dir: String): DataFrame = simhashes(s, dir)
+
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
@@ -1386,14 +1401,17 @@ object Dedup extends QueryModule {
     "q_dedup_containment" -> Q(containmentQ, Some(containmentSql),
       "asymmetric shingle containment: catches sub-document duplication jaccard misses"),
     "q_dedup_fuzzy_names" -> Q(fuzzyNamesQ, Some(fuzzyNamesSql),
-      "banded fuzzy identifier match: tercet pigeonhole + hamming/lev verify"),
+      "banded fuzzy identifier match: tercet pigeonhole + hamming/lev verify" +
+        " (fixed 10^3 codespace + constant-100 probe side = fixture-bound)",
+      scale = graft.ScaleClass.FixtureDiagnostic("q_dedup_er_entities_scaled")),
     "q_dedup_incremental" -> Q(incrementalQ, Some(incrementalSql),
       "batch-vs-corpus exact dedup via bloom prefilter + broadcast verify"),
     "q_dedup_incremental_versioned" -> Q(incrementalVersionedQ,
       Some(incrementalSql),
       "delta-view batch vs snapshot corpus: versioned incremental dedup"),
     "q_dedup_er_entities" -> Q(erQ, Some(erSql),
-      "entity resolution end-to-end: block, score (ham<=1), CC-cluster, canonicalize"),
+      "entity resolution end-to-end: block, score (ham<=1), CC-cluster, canonicalize",
+      scale = graft.ScaleClass.FixtureDiagnostic("q_dedup_er_entities_scaled")),
     "q_dedup_er_entities_scaled" -> Q(erScaledQ, Some(erScaledSql),
       "domain-scaling ER twin: codespace grows with the roster (per-copy bands, constant occupancy)"),
     "q_dedup_clusters" -> Q(clustersQ, Some(clustersSql),
@@ -1409,7 +1427,11 @@ object Dedup extends QueryModule {
     "q_dedup_minhash_lsh" -> Q(minhashQ, Some(jaccardSql),
       "minhash 64 → 16x4 LSH bands → bucket join → exact-jaccard verify"),
     "q_dedup_simhash" -> Q(simhashQ, Some(simhashSql),
-      "60-bit md5 simhash, hamming<=10 pairs (oracle rebuilds hash)"),
+      "60-bit md5 simhash, hamming<=10 pairs (oracle rebuilds hash);" +
+        " the 12x5-bit band join is pigeonhole-COMPLETE but a constant" +
+        " FRACTION of all pairs (BlockingAudit measured 1.9x on this" +
+        " low-entropy corpus) — quadratic-constant, fixture-bound",
+      scale = graft.ScaleClass.FixtureDiagnostic("q_dedup_minhash_lsh")),
     "q_dedup_cosine_pairs" -> Q(cosineQ, Some(cosineSql),
       "embedding near-dup pairs, cosine>=0.45, double-exact fold"))
 }

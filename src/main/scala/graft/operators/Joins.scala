@@ -826,7 +826,10 @@ object Joins extends QueryModule {
     "q_join_range" -> Q(range, Some(rangeSql),
       "range join: equi key + time interval condition"),
     "q_join_spatial_grid" -> Q(spatialQ, Some(spatialSql),
-      "spatial self-join: grid blocking + 3x3 neighbor cells + exact residual"),
+      "spatial self-join: grid blocking + 3x3 neighbor cells + exact residual" +
+        " (fixed 1000x1000 plane: density - hence true pair count - grows" +
+        " quadratically under key-shifted scale-up)",
+      scale = graft.ScaleClass.FixtureDiagnostic("q_join_spatial_grid_scaled")),
     "q_join_spatial_grid_scaled" -> Q(spatialScaledQ, Some(spatialScaledSql),
       "domain-scaling spatial self-join: key-shift copies land in their own y-band (constant density at sf1)"),
     "q_join_spatial_grid_strip" -> Q(spatialStripQ, Some(spatialStripSql),

@@ -2920,6 +2920,68 @@ object Similarity extends QueryModule {
        |FROM h""".stripMargin
   }
 
+  /** Bounded-sample twin of [[cosHistQ]] — the scale-SAFE hubness
+    * audit (r8 verdict #2: the all-pairs form is now a registered
+    * FixtureDiagnostic naming this query as its twin). A deterministic
+    * id-stride sample caps the scored set at ~1,024 vectors at EVERY
+    * tier (stride = ceil(N/1024), keep vec_id ≡ 0 mod stride), so the
+    * pair stage is a constant ≤ ~0.5M cosines regardless of corpus
+    * size — exactly what a production embedding-regression audit
+    * computes. The stride is derived from the same COUNT(*) in both
+    * engines, so the sampled population is identical and the
+    * histogram stays hash-exact. */
+  private val cosHistSampledQ = (s: SparkSession, dir: String) => {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val stride = math.max(1L, math.ceil(e.count() / 1024.0).toLong)
+    val sampled = e.filter(col("vec_id") % stride === 0)
+    val a = sampled
+      .select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val b = sampled
+      .select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    a.join(b, col("ida") < col("idb"))
+      .select(round(call_function("cosine_sim", col("ea"), col("eb")), 6)
+        .as("c"))
+      .withColumn("bin", least(lit(19L),
+        floor((col("c") + 1.0d) * 10.0d).cast("long")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(18,6)")).as("csum"))
+      .select(col("bin"), col("n"),
+        (col("csum").cast("double") / col("n")).as("mean_cos"))
+  }
+
+  private def cosHistSampledSql: String = {
+    val cosE =
+      """round(
+        |      list_sum(list_transform(range(1, len(a.embedding)+1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE)
+        |           * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |           i -> CAST(a.embedding[i] AS DOUBLE)
+        |              * CAST(a.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+        |           i -> CAST(b.embedding[i] AS DOUBLE)
+        |              * CAST(b.embedding[i] AS DOUBLE)))))
+        |      , 6)""".stripMargin
+    s"""WITH st AS (
+       |  SELECT GREATEST(1, CAST(ceil(COUNT(*) / 1024.0) AS BIGINT))
+       |    AS stride FROM embeddings),
+       |sv AS (
+       |  SELECT e.* FROM embeddings e, st WHERE e.vec_id % st.stride = 0),
+       |p AS (
+       |  SELECT $cosE AS c
+       |  FROM sv a JOIN sv b ON a.vec_id < b.vec_id),
+       |h AS (
+       |  SELECT least(19, CAST(floor((c + 1.0) * 10.0) AS BIGINT))
+       |      AS bin,
+       |    COUNT(*) AS n, SUM(CAST(c AS DECIMAL(18,6))) AS csum
+       |  FROM p GROUP BY 1)
+       |SELECT bin, n, CAST(csum AS DOUBLE) / n AS mean_cos
+       |FROM h""".stripMargin
+  }
+
   /** Intra-list diversity (ILD@10) — the rec-sys diversity metric
     * that quantifies what q_sim_mmr optimizes: for the brute top-10
     * of query vec 0, the mean pairwise dissimilarity (1 − cos) over
@@ -2978,7 +3040,11 @@ object Similarity extends QueryModule {
     "q_sim_ild" -> Q(ildQ, Some(ildSql),
       "intra-list diversity of the top-10: mean pairwise 1-cos, decimal-exact"),
     "q_vec_cos_histogram" -> Q(cosHistQ, Some(cosHistSql),
-      "pairwise-cosine histogram: hubness/collapse audit, 20 bins, exact counts"),
+      "pairwise-cosine histogram: hubness/collapse audit, 20 bins, exact counts" +
+        " (all-pairs |V|^2 verification form)",
+      scale = graft.ScaleClass.FixtureDiagnostic("q_vec_cos_histogram_sampled")),
+    "q_vec_cos_histogram_sampled" -> Q(cosHistSampledQ, Some(cosHistSampledSql),
+      "scale-safe hubness audit: deterministic id-stride sample capped at ~1024 vectors, same 20-bin histogram"),
     "q_vec_binary" -> Q(binaryQ, Some(binarySql),
       "1-bit binary quantization recall: packed sign words, popcount-xor hamming"),
     "q_vec_sq8" -> Q(sq8Q, Some(sq8Sql),
@@ -2988,7 +3054,8 @@ object Similarity extends QueryModule {
     "q_sim_kcenter" -> Q(kcenterQ, Some(kcenterSql),
       "greedy k-center (farthest-first) coreset selection, exact micro distances"),
     "q_sim_knn_graph" -> Q(knnGraphQ, Some(knnGraphSql),
-      "top-3 cosine neighbor graph + edge reciprocity (the HNSW-construction primitive)"),
+      "top-3 cosine neighbor graph + edge reciprocity (the HNSW-construction primitive)",
+      scale = graft.ScaleClass.FixtureDiagnostic("q_sim_knn_graph_ann")),
     "q_vec_standardize" -> Q(standardizeQ, Some(standardizeSql),
       "per-dimension z-normalization from exact micro-integer moments"),
     "q_vec_centroid_dist" -> Q(centroidDistQ, Some(centroidDistSql),

@@ -43,7 +43,9 @@ class Round5WaveFiftyFourSpec extends SparkSpec {
         (2L * (i + 1) - n - 1) * x
       }.sum
       assert(r.getLong(r.fieldIndex("n")) == n, seg)
-      assert(r.getLong(r.fieldIndex("num")) == num, seg)
+      assert(r.getLong(r.fieldIndex("sx")) == sx, seg)
+      // num is internal-only since r9 (DECIMAL(38,0) — not BIGINT-
+      // representable at sf10); the local recount IS the witness.
       val bp = r.getLong(r.fieldIndex("gini_bp"))
       assert(bp == (10000L * num) / (n * sx), seg)
       assert(bp >= 0L && bp < 10000L)
