@@ -107,11 +107,28 @@ object StreamOps extends QueryModule {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
+    val ckpt = ckptDir()
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode)
-      .option("checkpointLocation", ckptDir())
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // Scale-tier diagnostics (r8 verdict #5): state-store growth ∝ keys
+    // is the streaming family's 100 TB axis — report the checkpoint's
+    // on-disk state size so tier sweeps can record it next to walls.
+    if (sys.env.contains("SPARK_GRAFT_STATE_REPORT")) {
+      def walk(f: java.io.File): (Long, Long) = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.foldLeft((0L, 0L)) { case ((b, n), k) =>
+          if (k.isDirectory) { val (b2, n2) = walk(k); (b + b2, n + n2) }
+          else (b + k.length(), n + 1)
+        }
+      }
+      val st = new java.io.File(ckpt, "state")
+      val (bytes, files) = walk(st)
+      System.err.println(
+        s"[stream-state] sink=$name state_bytes=$bytes state_files=$files ckpt=$ckpt")
+    }
     s.table(name)
   }
 
