@@ -91,7 +91,21 @@ object ObjectFormat {
   // whole-stage codegen runs its vectorized loop. Row-major writes
   // remain supported via `.option("bodyLayout", "row")`; v≤4 objects
   // still read.
-  val Version = 5
+  // v6: columnar SEGMENTS get a 4-byte null-count header, presence
+  // bytes are written ONLY when the column has nulls (TPC-H-shaped
+  // data is overwhelmingly null-free — that is 1 byte/row/column of
+  // body and a per-value branch gone), and top-level FIXED-WIDTH
+  // values are little-endian so the vectorized reader can bulk-copy
+  // whole null-free segments into `OnHeapColumnVector`s with
+  // `putLongsLittleEndian`-family memcpys — the same plain-encoding
+  // fast path parquet's vectorized reader uses, closing the
+  // per-value-loop decode constant the sf10 factor-8 scan rows
+  // measured (r8 verdict #6). Var-length types (string/binary/
+  // decimal/nested) keep the v5 big-endian recursive encoding, and
+  // row-major bodies are byte-identical to v5's. v≤5 objects still
+  // read; mixed v5/v6 tables scan fine (layout decisions are
+  // per-object-version).
+  val Version = 6
   val MinVersion = 2
   val LayoutRow = 0
   val LayoutColumnar = 1
@@ -326,6 +340,16 @@ object ObjectFormat {
          DateType | DoubleType | FloatType | BooleanType | StringType |
          BinaryType => true
     case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Types whose v6 columnar segments store values little-endian
+    * (fixed-width — the bulk-fill contract). Booleans are single
+    * bytes (endianness-free) and keep the shared encoding; var-length
+    * and nested types keep the big-endian recursive codec. */
+  def fixedWidthLE(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType | IntegerType |
+         DateType | DoubleType | FloatType => true
     case _ => false
   }
 
@@ -695,7 +719,29 @@ object ObjectFormat {
           statB(i, b); sketch(i, hashBytes(b))
         case _ =>
       }
-      writeValue(if (columnar) colValues(i) else out, dt, value)
+      if (columnar) writeColumnarTop(colValues(i), dt, value)
+      else writeValue(out, dt, value)
+    }
+
+    /** v6 columnar segments store TOP-LEVEL fixed-width values
+      * little-endian so the vectorized reader can memcpy null-free
+      * segments (`putLongsLittleEndian` et al.). Everything else —
+      * var-length types, and every value nested inside an
+      * array/struct/map — keeps the shared big-endian [[writeValue]]
+      * encoding (those decode value-at-a-time regardless). */
+    private def writeColumnarTop(o: DataOutputStream, dt: DataType,
+        value: Any): Unit = dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        o.writeLong(java.lang.Long.reverseBytes(value.asInstanceOf[Long]))
+      case IntegerType | DateType =>
+        o.writeInt(Integer.reverseBytes(value.asInstanceOf[Int]))
+      case DoubleType =>
+        o.writeLong(java.lang.Long.reverseBytes(
+          java.lang.Double.doubleToLongBits(value.asInstanceOf[Double])))
+      case FloatType =>
+        o.writeInt(Integer.reverseBytes(
+          java.lang.Float.floatToIntBits(value.asInstanceOf[Float])))
+      case _ => writeValue(o, dt, value)
     }
 
     /** presence flags (1 byte/field; a packed bitmap is the obvious
@@ -741,8 +787,10 @@ object ObjectFormat {
           b
         } else {
           // layout 1 + rowCount + per-column segment directory +
-          // segments ([presence bytes][values]); readers seek by the
-          // directory, so unprojected columns cost zero decode
+          // v6 segments ([nullCount][presence bytes IF nullCount>0]
+          // [values]); readers seek by the directory, so unprojected
+          // columns cost zero decode, and null-free columns carry no
+          // presence bytes at all
           colValues.foreach(_.flush())
           val assembled = new ByteArrayOutputStream(1 << 20)
           val d = new DataOutputStream(assembled)
@@ -751,12 +799,14 @@ object ObjectFormat {
           d.writeInt(n)
           var i = 0
           while (i < n) {
-            d.writeInt(colPresence(i).size() + colValuesRaw(i).size())
+            val presBytes = if (nullCounts(i) > 0) colPresence(i).size() else 0
+            d.writeInt(4 + presBytes + colValuesRaw(i).size())
             i += 1
           }
           i = 0
           while (i < n) {
-            colPresence(i).writeTo(d)
+            d.writeInt(nullCounts(i))
+            if (nullCounts(i) > 0) colPresence(i).writeTo(d)
             colValuesRaw(i).writeTo(d)
             i += 1
           }
@@ -1164,6 +1214,83 @@ object ObjectFormat {
         case _ => true
       }
       case _ => true
+    }
+  }
+
+  /** TRUE-for-every-row proof from footer stats alone — the zone-map
+    * FULL-ACCEPT dual of [[mightMatch]]'s none-match prune. When it
+    * holds, a reader may drop the filter from row-level evaluation
+    * for the whole object (and skip decoding filter-only columns),
+    * which is what keeps the v6 bulk fill engaged on broad range
+    * scans: a `l_shipdate <= cutoff` that keeps 99% of rows would
+    * otherwise force every object through the per-row path just to
+    * drop the trailing 1% that lives in ONE boundary object.
+    *
+    * Soundness: a row is emitted only when the conjunction evaluates
+    * TRUE under 3VL, so every comparison proof requires the column
+    * null-free in this object (a null makes the row UNKNOWN → must
+    * be dropped → not provable). String bounds are truncation-safe
+    * in both directions: stored min ≤ every value ≤ stored max even
+    * when the bounds are capped prefixes. Conservative false anywhere
+    * the footer cannot say. */
+  def provenForAll(filter: Filter, footer: Footer): Boolean = {
+    val stats = footer.stats
+    def noNulls(a: String): Boolean = stats.get(a).exists(_.nullCount == 0)
+    def allNull(a: String): Boolean =
+      stats.get(a).exists(_.nullCount == footer.rowCount)
+    /** Bounds usable for a TRUE-everywhere proof: present AND the
+      * column is null-free in this object. */
+    def rng(a: String): Option[(Any, Any)] =
+      stats.get(a).collect {
+        case ColStats(mn, mx, 0) if mn != null => (mn, mx)
+      }
+    filter match {
+      case AlwaysTrue() => true
+      case IsNotNull(a) => noNulls(a)
+      case IsNull(a) => allNull(a)
+      case EqualTo(a, v) =>
+        // min == max == v pins every value (bound validity alone
+        // suffices — truncated bounds can never coincide)
+        rng(a).exists { case (mn, mx) =>
+          cmpExact(mn, v).contains(0) && cmpExact(mx, v).contains(0) }
+      case EqualNullSafe(a, null) => allNull(a)
+      case EqualNullSafe(a, v) => provenForAll(EqualTo(a, v), footer)
+      case LessThan(a, v) =>
+        rng(a).exists { case (_, mx) => cmpExact(mx, v).exists(_ < 0) }
+      case LessThanOrEqual(a, v) =>
+        rng(a).exists { case (_, mx) => cmpExact(mx, v).exists(_ <= 0) }
+      case GreaterThan(a, v) =>
+        rng(a).exists { case (mn, _) => cmpExact(mn, v).exists(_ > 0) }
+      case GreaterThanOrEqual(a, v) =>
+        rng(a).exists { case (mn, _) => cmpExact(mn, v).exists(_ >= 0) }
+      case In(a, vs) =>
+        rng(a).exists { case (mn, mx) => cmpExact(mn, mx).contains(0) &&
+          vs.exists(v => cmpExact(mn, v).contains(0)) }
+      case And(l, r) =>
+        provenForAll(l, footer) && provenForAll(r, footer)
+      case Or(l, r) =>
+        provenForAll(l, footer) || provenForAll(r, footer)
+      /** NOT(g) is TRUE everywhere iff g is FALSE everywhere; route
+        * through the exact dual where one exists (3VL: rows where g
+        * is UNKNOWN make NOT(g) UNKNOWN too, so the duals' null-free
+        * requirement carries over). */
+      case Not(g) => g match {
+        case Not(h) => provenForAll(h, footer)
+        case IsNull(a) => noNulls(a)
+        case IsNotNull(a) => allNull(a)
+        case GreaterThan(a, v) => provenForAll(LessThanOrEqual(a, v), footer)
+        case GreaterThanOrEqual(a, v) => provenForAll(LessThan(a, v), footer)
+        case LessThan(a, v) => provenForAll(GreaterThanOrEqual(a, v), footer)
+        case LessThanOrEqual(a, v) => provenForAll(GreaterThan(a, v), footer)
+        case Or(l, r) => provenForAll(And(Not(l), Not(r)), footer)
+        case And(l, r) => provenForAll(Or(Not(l), Not(r)), footer)
+        case EqualTo(a, v) =>
+          // range strictly excludes v (and no nulls) ⇒ every value ≠ v
+          rng(a).exists { case (mn, mx) =>
+            cmpExact(mx, v).exists(_ < 0) || cmpExact(mn, v).exists(_ > 0) }
+        case _ => false
+      }
+      case _ => false
     }
   }
 
@@ -3874,10 +4001,20 @@ class GraftObjectReader(path: String, fullSchema: StructType,
     * directory SEEK, zero decode. Row-major bodies must decode every
     * field of every row just to find the next row; this skip is the
     * v5 layout's point. */
+  /** Zone-map full-accept (see [[ObjectFormat.provenForAll]]): pushed
+    * filters the footer proves TRUE for every row are dropped from
+    * per-row evaluation. NEVER in negated (DELETE-survivor) mode —
+    * there the conjunction's TRUE rows are the ones REMOVED, so a
+    * proven-true filter means "no survivors", not "skip the check". */
+  private val effPushed: Array[Filter] =
+    if (pushed.isEmpty || negated) pushed
+    else pushed.filterNot(
+      ObjectFormat.provenForAll(_, ObjectFormat.readFooter(path)))
+
   private val neededCols: Array[Boolean] = {
     val need = Array.ofDim[Boolean](n)
     outIdx.foreach(i => if (i >= 0) need(i) = true)
-    pushed.foreach(_.references.foreach(r =>
+    effPushed.foreach(_.references.foreach(r =>
       fieldIdx.get(r).foreach(need(_) = true)))
     need
   }
@@ -3897,6 +4034,22 @@ class GraftObjectReader(path: String, fullSchema: StructType,
         if (!neededCols(i)) {
           var left = lens(i)
           while (left > 0) left -= in.skipBytes(left)
+        } else if (objVersion >= 6) {
+          // v6 segment: [nullCount][presence IF nullCount>0][values,
+          // top-level fixed-width little-endian]
+          val nullCount = in.readInt()
+          val pres: Array[Byte] =
+            if (nullCount > 0) {
+              val p = new Array[Byte](colRowCount); in.readFully(p); p
+            } else null
+          val dt = objSchema(i).dataType
+          val arr = Array.ofDim[Any](colRowCount)
+          var r = 0
+          while (r < colRowCount) {
+            if (pres == null || pres(r) != 0) arr(r) = readValueLE(dt)
+            r += 1
+          }
+          cols(i) = arr
         } else {
           val pres = new Array[Byte](colRowCount)
           in.readFully(pres)
@@ -3966,6 +4119,21 @@ class GraftObjectReader(path: String, fullSchema: StructType,
     case other => throw new UnsupportedOperationException(other.toString)
   }
 
+  /** v6 columnar top-level values: fixed-width types are
+    * little-endian (the bulk-fill contract); everything else shares
+    * the big-endian [[readValue]] encoding. */
+  private def readValueLE(dt: DataType): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      Long.box(java.lang.Long.reverseBytes(in.readLong()))
+    case IntegerType | DateType =>
+      Int.box(Integer.reverseBytes(in.readInt()))
+    case DoubleType => Double.box(java.lang.Double.longBitsToDouble(
+      java.lang.Long.reverseBytes(in.readLong())))
+    case FloatType => Float.box(java.lang.Float.intBitsToFloat(
+      Integer.reverseBytes(in.readInt())))
+    case other => readValue(other)
+  }
+
   private def readRow(): Boolean = {
     if (counting.pos >= bodyEnd) return false
     var i = 0
@@ -4005,7 +4173,7 @@ class GraftObjectReader(path: String, fullSchema: StructType,
       // TRUE-or-not decides row fate: a read emits only TRUE rows; a
       // negated DELETE keeps FALSE and UNKNOWN rows (SQL deletes only
       // where the predicate is TRUE)
-      else if (pushed.forall(eval3(_).contains(true)) != negated) {
+      else if (effPushed.forall(eval3(_).contains(true)) != negated) {
         val out = new Array[Any](outIdx.length)
         var k = 0
         while (k < outIdx.length) {
@@ -4077,6 +4245,7 @@ class GraftColumnarReader(paths: Seq[String], fullSchema: StructType,
       require(ver >= 5, s"$path: columnar read of v$ver object")
       require(in.readByte().toInt == ObjectFormat.LayoutColumnar,
         s"$path: columnar read of a row-major body")
+      val v6 = ver >= 6
       val rowCount = in.readInt()
       val nCols = in.readInt()
       require(nCols == objSchema.length)
@@ -4084,6 +4253,18 @@ class GraftColumnarReader(paths: Seq[String], fullSchema: StructType,
       var i = 0
       while (i < nCols) { lens(i) = in.readInt(); i += 1 }
       val fieldIdx = objSchema.fieldNames.zipWithIndex.toMap
+      // Zone-map full-accept (provenForAll): pushed filters the
+      // footer PROVES true for every row here are dropped from
+      // row-level evaluation — the whole-object case on broad range
+      // scans, keeping kept == rowCount so the bulk fill below
+      // engages, and letting filter-only columns skip decode (and
+      // even the segment read) entirely.
+      val residual: Array[Filter] =
+        if (pushed.isEmpty) pushed
+        else {
+          val footer = ObjectFormat.readFooter(path)
+          pushed.filterNot(ObjectFormat.provenForAll(_, footer))
+        }
       // Per-SEGMENT reads, not a whole-body slurp: only the projected
       // ∪ filter-referenced columns' bytes are ever allocated (one
       // modest array per column — a whole 128 MB body as one byte[]
@@ -4093,16 +4274,29 @@ class GraftColumnarReader(paths: Seq[String], fullSchema: StructType,
       val needed = Array.ofDim[Boolean](nCols)
       readSchema.fieldNames.foreach(f =>
         fieldIdx.get(f).foreach(needed(_) = true))
-      pushed.foreach(_.references.foreach(r =>
+      residual.foreach(_.references.foreach(r =>
         fieldIdx.get(r).foreach(needed(_) = true)))
-      val segs = Array.ofDim[java.nio.ByteBuffer](nCols)
+      val segs = Array.ofDim[Seg](nCols)
       i = 0
       while (i < nCols) {
         if (needed(i)) {
           val b = new Array[Byte](lens(i))
           in.readFully(b)
-          segs(i) = java.nio.ByteBuffer.wrap(b)
+          val bb = java.nio.ByteBuffer.wrap(b)
             .order(java.nio.ByteOrder.BIG_ENDIAN)
+          segs(i) =
+            if (!v6) new Seg(bb, hasPres = true, presOff = 0,
+              valOff = rowCount, le = false)
+            else {
+              // v6: [nullCount BE][presence IF nullCount>0][values];
+              // fixed-width value bytes are little-endian
+              val nullCount = bb.getInt(0)
+              val hasPres = nullCount > 0
+              val le = ObjectFormat.fixedWidthLE(objSchema(i).dataType)
+              if (le) bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              new Seg(bb, hasPres = hasPres, presOff = 4,
+                valOff = 4 + (if (hasPres) rowCount else 0), le = le)
+            }
         } else {
           var left = lens(i)
           while (left > 0) left -= in.skipBytes(left)
@@ -4118,16 +4312,16 @@ class GraftColumnarReader(paths: Seq[String], fullSchema: StructType,
         var r = bs.nextSetBit(0)
         while (r >= 0 && r < rowCount) { keep(r) = false; r = bs.nextSetBit(r + 1) }
       }
-      if (pushed.nonEmpty) {
-        val refNames = pushed.flatMap(_.references).distinct
+      if (residual.nonEmpty) {
+        val refNames = residual.flatMap(_.references).distinct
         val refCols: Map[String, Array[Any]] = refNames.flatMap { a =>
           fieldIdx.get(a).map { i =>
-            a -> decodeBoxed(segs(i), 0, rowCount, objSchema(i).dataType)
+            a -> decodeBoxed(segs(i), rowCount, objSchema(i).dataType)
           }
         }.toMap
         // compiled 3VL mask: literal normalization + comparator
         // dispatch hoisted out of the row loop (eval3-identical)
-        val mask = ObjectFormat.compileMask(pushed,
+        val mask = ObjectFormat.compileMask(residual,
           a => fieldIdx.get(a).map(objSchema(_).dataType),
           a => refCols.getOrElse(a, null))
         var r = 0
@@ -4145,7 +4339,7 @@ class GraftColumnarReader(paths: Seq[String], fullSchema: StructType,
         val v = new OnHeapColumnVector(kept, f.dataType)
         fieldIdx.get(f.name) match {
           case Some(i) =>
-            fillVector(v, segs(i), 0, rowCount, keep, kept,
+            fillVector(v, segs(i), rowCount, keep, kept,
               objSchema(i).dataType, f.dataType)
           case None if f.name == "_object" =>
             var r = 0
@@ -4158,14 +4352,26 @@ class GraftColumnarReader(paths: Seq[String], fullSchema: StructType,
     } finally in.close()
   }
 
+  /** One needed column's segment: the wrapped bytes plus where the
+    * presence bytes (if any) and the values start, and whether the
+    * fixed-width values are little-endian (v6). The buffer's order is
+    * pre-set to match the VALUE encoding; the v6 header int is parsed
+    * before the order is flipped. */
+  private final class Seg(val bb: java.nio.ByteBuffer, val hasPres: Boolean,
+      val presOff: Int, val valOff: Int, val le: Boolean) {
+    @inline def presentAt(row: Int): Boolean =
+      !hasPres || bb.get(presOff + row) != 0
+  }
+
   /** Boxed single-column decode (filter columns only). */
-  private def decodeBoxed(bb: java.nio.ByteBuffer, seg: Int,
-      rowCount: Int, dt: DataType): Array[Any] = {
+  private def decodeBoxed(seg: Seg, rowCount: Int,
+      dt: DataType): Array[Any] = {
+    val bb = seg.bb
     val out = Array.ofDim[Any](rowCount)
-    var p = seg + rowCount // presence bytes first
+    var p = seg.valOff
     var r = 0
     while (r < rowCount) {
-      if (bb.get(seg + r) != 0) {
+      if (seg.presentAt(r)) {
         dt match {
           case LongType | TimestampType | TimestampNTZType =>
             out(r) = Long.box(bb.getLong(p)); p += 8
@@ -4206,13 +4412,31 @@ class GraftColumnarReader(paths: Seq[String], fullSchema: StructType,
     * for type-widened columns (int→bigint, float→double), which get
     * their own upcast arms. */
   private def fillVector(v: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector,
-      bb: java.nio.ByteBuffer, seg: Int, rowCount: Int,
+      seg: Seg, rowCount: Int,
       keep: Array[Boolean], kept: Int, segDt: DataType,
       vecDt: DataType): Unit = {
-    var p = seg + rowCount
+    val bb = seg.bb
+    var p = seg.valOff
     var r = 0
     var o = 0
-    @inline def presentAt(row: Int): Boolean = bb.get(seg + row) != 0
+    @inline def presentAt(row: Int): Boolean = seg.presentAt(row)
+    // v6 bulk fast path — the common 100 TB scan shape: a null-free
+    // little-endian fixed-width segment with no filter/DV drops
+    // memcpys straight into the vector's backing array (the same
+    // plain-encoding fill parquet's vectorized reader does), no
+    // per-value loop at all.
+    if (seg.le && !seg.hasPres && kept == rowCount && segDt == vecDt) {
+      val arr = bb.array()
+      segDt match {
+        case LongType | TimestampType | TimestampNTZType =>
+          v.putLongsLittleEndian(0, kept, arr, p); return
+        case IntegerType | DateType =>
+          v.putIntsLittleEndian(0, kept, arr, p); return
+        case DoubleType => v.putDoublesLittleEndian(0, kept, arr, p); return
+        case FloatType => v.putFloatsLittleEndian(0, kept, arr, p); return
+        case _ => // boolean falls through to the per-row loop
+      }
+    }
     if (segDt != vecDt) {
       (segDt, vecDt) match {
         case (IntegerType, LongType) =>
