@@ -822,6 +822,103 @@ object Multimodal extends QueryModule {
       .distinct()
   }
 
+  /** Domain-scaled twin of [[phashNearQ]] (r9 sf1 screen finding —
+    * 23.6× wall at 10× data): the synthetic BMP family recycles 16
+    * base patterns, so ScaleGen copies pile near-identical images
+    * into the SAME pattern space — duplicate CLASS size grows ∝ data
+    * and the TRUE pair count is quadratic. The banded pigeonhole plan
+    * is not at fault (its hamming ≤ 7 ⇒ shared-byte-band theorem holds
+    * at every scale); the ANSWER is quadratic, exactly the unscaled-ER
+    * shape r8 caught. Real corpora grow their image domain with the
+    * data, so the twin scopes near-dup detection to the ingestion
+    * band (doc_id div 10⁷ — ScaleGen's copy stride, the same move
+    * q_dedup_er_entities_scaled makes): per-band candidates are
+    * constant, totals ∝ copies, and within a band this is
+    * [[phashNearQ]]'s exact structure (at sf ≤ 0.1 — one band — the
+    * two queries coincide). BlockingGateSpec audits the volume on the
+    * copies axis via [[phashScaledBandsCopies]]. */
+  private val phashNearScaledQ = (s: SparkSession, dir: String) => {
+    import s.implicits._
+    val imgs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, aHashBmp(synthBmpGrid(id)))))
+      .toDF("doc_id", "phash")
+      .withColumn("cpy", expr("doc_id div 10000000"))
+    val bands = imgs.select(col("doc_id"), col("phash"), col("cpy"),
+      explode(array((0 until 8).map(i => struct(lit(i).as("band"),
+        shiftright(col("phash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("phash"), col("cpy"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.cpy") === col("y.cpy") &&
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= 7)
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    Dedup.connectedComponentsStars(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("kept", col("doc_id") === col("cluster_id"))
+  }
+
+  /** For BlockingGateSpec: the scaled twin's (id, k) band assignments
+    * under its own growth axis (doc_id-shifted copies — ScaleGen's
+    * move), so the gate can check candidate volume ∝ copies. */
+  private[graft] def phashScaledBandsCopies(copies: Int)(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val imgs = (0 until copies).map { c =>
+      Tables.documents(s, dir).select(
+        (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"))
+    }.reduce(_ unionByName _)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, aHashBmp(synthBmpGrid(id)))))
+      .toDF("doc_id", "phash")
+      .withColumn("cpy", expr("doc_id div 10000000"))
+    imgs.select(col("doc_id").as("id"),
+      explode(array((0 until 8).map(i =>
+        concat_ws("|", col("cpy"), lit(i),
+          shiftright(col("phash"), i * 8).bitwiseAND(lit(255L)))): _*))
+        .as("k"))
+  }
+
+  private val phashNearScaledSql =
+    """WITH RECURSIVE img AS (
+      |  SELECT doc_id, doc_id // 3 AS t, (doc_id // 3) % 16 AS g
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |jb AS (SELECT doc_id, t, g, unnest(range(64)) AS j FROM img),
+      |bits AS (SELECT doc_id, j,
+      |  ((((13 * g + 29 * (j // 8)) % 256) >> CAST(j % 8 AS INT)) & 1
+      |   + CASE WHEN t % 4 = 0 AND j = doc_id % 64 THEN 1 ELSE 0 END
+      |   + CASE WHEN t % 8 = 0 AND j = (doc_id * 7 + 11) % 64 THEN 1 ELSE 0 END
+      |  ) % 2 AS b
+      |  FROM jb),
+      |pc AS (SELECT doc_id, SUM(b) AS k FROM bits GROUP BY 1),
+      |hv AS (SELECT bits.doc_id,
+      |  CAST(SUM(CASE WHEN b = 1 AND k > 0 AND k < 64
+      |       THEN CAST(power(2, j) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)
+      |    AS HUGEINT) AS v
+      |  FROM bits JOIN pc ON bits.doc_id = pc.doc_id GROUP BY 1),
+      |ph AS (SELECT doc_id,
+      |  CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+      |       THEN v - CAST('18446744073709551616' AS HUGEINT)
+      |       ELSE v END AS BIGINT) AS phash FROM hv),
+      |ham AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+      |        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |         AND a.doc_id // 10000000 = b.doc_id // 10000000
+      |        WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+      |edges AS (SELECT ida AS a, idb AS b FROM ham
+      |          UNION SELECT idb, ida FROM ham),
+      |reach AS (SELECT a AS id, b AS peer FROM edges
+      |          UNION
+      |          SELECT r.id, e.b FROM reach r JOIN edges e ON r.peer = e.a)
+      |SELECT id AS doc_id, least(id, min(peer)) AS cluster_id,
+      |  id = least(id, min(peer)) AS kept
+      |FROM reach GROUP BY id""".stripMargin
+
   private val phashNearSql =
     """WITH RECURSIVE img AS (
       |  SELECT doc_id, doc_id // 3 AS t, (doc_id // 3) % 16 AS g
@@ -1010,7 +1107,13 @@ object Multimodal extends QueryModule {
     "q_mm_phash_dedup" -> Q(phashQ, Some(phashSql),
       "image near-dup clusters: aHash from decoded bytes, closed-form oracle"),
     "q_mm_phash_near" -> Q(phashNearQ, Some(phashNearSql),
-      "hamming-adjacent image clusters: banded aHash join, CC over verified pairs"),
+      "hamming-adjacent image clusters: banded aHash join, CC over verified pairs" +
+        " (fixture recycles 16 patterns: the ANSWER is pair-quadratic in data" +
+        " — r9 screen measured 23.6x wall at 10x; scale users call the twin)",
+      scale = graft.ScaleClass.FixtureDiagnostic("q_mm_phash_near_scaled")),
+    "q_mm_phash_near_scaled" -> Q(phashNearScaledQ, Some(phashNearScaledSql),
+      "domain-scaled hamming clusters: near-dup scoped to the ScaleGen copy" +
+        " band (doc_id div 1e7), volume proportional to copies — linear total"),
     "q_mm_meta" -> Q(metaQ, Some(metaSql),
       "binary media column + typed metadata struct projection"),
     "q_mm_decode" -> Q(decodeBmpQ, Some(decodeBmpSql),

@@ -1730,7 +1730,12 @@ object Sources extends QueryModule {
     "q_stream_cdc_apply" -> Q(cdcApply, Some(cdcApplySql),
       "CDC replication: change feed netted per key + MERGEd into a mirror"),
     "q_src_clustered_join" -> Q(clusteredJoin, Some(clusteredJoinSql),
-      "value-clustered layout: storage-partitioned join + agg, zero shuffles"),
+      "value-clustered layout: storage-partitioned join + agg, zero shuffles" +
+        " (DELIBERATE one-object-per-key demonstration: O(#keys) file" +
+        " creates — sf1 = 300k objects, >1800s wall even solo (r9 screen);" +
+        " scale users call the width-bucketed twin)",
+      scale = graft.ScaleClass.FixtureDiagnostic(
+        "q_src_clustered_join_bucketed")),
     "q_src_clustered_join_bucketed" -> Q(clusteredBucketed,
       Some(clusteredJoinSql),
       "width-bucketed clustered layout: bucket(W,key) SPJ at high cardinality"),

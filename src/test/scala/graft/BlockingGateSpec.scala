@@ -87,6 +87,36 @@ class BlockingGateSpec extends SparkSpec {
         "key-shifted copies — the band prefix is not isolating copies")
   }
 
+  test("phash_near_scaled: volume is linear on ITS growth axis " +
+      "(doc_id-shifted copies)") {
+    // The BMP fixture recycles 16 base patterns, so BASE growth piles
+    // images into the same hash space and the true pair count is
+    // quadratic (r9 sf1 screen: 23.6× wall at 10× data —
+    // q_mm_phash_near is FixtureDiagnostic for exactly that). The
+    // twin's designed growth axis is ScaleGen copies, where the cpy
+    // band scopes every copy to its own blocking universe: volume
+    // must be ∝ copies.
+    def at(copies: Int) = BlockingAudit.measure(
+      BlockingAudit.Audited("q_mm_phash_near_scaled",
+        "Multimodal.phashNearScaledQ via phashScaledBandsCopies",
+        graft.operators.Multimodal.phashScaledBandsCopies(copies), None,
+        linearC = None),
+      spark, sfSmall)
+    val lo = at(1)
+    val hi = at(10)
+    info(f"phash_scaled copies=1: rows=${lo.nRows} vol=${lo.volume} " +
+      f"(${lo.volumePerRow}%.2f/row); copies=10: rows=${hi.nRows} " +
+      f"vol=${hi.volume} (${hi.volumePerRow}%.2f/row)")
+    val rowGrowth = hi.nRows.toDouble / lo.nRows
+    val volGrowth = hi.volume.toDouble / math.max(1L, lo.volume)
+    assert(volGrowth <= GROWTH_SLACK * rowGrowth,
+      f"volume grew $volGrowth%.1fx for $rowGrowth%.1fx rows across " +
+        "doc_id-shifted copies — the cpy band is not isolating copies")
+    // and the unscaled original is machine-quarantined
+    assert(SparkEntry.scaleClass("q_mm_phash_near")
+      .startsWith("fixture_diagnostic:"))
+  }
+
   test("the gate FIRES on the degenerate witnesses (fixed codespaces)") {
     BlockingAudit.entries.filter(_.linearC.isEmpty).foreach { a =>
       val (lo, hi) = measurePair(a)
