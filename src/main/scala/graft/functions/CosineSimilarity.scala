@@ -9,16 +9,23 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expression for cosine similarity over two
-  * ArrayType(FloatType) columns (SURVEY §4.2 optional perf item: the
-  * codegen replacement for the `zip_with`+`aggregate` fold in
-  * VectorOps when the similarity path is hot).
+  * ArrayType(FloatType) or ArrayType(DoubleType) columns — each side
+  * independently (SURVEY §4.2 optional perf item: the codegen
+  * replacement for the `zip_with`+`aggregate` fold in VectorOps when
+  * the similarity path is hot). The double-array side exists for the
+  * IVF centroid tables (Lloyd means are exact-quantized doubles): the
+  * r9 optimization round measured the interpreted HOF fold inside
+  * assignCells as the single largest CPU sink in the bench.
   *
   * Semantics contract: BIT-IDENTICAL to VectorOps.cosine — each
   * accumulator (dot, |a|², |b|²) is an independent strict left-to-right
-  * double fold, so swapping one implementation for the other can never
-  * change query results (the spec asserts equality on every fixture
-  * pair). One fused loop instead of three array traversals and six
-  * intermediate arrays; no per-element lambda dispatch.
+  * double fold, and every element is widened to double before any
+  * arithmetic exactly as the fold's `cast("double")` does (a float
+  * element cast to double is exact; a double element is untouched), so
+  * swapping one implementation for the other can never change query
+  * results (the spec asserts equality on every fixture pair, both
+  * element types). One fused loop instead of three array traversals
+  * and six intermediate arrays; no per-element lambda dispatch.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -26,26 +33,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(e => elemOk(e.dataType))
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, " +
+      s"$prettyName requires two array<float|double> arguments, " +
         s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xf = isFloat(left.dataType)
+    val yf = isFloat(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -61,12 +76,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      def get(arr: String, fl: Boolean): String =
+        if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  double $x = ${get(a, isFloat(left.dataType))};
+         |  double $y = ${get(b, isFloat(right.dataType))};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

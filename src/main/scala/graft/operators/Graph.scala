@@ -1685,16 +1685,34 @@ object Graph extends QueryModule {
         .map(_.toLong).getOrElse(ScaledEdgeCutoff))
 
   /** SF-scaling undirected weighted edges: co-purchase chains.
-    * (a < b by construction: lead() over ascending custkey.) */
+    * (a < b by construction: consecutive custkeys in ascending order.)
+    *
+    * r9 optimization (guide §2.4): the original spelled this as
+    * distinct(pk, ck) → lead() window over pk → groupBy(a, b) — three
+    * corpus-sized exchanges (hash(pk,ck), hash(pk), hash(a,b)). The
+    * chain of consecutive distinct custkeys per part is computable
+    * MAP-SIDE from one sorted set per part: collect_set dedups inside
+    * the aggregate (the distinct folded into the same exchange),
+    * sort_array imposes the lead() order, and adjacent pairs explode
+    * without any window — one corpus exchange (hash(pk)) plus the
+    * pair-partial exchange. Result-identical: edges are exactly the
+    * consecutive pairs of each part's sorted distinct custkey set,
+    * counted across parts (the DuckDB CTE still spells the
+    * distinct+lead form — the oracle pins equivalence). Fan-out per
+    * part = |set|-1, bounded by part popularity exactly as the window
+    * form's partitions were. */
   private def scaledUndirected(s: SparkSession, dir: String): DataFrame = {
-    val co = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_partkey").as("pk"), col("o_custkey").as("ck"))
-      .distinct()
-    val w = Window.partitionBy(col("pk")).orderBy(col("ck"))
-    co.withColumn("nxt", lead(col("ck"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("ck").as("a"), col("nxt").as("b"))
+      .groupBy(col("pk"))
+      .agg(array_sort(collect_set(col("ck"))).as("cs"))
+      .filter(size(col("cs")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(cs) - 1), " +
+          "i -> struct(element_at(cs, i) AS a, element_at(cs, i + 1) AS b))"))
+        .as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).as("w"))
   }
 
@@ -1723,8 +1741,16 @@ object Graph extends QueryModule {
     val eu = scaledUndirected(s, dir)
     val ed0 = eu.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(eu.select(col("b").as("src"), col("a").as("dst"), col("w")))
-    val wout = ed0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val ed = ed0.join(wout, "src").localCheckpoint()
+    // r9 optimization (guide §2.4 "two operations keyed the same way
+    // share one exchange"): wout was a groupBy(src) + self-join —
+    // shuffle ed0 once for the agg and sort BOTH sides again for the
+    // SMJ. A src-partitioned window-sum computes the same per-src
+    // total in the single exchange the edge table needs anyway, and
+    // its sorted-by-src output is exactly the ordering the per-round
+    // SMJ against ranks/labels reuses from the checkpoint.
+    val ed = ed0
+      .withColumn("wout", sum(col("w")).over(Window.partitionBy(col("src"))))
+      .localCheckpoint()
     val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
     (ed, nodes, ed.count() / 2)
   }
@@ -1859,13 +1885,29 @@ object Graph extends QueryModule {
         StructField("deg", LongType))),
         deg.toSeq.sortBy(_._1).map { case (n, d) => Row(n, d) })
     } else {
+      // r9 optimization (guide §2.4): the original round shuffled the
+      // FULL edge list twice — once for the dst-aliveness semi-join,
+      // once to regroup by src. Keep a second checkpointed orientation
+      // (dst-partitioned, dst-sorted: one extra shuffle, paid once)
+      // so the dst semi-join never moves the edges; count dst-alive
+      // edges per src (map-side partial agg — the exchange carries
+      // node-sized partials, not edges); and apply src-aliveness to
+      // the NODE-sized degree table after the count. Result-identical:
+      // for every alive src the kept-edge count is unchanged, and dead
+      // srcs are dropped by the semi-join exactly as the edge-level
+      // filter dropped them. Per round the edges are scanned, never
+      // shuffled.
+      val edDst = ed.select(col("src"), col("dst"))
+        .repartition(col("dst")).sortWithinPartitions(col("dst"))
+        .localCheckpoint()
       var alive = nodes
       var survivors: DataFrame = null
       for (_ <- 1 to ScaledIters) {
-        survivors = ed
-          .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        val deg0 = edDst
           .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
           .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        survivors = deg0
+          .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
           .filter(col("deg") >= K)
           .localCheckpoint()
         alive = survivors.select(col("src").as("node"))

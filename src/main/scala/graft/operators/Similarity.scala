@@ -31,17 +31,41 @@ object Similarity extends QueryModule {
   private val NBits = 16
   private val Probe = 3 // multiprobe hamming radius over bucket bits
 
+  /** Codegen cosine (CosineSimilarity — bit-identical to the HOF fold
+    * by its documented contract + CosineExprSpec). Every hot cosine in
+    * this module routes here since the r9 optimization round: the
+    * interpreted `aggregate`+`zip_with` fold is a measured 40× penalty
+    * (the q_sim_knn_graph lesson), and the bench's largest CPU sink was
+    * assignCells evaluating that fold once per (vector × centroid).
+    * Registration is idempotent and runs at plan-build time, where a
+    * session is always active. */
+  private def cosNative(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    call_function("cosine_sim", a, b)
+  }
+
   private def cosRounded(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    round(cosNative(a, b), 6)
+
+  /** The deliberately-interpreted fold, kept ONLY for the documented
+    * brute/native bench pair (q_sim_topk_brute vs _native measures the
+    * HOF-vs-codegen gap; swapping the baseline would erase the row's
+    * meaning). */
+  private def cosRoundedHof(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column) =
     round(VectorOps.cosine(a, b), 6)
 
   // 1. Brute-force cosine top-10 for the vec_id=0 query vector.
+  // Deliberately the INTERPRETED fold: this row is the baseline half
+  // of the brute/native bench pair (see cosRoundedHof).
   private val bruteQ = (s: SparkSession, dir: String) => {
     val e = Tables.embeddings(s, dir)
     val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
-      .select(col("vec_id"), cosRounded(col("embedding"), col("qe")).as("cos"))
+      .select(col("vec_id"), cosRoundedHof(col("embedding"), col("qe")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -517,7 +541,10 @@ object Similarity extends QueryModule {
         col("cents"),
         struct(lit(-2.0).as("c"), lit(-1).as("cell")),
         (acc, ct) => {
-          val c = VectorOps.cosine(col("embedding"), ct.getField("centroid"))
+          // codegen-eval cosine (bit-identical contract): the fold over
+          // cells stays a HOF, but the O(dim) inner product per cell is
+          // one fused primitive loop instead of three boxed lambda folds
+          val c = cosNative(col("embedding"), ct.getField("centroid"))
           when(c > acc.getField("c"),
             struct(c.as("c"), ct.getField("cell").as("cell")))
             .otherwise(acc)
@@ -569,7 +596,7 @@ object Similarity extends QueryModule {
     val data = assignCells(e, cents)
     val qcells = queries
       .crossJoin(broadcast(cents))
-      .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("qc", cosNative(col("qe"), col("centroid")))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("qc").desc, col("cell").asc)))
       .filter(col("pr") <= NProbe)
@@ -807,7 +834,7 @@ object Similarity extends QueryModule {
     val enc = assignCells(pqEncode(e, cb), cents)
       .select(col("vec_id"), col("cell"), col("codes"))
     val qcells = qs.crossJoin(broadcast(cents))
-      .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("qc", cosNative(col("qe"), col("centroid")))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("qc").desc, col("cell").asc)))
@@ -923,7 +950,7 @@ object Similarity extends QueryModule {
     // probe cells per query, then one distance table per (query, cell)
     // from the query's residual AGAINST THAT CELL
     val qcells = qs.crossJoin(broadcast(cents))
-      .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("qc", cosNative(col("qe"), col("centroid")))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("qc").desc, col("cell").asc)))
@@ -1563,7 +1590,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val qcells = queries
       .crossJoin(broadcast(cents))
-      .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("qc", cosNative(col("qe"), col("centroid")))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("qc").desc, col("cell").asc)))
       .filter(col("pr") <= NProbe)
@@ -2163,7 +2190,7 @@ object Similarity extends QueryModule {
     val data = assignCells(e, cents).localCheckpoint()
     val qcells = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(cents))
-      .withColumn("qc", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("qc", cosNative(col("qe"), col("centroid")))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("qc").desc, col("cell").asc)))
       .filter(col("pr") <= NProbe)
@@ -2353,7 +2380,7 @@ object Similarity extends QueryModule {
     val cents = trainIvf(corpus)
     val data = assignCells(corpus, cents)
     val qc = queries.crossJoin(broadcast(cents))
-      .withColumn("qcos", VectorOps.cosine(col("qe"), col("centroid")))
+      .withColumn("qcos", cosNative(col("qe"), col("centroid")))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cell").asc)))
       .filter(col("pr") <= NProbe)

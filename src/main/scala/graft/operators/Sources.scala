@@ -1040,69 +1040,108 @@ object Sources extends QueryModule {
     //
     // Distributed (the r6 verdict's swap — this was the repo's single
     // worst scale plan): range-partition on the canonical order, count
-    // run STARTS per partition with a PARTITIONED lag window (each
-    // partition head counts as a start), then subtract one per column
-    // wherever a partition's first value equals the previous
-    // partition's last value — the boundary correction. First/last
-    // rows per partition are min/max of the full-key struct
-    // (lexicographic struct order IS the canonical order): ≤ 2·parts
-    // rows, a constant-bounded driver collect.
+    // run STARTS per partition (each partition head counts as a
+    // start), then subtract one per column wherever a partition's
+    // first value equals the previous partition's last value — the
+    // boundary correction over ≤ parts tiny rows.
+    //
+    // r9 optimization (guide §2.4 "remove shuffles outright" + §1.2
+    // step 1): the previous form paid range-exchange → eager
+    // localCheckpoint → a SECOND full hash-exchange on _pid for the
+    // lag window → a separate bounds pass → a final global agg — five
+    // materializations of the fact for what is one streaming scan of
+    // each sorted range. Counting run starts under a known
+    // within-partition order is an ORDERED streaming aggregation,
+    // which the expression layer cannot express without that second
+    // window exchange, so this is one of the repo's few deliberate
+    // mapPartitions kernels (the media-decode rule): O(1) state, one
+    // input row at a time, emits ONE row per partition (n, 4 start
+    // counts, first/last audited values — the bounds rows folded into
+    // the same pass). The driver fold over ≤ 32 partition rows applies
+    // the boundary correction and assembles the 4-row advisor table —
+    // the same constant-bounded collect the bounds pass already did.
+    // Run-count semantics are unchanged (RleAdviceKernelSpec pins the
+    // old window form against this one; the DuckDB oracle pins the
+    // global answer).
     val sortCols = Seq(col("l_orderkey"), col("l_linenumber"),
       col("l_returnflag"), col("l_linestatus"), col("ship_day"),
       col("l_suppkey"))
-    val audited = Seq("l_returnflag", "l_linestatus", "ship_day",
-      "l_suppkey")
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_returnflag"), col("l_linestatus"),
         col("l_shipdate").cast("date").as("ship_day"),
         col("l_suppkey"))
       .repartitionByRange(32, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
-    def newRun(c: String) =
-      when(row_number().over(w) === 1, 1L) // partition head = run start
-        .otherwise(when(col(c) <=> lag(col(c), 1).over(w), 0L)
-          .otherwise(1L)).as(s"nr_$c")
-    // boundary rows: the canonical-order first/last tuple per partition
-    val keyStruct = struct(sortCols: _*)
-    val bounds = li.groupBy(col("_pid"))
-      .agg(min(keyStruct).as("lo"), max(keyStruct).as("hi"))
-      .collect().sortBy(_.getInt(0))
-    // per audited column: #adjacent partition pairs whose boundary
-    // values match (that head row is NOT a true run start)
-    val fieldIdx = Map("l_returnflag" -> 2, "l_linestatus" -> 3,
-      "ship_day" -> 4, "l_suppkey" -> 5)
-    val corrections: Map[String, Long] = audited.map { c =>
-      val i = fieldIdx(c)
-      c -> bounds.sliding(2).count {
-        case Array(a, b) =>
-          a.getStruct(2).get(i) == b.getStruct(1).get(i)
+      .sortWithinPartitions(sortCols: _*)
+    import s.implicits._
+    // per-partition summary: (pid, n, starts×4, first×4, last×4);
+    // audited row positions 2..5 = (returnflag, linestatus, ship_day,
+    // suppkey)
+    val parts = li.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var n = 0L
+        val starts = Array(0L, 0L, 0L, 0L)
+        var fFlag: String = null; var fStat: String = null
+        var fDay: java.sql.Date = null; var fSupp: java.lang.Long = null
+        var pFlag: String = null; var pStat: String = null
+        var pDay: java.sql.Date = null; var pSupp: java.lang.Long = null
+        while (it.hasNext) {
+          val r = it.next()
+          val cFlag = r.getAs[String](2)
+          val cStat = r.getAs[String](3)
+          val cDay = r.getAs[java.sql.Date](4)
+          val cSupp = if (r.isNullAt(5)) null
+            else java.lang.Long.valueOf(r.getLong(5))
+          if (n == 0L) {
+            fFlag = cFlag; fStat = cStat; fDay = cDay; fSupp = cSupp
+            starts(0) += 1; starts(1) += 1; starts(2) += 1; starts(3) += 1
+          } else {
+            if (!java.util.Objects.equals(cFlag, pFlag)) starts(0) += 1
+            if (!java.util.Objects.equals(cStat, pStat)) starts(1) += 1
+            if (!java.util.Objects.equals(cDay, pDay)) starts(2) += 1
+            if (!java.util.Objects.equals(cSupp, pSupp)) starts(3) += 1
+          }
+          pFlag = cFlag; pStat = cStat; pDay = cDay; pSupp = cSupp
+          n += 1L
+        }
+        Iterator.single((pid, n, starts(0), starts(1), starts(2), starts(3),
+          fFlag, fStat, fDay, Option(fSupp).map(_.longValue),
+          pFlag, pStat, pDay, Option(pSupp).map(_.longValue)))
+      }
+    }.collect().sortBy(_._1)
+    val totalN = parts.map(_._2).sum
+    // boundary correction: a partition head equal to the previous
+    // partition's tail is NOT a true run start
+    def runs(startIdx: Int, fi: Int, li2: Int): Long = {
+      val startSum = parts.map(p => p.productElement(startIdx)
+        .asInstanceOf[Long]).sum
+      val corrections = parts.iterator.sliding(2).withPartial(false).count {
+        case Seq(a, b) => java.util.Objects.equals(
+          a.productElement(li2), b.productElement(fi))
         case _ => false
-      }.toLong
-    }.toMap
-    li.select(col("_pid") +: sortCols :+ newRun("l_returnflag") :+
-        newRun("l_linestatus") :+ newRun("ship_day") :+
-        newRun("l_suppkey"): _*)
-      .agg(count(lit(1)).as("n"),
-        (sum(col("nr_l_returnflag")) - corrections("l_returnflag"))
-          .as("runs_l_returnflag"),
-        (sum(col("nr_l_linestatus")) - corrections("l_linestatus"))
-          .as("runs_l_linestatus"),
-        (sum(col("nr_ship_day")) - corrections("ship_day"))
-          .as("runs_ship_day"),
-        (sum(col("nr_l_suppkey")) - corrections("l_suppkey"))
-          .as("runs_l_suppkey"))
-      .selectExpr(
-        """stack(4,
-          |  'l_returnflag', runs_l_returnflag,
-          |  'l_linestatus', runs_l_linestatus,
-          |  'ship_day', runs_ship_day,
-          |  'l_suppkey', runs_l_suppkey) AS (col_name, n_runs)"""
-          .stripMargin,
-        "n")
-      .withColumn("rle_ratio_micro", expr("(1000000 * n_runs) div n"))
+      }
+      startSum - corrections
+    }
+    // productElement indices in the tuple above:
+    //   starts 2..5, first 6..9, last 10..13
+    val names = Seq("l_returnflag", "l_linestatus", "ship_day", "l_suppkey")
+    val runCounts = names.indices.map(k => runs(2 + k, 6 + k, 10 + k))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("n_runs", LongType),
+      StructField("n", LongType, nullable = false),
+      StructField("rle_ratio_micro", LongType)))
+    val out = names.zipWithIndex.map { case (nm, k) =>
+      if (totalN == 0L) Row(nm, null, 0L, null)
+      else Row(nm, runCounts(k), totalN,
+        java.lang.Long.valueOf(1000000L * runCounts(k) / totalN))
+    }
+    s.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
   }
 
   private val rleAdviceSql =

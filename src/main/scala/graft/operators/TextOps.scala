@@ -996,18 +996,29 @@ object TextOps extends QueryModule {
     * argmax windows over ≤5 rows per doc. */
   private val langidNgramQ = (s: SparkSession, dir: String) => {
     val docs = Tables.documents(s, dir).filter(length(col("text")) >= 3)
-    val tri = docs.select(col("doc_id"), col("lang"), explode(expr(
+    // r9 optimization: the corpus trigram explode fed BOTH the profile
+    // build and the scoring join as separate executions — the whole
+    // substring explode ran twice per pass (guide §2.4: reuse one
+    // computation). Collapse to per-doc gram COUNTS once (the explode's
+    // only consumer shape: profile = Σ over docs, score = Σ over
+    // profile grams), checkpoint that doc×gram table, and derive both
+    // sides from it. Result-identical: COUNT over tri ≡ SUM(cnt) over
+    // the per-doc collapse, on both branches.
+    val dgc = docs.select(col("doc_id"), col("lang"), explode(expr(
       "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
       .as("g"))
-    val prof = tri.groupBy(col("lang").as("p_lang"), col("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val prof = dgc.groupBy(col("lang").as("p_lang"), col("g"))
+      .agg(sum(col("cnt")).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("p_lang"))
           .orderBy(col("cnt").desc, col("g").asc)))
       .filter(col("rk") <= 40).select(col("p_lang"), col("g"))
-    val scores = tri.join(broadcast(prof), Seq("g"))
+    val scores = dgc.join(broadcast(prof), Seq("g"))
       .groupBy(col("doc_id"), col("p_lang"))
-      .agg(count(lit(1)).as("score"))
+      .agg(sum(col("cnt")).as("score"))
     val pred = scores.withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("p_lang").asc)))
