@@ -301,6 +301,11 @@ object Aggregates extends QueryModule {
     // and the fan-out is explicitly basket-bounded (TPC-H baskets ≤ 7;
     // a pathological mega-basket would cap via the same width-bucket
     // trick the clustered layout uses).
+    // (r9 note: a combination-generating rewrite via transform/flatten
+    // lambdas was tried and measured WORSE in interleaved A/B — HOF
+    // lambdas are interpreted per element, the q_sim_knn_graph lesson;
+    // the double explode below is whole-stage-codegen end to end and
+    // the half it filters away costs less than lambda dispatch.)
     val baskets = graft.Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .groupBy(col("okey")).agg(collect_set(col("pk")).as("ps"))

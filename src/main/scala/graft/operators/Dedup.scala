@@ -47,6 +47,33 @@ object Dedup extends QueryModule {
   private def shingleEdges(df: DataFrame): DataFrame =
     shingled(df).select(col("doc_id"), explode(col("sh")).as("s")).distinct()
 
+  /** Shared-key co-occurrence counts over an (id, s) edge list: for
+    * every unordered id pair sharing a key, |A∩B| — rows
+    * (aName < bName, i). r9 optimization (guide §2.4, the market-
+    * basket shape): the former spelling self-joined the edge list on
+    * the key — two full shuffles plus two sort-merge sorts per call
+    * site. Grouping to ONE sorted id set per key (a single exchange;
+    * collect_set folds the dedup in) and exploding the C(m,2) ordered
+    * combinations map-side feeds the pair aggregate directly.
+    * Result-identical: same pair multiset (the join's a<b half),
+    * and per-key fan-out C(m,2) is exactly the volume the join
+    * produced, so hot-key bounds are unchanged. */
+  private def pairIntersections(
+      edges: DataFrame, id: String,
+      aName: String, bName: String): DataFrame =
+    edges.groupBy(col("s"))
+      .agg(array_sort(collect_set(col(id))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      // codegen pair generation: two Generate operators + a slice —
+      // NOT transform/flatten lambdas, which are interpreted per
+      // element and measured slower than the join they replaced
+      .select(col("ids"), posexplode(col("ids")).as(Seq("p", aName)))
+      .select(col(aName),
+        explode(slice(col("ids"), col("p") + lit(2),
+          greatest(size(col("ids")) - col("p") - lit(1), lit(0))))
+          .as(bName))
+      .groupBy(col(aName), col(bName)).agg(count(lit(1)).as("i"))
+
   /** Cached-intermediate registry: the edge list / minhash profile /
     * simhash table are each used by several queries (pairs, clusters,
     * verification); memoizing the CACHED DataFrame per (session, dir)
@@ -83,11 +110,8 @@ object Dedup extends QueryModule {
         .select(col("source"), col("text")))
       .select(col("source"), explode(col("sh")).as("s")).distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    sh.select(col("source").as("src_a"), col("s"))
-      .join(sh.select(col("source").as("src_b"), col("s")), Seq("s"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    pairIntersections(sh, "source", "src_a", "src_b")
+      .withColumnRenamed("i", "n_shared")
       .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
       .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"),
@@ -125,10 +149,7 @@ object Dedup extends QueryModule {
   private[graft] def jaccardPairs(s: SparkSession, dir: String, thresh: Double): DataFrame = {
     val edges = shared(s, s"edges|$dir")(shingleEdges(Tables.documents(s, dir)))
     val counts = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = edges.select(col("doc_id").as("ida"), col("s"))
-    val b = edges.select(col("doc_id").as("idb"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("ida") < col("idb"))
-      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
+    val inter = pairIntersections(edges, "doc_id", "ida", "idb")
     inter
       .join(counts.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
       .join(counts.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
@@ -917,10 +938,7 @@ object Dedup extends QueryModule {
   private val containmentQ = (s: SparkSession, dir: String) => {
     val edges = shared(s, s"edges|$dir")(shingleEdges(Tables.documents(s, dir)))
     val counts = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = edges.select(col("doc_id").as("ida"), col("s"))
-    val b = edges.select(col("doc_id").as("idb"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("ida") < col("idb"))
-      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
+    val inter = pairIntersections(edges, "doc_id", "ida", "idb")
       .join(counts.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
       .join(counts.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
     // both directions from ONE pass over inter (a unionAll of two
@@ -1121,10 +1139,7 @@ object Dedup extends QueryModule {
       col("ml").as("ma"))
     val pb = prof.select(col("source").as("src_b"), col("n").as("nb"),
       col("ml").as("mb"))
-    val inter = sh.select(col("source").as("src_a"), col("s"))
-      .join(sh.select(col("source").as("src_b"), col("s")), Seq("s"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
+    val inter = pairIntersections(sh, "source", "src_a", "src_b")
     pa.crossJoin(broadcast(pb)).filter(col("src_a") < col("src_b"))
       .join(inter, Seq("src_a", "src_b"), "left")
       .withColumn("i", coalesce(col("i"), lit(0L)))
@@ -1204,10 +1219,7 @@ object Dedup extends QueryModule {
         array((0 until MheK).map(k => col(s"m$k")): _*).as("ml"))
     // ground truth: exact jaccard >= 0.7 as an integer rational
     val counts = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = edges.select(col("doc_id").as("ida"), col("s"))
-      .join(edges.select(col("doc_id").as("idb"), col("s")), Seq("s"))
-      .filter(col("ida") < col("idb"))
-      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
+    val inter = pairIntersections(edges, "doc_id", "ida", "idb")
     val truth = inter
       .join(counts.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
       .join(counts.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")

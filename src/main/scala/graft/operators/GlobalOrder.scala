@@ -67,12 +67,20 @@ object GlobalOrder {
       vals: Seq[(String, Column)],
       parts: Int = 0): (DataFrame, Array[Long]) = {
     // width: explicit arg > session conf (r7 verdict #8: deployment-
-    // sizable) > 32. At 100 TB this is "number of range buckets the
-    // total order is split into" — size it like shuffle width.
+    // sizable) > the session's shuffle width. At 100 TB this is
+    // "number of range buckets the total order is split into" — size
+    // it like shuffle width, which is exactly what the fallback now
+    // reads (r9 optimization: the old hardcoded 32 ran 32-task range
+    // jobs against 8-partition sessions at bench scale — 4× the task
+    // scheduling for the same rows — and UNDER-sized production
+    // sessions, whose shuffle width is in the hundreds; the result is
+    // partition-count independent by construction, so only the
+    // constant changes).
     val nParts =
       if (parts > 0) parts
       else df.sparkSession.conf.getOption("spark.graft.globalOrderParts")
-        .map(_.toInt).getOrElse(32)
+        .map(_.toInt)
+        .getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
     val pid = "_go_pid"
     // LAZY checkpoint (r7 verdict #5): eager would run a dedicated
     // materialization job; lazy materializes as a side effect of the

@@ -1040,21 +1040,36 @@ object TimeSeries extends QueryModule {
       .withColumn("hi",
         (unix_timestamp(col("hour")) / 3600L).cast("long"))
       .select(col("event_type"), col("hi"), col("hm"))
+    // r9 optimization (guide §2.3/§2.4/§3.1): (a) the grid self-join
+    // ran as a sort-merge over FIVE event_type keys — the whole
+    // quadratic pair fan-out in ≤5 tasks; broadcasting the (hour-grid
+    // sized, time-domain-bounded by contract) probe side generates
+    // pairs map-side at scan parallelism. (b) np was a second
+    // full-partition count window buffering every pair; it equals
+    // C(h,2) analytically (hi is distinct within a type by
+    // construction), computed from the 5-row hour-count agg and
+    // broadcast-joined AFTER the rank, off the shuffle. (c) slope
+    // leaves the exchange: the rank window orders by the same dv/dh
+    // expression and the surviving ≤2 rows per type recompute it —
+    // identical doubles, 8 fewer bytes per shuffled pair.
     val pairs = grid.as("a")
-      .join(grid.as("b"),
+      .join(broadcast(grid.as("b")),
         col("a.event_type") === col("b.event_type")
           && col("b.hi") > col("a.hi"))
       .select(col("a.event_type").as("event_type"),
         (col("b.hm") - col("a.hm")).as("dv"),
         (col("b.hi") - col("a.hi")).as("dh"))
-      .withColumn("slope", col("dv").cast("double") / col("dh"))
+    val np = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("h"))
+      .select(col("event_type"), expr("h * (h - 1) div 2").as("np"))
     val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("slope").asc, col("dv").asc, col("dh").asc)
-    val t = Window.partitionBy(col("event_type"))
+      .orderBy((col("dv").cast("double") / col("dh")).asc,
+        col("dv").asc, col("dh").asc)
     pairs
       .withColumn("rn", row_number().over(w))
-      .withColumn("np", count(lit(1)).over(t))
+      .join(broadcast(np), Seq("event_type"))
       .filter(expr("rn = (np + 1) div 2 OR rn = (np + 2) div 2"))
+      .withColumn("slope", col("dv").cast("double") / col("dh"))
       .groupBy(col("event_type"))
       // odd np selects ONE middle row twice-filtered to once ⇒ double
       // it; even np selects the two middles ⇒ plain sum. med2 = 2·median.
