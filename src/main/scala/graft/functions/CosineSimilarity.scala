@@ -205,11 +205,27 @@ object GraftFunctions {
         args(1).eval().asInstanceOf[Number].intValue(), ps)
     })
 
+  /** pq_encode_codes(vec, cb, nSub, subDim) — native PQ argmin encoder
+    * (graft.functions.PqEncodeCodes); nSub/subDim must be literals. */
+  val pqEncodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_encode_codes"),
+    new ExpressionInfo(classOf[PqEncodeCodes].getName, "pq_encode_codes"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "pq_encode_codes(vec, cb, nSub, subDim) takes exactly 4 arguments")
+      require(args(2).foldable && args(3).foldable,
+        "pq_encode_codes: nSub and subDim must be literals")
+      PqEncodeCodes(args.head, args(1),
+        args(2).eval().asInstanceOf[Number].intValue(),
+        args(3).eval().asInstanceOf[Number].intValue())
+    })
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, rhpBucketDescriptor, zorderDescriptor,
       zorderPrefixDescriptor, zorderNormDescriptor,
-      freqItemsDescriptor, quantileSketchDescriptor).foreach {
+      freqItemsDescriptor, quantileSketchDescriptor,
+      pqEncodeDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -670,19 +670,19 @@ object Similarity extends QueryModule {
 
   /** Encode map-side: per subspace, fold the broadcast codebook to the
     * argmin-L2 cell (strict < keeps the first = smallest cell on
-    * ties). No shuffle — the corpus streams past once. */
+    * ties). No shuffle — the corpus streams past once. r9: the fold is
+    * the native pq_encode_codes expression (one fused loop per row);
+    * the four-deep interpreted HOF nest it replaces dispatched boxed
+    * lambdas per (subspace × cell × dimension) — see PqEncodeCodes'
+    * bit-identity contract and PqEncodeSpec. */
   private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
     // passes through extra input columns (e.g. the IVF cell for the
     // residual IVF-PQ layout), like assignCells
     val keep = e.columns.toSeq
     e.crossJoin(broadcast(pqCbArr(cb)))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${PqSub - 1}), s ->
-           |  aggregate(
-           |    transform(filter(cb, c -> c.sub = s),
-           |      c -> struct(${pqDistExpr("embedding")} as d, c.cell as cell)),
-           |    struct(cast(1e18 as double) as d, -1 as cell),
-           |    (acc, x) -> if(x.d < acc.d, x, acc)).cell)""".stripMargin))
+      .withColumn("codes", call_function("pq_encode_codes",
+        col("embedding"), col("cb"), lit(PqSub), lit(PqSubDim)))
       .select(keep.map(col) :+ col("codes"): _*)
   }
 
