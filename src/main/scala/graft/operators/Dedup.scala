@@ -43,9 +43,21 @@ object Dedup extends QueryModule {
           "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
           "ELSE array_repeat('', 0) END"))
 
-  /** (doc_id, shingle) distinct pairs — the inverted-index edge list. */
+  /** (doc_id, shingle) distinct pairs — the inverted-index edge list.
+    * r9: positional explode + codegen concat projection — building the
+    * shingle ARRAY first paid an interpreted lambda per shingle (the
+    * array-returning `shingled` stays for the consumers that need the
+    * array itself). Same rows: <3-token docs exploded an empty array
+    * before, the size filter drops them now; shingle strings are the
+    * identical concat_ws over the identical elements. */
   private def shingleEdges(df: DataFrame): DataFrame =
-    shingled(df).select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+    df.withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(0, size(tk) - 3)")).as("i"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', tk[i], tk[i+1], tk[i+2])").as("s"))
+      .distinct()
 
   /** Shared-key co-occurrence counts over an (id, s) edge list: for
     * every unordered id pair sharing a key, |A∩B| — rows

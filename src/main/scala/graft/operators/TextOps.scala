@@ -308,9 +308,9 @@ object TextOps extends QueryModule {
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     words
-      .select(col("freq"), explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-        .as("pair"))
+      .select(col("freq"), col("w"),
+        explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(col("freq"), expr("substring(w, i, 2)").as("pair"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(20)
@@ -676,10 +676,9 @@ object TextOps extends QueryModule {
     val nTotal = toks.select(explode(col("tk")).as("w"))
       .agg(count(lit(1)).as("n"))
     // guard: Spark's sequence(0, -1) DESCENDS for a 1-token doc
-    val bi = toks.filter(size(col("tk")) >= 2).select(explode(expr(
-        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS a, tk[i+1] AS b))"))
-        .as("p"))
-      .select(col("p.a"), col("p.b"))
+    val bi = toks.filter(size(col("tk")) >= 2)
+      .select(col("tk"), explode(expr("sequence(0, size(tk) - 2)")).as("i"))
+      .select(expr("tk[i]").as("a"), expr("tk[i+1]").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= 5)
     bi.join(broadcast(uni.withColumnRenamed("w", "a")
@@ -731,10 +730,9 @@ object TextOps extends QueryModule {
     val grams = TrigramPattern.sliding(3).toSeq.distinct
     val docs = Tables.documents(s, dir)
     val postings = docs
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("g"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 2)")).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 3)").as("g"))
       .filter(col("g").isin(grams: _*))
       .distinct()
     val cands = postings.groupBy(col("doc_id"))
@@ -996,29 +994,31 @@ object TextOps extends QueryModule {
     * argmax windows over ≤5 rows per doc. */
   private val langidNgramQ = (s: SparkSession, dir: String) => {
     val docs = Tables.documents(s, dir).filter(length(col("text")) >= 3)
-    // r9 optimization: the corpus trigram explode fed BOTH the profile
-    // build and the scoring join as separate executions — the whole
-    // substring explode ran twice per pass (guide §2.4: reuse one
-    // computation). Collapse to per-doc gram COUNTS once (the explode's
-    // only consumer shape: profile = Σ over docs, score = Σ over
-    // profile grams), checkpoint that doc×gram table, and derive both
-    // sides from it. Result-identical: COUNT over tri ≡ SUM(cnt) over
-    // the per-doc collapse, on both branches.
-    val dgc = docs.select(col("doc_id"), col("lang"), explode(expr(
-      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-      .as("g"))
-      .groupBy(col("doc_id"), col("lang"), col("g"))
+    // r9 optimization, two rounds of measurement: (1) the original ran
+    // the trigram explode TWICE (profile build + scoring join), each
+    // through an interpreted transform-lambda; (2) a shared per-doc
+    // gram-count checkpoint removed the double explode but introduced
+    // a corpus-sized (doc, gram) exchange + materialize + re-read that
+    // cost MORE than the explode it saved (OptLab: 40.8 MB exchange,
+    // 2.2 + 2.0 CPU-s). Final form: keep the original two-branch shape
+    // — NEITHER branch has a corpus-sized exchange (profile partials
+    // collapse to vocab×langs map-side; score partials to ≤5 rows per
+    // doc) — and make the explode itself codegen (positions exploded,
+    // substring as a plain projection, no lambda, no array build).
+    def tri = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(expr("sequence(1, length(text) - 2)")).as("i"))
+      .select(col("doc_id"), col("lang"),
+        expr("substring(text, i, 3)").as("g"))
+    val prof = tri.groupBy(col("lang").as("p_lang"), col("g"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = false)
-    val prof = dgc.groupBy(col("lang").as("p_lang"), col("g"))
-      .agg(sum(col("cnt")).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("p_lang"))
           .orderBy(col("cnt").desc, col("g").asc)))
       .filter(col("rk") <= 40).select(col("p_lang"), col("g"))
-    val scores = dgc.join(broadcast(prof), Seq("g"))
+    val scores = tri.join(broadcast(prof), Seq("g"))
       .groupBy(col("doc_id"), col("p_lang"))
-      .agg(sum(col("cnt")).as("score"))
+      .agg(count(lit(1)).as("score"))
     val pred = scores.withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("p_lang").asc)))
@@ -1153,9 +1153,8 @@ object TextOps extends QueryModule {
     val toks = Tables.documents(s, dir)
       .select(split(col("text"), " ").as("tk"))
     val big = toks.filter(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS src, tk[i+1] AS dst))"))
-        .as("p"))
+      .select(col("tk"), explode(expr("sequence(0, size(tk)-2)")).as("i"))
+      .select(expr("struct(tk[i] AS src, tk[i+1] AS dst)").as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
     val bw = Window.partitionBy(col("src"))
@@ -1248,17 +1247,16 @@ object TextOps extends QueryModule {
   // pairs — linear in corpus length, never a self-join), followed by
   // one count exchange with map-side partials and a top-k heap merge.
   private val cooccurQ = (s: SparkSession, dir: String) => {
+    // r9: positional double explode + codegen projections — the
+    // flatten/transform/filter lambda nest evaluated interpreted per
+    // (position x offset); same pair multiset (i + d < size guard).
     Tables.documents(s, dir)
       .select(split(col("text"), " ").as("tk"))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(tk) - 1), i ->
-          |  filter(transform(sequence(1, 3), d ->
-          |    CASE WHEN i + d < size(tk)
-          |    THEN struct(least(tk[i], tk[i+d]) AS w1,
-          |                greatest(tk[i], tk[i+d]) AS w2)
-          |    ELSE NULL END), x -> x IS NOT NULL)))""".stripMargin))
-        .as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(col("tk"), explode(expr("sequence(0, size(tk) - 1)")).as("i"))
+      .select(col("tk"), col("i"), explode(expr("sequence(1, 3)")).as("d"))
+      .filter(expr("i + d < size(tk) AND i >= 0"))
+      .select(expr("least(tk[i], tk[i+d])").as("w1"),
+        expr("greatest(tk[i], tk[i+d])").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 10)
       .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
