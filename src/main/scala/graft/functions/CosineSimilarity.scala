@@ -220,12 +220,23 @@ object GraftFunctions {
         args(3).eval().asInstanceOf[Number].intValue())
     })
 
+  /** cosine_argmax_cell(vec, cents) — native IVF cell assignment
+    * (graft.functions.CosineArgmaxCell). */
+  val cellArgmaxDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_argmax_cell"),
+    new ExpressionInfo(classOf[CosineArgmaxCell].getName, "cosine_argmax_cell"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "cosine_argmax_cell(vec, cents) takes exactly 2 arguments")
+      CosineArgmaxCell(args.head, args.last)
+    })
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cosineSimDescriptor, rhpBucketDescriptor, zorderDescriptor,
       zorderPrefixDescriptor, zorderNormDescriptor,
       freqItemsDescriptor, quantileSketchDescriptor,
-      pqEncodeDescriptor).foreach {
+      pqEncodeDescriptor, cellArgmaxDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

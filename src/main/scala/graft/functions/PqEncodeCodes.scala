@@ -99,3 +99,94 @@ case class PqEncodeCodes(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): PqEncodeCodes =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native IVF cell assignment: argmax-cosine over a (cell, centroid)
+  * array — the map-side `assignCells` fold without the per-cell
+  * interpreted aggregate/struct allocation (r9; same motivation as
+  * [[PqEncodeCodes]]). Bit-identical to the HOF fold it replaces
+  * (CellArgmaxSpec): cosine per cell is the CosineSimilarity fold
+  * (strict left-to-right, elements widened to double), entries are
+  * visited in ARRAY ORDER with strict `>` against a running best
+  * seeded at (-2.0, -1) — the first maximum wins, so ties break to
+  * the smallest cell when the array is (cell)-sorted. The `>` is
+  * SPARK SQL's double comparison, not Java's: Spark orders NaN above
+  * every other value (and NaN = NaN), so a NaN cosine (zero-norm
+  * centroid or vector) DISPLACES any non-NaN best and the first NaN
+  * then wins — CellArgmaxSpec pins exactly this against the fold. */
+case class CosineArgmaxCell(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "cosine_argmax_cell"
+
+  private def vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def centIsFloat: Boolean = right.dataType match {
+    case ArrayType(StructType(f), _) => f(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val centsOk = right.dataType match {
+      case ArrayType(StructType(fields), _) if fields.length == 2 &&
+        fields(0).dataType == IntegerType &&
+        (fields(1).dataType match {
+          case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+          case _ => false
+        }) => true
+      case _ => false
+    }
+    if (vecOk && centsOk) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName(vec array<float|double>, cents array<struct<cell int, " +
+        s"centroid array<float|double>>>) — got ${left.dataType.catalogString}, " +
+        right.dataType.catalogString)
+  }
+
+  override protected def nullSafeEval(v: Any, c: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cents = c.asInstanceOf[ArrayData]
+    val vf = vecIsFloat
+    val cf = centIsFloat
+    var bestC = -2.0
+    var bestCell = -1
+    var e = 0
+    val n = cents.numElements()
+    while (e < n) {
+      val row = cents.getStruct(e, 2)
+      val cell = row.getInt(0)
+      val cent = row.getArray(1)
+      val m = math.min(vec.numElements(), cent.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (vf) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val y = if (cf) cent.getFloat(i).toDouble else cent.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      // Spark SQL double ordering: NaN > any non-NaN, NaN = NaN
+      val wins =
+        if (java.lang.Double.isNaN(cos)) !java.lang.Double.isNaN(bestC)
+        else if (java.lang.Double.isNaN(bestC)) false
+        else cos > bestC
+      if (wins) { bestC = cos; bestCell = cell }
+      e += 1
+    }
+    bestCell
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineArgmaxCell =
+    copy(left = newLeft, right = newRight)
+}

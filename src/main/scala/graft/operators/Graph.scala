@@ -1866,7 +1866,19 @@ object Graph extends QueryModule {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val K = 3
-    val (ed, nodes, m) = scaledDirected(s, dir)
+    // r9: kcore never reads edge weights or wout, and its rounds only
+    // need the DST-oriented edge table — build exactly that (one
+    // exchange, dst-sorted, checkpointed) instead of going through
+    // scaledDirected's src-windowed table and re-shuffling it. The
+    // node set and edge count derive from the same checkpoint (the
+    // graph is symmetric, so distinct dst == distinct src).
+    val eu = scaledUndirected(s, dir)
+    val ed = eu.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(eu.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst")).sortWithinPartitions(col("dst"))
+      .localCheckpoint()
+    val nodes = ed.select(col("dst").as("node")).distinct().localCheckpoint()
+    val m = ed.count() / 2
     if (m <= scaledCutoff(s)) {
       val es = ed.select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
@@ -1896,10 +1908,8 @@ object Graph extends QueryModule {
       // for every alive src the kept-edge count is unchanged, and dead
       // srcs are dropped by the semi-join exactly as the edge-level
       // filter dropped them. Per round the edges are scanned, never
-      // shuffled.
-      val edDst = ed.select(col("src"), col("dst"))
-        .repartition(col("dst")).sortWithinPartitions(col("dst"))
-        .localCheckpoint()
+      // shuffled. (`ed` above IS the dst-oriented checkpoint.)
+      val edDst = ed
       var alive = nodes
       var survivors: DataFrame = null
       for (_ <- 1 to ScaledIters) {

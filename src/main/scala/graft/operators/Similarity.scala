@@ -530,26 +530,21 @@ object Similarity extends QueryModule {
     * keeps the first maximum (same rule as the old max_by struct).
     */
   private def assignCells(data: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(data.sparkSession)
     val centsArr = cents
       .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
         .as("cents"))
     // passes through any extra input columns (e.g. PQ codes for the
-    // combined IVF-PQ layout) alongside the assigned cell
+    // combined IVF-PQ layout) alongside the assigned cell. r9: the
+    // argmax fold is the native cosine_argmax_cell expression (one
+    // fused loop per row over the sorted cell array — first strict
+    // maximum wins, ties to the smallest cell, exactly the old
+    // aggregate() fold's semantics; CellArgmaxSpec pins it).
     val keep = data.columns.toSeq
     data.crossJoin(broadcast(centsArr))
-      .withColumn("best", aggregate(
-        col("cents"),
-        struct(lit(-2.0).as("c"), lit(-1).as("cell")),
-        (acc, ct) => {
-          // codegen-eval cosine (bit-identical contract): the fold over
-          // cells stays a HOF, but the O(dim) inner product per cell is
-          // one fused primitive loop instead of three boxed lambda folds
-          val c = cosNative(col("embedding"), ct.getField("centroid"))
-          when(c > acc.getField("c"),
-            struct(c.as("c"), ct.getField("cell").as("cell")))
-            .otherwise(acc)
-        }))
-      .select(keep.map(col) :+ col("best.cell").as("cell"): _*)
+      .select(keep.map(col) :+
+        call_function("cosine_argmax_cell",
+          col("embedding"), col("cents")).as("cell"): _*)
   }
 
   /** Deterministic IVF training: seeded sample → `LloydIters` k-means
