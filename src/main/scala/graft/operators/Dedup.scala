@@ -59,6 +59,19 @@ object Dedup extends QueryModule {
         expr("concat_ws(' ', tk[i], tk[i+1], tk[i+2])").as("s"))
       .distinct()
 
+  /** The corpus (doc_id, s) shingle edge list, built once per
+    * (session, route, dir) and cached — the explicit share for the
+    * TextOps gram consumers (q_text_ngram_novelty, q_text_boilerplate)
+    * whose inline gram subtrees previously rode CacheManager's
+    * ACCIDENTAL canonical-plan match against this same cache (the
+    * cross-suite plan-substitution behavior PropertySpec documents);
+    * the r9 shingleEdges rewrite changed the canonical plan and
+    * silently cost those two queries their cache hit (measured ~8×
+    * on the bench) until they were pointed here deliberately. */
+  private[graft] def sharedShingleEdges(
+      s: SparkSession, dir: String): DataFrame =
+    shared(s, s"edges|$dir")(shingleEdges(Tables.documents(s, dir)))
+
   /** Shared-key co-occurrence counts over an (id, s) edge list: for
     * every unordered id pair sharing a key, |A∩B| — rows
     * (aName < bName, i). r9 optimization (guide §2.4, the market-

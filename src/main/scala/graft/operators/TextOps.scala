@@ -1500,14 +1500,9 @@ object TextOps extends QueryModule {
     * per-doc gram counts a doc-keyed aggregate of `grams` — the only
     * join left is doc-cardinality ⋈ doc-cardinality on a LONG key. */
   private val noveltyQ = (s: SparkSession, dir: String) => {
-    val grams = Tables.documents(s, dir)
-      .withColumn("tk", split(col("text"), " "))
-      .withColumn("sh", expr(
-        "CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
-          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
-          "ELSE array_repeat('', 0) END"))
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .distinct()
+    // shared corpus shingle edge list (see boilerplateQ note)
+    val grams = graft.operators.Dedup.sharedShingleEdges(s, dir)
+      .withColumnRenamed("s", "g")
     val perDoc = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
     val novel = grams.groupBy(col("g"))
@@ -1684,14 +1679,12 @@ object TextOps extends QueryModule {
     * 100 TB posture: same inverted-gram discipline as novelty — one
     * distinct, one df map keyed on the gram, one doc rollup. */
   private val boilerplateQ = (s: SparkSession, dir: String) => {
-    val grams = Tables.documents(s, dir)
-      .withColumn("tk", split(col("text"), " "))
-      .withColumn("sh", expr(
-        "CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
-          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
-          "ELSE array_repeat('', 0) END"))
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .distinct()
+    // the corpus (doc, gram) edge list is the SAME distinct-shingle
+    // table the dedup family maintains - read the explicit shared
+    // cache instead of rebuilding it (see Dedup.sharedShingleEdges:
+    // this query used to hit that cache only by canonical-plan luck)
+    val grams = graft.operators.Dedup.sharedShingleEdges(s, dir)
+      .withColumnRenamed("s", "g")
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
     grams.join(df, "g")
       .groupBy(col("doc_id"))
